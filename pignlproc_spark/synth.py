@@ -1,0 +1,567 @@
+"""Deterministic synthetic Common-Crawl-style page corpus + goldens.
+
+FIXTURES.md §1–§3: generates, at a given scale factor,
+
+- ``pages(url, warc_ts, html BINARY, text, lang)`` — the authoritative
+  input shape (BASELINE.json:15). ``html`` is rendered wiki/HTML-ish
+  markup with anchors, templates-to-strip, refs, comments, entities
+  and a few malformed pages; ``text`` is the EXPECTED extracted plain
+  text computed from the page *plan* (word/anchor token lists), NOT by
+  running the extractor — so the byte-identity test exercises two
+  independent code paths meeting at the same bytes.
+- side tables ``surface_forms redirects disambiguations entity_types
+  abstracts`` (the reference's NTriples-derived relations).
+- golden outputs ``golden_text golden_pair_counts golden_uri_counts
+  golden_sf_total_counts golden_token_counts golden_triples`` computed
+  directly from the plan (P/R ground truth, FIXTURES.md §3).
+
+Everything is seeded (seed=42 + per-page derived seeds); same sf ⇒
+same bytes, across runs and machines. Output is cached as parquet
+under ``<repo>/.synthdata/sf<sf>/`` and regenerated only if missing.
+
+Corpus shape knobs (FIXTURES.md §1): Zipfian link-target distribution
+(hub entities → skew), ~3–8 anchors/page, ~2% redirect pages with
+chains len 2–4 + one 2-cycle + a dangling target, ~1% disambiguation
+pages, a few empty/whitespace/malformed pages.
+"""
+
+from __future__ import annotations
+
+import bisect
+import random
+from collections import Counter
+from datetime import datetime, timedelta
+from pathlib import Path
+
+import pandas as pd
+
+from pignlproc_spark.functions.ngrams import SurfaceFormMatcher, normalize_sf
+from pignlproc_spark.functions.tokenize import tokenize
+from pignlproc_spark.functions.uri import uri_encode
+
+SEED = 42
+MAX_HOPS = 8  # frozen redirect-resolution bound (matches canonicalize)
+URI_LANG = "en"  # URI base is a per-run constant, like the reference's lang param
+
+VOCAB = (
+    "alpha beta gamma delta epsilon zeta river mountain valley city bridge harbor "
+    "engine turbine circuit signal vector matrix tensor kernel cluster node edge "
+    "graph music painting novel poem battle treaty empire province island desert "
+    "forest glacier comet nebula photon quark proton neutron enzyme protein cell "
+    "market trade currency bank census law court senate treaty harvest wheat "
+    "copper iron silver cobalt quartz basalt granite sandstone lighthouse castle "
+    "abbey cathedral plaza avenue tunnel railway airport seaport festival carnival "
+    "sonata symphony ballad chorus legend myth saga chronicle atlas compass sextant "
+    "meridian equator tropic monsoon typhoon aurora eclipse solstice equinox tide "
+    "reef lagoon fjord delta plateau steppe tundra savanna prairie orchard vineyard"
+).split()
+
+FILLER = (
+    "the a an of in on at by with from into over under between through during "
+    "before after above below is was are were has had will would can could may "
+    "about many some few most other such same new old great small early late "
+    "known famous located founded built named called described considered north east"
+).split()
+
+LANGS = ["en", "en", "en", "de", "fr", "es", "zh"]
+TYPES = ["Person", "Place", "Organisation", "Work"]
+
+
+def sf_scale(sf: float) -> int:
+    """pages at scale factor (FIXTURES.md §5: 500 / 5k / 50k)."""
+    return max(50, int(round(500 * sf / 0.001)))
+
+
+# ---------------------------------------------------------------------------
+# plan model
+# ---------------------------------------------------------------------------
+
+
+def _entity_title(i: int) -> str:
+    return f"{VOCAB[i % len(VOCAB)].capitalize()}_{i}"
+
+
+def _entity_surfaces(i: int) -> list[str]:
+    t = _entity_title(i)
+    s1 = t.replace("_", " ")
+    surfaces = [s1, s1.lower()]
+    if i % 7 == 0:
+        surfaces.append(f"the {s1.lower()}")
+    if i % 97 == 0:
+        # 6-token surface → exceeds matcher max_n → totalCount = -1 case
+        surfaces.append(f"the great {s1.lower()} of old")
+    return surfaces
+
+
+def _escape(rng: random.Random, word: str) -> str:
+    out = word.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    if rng.random() < 0.05 and "&" not in out:
+        for j, ch in enumerate(out):
+            if ch in "aeiou":
+                out = out[:j] + f"&#{ord(ch)};" + out[j + 1 :]
+                break
+    if rng.random() < 0.05:
+        tag = rng.choice(["b", "i", "em"])
+        out = f"<{tag}>{out}</{tag}>"
+    return out
+
+
+def _render_anchor(rng: random.Random, target: str, surface: str) -> str:
+    esc = surface.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    href = target.replace(" ", "_")
+    r = rng.random()
+    if r < 0.55:
+        if rng.random() < 0.1:
+            href = href.replace("_", "%5F")
+        return f'<a href="/wiki/{href}">{esc}</a>'
+    if r < 0.7:
+        return f'<a class="int" href="https://en.example.org/wiki/{href}">{esc}</a>'
+    return f"[[{target}|{esc}]]"
+
+
+class PagePlan:
+    __slots__ = ("url", "lang", "kind", "redirect_dst", "blocks", "html", "text")
+
+    def __init__(self, url: str, lang: str, kind: str):
+        self.url = url
+        self.lang = lang
+        self.kind = kind
+        self.redirect_dst: str | None = None
+        # blocks: list of ("h", [words]) | ("p", [sentence]); sentence = [item];
+        # item = ("w", word) | ("a", target_title, surface)
+        self.blocks: list[tuple[str, list]] = []
+        self.html = b""
+        self.text = ""
+
+    def anchors(self):
+        for kind, payload in self.blocks:
+            if kind != "p":
+                continue
+            for sent in payload:
+                for item in sent:
+                    if item[0] == "a":
+                        yield item[1], item[2]
+
+    def sentences(self):
+        """(sentence_text, [(target, surface), ...]) per plan sentence."""
+        for kind, payload in self.blocks:
+            if kind != "p":
+                continue
+            for sent in payload:
+                words = [it[1] if it[0] == "w" else it[2] for it in sent]
+                anchors = [(it[1], it[2]) for it in sent if it[0] == "a"]
+                yield " ".join(words) + ".", anchors
+
+
+def _item_text(item) -> str:
+    return item[1] if item[0] == "w" else item[2]
+
+
+def _plan_text(plan: PagePlan) -> str:
+    parts = []
+    for kind, payload in plan.blocks:
+        if kind == "h":
+            parts.append(" ".join(payload))
+        else:
+            parts.append(" ".join(" ".join(_item_text(i) for i in s) + "." for s in payload))
+    return "\n\n".join(p for p in parts if p)
+
+
+def _render_html(rng: random.Random, plan: PagePlan) -> bytes:
+    chunks: list[str] = []
+    if rng.random() < 0.1:
+        chunks.append("<html><body>")
+    for kind, payload in plan.blocks:
+        if rng.random() < 0.15:
+            chunks.append("{{Infobox|key=value|n=" + str(rng.randrange(99)) + "}}")
+        if kind == "h":
+            lvl = rng.choice([2, 2, 3])
+            chunks.append(f"<h{lvl}>" + " ".join(_escape(rng, w) for w in payload) + f"</h{lvl}>")
+            continue
+        sents = []
+        for sent in payload:
+            rendered = []
+            for item in sent:
+                if item[0] == "w":
+                    rendered.append(_escape(rng, item[1]))
+                else:
+                    rendered.append(_render_anchor(rng, item[1], item[2]))
+            s = " ".join(rendered)
+            if rng.random() < 0.1:
+                s += "<ref>cite {{sfn|loc=" + str(rng.randrange(99)) + "}}</ref>"
+            sents.append(s + ".")
+        body = " ".join(sents)
+        if rng.random() < 0.1:
+            body += "<!-- trailing comment -->"
+        chunks.append("<p>" + body + "</p>")
+    if rng.random() < 0.08:
+        chunks.append("{{Navbox|list={{inner|x}}}}")
+    if chunks and chunks[0] == "<html><body>":
+        chunks.append("</body></html>")
+    return "\n".join(chunks).encode("utf-8")
+
+
+MALFORMED = [
+    (b"<p>&broken; <unclosed</p>", "&broken; <unclosed"),
+    (b"<p>stray > sign</p>", "stray > sign"),
+    (b"{{unclosed template <p>after</p>", "{{unclosed template\n\nafter"),
+]
+
+
+# ---------------------------------------------------------------------------
+# corpus generation
+# ---------------------------------------------------------------------------
+
+
+class Corpus:
+    def __init__(self, sf: float):
+        self.sf = sf
+        self.n_pages = sf_scale(sf)
+        self.build()
+
+    def build(self) -> None:
+        n_pages = self.n_pages
+        n_entities = max(40, n_pages // 10)
+        rng = random.Random(f"{SEED}:corpus:{self.sf}")
+
+        # --- redirect graph (chains 2–4, one 2-cycle, one dangling) ---
+        redirects: dict[str, str] = {}
+        for c in range(max(2, n_entities // 25)):
+            length = 2 + c % 3  # 2..4 nodes in chain
+            target = _entity_title(c % n_entities)
+            nodes = [f"Red_{c}_{k}" for k in range(length - 1)]
+            for a, b in zip(nodes, nodes[1:]):
+                redirects[a] = b
+            redirects[nodes[-1]] = target
+        redirects["CycA_0"] = "CycB_0"
+        redirects["CycB_0"] = "CycA_0"
+        redirects["Dang_0"] = "Missing_Target_999999"
+        redirect_srcs = sorted(redirects)
+
+        # --- disambiguation pages ---
+        n_dabs = max(1, n_pages // 100)
+        dabs: dict[str, list[str]] = {}
+        for d in range(n_dabs):
+            fan = 2 + d % 5
+            dabs[f"Dab_{d}"] = [_entity_title((d * 13 + j * 7) % n_entities) for j in range(fan)]
+
+        # --- link-target population: entities + redirect entries + dabs,
+        #     Zipf-weighted (hub skew; FIXTURES.md §1) ---
+        population = [_entity_title(i) for i in range(n_entities)] + redirect_srcs + sorted(dabs)
+        weights = [1.0 / (r + 1) ** 1.05 for r in range(len(population))]
+        cum = []
+        acc = 0.0
+        for w in weights:
+            acc += w
+            cum.append(acc)
+
+        def sample_target(r: random.Random) -> str:
+            return population[bisect.bisect_left(cum, r.random() * acc)]
+
+        surfaces_by_title = {_entity_title(i): _entity_surfaces(i) for i in range(n_entities)}
+
+        def surfaces_for(title: str) -> list[str]:
+            if title in surfaces_by_title:
+                return surfaces_by_title[title]
+            return [title.replace("_", " "), title.replace("_", " ").lower()]
+
+        # --- page plans ---
+        pages: list[PagePlan] = []
+        base_ts = datetime(2024, 1, 1)
+
+        def make_article(i: int, url: str, kind: str = "article", title: str | None = None) -> PagePlan:
+            prng = random.Random(f"{SEED}:page:{i}")
+            plan = PagePlan(url, LANGS[i % len(LANGS)], kind)
+            n_blocks = 1 + prng.randrange(4)
+            anchors_budget = 3 + prng.randrange(6)  # 3–8 anchors/page
+            placed = 0
+            for b in range(n_blocks):
+                if b > 0 and prng.random() < 0.25:
+                    plan.blocks.append(("h", [prng.choice(VOCAB), prng.choice(VOCAB)]))
+                    continue
+                sentences = []
+                for _s in range(1 + prng.randrange(3)):
+                    items: list = []
+                    for _w in range(4 + prng.randrange(8)):
+                        if prng.random() < 0.12:
+                            items.append(("w", prng.choice(FILLER)))
+                        elif prng.random() < 0.02:
+                            items.append(("w", "r&d"))
+                        else:
+                            items.append(("w", prng.choice(VOCAB)))
+                    n_anchor_here = 0
+                    while placed < anchors_budget and n_anchor_here < 2 and prng.random() < 0.55:
+                        target = title if (kind == "dab_target_unused") else sample_target(prng)
+                        surface = prng.choice(surfaces_for(target))
+                        pos = prng.randrange(len(items) + 1)
+                        items.insert(pos, ("a", target, surface))
+                        placed += 1
+                        n_anchor_here += 1
+                    # unlinked surface-form occurrence (link-probability denominator)
+                    if prng.random() < 0.3:
+                        sf = prng.choice(surfaces_for(sample_target(prng)))
+                        for k, tok in enumerate(sf.split(" ")):
+                            items.insert(k, ("w", tok))
+                    sentences.append(items)
+                plan.blocks.append(("p", sentences))
+            plan.text = _plan_text(plan)
+            plan.html = _render_html(prng, plan)
+            return plan
+
+        i = 0
+
+        def next_url() -> str:
+            nonlocal i
+            u = f"https://cc{i % 10}.example/p/{i:07d}"
+            i += 1
+            return u
+
+        for src in redirect_srcs:
+            plan = PagePlan(next_url(), "en", "redirect")
+            plan.redirect_dst = redirects[src]
+            prng = random.Random(f"{SEED}:r:{src}")
+            dst = redirects[src]
+            style = prng.random()
+            if style < 0.5:
+                plan.html = f"#REDIRECT [[{dst}]]".encode()
+            elif style < 0.8:
+                plan.html = f"#redirect [[{dst.replace('_', ' ')}]]".encode()
+            else:
+                plan.html = f"  #REDIRECT: [[{dst}|old name]]".encode()
+            plan.text = ""
+            pages.append(plan)
+
+        for dab, candidates in sorted(dabs.items()):
+            prng = random.Random(f"{SEED}:d:{dab}")
+            plan = PagePlan(next_url(), "en", "dab")
+            items: list = [("w", dab.replace("_", " ").lower()), ("w", "may"), ("w", "refer"), ("w", "to")]
+            for c in candidates:
+                items.append(("a", c, surfaces_for(c)[0]))
+            plan.blocks = [("p", [items])]
+            plan.text = _plan_text(plan)
+            plan.html = _render_html(prng, plan)
+            pages.append(plan)
+
+        for html, text in MALFORMED:
+            plan = PagePlan(next_url(), "en", "malformed")
+            plan.html, plan.text = html, text
+            pages.append(plan)
+        for blank in (b"", b"   \n\t  "):
+            plan = PagePlan(next_url(), "en", "empty")
+            plan.html, plan.text = blank, ""
+            pages.append(plan)
+
+        while len(pages) < n_pages:
+            pages.append(make_article(i, next_url()))
+
+        self.pages = pages
+        self.redirects = redirects
+        self.dabs = dabs
+        self.n_entities = n_entities
+        self.base_ts = base_ts
+
+        # --- redirect resolution (frozen: follow ≤ MAX_HOPS, stop early) ---
+        def resolve_title(t: str) -> str:
+            cur = t
+            for _ in range(MAX_HOPS):
+                nxt = redirects.get(cur)
+                if nxt is None:
+                    return cur
+                cur = nxt
+            return cur
+
+        self.resolve_title = resolve_title
+
+        # --- goldens from the plan ---
+        pair_counts: Counter = Counter()
+        uri_counts: Counter = Counter()
+        annotated: Counter = Counter()
+        mentions: Counter = Counter()
+        token_counts: Counter = Counter()
+        for p in pages:
+            if p.kind == "redirect":
+                continue
+            for sent_text, anchors in p.sentences():
+                for target, surface in anchors:
+                    uri = uri_encode(resolve_title(target), URI_LANG)
+                    pair_counts[(surface, uri)] += 1
+                    uri_counts[uri] += 1
+                    annotated[surface] += 1
+                    mentions[(p.url, uri)] += 1
+                    for tok in tokenize(sent_text):
+                        token_counts[(uri, tok)] += 1
+
+        matcher = SurfaceFormMatcher(annotated.keys())
+        totals: Counter = Counter()
+        for p in pages:
+            if p.kind == "redirect":
+                continue
+            for occ in matcher.occurrences(p.text):
+                totals[occ] += 1
+        sf_total = {}
+        for sf in annotated:
+            norm = normalize_sf(sf)
+            sf_total[sf] = totals.get(norm, -1) if norm in matcher.forms else -1
+
+        self.pair_counts = pair_counts
+        self.uri_counts = uri_counts
+        self.annotated = annotated
+        self.sf_total = sf_total
+        self.token_counts = token_counts
+        self.mentions = mentions
+
+
+# ---------------------------------------------------------------------------
+# parquet materialization
+# ---------------------------------------------------------------------------
+
+
+def synth_dir(sf: float, root: str | Path = None) -> Path:
+    root = Path(root) if root else Path(__file__).resolve().parent.parent / ".synthdata"
+    return root / f"sf{sf}"
+
+
+TABLES = [
+    "pages",
+    "surface_forms",
+    "redirects",
+    "disambiguations",
+    "entity_types",
+    "abstracts",
+    "golden_text",
+    "golden_pair_counts",
+    "golden_uri_counts",
+    "golden_sf_total_counts",
+    "golden_token_counts",
+    "golden_triples",
+]
+
+
+def _triples_frame(c: Corpus) -> pd.DataFrame:
+    rows = []
+    for (sf, uri), n in sorted(c.pair_counts.items()):
+        rows.append((sf, "kg:linksTo", uri, n))
+    for uri, n in sorted(c.uri_counts.items()):
+        rows.append((uri, "kg:uriCount", str(n), n))
+    for sf, n in sorted(c.annotated.items()):
+        rows.append((sf, "kg:annotatedCount", str(n), n))
+    for sf, n in sorted(c.sf_total.items()):
+        rows.append((sf, "kg:totalCount", str(n), n))
+    for (url, uri), n in sorted(c.mentions.items()):
+        rows.append((url, "kg:mentions", uri, n))
+    return pd.DataFrame(rows, columns=["subj", "pred", "obj", "weight"])
+
+
+def generate(sf: float, root: str | Path = None, force: bool = False) -> Path:
+    """Generate (or reuse cached) synthetic corpus parquet at scale sf."""
+    out = synth_dir(sf, root)
+    marker = out / "_SUCCESS"
+    if marker.exists() and not force:
+        return out
+    out.mkdir(parents=True, exist_ok=True)
+    c = Corpus(sf)
+
+    pages = pd.DataFrame(
+        {
+            "url": [p.url for p in c.pages],
+            "warc_ts": [c.base_ts + timedelta(seconds=7 * j) for j in range(len(c.pages))],
+            "html": [p.html for p in c.pages],
+            "text": [p.text for p in c.pages],
+            "lang": [p.lang for p in c.pages],
+        }
+    )
+    frames = {"pages": pages}
+
+    sf_rows = []
+    for k in range(c.n_entities):
+        uri = uri_encode(c.resolve_title(_entity_title(k)), URI_LANG)
+        for sf_ in _entity_surfaces(k):
+            total = c.sf_total.get(sf_, -1)
+            occ = total if total > 0 else max(c.annotated.get(sf_, 0), 1)
+            sf_rows.append((sf_, uri, c.annotated.get(sf_, 0), occ))
+    frames["surface_forms"] = pd.DataFrame(
+        sf_rows, columns=["surface_form", "uri", "anchor_count", "occurrence_count"]
+    ).drop_duplicates(subset=["surface_form", "uri"])
+
+    frames["redirects"] = pd.DataFrame(
+        [(uri_encode(s, URI_LANG), uri_encode(d, URI_LANG)) for s, d in sorted(c.redirects.items())],
+        columns=["src_uri", "dst_uri"],
+    )
+    frames["disambiguations"] = pd.DataFrame(
+        [(uri_encode(d, URI_LANG), uri_encode(cand, URI_LANG)) for d, cands in sorted(c.dabs.items()) for cand in cands],
+        columns=["dab_uri", "candidate_uri"],
+    )
+    frames["entity_types"] = pd.DataFrame(
+        [(uri_encode(_entity_title(k), URI_LANG), TYPES[k % len(TYPES)]) for k in range(c.n_entities)],
+        columns=["uri", "type"],
+    )
+    frames["abstracts"] = pd.DataFrame(
+        [
+            (
+                uri_encode(_entity_title(k), URI_LANG),
+                f"{_entity_title(k).replace('_', ' ')} is a {TYPES[k % len(TYPES)].lower()}.",
+            )
+            for k in range(c.n_entities)
+        ],
+        columns=["uri", "abstract"],
+    )
+    frames["golden_text"] = pages[["url", "text"]].copy()
+    frames["golden_pair_counts"] = pd.DataFrame(
+        [(s, u, n) for (s, u), n in sorted(c.pair_counts.items())], columns=["surface_form", "uri", "cnt"]
+    )
+    frames["golden_uri_counts"] = pd.DataFrame(
+        [(u, n) for u, n in sorted(c.uri_counts.items())], columns=["uri", "cnt"]
+    )
+    frames["golden_sf_total_counts"] = pd.DataFrame(
+        [(s, c.annotated[s], t) for s, t in sorted(c.sf_total.items())],
+        columns=["surface_form", "annotated_cnt", "total_cnt"],
+    )
+    frames["golden_token_counts"] = pd.DataFrame(
+        [(u, t, n) for (u, t), n in sorted(c.token_counts.items())], columns=["uri", "token", "cnt"]
+    )
+    frames["golden_triples"] = _triples_frame(c)
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for name, frame in frames.items():
+        schema = None
+        if name == "pages":
+            schema = pa.schema(
+                [
+                    ("url", pa.string()),
+                    ("warc_ts", pa.timestamp("us")),
+                    ("html", pa.binary()),
+                    ("text", pa.string()),
+                    ("lang", pa.string()),
+                ]
+            )
+        table = pa.Table.from_pandas(frame, schema=schema, preserve_index=False)
+        pq.write_table(table, out / f"{name}.parquet")
+    marker.write_text("ok\n")
+    return out
+
+
+def sf_of_dir(sf_dir: str) -> float:
+    """Extract scale factor from a '/root/testdata/sf0.01'-style path."""
+    name = Path(sf_dir).name
+    return float(name[2:]) if name.startswith("sf") else 0.001
+
+
+def pages_for(spark, sf_dir: str):
+    """Synthetic pages DataFrame matched to the driver's sf dir scale."""
+    out = generate(sf_of_dir(sf_dir))
+    return spark.read.parquet(str(out / "pages.parquet"))
+
+
+def side_table(spark, sf_dir: str, name: str):
+    out = generate(sf_of_dir(sf_dir))
+    return spark.read.parquet(str(out / f"{name}.parquet"))
+
+
+if __name__ == "__main__":
+    import sys
+
+    sf = float(sys.argv[1]) if len(sys.argv) > 1 else 0.001
+    path = generate(sf, force="--force" in sys.argv)
+    print(path)
