@@ -51,7 +51,9 @@ def tokens_col(col, with_stopwords: bool = True):
     """
     from pyspark.sql import functions as F
 
-    arr = F.expr(f"regexp_extract_all(lower({col}), '[^\\\\W_]+', 0)")
+    if isinstance(col, str):
+        col = F.col(col)
+    arr = F.regexp_extract_all(F.lower(col), F.lit(r"[^\W_]+"), 0)
     arr = F.filter(arr, lambda t: F.length(t) <= 64)
     if with_stopwords:
         # NOT array_except (it dedups — token counting needs the multiset)

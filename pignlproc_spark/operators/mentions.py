@@ -1,0 +1,47 @@
+"""Mention extraction: parsed pages → (url, surface_form, uri) mention rows.
+
+Reference parity: the core of
+``examples/indexing/names_and_entities.pig`` (SURVEY.md §2.3):
+``FOREACH articles GENERATE FLATTEN(SentencesWithLink(text, links,
+paragraphs))`` then ``surfaceForm = SUBSTRING(sentence, startPos,
+endPos)`` and ``uri = DBpediaUriEncode(target)`` (J6 + J11 + P18),
+with redirect targets resolved through the redirect map (P12).
+
+Spark shape: parquet scan → extract pandas UDF → contexts pandas UDF →
+``explode`` → JVM-side uri-encode → broadcast redirect join. The only
+Python in the hot path is the two Arrow-batched UDFs; everything
+relational stays in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pignlproc_spark.functions.extract import parse_pages
+from pignlproc_spark.functions.sentences import sentences_with_links
+from pignlproc_spark.functions.uri import uri_encode_col
+from pignlproc_spark.operators.canonicalize import apply_redirects
+
+URI_LANG = "en"
+
+
+def extract_mentions(
+    pages: DataFrame,
+    redirects: DataFrame | None = None,
+    granularity: str = "sentence",
+    lang: str = URI_LANG,
+) -> DataFrame:
+    """pages(url, html, ...) → (url, ctx_idx, context, begin, end,
+    surface_form, uri) — one row per in-context wiki link, target
+    redirect-resolved and DBpedia-URI-encoded.
+
+    Offset contract (SURVEY.md §7.4-2): ``context[begin:end] ==
+    surface_form`` in Pig's 0-based [begin, end) convention.
+    """
+    parsed = parse_pages(pages.drop("text") if "text" in pages.columns else pages)
+    ctx = sentences_with_links(parsed, granularity=granularity)
+    mentions = ctx.withColumn("uri", uri_encode_col(F.col("target"), lang)).drop("target")
+    if redirects is not None:
+        mentions = apply_redirects(mentions, redirects, "uri")
+    return mentions

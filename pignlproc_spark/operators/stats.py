@@ -1,0 +1,172 @@
+"""Link-derived statistics: pairCounts / uriCounts / sfAndTotalCounts /
+tokenCounts — the outputs of ``examples/indexing/names_and_entities.pig``
+and ``examples/indexing/token_counts.pig`` plus the nerd-stats script
+(SURVEY.md §2.3), as pure DataFrame aggregations.
+
+Scale design (SURVEY.md §4):
+
+- Counting aggregations (P7/P8) rely on Catalyst's partial/final
+  HashAggregate — the exact analogue of Pig's algebraic COUNT
+  combiner. Hub-entity skew is absorbed map-side (a partition's
+  worth of ``uri=Country_X`` rows collapses to one partial row before
+  the shuffle), so **counts need no salting**.
+- Holistic aggregations (context-text concatenation, per-URI token
+  re-nesting — J8/J9's ``collect_list`` analogues) are NOT reducible
+  map-side; a hub URI would funnel its whole bag through one task.
+  Those use the **two-phase salted pattern**: partial agg on
+  ``(key, salt)``, final agg on ``key`` (BASELINE.json:6 "salted,
+  skew-aware").
+- The surface-form dictionary for the link-probability denominator is
+  **broadcast** (J12; BASELINE.json:6) — the occurrence scan is
+  shuffle-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pignlproc_spark.functions.ngrams import occurrences_udf
+from pignlproc_spark.functions.tokenize import tokens_col
+
+DEFAULT_SALT_BUCKETS = 32
+
+
+def pair_counts(mentions: DataFrame) -> DataFrame:
+    """(surface_form, uri, cnt) — anchor-text ↔ entity pair counts.
+
+    Parity: GROUP mentions BY (surfaceForm, uri); COUNT —
+    names_and_entities.pig pairCounts output (SURVEY.md §2.3).
+    """
+    return mentions.groupBy("surface_form", "uri").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def uri_counts(mentions: DataFrame) -> DataFrame:
+    """(uri, cnt) — incoming-anchor totals per entity."""
+    return mentions.groupBy("uri").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def annotated_sf_counts(mentions: DataFrame) -> DataFrame:
+    """(surface_form, annotated_cnt) — times each surface form was a link."""
+    return mentions.groupBy("surface_form").agg(F.count(F.lit(1)).alias("annotated_cnt"))
+
+
+def sf_occurrence_totals(pages_text: DataFrame, surface_forms: list[str], max_n: int = 4) -> DataFrame:
+    """(norm_sf, total_cnt) — total occurrences (linked or not) of each
+    dictionary surface form across the corpus text.
+
+    Parity: RestrictedNGramGenerator (J12) + GROUP/COUNT. The dict is
+    built once on the driver and broadcast; the scan stage is
+    shuffle-free until the final (tiny) count aggregation.
+    ``pages_text`` needs one column ``text``.
+    """
+    spark = pages_text.sparkSession
+    occ = occurrences_udf(spark, surface_forms, max_n=max_n)
+    return (
+        pages_text.select(F.explode(occ(F.col("text"))).alias("norm_sf"))
+        .groupBy("norm_sf")
+        .agg(F.count(F.lit(1)).alias("total_cnt"))
+    )
+
+
+def norm_sf_col(col):
+    """JVM-side surface-form normalization — must match
+    functions.ngrams.normalize_sf (lowercased space-joined tokens)."""
+    return F.array_join(tokens_col(col, with_stopwords=False), " ")
+
+
+def sf_total_counts(
+    mentions: DataFrame, pages_text: DataFrame, max_n: int = 4
+) -> DataFrame:
+    """(surface_form, annotated_cnt, total_cnt) with total_cnt = -1 for
+    forms never seen as free text (or longer than the n-gram bound).
+
+    Parity: names_and_entities.pig sfAndTotalCounts — LEFT OUTER JOIN
+    annotated counts with occurrence totals, miss ⇒ -1 (SURVEY.md §2.2
+    P10). The driver-side ``collect`` of distinct surface forms *is*
+    the broadcast-dictionary build; at full scale this is the same
+    ~10^7-entry dict the reference loads from a side file per task.
+    """
+    annotated = annotated_sf_counts(mentions)
+    forms = [r[0] for r in annotated.select("surface_form").distinct().collect()]
+    totals = sf_occurrence_totals(pages_text, forms, max_n=max_n)
+    joined = annotated.withColumn("_norm", norm_sf_col(F.col("surface_form"))).join(
+        totals, F.col("_norm") == totals["norm_sf"], "left"
+    )
+    return joined.select(
+        "surface_form",
+        "annotated_cnt",
+        F.coalesce(F.col("total_cnt"), F.lit(-1)).cast("long").alias("total_cnt"),
+    )
+
+
+def token_counts(mentions: DataFrame) -> DataFrame:
+    """(uri, token, cnt) — per-entity context-token counts.
+
+    Parity: token_counts.pig (SURVEY.md §2.3): contexts per link
+    target → GROUP BY uri → AggregateTextBag (J8) → LuceneTokenizer
+    (J14) → per-(uri, token) counts. Re-imagined without the giant
+    intermediate per-URI document: tokenize each mention context and
+    count straight to (uri, token) — algebraic, so map-side partial
+    aggregation absorbs hub-entity skew (no 100 MB strings shuffling
+    to one reducer, which is exactly how the reference's J8 step
+    melts down on hub entities).
+    """
+    toks = mentions.select("uri", F.explode(tokens_col(F.col("context"))).alias("token"))
+    return toks.groupBy("uri", "token").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def token_counts_nested(mentions: DataFrame) -> DataFrame:
+    """tokenCounts in the reference's nested output shape:
+    (uri, tokens ARRAY<STRUCT<token, cnt>>) — the re-nest after the
+    flat count, sorted by (cnt desc, token) for determinism."""
+    flat = token_counts(mentions)
+    return (
+        flat.groupBy("uri")
+        .agg(F.collect_list(F.struct("token", "cnt")).alias("_t"))
+        .select(
+            "uri",
+            F.expr("array_sort(_t, (a, b) -> case when a.cnt > b.cnt then -1 when a.cnt < b.cnt then 1 when a.token < b.token then -1 when a.token > b.token then 1 else 0 end)").alias("tokens"),
+        )
+    )
+
+
+def aggregate_text_salted(
+    df: DataFrame,
+    key: str,
+    text_col: str,
+    sep: str = " ",
+    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+) -> DataFrame:
+    """(key, text) — concatenate all text for a key, two-phase salted.
+
+    Parity: AggregateTextBag / ConcatTextBag (J8/J9) after GROUP BY
+    uri. ``concat_ws(collect_list)`` is holistic: a hub entity with
+    10^5+ contexts would pin one reducer. Phase 1 concatenates within
+    ``(key, salt)`` (salt = hash of the row, so ~uniform); phase 2
+    concatenates the ≤ salt_buckets partials per key. Ordering within
+    the bag is not semantically load-bearing (Pig bags are unordered —
+    SURVEY.md §1.1); we still sort partials by salt for determinism.
+    """
+    salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.col(text_col)), F.lit(salt_buckets)))
+    phase1 = salted.groupBy(key, "_salt").agg(F.concat_ws(sep, F.sort_array(F.collect_list(text_col))).alias("_part"))
+    phase2 = (
+        phase1.groupBy(key)
+        .agg(F.array_sort(F.collect_list(F.struct("_salt", "_part"))).alias("_parts"))
+        .select(key, F.array_join(F.transform("_parts", lambda s: s["_part"]), sep).alias("text"))
+    )
+    return phase2
+
+
+def nerd_stats(mentions: DataFrame) -> DataFrame:
+    """Per-(surface_form, uri) link stats with per-URI totals, ordered —
+    the raw P(uri|sf) statistics of examples/nerd-stats/nerd_stats.pig
+    (SURVEY.md §2.3): pair count, total anchors per surface form, and
+    the conditional-probability numerator/denominator columns."""
+    pairs = pair_counts(mentions)
+    sf_tot = annotated_sf_counts(mentions).withColumnRenamed("annotated_cnt", "sf_total")
+    return (
+        pairs.join(sf_tot, "surface_form")
+        .select("surface_form", "uri", "cnt", "sf_total")
+        .orderBy(F.desc("cnt"), "surface_form", "uri")
+    )

@@ -1,0 +1,77 @@
+"""Frozen (subj, pred, obj) triple embedding + skew-aware materialize.
+
+SURVEY.md §2.3 "Triple materialization note": the reference's outputs
+are count tables; this module embeds them as triples with a weight
+column. The embedding is FROZEN (synth.py computes goldens with the
+identical shape — changing one requires changing both + regenerating
+goldens):
+
+    (surface_form, "kg:linksTo",        uri,       pair_cnt)
+    (uri,          "kg:uriCount",       str(cnt),  cnt)
+    (surface_form, "kg:annotatedCount", str(cnt),  cnt)
+    (surface_form, "kg:totalCount",     str(cnt),  cnt)   # -1 sentinel kept
+    (url,          "kg:mentions",       uri,       cnt)
+
+Materialization (BASELINE.json:6 "final (subj, pred, obj) triple
+materialization into salted, skew-aware partitioned Iceberg graph
+tables"): explicit repartition on hashed subject + salt so hub
+subjects spread across files; partitioned by ``pred`` (5 coarse
+buckets → partition pruning for per-relation readers); Parquet
+locally, Iceberg via tables.write_table's config gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pignlproc_spark import tables
+
+TRIPLE_COLS = ["subj", "pred", "obj", "weight"]
+
+
+def _t(df: DataFrame, subj, pred: str, obj, weight) -> DataFrame:
+    return df.select(
+        subj.cast("string").alias("subj"),
+        F.lit(pred).alias("pred"),
+        obj.cast("string").alias("obj"),
+        weight.cast("long").alias("weight"),
+    )
+
+
+def build_triples(
+    pair_counts: DataFrame,
+    uri_counts: DataFrame,
+    sf_total_counts: DataFrame,
+    mention_counts: DataFrame,
+) -> DataFrame:
+    """Union the frozen five-relation embedding (SURVEY.md §2.3)."""
+    c = F.col
+    parts = [
+        _t(pair_counts, c("surface_form"), "kg:linksTo", c("uri"), c("cnt")),
+        _t(uri_counts, c("uri"), "kg:uriCount", c("cnt"), c("cnt")),
+        _t(sf_total_counts, c("surface_form"), "kg:annotatedCount", c("annotated_cnt"), c("annotated_cnt")),
+        _t(sf_total_counts, c("surface_form"), "kg:totalCount", c("total_cnt"), c("total_cnt")),
+        _t(mention_counts, c("url"), "kg:mentions", c("uri"), c("cnt")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)  # P16: bag union, no dedup
+    return out
+
+
+def mention_counts(mentions: DataFrame) -> DataFrame:
+    """(url, uri, cnt) — document-mentions-entity edges."""
+    return mentions.groupBy("url", "uri").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def write_graph(
+    triples: DataFrame,
+    name: str = "graph/triples",
+    num_partitions: int = 32,
+    salt_buckets: int = 8,
+    root: str | None = None,
+) -> str:
+    """Salted hashed-subject repartition + pred-partitioned table write."""
+    placed = tables.repartition_by_hash(triples, "subj", num_partitions, salt_buckets=salt_buckets)
+    return tables.write_table(placed, name, partition_by=["pred"], root=root)

@@ -1,0 +1,119 @@
+"""End-to-end KG-construction pipeline (names_and_entities +
+token_counts + nerd-stats in one DAG — SURVEY.md §2.3), with shared
+scan reuse, optional per-stage checkpoint/resume, and the frozen
+triple embedding.
+
+Pig's MultiQuery optimization (one LOAD feeding several STOREs runs
+the map phase once — SURVEY.md §4) is NOT automatic in Spark: each
+action re-executes the scan+parse. The parsed-pages and mentions
+DataFrames are therefore persisted (or durably checkpointed when a
+CheckpointManager is supplied, which also buys resume-after-loss —
+BASELINE.json:14).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from pignlproc_spark import synth
+from pignlproc_spark.checkpoint import CheckpointManager, input_fingerprint
+from pignlproc_spark.functions.extract import parse_pages
+from pignlproc_spark.operators import stats, triples
+from pignlproc_spark.operators.mentions import extract_mentions
+
+SPEC_VERSION = "ccwikitext-v1"  # bump when any frozen spec changes
+
+
+class PipelineResult:
+    def __init__(self, parsed, mentions, pair_counts, uri_counts, sf_total_counts, token_counts, triples_df):
+        self.parsed = parsed
+        self.mentions = mentions
+        self.pair_counts = pair_counts
+        self.uri_counts = uri_counts
+        self.sf_total_counts = sf_total_counts
+        self.token_counts = token_counts
+        self.triples = triples_df
+
+    def unpersist(self):
+        for df in (self.parsed, self.mentions):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
+
+def run(
+    spark: SparkSession,
+    pages: DataFrame,
+    redirects: DataFrame,
+    ckpt: CheckpointManager | None = None,
+    source_id: str = "pages",
+) -> PipelineResult:
+    """pages + redirects dimension → all stats + triples.
+
+    With ``ckpt``: parsed/mentions land as fingerprinted checkpoint
+    stages (resume skips completed fingerprints). Without: in-memory
+    persist only (fastest for benchmarks).
+    """
+    fp = input_fingerprint(spark, source_id, SPEC_VERSION)
+
+    parsed = parse_pages(pages.drop("text") if "text" in pages.columns else pages)
+    if ckpt:
+        parsed = ckpt.stage(parsed, "parsed", fp)
+    else:
+        parsed = parsed.persist(StorageLevel.MEMORY_AND_DISK)
+
+    articles = parsed.where(F.col("redirect").isNull())
+    mentions = extract_mentions_from_parsed(articles, redirects)
+    if ckpt:
+        mentions = ckpt.stage(mentions, "mentions", fp)
+    else:
+        mentions = mentions.persist(StorageLevel.MEMORY_AND_DISK)
+
+    pairs = stats.pair_counts(mentions)
+    uris = stats.uri_counts(mentions)
+    sf_tot = stats.sf_total_counts(mentions, articles.select("text"))
+    toks = stats.token_counts(mentions)
+    trip = triples.build_triples(pairs, uris, sf_tot, triples.mention_counts(mentions))
+    return PipelineResult(parsed, mentions, pairs, uris, sf_tot, toks, trip)
+
+
+def extract_mentions_from_parsed(parsed_articles: DataFrame, redirects: DataFrame) -> DataFrame:
+    """Same as operators.mentions.extract_mentions but over an
+    already-parsed DataFrame (shared-scan reuse)."""
+    from pignlproc_spark.functions.sentences import sentences_with_links
+    from pignlproc_spark.functions.uri import uri_encode_col
+    from pignlproc_spark.operators.canonicalize import apply_redirects
+
+    ctx = sentences_with_links(parsed_articles)
+    m = ctx.withColumn("uri", uri_encode_col(F.col("target"))).drop("target")
+    return apply_redirects(m, redirects, "uri")
+
+
+def run_synth(
+    spark: SparkSession, sf_dir: str, ckpt: CheckpointManager | None = None
+) -> PipelineResult:
+    """Run the full pipeline on the synthetic corpus matched to a
+    driver sf dir (FIXTURES.md §5 scale mapping)."""
+    pages = synth.pages_for(spark, sf_dir)
+    redirects = synth.side_table(spark, sf_dir, "redirects")
+    return run(spark, pages, redirects, ckpt=ckpt, source_id=f"synth:{synth.sf_of_dir(sf_dir)}")
+
+
+def precision_recall(result: DataFrame, golden: DataFrame, keys: list[str]) -> dict:
+    """Set-based P/R of result vs golden over ``keys`` (the BASELINE
+    P/R ≥ 0.95 gate; both sides deduped on keys)."""
+    r = result.select(*keys).distinct()
+    g = golden.select(*keys).distinct()
+    tp = r.join(g, keys, "inner").count()
+    n_r = r.count()
+    n_g = g.count()
+    return {
+        "precision": tp / n_r if n_r else 0.0,
+        "recall": tp / n_g if n_g else 0.0,
+        "tp": tp,
+        "result_rows": n_r,
+        "golden_rows": n_g,
+    }

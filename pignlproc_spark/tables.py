@@ -1,0 +1,88 @@
+"""Storage abstraction: named tables on Parquet locally, Iceberg on clusters.
+
+SURVEY.md §1.3/§7.1: BASELINE.json mandates Iceberg graph tables, but
+this sandbox ships no Iceberg runtime jar and has no network, so the
+writer is an abstraction: Parquet directories under a root locally,
+``writeTo(...)`` against a configured Iceberg catalog when
+``spark.sql.catalog.<name>`` is set (config-gated, typed, untested
+locally — see README for the spark-submit --packages line).
+
+Skew-aware layout (BASELINE.json:6 "salted, skew-aware partitioned"):
+:func:`repartition_by_hash` places rows by ``hash(subject) % n`` with
+an optional salt term so Zipfian hub subjects (a country page with
+10^5+ inlinks) cannot pin a single output partition/file at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_ROOT = os.environ.get("PIGNLPROC_WAREHOUSE", "/root/repo/.warehouse")
+CATALOG_CONF = "spark.pignlproc.catalog"  # e.g. "iceberg_cat" on a real cluster
+
+
+def repartition_by_hash(df: DataFrame, key: str, num_partitions: int, salt_buckets: int = 0) -> DataFrame:
+    """Explicit repartitioning on a hashed key (BASELINE.json:6).
+
+    With ``salt_buckets > 0`` the shuffle key is ``(key, xxhash64(key,
+    monotonically_increasing_id) % salt_buckets)`` so a single hub key
+    spreads over ``salt_buckets`` partitions; downstream per-key aggs
+    must then be two-phase (operators/stats.py does this).
+    """
+    if salt_buckets > 0:
+        salted = df.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(key), F.monotonically_increasing_id()), F.lit(salt_buckets))
+        )
+        return salted.repartition(num_partitions, F.col(key), F.col("_salt")).drop("_salt")
+    return df.repartition(num_partitions, F.col(key))
+
+
+def _catalog(spark: SparkSession) -> str | None:
+    return spark.conf.get(CATALOG_CONF, None)
+
+
+def table_path(name: str, root: str | None = None) -> str:
+    return os.path.join(root or DEFAULT_ROOT, name)
+
+
+def write_table(
+    df: DataFrame,
+    name: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    root: str | None = None,
+) -> str:
+    """Write a named table; returns its path/identifier.
+
+    Local: Parquet directory. Cluster (``spark.pignlproc.catalog``
+    set): Iceberg ``createOrReplace``/``append`` with identical
+    partitioning — same logical layout either way.
+    """
+    spark = df.sparkSession
+    cat = _catalog(spark)
+    if cat:  # pragma: no cover - needs an Iceberg-enabled cluster
+        ident = f"{cat}.{name}"
+        writer = df.writeTo(ident)
+        if partition_by:
+            writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+        if mode == "append":
+            writer.append()
+        else:
+            writer.createOrReplace()
+        return ident
+    path = table_path(name, root)
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    return path
+
+
+def read_table(spark: SparkSession, name: str, root: str | None = None) -> DataFrame:
+    cat = _catalog(spark)
+    if cat:  # pragma: no cover
+        return spark.read.table(f"{cat}.{name}")
+    return spark.read.parquet(table_path(name, root))
