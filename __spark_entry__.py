@@ -1,10 +1,18 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship KG pipeline (sf0.001 synthetic corpus →
+triples). ``queries()`` — one entry per implemented operator from
+SURVEY.md §2 (KG pipeline stages over the deterministic synthetic
+corpus; relational operator matrix + training-data ops over the
+driver's parquet tables). ``oracle_sql()`` — DuckDB-equivalent SQL;
+synthetic-corpus queries are checked against generator-golden parquet
+(read_parquet absolute paths), relational ones against the
+pre-registered driver views.
+
+Column-name/type discipline: every computed column is aliased
+identically on both sides; counts/sizes are cast to BIGINT on both
+sides; float sums are avoided (integer/md5/decimal-derived outputs)
+except where both engines compute the identical IEEE expression.
 """
 
 from __future__ import annotations
@@ -12,27 +20,567 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pignlproc_spark import synth
+from pignlproc_spark.functions.extract import parse_pages
+from pignlproc_spark.functions.tokenize import STOPWORDS
+from pignlproc_spark.operators import dedup, linking, multimodal, similarity, textstats
+from pignlproc_spark.operators.canonicalize import expand_disambiguations, resolve_mapping
+from pignlproc_spark.plans import pipeline
+
+SF_ORACLE = 0.01  # driver runs correctness at sf0.01
+STOPWORDS_SQL = "['" + "','".join(sorted(STOPWORDS)) + "']"
+TOKEN_RE_SQL = r"[^\W_]+"
+
+_CACHE: dict = {}
+
+
+# ---------------------------------------------------------------------------
+# shared lazy inputs
+# ---------------------------------------------------------------------------
+
+
+def _syn(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return synth.side_table(spark, sf_dir, name)
+
+
+def _pipeline(spark: SparkSession, sf_dir: str) -> pipeline.PipelineResult:
+    key = ("pipe", sf_dir)
+    if key not in _CACHE:
+        _CACHE[key] = pipeline.run_synth(spark, sf_dir)
+    return _CACHE[key]
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _syn_path(name: str) -> str:
+    return str(synth.generate(SF_ORACLE) / f"{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full KG-construction pipeline on the sf0.001 synthetic
+    corpus → (subj, pred, obj, weight) triples."""
+    return _pipeline(spark, "/root/testdata/sf0.001").triples
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+    # ---- KG pipeline stages (synthetic corpus; goldens as oracle) ----
+    def kg_extract_text(spark, sf_dir):
+        pages = synth.pages_for(spark, sf_dir)
+        return parse_pages(pages.drop("text")).select("url", "text")
+
+    def kg_pair_counts(spark, sf_dir):
+        return _pipeline(spark, sf_dir).pair_counts
+
+    def kg_uri_counts(spark, sf_dir):
+        return _pipeline(spark, sf_dir).uri_counts
+
+    def kg_sf_total_counts(spark, sf_dir):
+        return _pipeline(spark, sf_dir).sf_total_counts
+
+    def kg_token_counts(spark, sf_dir):
+        return _pipeline(spark, sf_dir).token_counts
+
+    def kg_mentions(spark, sf_dir):
+        m = _pipeline(spark, sf_dir).mentions
+        return m.groupBy("url", "context", "surface_form", "uri").agg(F.count(F.lit(1)).alias("cnt"))
+
+    def kg_triples(spark, sf_dir):
+        return _pipeline(spark, sf_dir).triples
+
+    def kg_resolve_redirects(spark, sf_dir):
+        return resolve_mapping(_syn(spark, sf_dir, "redirects"))
+
+    def kg_dab_expand(spark, sf_dir):
+        uc = _syn(spark, sf_dir, "golden_uri_counts")
+        dabs = _syn(spark, sf_dir, "disambiguations")
+        return (
+            expand_disambiguations(uc, dabs, "uri")
+            .groupBy("uri")
+            .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        )
+
+    def kg_link_candidates(spark, sf_dir):
+        return linking.candidate_topk(_syn(spark, sf_dir, "surface_forms"), k=3).withColumn(
+            "rank", F.col("rank").cast("int")
+        )
+
+    def kg_link_probability(spark, sf_dir):
+        lp = linking.link_probability(_syn(spark, sf_dir, "surface_forms"))
+        return lp.select(
+            "surface_form",
+            F.col("anchor_total").cast("bigint").alias("anchor_total"),
+            F.col("occurrence_total").cast("bigint").alias("occurrence_total"),
+            "link_prob",
+        )
+
+    def kg_nerd_stats(spark, sf_dir):
+        from pignlproc_spark.operators.stats import nerd_stats
+
+        ns = nerd_stats(_pipeline(spark, sf_dir).mentions)
+        return ns.select("surface_form", "uri", "cnt", F.col("sf_total").cast("bigint").alias("sf_total"))
+
+    q.update(
+        kg_extract_text=kg_extract_text,
+        kg_pair_counts=kg_pair_counts,
+        kg_uri_counts=kg_uri_counts,
+        kg_sf_total_counts=kg_sf_total_counts,
+        kg_token_counts=kg_token_counts,
+        kg_mentions=kg_mentions,
+        kg_triples=kg_triples,
+        kg_resolve_redirects=kg_resolve_redirects,
+        kg_dab_expand=kg_dab_expand,
+        kg_link_candidates=kg_link_candidates,
+        kg_link_probability=kg_link_probability,
+        kg_nerd_stats=kg_nerd_stats,
+    )
+
+    # ---- relational operator matrix (driver TPC-H-ish tables) ----
+    def tpch_pricing_summary(spark, sf_dir):
+        li = _read(spark, sf_dir, "lineitem")
+        return (
+            li.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+            )
+        )
+
+    def tpch_revenue_by_nation(spark, sf_dir):
+        li = _read(spark, sf_dir, "lineitem")
+        o = _read(spark, sf_dir, "orders")
+        c = _read(spark, sf_dir, "customer")
+        n = _read(spark, sf_dir, "nation")
+        rev = (F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)"))
+        return (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(c, o["o_custkey"] == c["c_custkey"])
+            .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+            .groupBy("n_name")
+            .agg(F.sum(rev).cast("double").alias("revenue"), F.count(F.lit(1)).alias("li_cnt"))
+        )
+
+    def tpch_part_order_fill(spark, sf_dir):
+        p = _read(spark, sf_dir, "part")
+        li = _read(spark, sf_dir, "lineitem")
+        cnt = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("_c"))
+        return (
+            p.join(cnt, p["p_partkey"] == cnt["l_partkey"], "left")
+            .select("p_partkey", F.coalesce(F.col("_c"), F.lit(-1)).cast("bigint").alias("li_cnt"))
+        )
+
+    def tpch_top_orders_per_segment(spark, sf_dir):
+        from pyspark.sql import Window
+
+        o = _read(spark, sf_dir, "orders")
+        c = _read(spark, sf_dir, "customer")
+        j = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        w = Window.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        return (
+            j.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3)
+            .select("c_mktsegment", "o_orderkey", "o_totalprice", F.col("rn").cast("int").alias("rn"))
+        )
+
+    def tpch_distinct_flag_status(spark, sf_dir):
+        return _read(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+    def tpch_union_priority(spark, sf_dir):
+        o = _read(spark, sf_dir, "orders")
+        hi = o.where(F.col("o_totalprice") >= 200000).select("o_orderkey", F.lit("high").alias("bucket"))
+        lo = o.where(F.col("o_totalprice") < 50000).select("o_orderkey", F.lit("low").alias("bucket"))
+        return hi.unionByName(lo)
+
+    def tpch_substring_ops(spark, sf_dir):
+        p = _read(spark, sf_dir, "part")
+        # Pig SUBSTRING(s, 2, 8): 0-based [2,8) == SQL substring(s, 3, 6)
+        return p.select(
+            "p_partkey",
+            F.substring("p_name", 3, 6).alias("pig_substr"),
+            F.lower(F.trim(F.col("p_brand"))).alias("brand_lc"),
+            F.concat_ws("#", "p_type", "p_brand").alias("type_brand"),
+            F.length("p_name").cast("bigint").alias("name_len"),
+        )
+
+    def tpch_orderby_limit(spark, sf_dir):
+        o = _read(spark, sf_dir, "orders")
+        return o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).select(
+            "o_orderkey", "o_totalprice"
+        ).limit(10)
+
+    def events_props_extract(spark, sf_dir):
+        e = _read(spark, sf_dir, "events")
+        k = F.regexp_extract(F.col("props"), r'"k":\s*([0-9]+)', 1).cast("bigint")
+        return (
+            e.withColumn("_k", k)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum("_k").cast("bigint").alias("sum_k"),
+                F.min("_k").cast("bigint").alias("min_k"),
+                F.max("_k").cast("bigint").alias("max_k"),
+            )
+        )
+
+    def docs_explode_tokens(spark, sf_dir):
+        return textstats.top_tokens(_read(spark, sf_dir, "documents"), k=100)
+
+    q.update(
+        tpch_pricing_summary=tpch_pricing_summary,
+        tpch_revenue_by_nation=tpch_revenue_by_nation,
+        tpch_part_order_fill=tpch_part_order_fill,
+        tpch_top_orders_per_segment=tpch_top_orders_per_segment,
+        tpch_distinct_flag_status=tpch_distinct_flag_status,
+        tpch_union_priority=tpch_union_priority,
+        tpch_substring_ops=tpch_substring_ops,
+        tpch_orderby_limit=tpch_orderby_limit,
+        events_props_extract=events_props_extract,
+        docs_explode_tokens=docs_explode_tokens,
+    )
+
+    # ---- training-data ops (documents/embeddings) ----
+    def docs_dedup_exact(spark, sf_dir):
+        return dedup.exact_duplicates(_read(spark, sf_dir, "documents"))
+
+    def docs_minhash_sigs(spark, sf_dir):
+        return dedup.minhash_signatures(_read(spark, sf_dir, "documents")).select(
+            "doc_id", F.col("band").cast("int").alias("band"), "sig"
+        )
+
+    def docs_lsh_pairs(spark, sf_dir):
+        return dedup.lsh_candidate_pairs(_read(spark, sf_dir, "documents"))
+
+    def docs_simhash(spark, sf_dir):
+        return dedup.simhash(_read(spark, sf_dir, "documents"))
+
+    def docs_jaccard_pairs(spark, sf_dir):
+        d = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+        return dedup.jaccard_pairs(d, min_jaccard_pct=10)
+
+    def emb_dot_topk(spark, sf_dir):
+        emb = _read(spark, sf_dir, "embeddings")
+        return similarity.dot_topk_quantized(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+    def docs_lang_id(spark, sf_dir):
+        return textstats.lang_id(_read(spark, sf_dir, "documents"))
+
+    def docs_quality(spark, sf_dir):
+        return textstats.quality_signals(_read(spark, sf_dir, "documents"))
+
+    def docs_fingerprint(spark, sf_dir):
+        return textstats.doc_fingerprint(_read(spark, sf_dir, "documents"))
+
+    def docs_token_counts(spark, sf_dir):
+        return textstats.token_counts_per_doc(_read(spark, sf_dir, "documents"))
+
+    # ---- rows-only checks (non-SQL-expressible / float paths) ----
+    def emb_cosine_topk(spark, sf_dir):
+        emb = _read(spark, sf_dir, "embeddings")
+        return similarity.cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+    def emb_srp_lsh_topk(spark, sf_dir):
+        emb = _read(spark, sf_dir, "embeddings")
+        return similarity.srp_lsh_topk(emb, emb.where(F.col("vec_id") < 10), k=5, dim=64)
+
+    def media_features(spark, sf_dir):
+        return multimodal.extract_media_features(multimodal.fake_media_df(spark, 64)).drop("feature")
+
+    def kg_paragraph_contexts(spark, sf_dir):
+        from pignlproc_spark.operators.mentions import extract_mentions
+
+        pages = synth.pages_for(spark, sf_dir)
+        red = _syn(spark, sf_dir, "redirects")
+        m = extract_mentions(pages, red, granularity="paragraph")
+        return m.groupBy("url", "uri").agg(F.count(F.lit(1)).alias("cnt"))
+
+    q.update(
+        docs_dedup_exact=docs_dedup_exact,
+        docs_minhash_sigs=docs_minhash_sigs,
+        docs_lsh_pairs=docs_lsh_pairs,
+        docs_simhash=docs_simhash,
+        docs_jaccard_pairs=docs_jaccard_pairs,
+        emb_dot_topk=emb_dot_topk,
+        docs_lang_id=docs_lang_id,
+        docs_quality=docs_quality,
+        docs_fingerprint=docs_fingerprint,
+        docs_token_counts=docs_token_counts,
+        emb_cosine_topk=emb_cosine_topk,
+        emb_srp_lsh_topk=emb_srp_lsh_topk,
+        media_features=media_features,
+        kg_paragraph_contexts=kg_paragraph_contexts,
+    )
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+
+def _tok_sql(col: str, stop: bool) -> str:
+    base = f"regexp_extract_all(lower({col}), '{TOKEN_RE_SQL}')"
+    filt = f"list_filter({base}, t -> length(t) <= 64)"
+    if stop:
+        return f"list_filter({filt}, t -> NOT list_contains({STOPWORDS_SQL}, t))"
+    return filt
+
+
+def _langid_sql() -> str:
+    from pignlproc_spark.operators.textstats import LANG_MARKERS
+
+    hits_cols = ", ".join(
+        f"len(list_intersect(_t, ['" + "','".join(m) + f"'])) AS h_{lang}" for lang, m in LANG_MARKERS.items()
+    )
+    best_lang, best_hits = "'und'", "0"
+    for lang in sorted(LANG_MARKERS):
+        best_lang = f"CASE WHEN h_{lang} > {best_hits} THEN '{lang}' ELSE {best_lang} END"
+        best_hits = f"CASE WHEN h_{lang} > ({best_hits}) THEN h_{lang} ELSE ({best_hits}) END"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct({_tok_sql('text', stop=False)}) AS _t FROM documents
+    ), hits AS (
+      SELECT doc_id, {hits_cols} FROM toks
+    )
+    SELECT doc_id::BIGINT AS doc_id, {best_lang} AS lang_pred, ({best_hits})::BIGINT AS marker_hits FROM hits
     """
-    return {}
+
+
+def _simhash_sql() -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN (h16 >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(16)
+    )
+    fp = " + ".join(f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_tok_sql('text', stop=False)}) AS tok FROM documents
+    ), h AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 4))::INT AS h16 FROM toks
+    ), s AS (
+      SELECT doc_id, {sums} FROM h GROUP BY doc_id
+    )
+    SELECT doc_id::BIGINT AS doc_id, ({fp})::BIGINT AS simhash FROM s
+    """
+
+
+def _minhash_sql() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {_tok_sql('text', stop=False)} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                     j -> t[j] || ' ' || t[j+1] || ' ' || t[j+2])) AS shingle
+      FROM toks WHERE len(t) >= 3
+    )
+    SELECT doc_id::BIGINT AS doc_id, band::INT AS band,
+           min(md5(band::VARCHAR || ':' || shingle)) AS sig
+    FROM sh CROSS JOIN range(16) b(band)
+    GROUP BY doc_id, band
+    """
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    syn = {name: _syn_path(name) for name in synth.TABLES}
+    g = lambda name: f"read_parquet('{syn[name]}')"  # noqa: E731
+
+    o: dict[str, str] = {}
+
+    # ---- KG stages vs generator goldens ----
+    o["kg_extract_text"] = f"SELECT url, text FROM {g('golden_text')}"
+    o["kg_pair_counts"] = f"SELECT surface_form, uri, cnt FROM {g('golden_pair_counts')}"
+    o["kg_uri_counts"] = f"SELECT uri, cnt FROM {g('golden_uri_counts')}"
+    o["kg_sf_total_counts"] = (
+        f"SELECT surface_form, annotated_cnt, total_cnt FROM {g('golden_sf_total_counts')}"
+    )
+    o["kg_token_counts"] = f"SELECT uri, token, cnt FROM {g('golden_token_counts')}"
+    o["kg_mentions"] = f"SELECT url, context, surface_form, uri, cnt FROM {g('golden_mentions')}"
+    o["kg_triples"] = f"SELECT subj, pred, obj, weight FROM {g('golden_triples')}"
+    o["kg_resolve_redirects"] = f"""
+    WITH RECURSIVE r(src_uri, cur, hops) AS (
+      SELECT src_uri, src_uri, 0 FROM {g('redirects')}
+      UNION ALL
+      SELECT r.src_uri, e.dst_uri, r.hops + 1
+      FROM r JOIN {g('redirects')} e ON r.cur = e.src_uri
+      WHERE r.hops < 8
+    )
+    SELECT src_uri, arg_max(cur, hops) AS resolved_uri FROM r GROUP BY src_uri
     """
-    return {}
+    o["kg_dab_expand"] = f"""
+    SELECT coalesce(d.candidate_uri, u.uri) AS uri, sum(u.cnt)::BIGINT AS cnt
+    FROM {g('golden_uri_counts')} u
+    LEFT JOIN {g('disambiguations')} d ON u.uri = d.dab_uri
+    GROUP BY 1
+    """
+    o["kg_link_candidates"] = f"""
+    SELECT surface_form, uri, anchor_count, occurrence_count, rank::INT AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY surface_form
+                                   ORDER BY anchor_count DESC, uri ASC) AS rank
+      FROM {g('surface_forms')}
+    ) WHERE rank <= 3
+    """
+    o["kg_link_probability"] = f"""
+    SELECT surface_form,
+           sum(anchor_count)::BIGINT AS anchor_total,
+           max(occurrence_count)::BIGINT AS occurrence_total,
+           CASE WHEN max(occurrence_count) > 0
+                THEN sum(anchor_count)::BIGINT::DOUBLE / max(occurrence_count)::BIGINT::DOUBLE
+                ELSE 0.0 END AS link_prob
+    FROM {g('surface_forms')} GROUP BY surface_form
+    """
+    o["kg_nerd_stats"] = f"""
+    SELECT p.surface_form, p.uri, p.cnt,
+           sum(p.cnt) OVER (PARTITION BY p.surface_form)::BIGINT AS sf_total
+    FROM {g('golden_pair_counts')} p
+    """
+
+    # ---- relational matrix over driver views ----
+    o["tpch_pricing_summary"] = """
+    SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+           sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
+           sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_price
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """
+    o["tpch_revenue_by_nation"] = """
+    SELECT n_name,
+           sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount)::DECIMAL(18,2))::DOUBLE AS revenue,
+           count(*) AS li_cnt
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """
+    o["tpch_part_order_fill"] = """
+    SELECT p_partkey, coalesce(c._c, -1)::BIGINT AS li_cnt
+    FROM part LEFT JOIN (
+      SELECT l_partkey, count(*) AS _c FROM lineitem GROUP BY l_partkey
+    ) c ON p_partkey = c.l_partkey
+    """
+    o["tpch_top_orders_per_segment"] = """
+    SELECT c_mktsegment, o_orderkey, o_totalprice, rn::INT AS rn FROM (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ) WHERE rn <= 3
+    """
+    o["tpch_distinct_flag_status"] = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+    o["tpch_union_priority"] = """
+    SELECT o_orderkey, 'high' AS bucket FROM orders WHERE o_totalprice >= 200000
+    UNION ALL
+    SELECT o_orderkey, 'low' AS bucket FROM orders WHERE o_totalprice < 50000
+    """
+    o["tpch_substring_ops"] = """
+    SELECT p_partkey,
+           substring(p_name, 3, 6) AS pig_substr,
+           lower(trim(p_brand)) AS brand_lc,
+           p_type || '#' || p_brand AS type_brand,
+           length(p_name)::BIGINT AS name_len
+    FROM part
+    """
+    o["tpch_orderby_limit"] = """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """
+    o["events_props_extract"] = """
+    SELECT event_type, count(*) AS cnt,
+           sum(k)::BIGINT AS sum_k, min(k)::BIGINT AS min_k, max(k)::BIGINT AS max_k
+    FROM (SELECT event_type, regexp_extract(props, '"k":\\s*([0-9]+)', 1)::BIGINT AS k FROM events)
+    GROUP BY event_type
+    """
+    o["docs_explode_tokens"] = f"""
+    SELECT token, count(*) AS cnt FROM (
+      SELECT unnest({_tok_sql('text', stop=False)}) AS token FROM documents
+    ) GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 100
+    """
+
+    # ---- training-data ops ----
+    o["docs_dedup_exact"] = """
+    SELECT md5(text) AS content_hash, min(doc_id)::BIGINT AS keep_id, count(*) AS n_docs
+    FROM documents GROUP BY md5(text)
+    """
+    o["docs_minhash_sigs"] = _minhash_sql()
+    o["docs_lsh_pairs"] = f"""
+    WITH sigs AS ({_minhash_sql()})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    """
+    o["docs_simhash"] = _simhash_sql()
+    o["docs_jaccard_pairs"] = f"""
+    WITH t AS (
+      SELECT doc_id, list_distinct({_tok_sql('text', stop=False)}) AS tok
+      FROM documents WHERE doc_id < 150
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.tok, b.tok))::BIGINT AS inter_cnt,
+           (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok)))::BIGINT AS union_cnt
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.tok, b.tok)) * 100
+          >= (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))) * 10
+    """
+    o["emb_dot_topk"] = """
+    WITH qv AS (
+      SELECT vec_id, list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS v
+      FROM embeddings WHERE vec_id < 10
+    ), tv AS (
+      SELECT vec_id, list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS v
+      FROM embeddings
+    ), scored AS (
+      SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * t.v[i]))::BIGINT AS dot_q
+      FROM qv q CROSS JOIN tv t WHERE q.vec_id != t.vec_id
+    )
+    SELECT query_id::BIGINT AS query_id, neighbor_id::BIGINT AS neighbor_id, dot_q, rank::INT AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot_q DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """
+    o["docs_lang_id"] = _langid_sql()
+    o["docs_quality"] = f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             {_tok_sql('text', stop=False)} AS toks,
+             {_tok_sql('text', stop=True)} AS toks_ns
+      FROM documents
+    )
+    SELECT doc_id::BIGINT AS doc_id,
+           length(text)::BIGINT AS n_chars,
+           len(toks)::BIGINT AS n_tokens,
+           (len(toks) - len(toks_ns))::BIGINT AS n_stopword_hits,
+           len(regexp_extract_all(text, '[.,;:!?]'))::BIGINT AS n_punct,
+           len(regexp_extract_all(text, '[0-9]'))::BIGINT AS n_digits,
+           (CASE WHEN len(toks) > 0
+                 THEN floor(list_sum(list_transform(toks, t -> length(t))) * 100 / len(toks))
+                 ELSE 0 END)::BIGINT AS mean_token_len_x100
+    FROM t
+    """
+    o["docs_fingerprint"] = """
+    SELECT doc_id::BIGINT AS doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """
+    o["docs_token_counts"] = f"""
+    WITH t AS (SELECT doc_id, {_tok_sql('text', stop=False)} AS toks FROM documents)
+    SELECT doc_id::BIGINT AS doc_id, len(toks)::BIGINT AS n_tokens,
+           len(list_distinct(toks))::BIGINT AS n_unique_tokens
+    FROM t
+    """
+    # emb_cosine_topk / emb_srp_lsh_topk / media_features /
+    # kg_paragraph_contexts: intentionally no oracle (float ordering /
+    # pandas-UDF-only paths) → driver records rows-only checks.
+    return o

@@ -1,0 +1,92 @@
+"""Benchmark runner (driver contract): runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
+
+Headline set = the engine's actual workload: full KG-construction
+pipeline (parse → mentions → counts → triples) on the synthetic
+web-page corpus at matching scale, plus the training-data operators
+(MinHash near-dup, quantized ANN, lang-ID/quality) on the driver
+tables. ``triples_per_sec`` is the BASELINE.md throughput metric.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def run(sf_dir: str, cpus: int, quiet: bool = True, pipeline_only: bool = False) -> dict:
+    from pyspark.sql import functions as F
+
+    from pignlproc_spark import synth
+    from pignlproc_spark.operators import dedup, similarity, textstats
+    from pignlproc_spark.plans import pipeline
+    from pignlproc_spark.session import get_session
+
+    synth.generate(synth.sf_of_dir(sf_dir))  # corpus gen outside the timed region
+    spark = get_session(app_name=f"bench-{cpus}", cpus=cpus)
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        counts[name] = fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # warm-up: JVM codegen + fork the Python UDF workers once (daemon
+    # reuse keeps them alive) so cold-start isn't billed to the pipeline
+    _noop = F.pandas_udf(lambda s: s, "long")
+    spark.range(10000).repartition(cpus * 2).select(F.sum(_noop("id"))).collect()
+
+    res_box = {}
+
+    def _run_pipeline():
+        # timed end-to-end: parse + mentions + dict collect + all aggs
+        res_box["res"] = pipeline.run_synth(spark, sf_dir)
+        return res_box["res"].triples.count()
+
+    timed("kg_pipeline_triples", _run_pipeline)
+    res = res_box["res"]
+    if not pipeline_only:
+        timed("kg_token_counts", lambda: res.token_counts.count())
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        timed("dedup_near_duplicates", lambda: dedup.near_duplicates(docs, min_jaccard_pct=50).count())
+        timed(
+            "emb_dot_topk",
+            lambda: similarity.dot_topk_quantized(emb, emb.where(F.col("vec_id") < 50), k=10).count(),
+        )
+        timed(
+            "text_lang_quality",
+            lambda: textstats.lang_id(docs).join(textstats.quality_signals(docs), "doc_id").count(),
+        )
+
+    total = round(sum(timings.values()), 3)
+    n_triples = counts["kg_pipeline_triples"]
+    out = {
+        "metric": "e2e_headline_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": synth.sf_of_dir(sf_dir),
+        "cpus": cpus,
+        "rows": counts,
+        "triples_per_sec": round(n_triples / timings["kg_pipeline_triples"], 1),
+    }
+    res.unpersist()
+    spark.stop()
+    return out
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    out = run(sf_dir, cpus, pipeline_only="--pipeline-only" in sys.argv)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -63,12 +63,39 @@ def resolve_uris(
     return cur
 
 
-def resolve_mapping(redirects: DataFrame, max_hops: int = MAX_HOPS) -> DataFrame:
+def _chase(src: str, edges: dict, max_hops: int) -> str:
+    cur = src
+    for _ in range(max_hops):
+        nxt = edges.get(cur)
+        if nxt is None:
+            return cur
+        cur = nxt
+    return cur
+
+
+def resolve_mapping(
+    redirects: DataFrame, max_hops: int = MAX_HOPS, distributed: bool = False
+) -> DataFrame:
     """Fully-resolved redirect map: (src_uri, resolved_uri) for every
     source in the redirect table — the broadcastable dimension used by
-    the pipeline so the *fact-side* join is a single broadcast hop."""
-    srcs = redirects.select(F.col("src_uri").alias("uri")).distinct()
-    return resolve_uris(srcs, redirects).withColumnRenamed("uri", "src_uri")
+    the pipeline so the *fact-side* join is a single broadcast hop.
+
+    Default path is **driver-side pointer chasing**: the redirect table
+    is a broadcastable dimension by contract (~10^7 rows ≈ 1 GB for
+    all of Wikipedia — it ships to every executor for the broadcast
+    join anyway, so the driver holding it once is strictly cheaper),
+    and a dict-chase is one Spark job instead of up-to-8 join+count
+    actions whose fixed latency serializes the DAG. Set
+    ``distributed=True`` for a redirect graph too big to collect —
+    the bounded iterative-join fixpoint (identical frozen semantics).
+    """
+    if distributed:
+        srcs = redirects.select(F.col("src_uri").alias("uri")).distinct()
+        return resolve_uris(srcs, redirects).withColumnRenamed("uri", "src_uri")
+    spark = redirects.sparkSession
+    edges = {r[0]: r[1] for r in redirects.select("src_uri", "dst_uri").collect()}
+    rows = [(s, _chase(s, edges, max_hops)) for s in edges]
+    return spark.createDataFrame(rows, "src_uri string, resolved_uri string")
 
 
 def apply_redirects(

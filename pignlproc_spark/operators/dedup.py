@@ -1,0 +1,156 @@
+"""Document deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Not part of the reference (pignlproc predates web-scale dedup), but a
+first-class requirement for a 100 TB training-data pipeline. Every
+primitive here is **pure Spark built-ins** (whole-stage codegen, no
+Python), and every hash is md5-based so the DuckDB oracle in
+__spark_entry__ can reproduce results bit-for-bit.
+
+Scale notes:
+
+- Exact dedup: hash-groupBy on ``md5(text)`` — one shuffle of (hash,
+  id) pairs, never the text itself.
+- MinHash/LSH: signatures are computed scan-side (no shuffle); the
+  only shuffle is the tiny (band, sig) bucket join. Band/row tuning:
+  16 bands × 1 row ≈ catches Jaccard ≳ 0.5 shingle overlap; the
+  verify step re-checks candidates with exact Jaccard so LSH recall
+  tuning never affects correctness, only cost.
+- SimHash: 16-bit here for oracle-checkability; production would use
+  64-bit xxhash64 (same shape, swap the hash column).
+- All-pairs Jaccard is quadratic — only for bounded subsets / the
+  verify step on LSH candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pignlproc_spark.functions.tokenize import tokens_col
+
+DEFAULT_BANDS = 16
+
+
+def _tokens(text_col):
+    return tokens_col(text_col, with_stopwords=False)
+
+
+def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Adds ``shingles`` ARRAY<STRING>: word n-grams (space-joined),
+    built-ins only; empty array when the doc has < n tokens."""
+    shingle_expr = (
+        f"case when size(_toks) >= {n} then "
+        f"transform(sequence(1, size(_toks) - {n - 1}), i -> concat_ws(' ', slice(_toks, i, {n}))) "
+        "else array() end"
+    )
+    return (
+        df.withColumn("_toks", _tokens(F.col(text_col)))
+        .withColumn("shingles", F.expr(shingle_expr))
+        .drop("_toks")
+    )
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(content_hash, keep_id, n_docs) per distinct content; n_docs > 1
+    rows are duplicate groups. keep_id = min id (stable survivor)."""
+    return (
+        df.select(F.md5(F.col(text_col).cast("binary")).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).cast("bigint").alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bands: int = DEFAULT_BANDS, shingle_n: int = 3
+) -> DataFrame:
+    """(id, band, sig) — per-band min of md5('band:shingle').
+
+    Using the lexicographic min of a keyed md5 as the min-hash is the
+    classic one-permutation-per-band scheme with a cryptographic mix;
+    deterministic and oracle-reproducible.
+    """
+    sh = with_shingles(df.select(F.col(id_col), F.col(text_col)), text_col, shingle_n)
+    nonempty = sh.where(F.size("shingles") > 0)
+    exploded = nonempty.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        F.col("shingles"),
+    )
+    return exploded.select(
+        F.col(id_col).cast("bigint"),
+        F.col("band"),
+        F.array_min(
+            F.transform("shingles", lambda s: F.md5(F.concat_ws(":", F.col("band").cast("string"), s).cast("binary")))
+        ).alias("sig"),
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bands: int = DEFAULT_BANDS, shingle_n: int = 3
+) -> DataFrame:
+    """(id_a, id_b) distinct candidate near-dup pairs: any shared
+    (band, sig) bucket. id_a < id_b."""
+    sigs = minhash_signatures(df, id_col, text_col, bands, shingle_n)
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")))
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_jaccard_pct: int = 10,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """(id_a, id_b, inter_cnt, union_cnt) for token-set Jaccard ≥
+    min_jaccard_pct/100 — integer counts only (hash-stable; the float
+    ratio is derivable). With ``pairs`` given (e.g. LSH candidates)
+    verifies only those; else all pairs (bounded inputs only!)."""
+    t = df.select(F.col(id_col), F.array_distinct(_tokens(F.col(text_col))).alias("tok"))
+    a = t.select(F.col(id_col).alias("id_a"), F.col("tok").alias("tok_a"))
+    b = t.select(F.col(id_col).alias("id_b"), F.col("tok").alias("tok_b"))
+    if pairs is not None:
+        joined = pairs.join(a, "id_a").join(b, "id_b")
+    else:
+        joined = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    stats = joined.withColumn("inter_cnt", F.size(F.array_intersect("tok_a", "tok_b")).cast("bigint")).withColumn(
+        "union_cnt", (F.size("tok_a") + F.size("tok_b") - F.col("inter_cnt")).cast("bigint")
+    )
+    return stats.where(F.col("inter_cnt") * 100 >= F.col("union_cnt") * min_jaccard_pct).select(
+        "id_a", "id_b", "inter_cnt", "union_cnt"
+    )
+
+
+def near_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", min_jaccard_pct: int = 80
+) -> DataFrame:
+    """LSH candidates → exact-Jaccard verify: the scale path for
+    near-dup detection (candidates shuffle, not the corpus)."""
+    cands = lsh_candidate_pairs(df, id_col, text_col)
+    return jaccard_pairs(df, id_col, text_col, min_jaccard_pct, pairs=cands)
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, simhash) — 16-bit SimHash over the token multiset.
+
+    Token hash = first 4 hex digits of md5 (16 bits); bit b of the
+    fingerprint is set iff sum over tokens of ±1 (by token bit b) > 0.
+    """
+    toks = df.select(F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("tok"))
+    h = toks.withColumn("h16", F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 4), 16, 10).cast("int"))
+    aggs = [
+        F.sum(F.when(F.shiftright(F.col("h16"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{b}")
+        for b in range(16)
+    ]
+    sums = h.groupBy(id_col).agg(*aggs)
+    fp = None
+    for b in range(16):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return sums.select(F.col(id_col).cast("bigint"), fp.cast("bigint").alias("simhash"))

@@ -1,0 +1,164 @@
+"""Similarity search over an embedding column (array<float>).
+
+Training-data-pipeline requirement (not in the reference): approximate
+nearest neighbors for embedding-based dedup/retrieval.
+
+Three tiers:
+
+- :func:`dot_topk_quantized` — exact top-k by inner product of
+  1e-3-quantized integer vectors. Pure built-ins, *integer* math ⇒
+  bit-identical to the DuckDB oracle (floats sums are order-dependent;
+  quantized dot products are not). The correctness-gate variant.
+- :func:`cosine_topk` — true float cosine brute force (built-ins:
+  zip_with + aggregate). The quality baseline; rows-only checked.
+- :func:`srp_lsh_topk` — sign-random-projection LSH: bucket vectors
+  by the sign pattern of dot products with ``n_planes`` deterministic
+  pseudo-random hyperplanes (seeded, generated driver-side), then
+  brute-force only within buckets. The 100 TB path: bucket join
+  replaces the quadratic cross join; plane count trades recall for
+  bucket size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _quantize(col, scale: int = 1000):
+    return F.transform(col, lambda x: F.round(x.cast("double") * scale).cast("bigint"))
+
+
+def _dot_int(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+
+
+def _dot_double(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def dot_topk_quantized(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """(query_id, neighbor_id, dot_q, rank): exact top-k by quantized
+    integer inner product; rank ties broken by neighbor id."""
+    from pyspark.sql import Window
+
+    q = queries.select(F.col(id_col).alias("query_id"), _quantize(F.col(vec_col), scale).alias("qv"))
+    t = embeddings.select(F.col(id_col).alias("neighbor_id"), _quantize(F.col(vec_col), scale).alias("tv"))
+    scored = (
+        q.crossJoin(t)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", _dot_int(F.col("qv"), F.col("tv")).alias("dot_q"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot_q"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("bigint"),
+            F.col("neighbor_id").cast("bigint"),
+            "dot_q",
+            F.col("rank").cast("int"),
+        )
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(query_id, neighbor_id, cos_sim, rank): float cosine brute force."""
+    from pyspark.sql import Window
+
+    def norm(col):
+        return F.sqrt(_dot_double(col, col))
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", norm(F.col("qv")))
+    t = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("tv")
+    ).withColumn("tn", norm(F.col("tv")))
+    scored = (
+        q.crossJoin(t)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot_double(F.col("qv"), F.col("tv")) / (F.col("qn") * F.col("tn"))).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def srp_planes(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (driver-side, broadcast as
+    literals — tiny)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def srp_bucket_col(vec_col, planes: list[list[float]]):
+    """INT bucket id: sign bit per hyperplane."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        d = _dot_double(_as_double(vec_col), lit_plane)
+        bucket = bucket + F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def srp_lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Bucketed ANN: candidates share the query's SRP bucket; then
+    exact cosine within bucket. Equi-join on bucket ⇒ shuffle scales
+    with bucket sizes, not the cross product."""
+    from pyspark.sql import Window
+
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    planes = srp_planes(dim, n_planes, seed)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).withColumn(
+        "bucket", srp_bucket_col(F.col("qv"), planes)
+    )
+    t = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("tv")).withColumn(
+        "bucket", srp_bucket_col(F.col("tv"), planes)
+    )
+    def norm(col):
+        return F.sqrt(_dot_double(col, col))
+
+    scored = (
+        q.join(t, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot_double(_as_double(F.col("qv")), _as_double(F.col("tv")))
+                / (norm(_as_double(F.col("qv"))) * norm(_as_double(F.col("tv"))))
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -1,0 +1,101 @@
+"""Text analysis for training-data curation: language ID, quality
+signals, token counting, document fingerprinting.
+
+All pure Spark built-ins (codegen'd, oracle-reproducible); integer /
+md5 outputs only so DuckDB value-hash comparison is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pignlproc_spark.functions.tokenize import tokens_col
+
+# tiny frozen per-language marker lists (heuristic n-gram/stopword ID)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": "the and of to in is was for with that".split(),
+    "de": "der die das und ist von mit den nicht ein".split(),
+    "fr": "le la les et de des est dans pour une".split(),
+    "es": "el la los las y de es en por una".split(),
+    "zh": "的 是 在 了 和 有 我 不 这 中".split(),
+}
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, lang_pred, marker_hits): argmax over marker-token hits,
+    ties broken by language code asc; 'und' when zero hits."""
+    toks = df.select(F.col(id_col), F.array_distinct(tokens_col(F.col(text_col), with_stopwords=False)).alias("_t"))
+    scored = toks
+    for lang, markers in LANG_MARKERS.items():
+        lit = F.array(*[F.lit(m) for m in markers])
+        scored = scored.withColumn(f"_hits_{lang}", F.size(F.array_intersect("_t", lit)))
+    # argmax with lang-asc tie-break: iterate langs sorted, strict >
+    langs = sorted(LANG_MARKERS)
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    for lang in langs:
+        h = F.col(f"_hits_{lang}")
+        better = h > best_hits
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(better, h).otherwise(best_hits)
+    return scored.select(
+        F.col(id_col).cast("bigint"),
+        best_lang.alias("lang_pred"),
+        best_hits.cast("bigint").alias("marker_hits"),
+    )
+
+
+def quality_signals(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, n_chars, n_tokens, n_stopword_hits, n_punct, n_digits,
+    mean_token_len_x100) — integer quality features; thresholds are a
+    downstream policy choice, the engine emits the signals."""
+    t = F.col(text_col)
+    toks = tokens_col(t, with_stopwords=False)
+    stop_toks = tokens_col(t, with_stopwords=True)
+    return df.select(
+        F.col(id_col).cast("bigint"),
+        F.length(t).cast("bigint").alias("n_chars"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        (F.size(toks) - F.size(stop_toks)).cast("bigint").alias("n_stopword_hits"),
+        F.size(F.regexp_extract_all(t, F.lit(r"[.,;:!?]"), 0)).cast("bigint").alias("n_punct"),
+        F.size(F.regexp_extract_all(t, F.lit(r"[0-9]"), 0)).cast("bigint").alias("n_digits"),
+        F.when(
+            F.size(toks) > 0,
+            F.floor(F.aggregate(toks, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x)) * 100 / F.size(toks)),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("mean_token_len_x100"),
+    )
+
+
+def doc_fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, fingerprint): md5 of casefolded, whitespace-normalized text
+    — the cheap content-identity key for incremental dedup."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return df.select(
+        F.col(id_col).cast("bigint"), F.md5(norm.cast("binary")).alias("fingerprint")
+    )
+
+
+def token_counts_per_doc(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, n_tokens, n_unique_tokens) — whitespace/word-regex counting."""
+    toks = tokens_col(F.col(text_col), with_stopwords=False)
+    return df.select(
+        F.col(id_col).cast("bigint"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique_tokens"),
+    )
+
+
+def top_tokens(df: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
+    """(token, cnt) global top-k corpus tokens (FLATTEN/explode + count
+    + top-k — the P4/P7/P15 composition over free text)."""
+    return (
+        df.select(F.explode(tokens_col(F.col(text_col), with_stopwords=False)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(k)
+    )

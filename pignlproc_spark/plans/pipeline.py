@@ -19,7 +19,6 @@ from pyspark.storagelevel import StorageLevel
 
 from pignlproc_spark import synth
 from pignlproc_spark.checkpoint import CheckpointManager, input_fingerprint
-from pignlproc_spark.functions.extract import parse_pages
 from pignlproc_spark.operators import stats, triples
 from pignlproc_spark.operators.mentions import extract_mentions
 
@@ -50,23 +49,46 @@ def run(
     redirects: DataFrame,
     ckpt: CheckpointManager | None = None,
     source_id: str = "pages",
+    input_partitions: int | None = None,
 ) -> PipelineResult:
     """pages + redirects dimension → all stats + triples.
 
     With ``ckpt``: parsed/mentions land as fingerprinted checkpoint
     stages (resume skips completed fingerprints). Without: in-memory
     persist only (fastest for benchmarks).
+
+    ``input_partitions``: the parse stage is CPU-bound per page, so it
+    needs fine-grained input splits. Default (None) trusts the scan:
+    session.py sets ``spark.sql.files.maxPartitionBytes=4m`` so even a
+    single parquet file with row groups splits into many tasks — no
+    shuffle of the raw html bytes. Pass an int to force an explicit
+    repartition instead (sources that arrive as one giant unsplittable
+    blob).
     """
     fp = input_fingerprint(spark, source_id, SPEC_VERSION)
 
-    parsed = parse_pages(pages.drop("text") if "text" in pages.columns else pages)
+    if input_partitions:
+        pages = pages.repartition(input_partitions)
+    if "text" in pages.columns:
+        pages = pages.drop("text")
+
+    # fused extract+contexts (one pandas UDF pass — see
+    # functions.extract.fused_mentions_udf for why)
+    from pignlproc_spark.functions.extract import fused_mentions_udf
+
+    fused = fused_mentions_udf()
+    parsed = pages.select(
+        "url",
+        *(["lang"] if "lang" in pages.columns else []),
+        fused(F.col("html")).alias("_p"),
+    ).select("url", *(["lang"] if "lang" in pages.columns else []), "_p.*")
     if ckpt:
         parsed = ckpt.stage(parsed, "parsed", fp)
     else:
         parsed = parsed.persist(StorageLevel.MEMORY_AND_DISK)
 
     articles = parsed.where(F.col("redirect").isNull())
-    mentions = extract_mentions_from_parsed(articles, redirects)
+    mentions = mentions_from_fused(articles, redirects)
     if ckpt:
         mentions = ckpt.stage(mentions, "mentions", fp)
     else:
@@ -74,21 +96,28 @@ def run(
 
     pairs = stats.pair_counts(mentions)
     uris = stats.uri_counts(mentions)
-    sf_tot = stats.sf_total_counts(mentions, articles.select("text"))
+    # persist: referenced twice in the triple union (annotatedCount +
+    # totalCount) and its total-occurrence scan is a full pandas-UDF
+    # pass over the corpus text — never run it twice
+    sf_tot = stats.sf_total_counts(mentions, articles.select("text")).persist(StorageLevel.MEMORY_AND_DISK)
     toks = stats.token_counts(mentions)
     trip = triples.build_triples(pairs, uris, sf_tot, triples.mention_counts(mentions))
     return PipelineResult(parsed, mentions, pairs, uris, sf_tot, toks, trip)
 
 
-def extract_mentions_from_parsed(parsed_articles: DataFrame, redirects: DataFrame) -> DataFrame:
-    """Same as operators.mentions.extract_mentions but over an
-    already-parsed DataFrame (shared-scan reuse)."""
-    from pignlproc_spark.functions.sentences import sentences_with_links
+def mentions_from_fused(fused_articles: DataFrame, redirects: DataFrame) -> DataFrame:
+    """Explode the fused mentions array, URI-encode (JVM-side), and
+    resolve redirects through the broadcast map — all relational."""
     from pignlproc_spark.functions.uri import uri_encode_col
     from pignlproc_spark.operators.canonicalize import apply_redirects
 
-    ctx = sentences_with_links(parsed_articles)
-    m = ctx.withColumn("uri", uri_encode_col(F.col("target"))).drop("target")
+    cols = ["url"] + (["lang"] if "lang" in fused_articles.columns else [])
+    m = (
+        fused_articles.select(*cols, F.explode("mentions").alias("c"))
+        .select(*cols, "c.ctx_idx", "c.context", "c.target", "c.begin", "c.end", "c.surface_form")
+        .withColumn("uri", uri_encode_col(F.col("target")))
+        .drop("target")
+    )
     return apply_redirects(m, redirects, "uri")
 
 

@@ -46,7 +46,15 @@ def get_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # CPU-bound pandas-UDF parse needs fine scan splits: the 128m
+        # default gives one straggler-prone task per smallish file
+        # (SURVEY.md §4 PARALLEL). 1m is right for local corpora; on a
+        # real cluster size this so tasks run 0.5–5 min (32–128m).
+        .config("spark.sql.files.maxPartitionBytes", "1m")
+        # local mode: the driver JVM IS the executor — undersizing it
+        # turns cache pressure into a GC storm that burns 10× CPU on
+        # wide stages (measured); size like an executor, not a driver
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

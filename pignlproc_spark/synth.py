@@ -40,6 +40,7 @@ from pignlproc_spark.functions.tokenize import tokenize
 from pignlproc_spark.functions.uri import uri_encode
 
 SEED = 42
+GEN_VERSION = "3"  # bump → cached .synthdata regenerates
 MAX_HOPS = 8  # frozen redirect-resolution bound (matches canonicalize)
 URI_LANG = "en"  # URI base is a per-run constant, like the reference's lang param
 
@@ -378,6 +379,7 @@ class Corpus:
         annotated: Counter = Counter()
         mentions: Counter = Counter()
         token_counts: Counter = Counter()
+        ctx_mentions: Counter = Counter()  # (url, context, surface, uri)
         for p in pages:
             if p.kind == "redirect":
                 continue
@@ -388,6 +390,7 @@ class Corpus:
                     uri_counts[uri] += 1
                     annotated[surface] += 1
                     mentions[(p.url, uri)] += 1
+                    ctx_mentions[(p.url, sent_text, surface, uri)] += 1
                     for tok in tokenize(sent_text):
                         token_counts[(uri, tok)] += 1
 
@@ -409,6 +412,7 @@ class Corpus:
         self.sf_total = sf_total
         self.token_counts = token_counts
         self.mentions = mentions
+        self.ctx_mentions = ctx_mentions
 
 
 # ---------------------------------------------------------------------------
@@ -434,6 +438,7 @@ TABLES = [
     "golden_sf_total_counts",
     "golden_token_counts",
     "golden_triples",
+    "golden_mentions",
 ]
 
 
@@ -456,7 +461,7 @@ def generate(sf: float, root: str | Path = None, force: bool = False) -> Path:
     """Generate (or reuse cached) synthetic corpus parquet at scale sf."""
     out = synth_dir(sf, root)
     marker = out / "_SUCCESS"
-    if marker.exists() and not force:
+    if marker.exists() and marker.read_text().strip() == GEN_VERSION and not force:
         return out
     out.mkdir(parents=True, exist_ok=True)
     c = Corpus(sf)
@@ -520,6 +525,10 @@ def generate(sf: float, root: str | Path = None, force: bool = False) -> Path:
         [(u, t, n) for (u, t), n in sorted(c.token_counts.items())], columns=["uri", "token", "cnt"]
     )
     frames["golden_triples"] = _triples_frame(c)
+    frames["golden_mentions"] = pd.DataFrame(
+        [(u, ctx, s, uri, n) for (u, ctx, s, uri), n in sorted(c.ctx_mentions.items())],
+        columns=["url", "context", "surface_form", "uri", "cnt"],
+    )
 
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -537,8 +546,13 @@ def generate(sf: float, root: str | Path = None, force: bool = False) -> Path:
                 ]
             )
         table = pa.Table.from_pandas(frame, schema=schema, preserve_index=False)
-        pq.write_table(table, out / f"{name}.parquet")
-    marker.write_text("ok\n")
+        # pages: small row groups so Spark's scan splits parallelize the
+        # CPU-bound parse even from a single file (a real corpus would
+        # arrive as many files; locally maxPartitionBytes + row groups
+        # stand in for that)
+        rgs = 2000 if name == "pages" else 10_000_000
+        pq.write_table(table, out / f"{name}.parquet", row_group_size=rgs)
+    marker.write_text(GEN_VERSION + "\n")
     return out
 
 

@@ -1,0 +1,85 @@
+"""Unit tests: tokenizer (J14), URI encode (J11), restricted n-grams
+(J12), sentence splitting + span rebase (J6/J7)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from pignlproc_spark.functions.ngrams import SurfaceFormMatcher, normalize_sf
+from pignlproc_spark.functions.sentences import contexts_with_links, split_sentences
+from pignlproc_spark.functions.tokenize import STOPWORDS, tokenize, tokens_col
+from pignlproc_spark.functions.uri import normalize_title, uri_encode
+
+
+def test_tokenize_basic():
+    assert tokenize("The quick brown-fox ran.") == ["quick", "brown", "fox", "ran"]
+    assert tokenize("r&d units") == ["r", "d", "units"]
+    assert tokenize("") == []
+    assert tokenize(None) == []
+    assert tokenize("under_score") == ["under", "score"]
+
+
+def test_tokenize_spark_parity(spark):
+    texts = ["The quick brown-fox ran.", "r&d units", "", "a b c 123 x_y", "Hello WORLD!"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r[0] for r in df.select(tokens_col("text")).collect()]
+    assert got == [tokenize(t) for t in texts]
+    got_ns = [r[0] for r in df.select(tokens_col("text", with_stopwords=False)).collect()]
+    assert got_ns == [tokenize(t, stopwords=None) for t in texts]
+
+
+def test_normalize_title():
+    assert normalize_title("alpha beta") == "Alpha_beta"
+    assert normalize_title("  alpha   beta ") == "Alpha_beta"
+    assert normalize_title("Alpha%5F1") == "Alpha_1"
+    assert normalize_title("") == ""
+    assert normalize_title("_") == ""
+
+
+def test_uri_encode():
+    assert uri_encode("alpha 1") == "http://en.dbpedia.org/resource/Alpha_1"
+    assert uri_encode("a b", "de") == "http://de.dbpedia.org/resource/A_b"
+    # reserved chars percent-encode; _SAFE chars survive
+    assert uri_encode('q"x') == "http://en.dbpedia.org/resource/Q%22x"
+    assert uri_encode("O'Brien (actor)") == "http://en.dbpedia.org/resource/O'Brien_(actor)"
+
+
+def test_matcher_occurrences():
+    m = SurfaceFormMatcher(["Alpha One", "beta", "the great alpha one of old x"])
+    # >4-token form is excluded from the dict
+    assert "the great alpha one of old x" not in m.forms
+    occ = m.occurrences("alpha one met beta; Beta met ALPHA ONE.")
+    assert sorted(occ) == ["alpha one", "alpha one", "beta", "beta"]
+    assert m.occurrences("") == []
+    assert normalize_sf("The  Great-X") == "the great x"
+
+
+def test_split_sentences():
+    text = "One two. Three four! Five"
+    spans = split_sentences(text, 0, len(text))
+    assert [text[b:e] for b, e in spans] == ["One two.", "Three four!", "Five"]
+    # offsets within a paragraph slice
+    t2 = "pre\n\nA b. C d."
+    spans = split_sentences(t2, 5, len(t2))
+    assert [t2[b:e] for b, e in spans] == ["A b.", "C d."]
+
+
+def test_contexts_rebase():
+    text = "Alpha beta. Gamma delta."
+    links = [
+        {"target": "B_1", "begin": 6, "end": 10, "label": "beta"},
+        {"target": "G_1", "begin": 12, "end": 17, "label": "Gamma"},
+    ]
+    paragraphs = [{"begin": 0, "end": len(text)}]
+    rows = contexts_with_links(text, links, paragraphs)
+    assert len(rows) == 2
+    for r in rows:
+        assert r["context"][r["begin"] : r["end"]] == r["surface_form"]
+    assert rows[0]["context"] == "Alpha beta."
+    assert rows[1]["context"] == "Gamma delta."
+    # link spanning a sentence boundary is dropped
+    cross = [{"target": "X", "begin": 6, "end": 17, "label": "beta. Gamma"}]
+    assert contexts_with_links(text, cross, paragraphs) == []
+
+
+def test_stopwords_frozen():
+    assert "the" in STOPWORDS and "quick" not in STOPWORDS

@@ -1,0 +1,73 @@
+"""End-to-end parity vs generator goldens (exact, not just P/R ≥ 0.95)
+plus the P/R gate itself, offset discipline, and linking semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pignlproc_spark import synth
+from pignlproc_spark.operators import linking
+from pignlproc_spark.plans import pipeline
+
+
+@pytest.fixture(scope="module")
+def result(spark, sf_dir):
+    res = pipeline.run_synth(spark, sf_dir)
+    yield res
+    res.unpersist()
+
+
+def _golden(spark, sf_dir, name):
+    return synth.side_table(spark, sf_dir, name)
+
+
+def _assert_equal(df, golden, cols):
+    d = df.select(*cols)
+    g = golden.select(*cols)
+    assert d.exceptAll(g).count() == 0
+    assert g.exceptAll(d).count() == 0
+
+
+def test_pair_counts_exact(spark, sf_dir, result):
+    _assert_equal(result.pair_counts, _golden(spark, sf_dir, "golden_pair_counts"), ["surface_form", "uri", "cnt"])
+
+
+def test_uri_counts_exact(spark, sf_dir, result):
+    _assert_equal(result.uri_counts, _golden(spark, sf_dir, "golden_uri_counts"), ["uri", "cnt"])
+
+
+def test_sf_total_counts_exact(spark, sf_dir, result):
+    g = _golden(spark, sf_dir, "golden_sf_total_counts")
+    _assert_equal(result.sf_total_counts, g, ["surface_form", "annotated_cnt", "total_cnt"])
+    # the -1 sentinel path (unseen / over-long forms) must be exercised
+    assert g.where(F.col("total_cnt") == -1).count() > 0
+
+
+def test_token_counts_exact(spark, sf_dir, result):
+    _assert_equal(result.token_counts, _golden(spark, sf_dir, "golden_token_counts"), ["uri", "token", "cnt"])
+
+
+def test_triples_pr_gate(spark, sf_dir, result):
+    pr = pipeline.precision_recall(
+        result.triples, _golden(spark, sf_dir, "golden_triples"), ["subj", "pred", "obj", "weight"]
+    )
+    assert pr["precision"] >= 0.95 and pr["recall"] >= 0.95  # BASELINE gate
+    assert pr["precision"] == 1.0 and pr["recall"] == 1.0  # we hold exactness
+
+
+def test_mention_offsets_invariant(result):
+    rows = result.mentions.select("context", "begin", "end", "surface_form").collect()
+    assert rows
+    for r in rows:
+        assert r.context[r.begin : r.end] == r.surface_form
+
+
+def test_candidate_topk_and_scoring(spark, sf_dir, result):
+    sfs = synth.side_table(spark, sf_dir, "surface_forms")
+    topk = linking.candidate_topk(sfs, k=2)
+    assert topk.groupBy("surface_form").count().agg(F.max("count")).collect()[0][0] <= 2
+    scored = linking.score_mentions(result.mentions.limit(200), sfs, k=3)
+    rows = scored.select("score", "rank").collect()
+    assert rows
+    assert all(0.0 <= r.score <= 1.0 and 1 <= r.rank <= 3 for r in rows)
+    probs = linking.link_probability(sfs).collect()
+    assert all(0.0 <= r.link_prob <= 1.0 or r.occurrence_total == 0 for r in probs)
