@@ -1,0 +1,111 @@
+"""Structured-Streaming ingestion for continuous corpus arrival.
+
+The reference is batch-only (SURVEY.md §2.2 coverage note: "Streaming:
+none"); this module is the engine's forward-looking path for a corpus
+that arrives continuously (Common-Crawl drops, WARC feeds): the same
+frozen extraction/mention semantics, incrementally.
+
+Two shapes:
+
+- :func:`mention_stream` — readStream → fused extract UDF → explode:
+  an unbounded mention stream with *identical* row semantics to the
+  batch pipeline (same pure functions).
+- :func:`windowed_uri_counts` — event-time tumbling-window counts per
+  entity with a watermark for late data: the streaming analogue of
+  uriCounts. Emits (window_start, uri, cnt).
+- :func:`run_incremental` — foreachBatch micro-batch driver that runs
+  the batch mention extraction per micro-batch and appends to a
+  mentions table; count tables stay derivable by batch aggregation
+  (the lambda-architecture-free pattern: stream = append-only facts,
+  stats = cheap batch over columnar facts).
+
+Scale notes: stateful streaming aggregations keep per-key state in the
+state store — keyed by (window, uri) this is bounded by distinct
+entities per window, not corpus size. Watermark bounds state
+retention. foreachBatch writes are idempotent per batchId when the
+sink dir embeds it (exactly-once on retry).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pignlproc_spark.functions.extract import fused_mentions_udf
+from pignlproc_spark.functions.uri import uri_encode_col
+
+PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def read_page_stream(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """File-arrival stream of pages parquet (the local stand-in for a
+    Kafka/WARC feed; swap ``format`` on a real cluster)."""
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+
+def mention_stream(pages_stream: DataFrame) -> DataFrame:
+    """Streaming mentions: identical per-row semantics to the batch
+    pipeline's fused path (same pandas UDF)."""
+    fused = fused_mentions_udf()
+    parsed = pages_stream.select(
+        "url", "warc_ts", "lang", fused(F.col("html")).alias("_p")
+    ).select("url", "warc_ts", "lang", "_p.*")
+    return (
+        parsed.where(F.col("redirect").isNull())
+        .select("url", "warc_ts", "lang", F.explode("mentions").alias("c"))
+        .select("url", "warc_ts", "lang", "c.ctx_idx", "c.context", "c.target", "c.begin", "c.end", "c.surface_form")
+        .withColumn("uri", uri_encode_col(F.col("target")))
+        .drop("target")
+    )
+
+
+def windowed_uri_counts(
+    mentions: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Event-time tumbling-window entity counts with late-data bound."""
+    return (
+        mentions.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "uri")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "uri", "cnt")
+    )
+
+
+def run_incremental(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    redirects: DataFrame | None = None,
+    available_now: bool = True,
+):
+    """Micro-batch driver: stream pages → mentions (+ optional redirect
+    resolution against the broadcast dimension) → append parquet.
+
+    ``availableNow`` drains what exists then stops (the test/backfill
+    mode); without it the query runs continuously. Returns the
+    StreamingQuery."""
+    from pignlproc_spark.operators.canonicalize import apply_redirects
+
+    stream = mention_stream(read_page_stream(spark, input_dir))
+
+    def handle_batch(batch_df: DataFrame, batch_id: int):
+        out = batch_df
+        if redirects is not None:
+            out = apply_redirects(out, redirects, "uri")
+        out.withColumn("_batch_id", F.lit(batch_id)).write.mode("append").parquet(out_dir)
+
+    writer = (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,89 @@
+"""Physical-plan shape assertions (SURVEY.md §4): the optimizations we
+rely on at 100 TB must actually appear in the plans — broadcast hash
+joins for dimension enrichment, partial/final HashAggregate pairs for
+counts, column pruning down to the parse's input, filter pushdown into
+the parquet scan, and no Python eval in the post-extraction path."""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from pignlproc_spark import synth
+from pignlproc_spark.operators import stats
+from pignlproc_spark.operators.canonicalize import apply_redirects
+
+
+def plan_of(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def mentions(spark):
+    rows = [("u%d" % i, "ctx", "sf%d" % (i % 5), "uri%d" % (i % 7)) for i in range(100)]
+    return spark.createDataFrame(rows, "url string, context string, surface_form string, uri string")
+
+
+def test_count_agg_is_partial_final(mentions):
+    plan = plan_of(stats.pair_counts(mentions))
+    assert "partial_count" in plan  # map-side combine before the shuffle
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "hashpartitioning" in plan
+
+
+def test_redirect_join_is_broadcast(spark, mentions):
+    red = spark.createDataFrame([("uri1", "uri9")], "src_uri string, dst_uri string")
+    plan = plan_of(apply_redirects(mentions, red, "uri"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_scan_prunes_columns(spark, synth_dir):
+    from pignlproc_spark.functions.extract import parse_pages
+
+    pages = spark.read.parquet(str(synth_dir / "pages.parquet"))
+    out = parse_pages(pages.drop("text")).select("url", "text")
+    plan = plan_of(out)
+    # the scan must read only what feeds the projection + UDF
+    assert "ReadSchema" in plan
+    scan_line = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "html" in scan_line and "url" in scan_line
+    assert "warc_ts" not in scan_line and "lang" not in scan_line
+
+
+def test_filter_pushdown(spark, synth_dir):
+    pages = spark.read.parquet(str(synth_dir / "pages.parquet"))
+    q = pages.where(F.col("lang") == "en").select("url")
+    plan = plan_of(q)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+
+
+def test_post_extraction_path_is_jvm_only(mentions):
+    # stats over mentions: no Python eval operators anywhere
+    for df in (stats.pair_counts(mentions), stats.uri_counts(mentions), stats.token_counts(mentions)):
+        plan = plan_of(df)
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+
+def test_salted_agg_two_phase(mentions):
+    plan = plan_of(stats.aggregate_text_salted(mentions, "uri", "context", salt_buckets=8))
+    # two shuffles: (key, salt) then key
+    assert plan.count("hashpartitioning") >= 2
+
+
+def test_whole_stage_codegen_spans(spark, synth_dir):
+    # AQE hides WSCG subtrees until execution — toggle it off just to
+    # assert the underlying stages compile to whole-stage codegen
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        li = synth.side_table(spark, "/root/testdata/sf0.001", "surface_forms")
+        plan = plan_of(li.groupBy("uri").agg(F.sum("anchor_count")), mode="codegen")
+        assert "WholeStageCodegen subtrees" in plan
+        assert "Found 0 WholeStageCodegen" not in plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")

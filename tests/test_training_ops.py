@@ -1,0 +1,133 @@
+"""Training-data operators: dedup (exact / MinHash-LSH / SimHash /
+Jaccard), similarity search, text stats, multimodal plumbing, graph
+write layout."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pignlproc_spark.operators import dedup, multimodal, similarity, textstats, triples
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),  # exact dup of 0
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),  # near dup of 0
+        (3, "completely different words entirely unrelated content here"),
+        (4, "alpha beta gamma delta epsilon zeta eta theta extra"),  # near dup
+        (5, "short"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark, docs):
+    groups = dedup.exact_duplicates(docs).collect()
+    dup = [g for g in groups if g.n_docs > 1]
+    assert len(dup) == 1 and dup[0].keep_id == 0 and dup[0].n_docs == 2
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {(r.id_a, r.id_b) for r in dedup.lsh_candidate_pairs(docs).collect()}
+    assert (0, 1) in pairs  # exact dup always collides
+    assert (0, 2) in pairs or (0, 4) in pairs  # near dups share buckets
+    verified = dedup.near_duplicates(docs, min_jaccard_pct=70)
+    vp = {(r.id_a, r.id_b) for r in verified.collect()}
+    assert (0, 1) in vp
+    assert all(a < b for a, b in vp)
+    # unrelated doc never pairs with the alpha-cluster at >=70%
+    assert not any(3 in p for p in vp)
+
+
+def test_jaccard_pairs_counts(spark, docs):
+    rows = dedup.jaccard_pairs(docs, min_jaccard_pct=99).collect()
+    exact = [r for r in rows if r.id_a == 0 and r.id_b == 1]
+    assert exact and exact[0].inter_cnt == exact[0].union_cnt == 8
+
+
+def test_simhash_similarity_property(spark, docs):
+    h = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    assert h[0] == h[1]  # identical text -> identical fingerprint
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(h[0], h[2]) < hamming(h[0], h[3])
+    assert 0 <= h[0] < (1 << 16)
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    import math
+
+    rows = []
+    for i in range(40):
+        angle = (i % 8) / 8.0 * math.pi
+        rows.append((i, [float(round(math.cos(angle), 3)), float(round(math.sin(angle), 3)), float(i % 3)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_dot_topk_quantized(spark, vecs):
+    out = similarity.dot_topk_quantized(vecs, vecs.where(F.col("vec_id") == 0), k=3)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    assert len(rows) == 3
+    assert rows[0].dot_q >= rows[1].dot_q >= rows[2].dot_q
+    assert all(r.query_id == 0 and r.neighbor_id != 0 for r in rows)
+
+
+def test_cosine_vs_quantized_agree(spark, vecs):
+    q = vecs.where(F.col("vec_id") == 5)
+    cos = {r.rank: r.neighbor_id for r in similarity.cosine_topk(vecs, q, k=3).collect()}
+    assert len(cos) == 3  # float path runs and ranks
+
+    srp = similarity.srp_lsh_topk(vecs, q, k=3, dim=3, n_planes=2)
+    rows = srp.collect()
+    assert rows and all(r.query_id == 5 for r in rows)
+
+
+def test_lang_id_and_quality(spark):
+    rows = [
+        (1, "the cat and the dog went to the house with that hat"),
+        (2, "der hund und die katze ist nicht mit den kindern"),
+        (3, "xyzzy plugh qwark"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    langs = {r.doc_id: r.lang_pred for r in textstats.lang_id(df).collect()}
+    assert langs[1] == "en" and langs[2] == "de" and langs[3] == "und"
+    q = {r.doc_id: r for r in textstats.quality_signals(df).collect()}
+    assert q[1].n_tokens == 12 and q[4].n_tokens == 0
+    assert q[1].n_stopword_hits > 0 and q[3].n_stopword_hits == 0
+    fp = {r.doc_id: r.fingerprint for r in textstats.doc_fingerprint(df).collect()}
+    assert fp[1] != fp[2] and len(fp[1]) == 32
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.fake_media_df(spark, 32)
+    feats = multimodal.extract_media_features(media)
+    rows = feats.collect()
+    assert len(rows) == 32
+    for r in rows:
+        assert len(r.feature) == multimodal.FEATURE_DIM
+        assert r.n_bytes > 0 and len(r.sha1) == 40 and 1 <= r.frames_sampled <= 16
+    # determinism across repartitionings
+    again = {r.url: r.sha1 for r in multimodal.extract_media_features(media.repartition(7)).collect()}
+    assert {r.url: r.sha1 for r in rows} == again
+    # the real decoder is an explicit stub
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_payload(b"bytes", "image")
+
+
+def test_write_graph_layout(spark, tmp_path):
+    t = spark.createDataFrame(
+        [("s1", "kg:linksTo", "o1", 2), ("s2", "kg:uriCount", "3", 3)],
+        "subj string, pred string, obj string, weight long",
+    )
+    path = triples.write_graph(t, name="graph_t", num_partitions=4, salt_buckets=2, root=str(tmp_path))
+    import os
+
+    preds = {d for d in os.listdir(path) if d.startswith("pred=")}
+    assert preds == {"pred=kg%3AlinksTo", "pred=kg%3AuriCount"} or preds == {"pred=kg:linksTo", "pred=kg:uriCount"}
+    back = spark.read.parquet(path)
+    assert back.count() == 2 and set(back.columns) == {"subj", "pred", "obj", "weight"}
