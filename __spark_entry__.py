@@ -289,6 +289,95 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def docs_token_counts(spark, sf_dir):
         return textstats.token_counts_per_doc(_read(spark, sf_dir, "documents"))
 
+    # ---- sources: dump replay + NTriples (J1/J2/J4) ----
+    def src_wikidump_index(spark, sf_dir):
+        from pignlproc_spark.sources.wikidump import read_dump
+
+        d = read_dump(spark, str(synth.generate(synth.sf_of_dir(sf_dir)) / "dump"))
+        return d.select("title", "page_id", F.octet_length(F.encode("markup", "UTF-8")).cast("bigint").alias("markup_bytes"))
+
+    def src_ntriples_redirects(spark, sf_dir):
+        from pignlproc_spark.sources.ntriples import read_uri_uri
+
+        p = synth.generate(synth.sf_of_dir(sf_dir))
+        return read_uri_uri(spark, str(p / "nt" / "redirects.nt"), "http://dbpedia.org/ontology/wikiPageRedirects")
+
+    def src_ntriples_abstracts(spark, sf_dir):
+        from pignlproc_spark.sources.ntriples import read_uri_literal
+
+        p = synth.generate(synth.sf_of_dir(sf_dir))
+        return read_uri_literal(spark, str(p / "nt" / "abstracts.nt"), "http://dbpedia.org/ontology/abstract")
+
+    # ---- ner-corpus / topic-corpus analogues (SURVEY.md §2.3) ----
+    def ner_typed_mention_counts(spark, sf_dir):
+        from pignlproc_spark.operators.corpus import typed_mentions
+
+        tm = typed_mentions(_pipeline(spark, sf_dir).mentions, _syn(spark, sf_dir, "entity_types"))
+        return tm.groupBy("type", "uri").agg(F.count(F.lit(1)).alias("cnt"))
+
+    def topic_grounded(spark, sf_dir):
+        from pignlproc_spark.operators.corpus import grounded_topics
+
+        return grounded_topics(_syn(spark, sf_dir, "article_categories"), min_articles=3)
+
+    def topic_broader_closure(spark, sf_dir):
+        from pignlproc_spark.operators.corpus import broader_closure
+
+        return broader_closure(_syn(spark, sf_dir, "skos_broader"))
+
+    def topic_abstracts(spark, sf_dir):
+        from pignlproc_spark.operators.corpus import topic_abstract_corpus
+
+        return topic_abstract_corpus(
+            _syn(spark, sf_dir, "article_categories"), _syn(spark, sf_dir, "abstracts"), min_articles=3
+        )
+
+    def kg_context_docs(spark, sf_dir):
+        # J8 AggregateTextBag: one context document per entity (sorted
+        # variant for the oracle; the salted two-phase variant is
+        # multiset-equivalent — tests/test_training_ops.py asserts it)
+        m = _pipeline(spark, sf_dir).mentions
+        return m.groupBy("uri").agg(
+            F.concat_ws(" ", F.sort_array(F.collect_list("context"))).alias("doc")
+        )
+
+    def cogroup_sf_stats(spark, sf_dir):
+        # P17 COGROUP analogue: align per-sf mention stats with the
+        # per-sf dictionary via full-outer join of two groupings
+        m = _pipeline(spark, sf_dir).pair_counts.groupBy("surface_form").agg(
+            F.count(F.lit(1)).alias("n_uris"), F.sum("cnt").cast("bigint").alias("n_mentions")
+        )
+        d = (
+            _syn(spark, sf_dir, "surface_forms")
+            .groupBy("surface_form")
+            .agg(F.count(F.lit(1)).alias("n_candidates"))
+        )
+        j = m.alias("m").join(d.alias("d"), "surface_form", "full")
+        return j.select(
+            "surface_form",
+            F.coalesce(F.col("n_uris"), F.lit(0)).cast("bigint").alias("n_uris"),
+            F.coalesce(F.col("n_mentions"), F.lit(0)).cast("bigint").alias("n_mentions"),
+            F.coalesce(F.col("n_candidates"), F.lit(0)).cast("bigint").alias("n_candidates"),
+        )
+
+    def events_json_native(spark, sf_dir):
+        e = _read(spark, sf_dir, "events")
+        k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+        return e.groupBy("event_type").agg(F.sum(k).cast("bigint").alias("sum_k"), F.count(F.lit(1)).alias("cnt"))
+
+    q.update(
+        src_wikidump_index=src_wikidump_index,
+        src_ntriples_redirects=src_ntriples_redirects,
+        src_ntriples_abstracts=src_ntriples_abstracts,
+        ner_typed_mention_counts=ner_typed_mention_counts,
+        topic_grounded=topic_grounded,
+        topic_broader_closure=topic_broader_closure,
+        topic_abstracts=topic_abstracts,
+        kg_context_docs=kg_context_docs,
+        cogroup_sf_stats=cogroup_sf_stats,
+        events_json_native=events_json_native,
+    )
+
     # ---- rows-only checks (non-SQL-expressible / float paths) ----
     def emb_cosine_topk(spark, sf_dir):
         emb = _read(spark, sf_dir, "embeddings")
@@ -300,6 +389,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def media_features(spark, sf_dir):
         return multimodal.extract_media_features(multimodal.fake_media_df(spark, 64)).drop("feature")
+
+    def ner_opennlp_sentences(spark, sf_dir):
+        from pignlproc_spark.operators.corpus import ner_training_sentences
+
+        return ner_training_sentences(_pipeline(spark, sf_dir).mentions, _syn(spark, sf_dir, "entity_types"))
 
     def kg_paragraph_contexts(spark, sf_dir):
         from pignlproc_spark.operators.mentions import extract_mentions
@@ -323,6 +417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb_cosine_topk=emb_cosine_topk,
         emb_srp_lsh_topk=emb_srp_lsh_topk,
         media_features=media_features,
+        ner_opennlp_sentences=ner_opennlp_sentences,
         kg_paragraph_contexts=kg_paragraph_contexts,
     )
     return q
@@ -580,7 +675,70 @@ def oracle_sql() -> dict[str, str]:
            len(list_distinct(toks))::BIGINT AS n_unique_tokens
     FROM t
     """
+    # ---- sources ----
+    o["src_wikidump_index"] = (
+        f"SELECT title, page_id, markup_bytes FROM {g('golden_dump_index')}"
+    )
+    o["src_ntriples_redirects"] = f"SELECT src_uri AS subj, dst_uri AS obj FROM {g('redirects')}"
+    o["src_ntriples_abstracts"] = f"SELECT uri AS subj, abstract AS lit FROM {g('abstracts')}"
+
+    # ---- ner/topic corpus ----
+    o["ner_typed_mention_counts"] = f"""
+    SELECT e.type, m.uri, sum(m.cnt)::BIGINT AS cnt
+    FROM {g('golden_mentions')} m JOIN {g('entity_types')} e ON m.uri = e.uri
+    GROUP BY e.type, m.uri
+    """
+    o["topic_grounded"] = f"""
+    SELECT category, count(*) AS n_articles FROM {g('article_categories')}
+    GROUP BY category HAVING count(*) >= 3
+    """
+    o["topic_broader_closure"] = f"""
+    WITH RECURSIVE r(category, cur, hops) AS (
+      SELECT category, category, 0 FROM {g('skos_broader')}
+      UNION ALL
+      SELECT r.category, e.parent, r.hops + 1
+      FROM r JOIN {g('skos_broader')} e ON r.cur = e.category
+      WHERE r.hops < 8
+    )
+    SELECT category, arg_max(cur, hops) AS root FROM r GROUP BY category
+    """
+    o["topic_abstracts"] = f"""
+    WITH grounded AS (
+      SELECT category FROM {g('article_categories')} GROUP BY category HAVING count(*) >= 3
+    )
+    SELECT c.category, c.uri, a.abstract
+    FROM {g('article_categories')} c
+    JOIN grounded USING (category)
+    JOIN {g('abstracts')} a ON c.uri = a.uri
+    """
+    o["kg_context_docs"] = f"""
+    WITH expanded AS (
+      SELECT uri, context FROM {g('golden_mentions')} CROSS JOIN unnest(range(cnt)) t(i)
+    )
+    SELECT uri, string_agg(context, ' ' ORDER BY context) AS doc FROM expanded GROUP BY uri
+    """
+    o["cogroup_sf_stats"] = f"""
+    WITH m AS (
+      SELECT surface_form, count(*) AS n_uris, sum(cnt)::BIGINT AS n_mentions
+      FROM {g('golden_pair_counts')} GROUP BY surface_form
+    ), d AS (
+      SELECT surface_form, count(*) AS n_candidates FROM {g('surface_forms')} GROUP BY surface_form
+    )
+    SELECT coalesce(m.surface_form, d.surface_form) AS surface_form,
+           coalesce(m.n_uris, 0)::BIGINT AS n_uris,
+           coalesce(m.n_mentions, 0)::BIGINT AS n_mentions,
+           coalesce(d.n_candidates, 0)::BIGINT AS n_candidates
+    FROM m FULL OUTER JOIN d ON m.surface_form = d.surface_form
+    """
+    o["events_json_native"] = """
+    SELECT event_type,
+           sum(regexp_extract(props, '"k":\\s*([0-9]+)', 1)::BIGINT)::BIGINT AS sum_k,
+           count(*) AS cnt
+    FROM events GROUP BY event_type
+    """
+
     # emb_cosine_topk / emb_srp_lsh_topk / media_features /
-    # kg_paragraph_contexts: intentionally no oracle (float ordering /
-    # pandas-UDF-only paths) → driver records rows-only checks.
+    # ner_opennlp_sentences / kg_paragraph_contexts: intentionally no
+    # oracle (float ordering / pandas-UDF-only paths) → driver records
+    # rows-only checks.
     return o

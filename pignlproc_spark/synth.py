@@ -40,7 +40,7 @@ from pignlproc_spark.functions.tokenize import tokenize
 from pignlproc_spark.functions.uri import uri_encode
 
 SEED = 42
-GEN_VERSION = "3"  # bump → cached .synthdata regenerates
+GEN_VERSION = "4"  # bump → cached .synthdata regenerates
 MAX_HOPS = 8  # frozen redirect-resolution bound (matches canonicalize)
 URI_LANG = "en"  # URI base is a per-run constant, like the reference's lang param
 
@@ -439,6 +439,9 @@ TABLES = [
     "golden_token_counts",
     "golden_triples",
     "golden_mentions",
+    "article_categories",
+    "skos_broader",
+    "golden_dump_index",
 ]
 
 
@@ -529,6 +532,62 @@ def generate(sf: float, root: str | Path = None, force: bool = False) -> Path:
         [(u, ctx, s, uri, n) for (u, ctx, s, uri), n in sorted(c.ctx_mentions.items())],
         columns=["url", "context", "surface_form", "uri", "cnt"],
     )
+
+    # --- topic-corpus side tables (SURVEY.md §2.3 topic scripts) ---
+    n_cats = max(5, c.n_entities // 8)
+    cat_rows = []
+    for k in range(c.n_entities):
+        uri = uri_encode(_entity_title(k), URI_LANG)
+        cat_rows.append((uri, f"Cat_{k % n_cats}"))
+        if k % 5 == 0:  # some articles carry two categories
+            cat_rows.append((uri, f"Cat_{(k * 3 + 1) % n_cats}"))
+    frames["article_categories"] = pd.DataFrame(cat_rows, columns=["uri", "category"])
+    broader_rows = [(f"Cat_{i}", f"Cat_{i // 3}") for i in range(1, n_cats)]
+    broader_rows.append(("Cat_0", f"Cat_{n_cats - 1}"))  # deliberate cycle
+    frames["skos_broader"] = pd.DataFrame(broader_rows, columns=["category", "parent"])
+
+    # --- Wikipedia-dump replay fixture (J1/J2 parity): two XML shards
+    #     + NTriples files (J4 parity) ---
+    def _dump_title(idx: int, p: PagePlan) -> str:
+        return f"Page {idx} {p.kind}"
+
+    import xml.sax.saxutils as sx
+
+    shards = [[], []]
+    dump_index = []
+    for idx, p in enumerate(c.pages):
+        title = _dump_title(idx, p)
+        markup = p.html.decode("utf-8", errors="replace")
+        shards[idx % 2].append(
+            "  <page>\n"
+            f"    <title>{sx.escape(title)}</title>\n"
+            f"    <id>{idx}</id>\n"
+            "    <revision>\n"
+            f"      <text>{sx.escape(markup)}</text>\n"
+            "    </revision>\n"
+            "  </page>"
+        )
+        dump_index.append((title, idx, len(p.html)))
+    frames["golden_dump_index"] = pd.DataFrame(dump_index, columns=["title", "page_id", "markup_bytes"])
+    dump_dir = out / "dump"
+    dump_dir.mkdir(exist_ok=True)
+    for si, pages_xml in enumerate(shards):
+        body = "<mediawiki>\n" + "\n".join(pages_xml) + "\n</mediawiki>\n"
+        (dump_dir / f"part-{si}.xml").write_text(body, encoding="utf-8")
+
+    nt_dir = out / "nt"
+    nt_dir.mkdir(exist_ok=True)
+    red_prop = "http://dbpedia.org/ontology/wikiPageRedirects"
+    with open(nt_dir / "redirects.nt", "w") as f:
+        f.write("# synthetic redirects dump\n")
+        for s, d in sorted(c.redirects.items()):
+            f.write(f"<{uri_encode(s, URI_LANG)}> <{red_prop}> <{uri_encode(d, URI_LANG)}> .\n")
+        f.write("malformed line without triple structure\n")
+    abs_prop = "http://dbpedia.org/ontology/abstract"
+    with open(nt_dir / "abstracts.nt", "w") as f:
+        for _, row in frames["abstracts"].iterrows():
+            lit = row["abstract"].replace("\\", "\\\\").replace('"', '\\"')
+            f.write(f'<{row["uri"]}> <{abs_prop}> "{lit}"@en .\n')
 
     import pyarrow as pa
     import pyarrow.parquet as pq

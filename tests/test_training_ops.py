@@ -119,6 +119,23 @@ def test_multimodal_plumbing(spark):
         multimodal.decode_payload(b"bytes", "image")
 
 
+def test_salted_text_agg_multiset_equivalent(spark):
+    from pignlproc_spark.operators import stats
+
+    rows = [("k%d" % (i % 3), "w%02d" % i) for i in range(50)]
+    df = spark.createDataFrame(rows, "uri string, context string")
+    salted = {r.uri: r.text for r in stats.aggregate_text_salted(df, "uri", "context", salt_buckets=4).collect()}
+    plain = {
+        r.uri: r.doc
+        for r in df.groupBy("uri")
+        .agg(F.concat_ws(" ", F.sort_array(F.collect_list("context"))).alias("doc"))
+        .collect()
+    }
+    assert salted.keys() == plain.keys()
+    for k in plain:
+        assert sorted(salted[k].split(" ")) == sorted(plain[k].split(" "))
+
+
 def test_write_graph_layout(spark, tmp_path):
     t = spark.createDataFrame(
         [("s1", "kg:linksTo", "o1", 2), ("s2", "kg:uriCount", "3", 3)],
