@@ -474,17 +474,18 @@ def _simhash_sql() -> str:
 
 
 def _minhash_sql() -> str:
+    # lanes of ONE md5 per shingle (matches operators/dedup.py)
     return f"""
     WITH toks AS (
       SELECT doc_id, {_tok_sql('text', stop=False)} AS t FROM documents
     ), sh AS (
-      SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
-                     j -> t[j] || ' ' || t[j+1] || ' ' || t[j+2])) AS shingle
+      SELECT doc_id, md5(unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                     j -> t[j] || ' ' || t[j+1] || ' ' || t[j+2]))) AS h
       FROM toks WHERE len(t) >= 3
     )
     SELECT doc_id::BIGINT AS doc_id, band::INT AS band,
-           min(md5(band::VARCHAR || ':' || shingle)) AS sig
-    FROM sh CROSS JOIN range(16) b(band)
+           min(substr(h, band * 8 + 1, 8)) AS sig
+    FROM sh CROSS JOIN range(4) b(band)
     GROUP BY doc_id, band
     """
 

@@ -52,8 +52,11 @@ def run(sf_dir: str, cpus: int, quiet: bool = True, pipeline_only: bool = False)
     if not pipeline_only:
         timed("kg_token_counts", lambda: res.token_counts.count())
 
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        # tiny single-file tables scan as 1-2 partitions; spread the
+        # CPU-bound operators across the cores (a real corpus arrives
+        # as many files and needs no such nudge)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(cpus * 2)
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(cpus)
         timed("dedup_near_duplicates", lambda: dedup.near_duplicates(docs, min_jaccard_pct=50).count())
         timed(
             "emb_dot_topk",

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from pignlproc_spark.functions.tokenize import tokens_col
 
-DEFAULT_BANDS = 16
+DEFAULT_BANDS = 4  # lanes carved from one md5 per shingle (see below)
 
 
 def _tokens(text_col):
@@ -63,34 +63,55 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bands: int = DEFAULT_BANDS, shingle_n: int = 3
 ) -> DataFrame:
-    """(id, band, sig) — per-band min of md5('band:shingle').
-
-    Using the lexicographic min of a keyed md5 as the min-hash is the
-    classic one-permutation-per-band scheme with a cryptographic mix;
-    deterministic and oracle-reproducible.
+    """(id, band, sig) — per-band min-hash where band ``i``'s hash of a
+    shingle is hex lane ``i`` (8 hex chars = 32 bits) of ONE md5 of the
+    shingle. One digest per shingle instead of one per (band, shingle)
+    — the md5 work dominates signature cost at corpus scale, and md5's
+    lanes are independent enough to act as distinct hash functions
+    (bands ≤ 4 with 128-bit md5). Lexicographic min of the hex lane ==
+    numeric min (fixed width). Deterministic and oracle-reproducible.
     """
+    if not 1 <= bands <= 4:
+        raise ValueError("bands must be 1..4 (32-bit lanes of one md5)")
+    # Plan-shape care (both measured, both matter at scale):
+    # - higher-order functions (transform/array_min) are INTERPRETED,
+    #   not codegen'd — per-element md5 inside a lambda ran ~50×
+    #   slower than the same md5 as a relational projection. So:
+    #   explode the shingles, hash as a plain column, and take the
+    #   per-(doc, lane) min with a partial/final aggregate (whole
+    #   stage codegen end to end, map-side combine absorbs the fanout).
+    # - a pre-filter like where(size(shingles) > 0) pushes below the
+    #   projections and inlines the whole token+shingle expression
+    #   into the predicate; exploding instead drops empty docs free.
     sh = with_shingles(df.select(F.col(id_col), F.col(text_col)), text_col, shingle_n)
-    nonempty = sh.where(F.size("shingles") > 0)
-    exploded = nonempty.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
-        F.col("shingles"),
+    hashed = sh.select(F.col(id_col), F.explode("shingles").alias("shingle")).select(
+        F.col(id_col), F.md5(F.col("shingle").cast("binary")).alias("h")
     )
-    return exploded.select(
+    lane_mins = hashed.groupBy(id_col).agg(
+        *[F.min(F.substring("h", 8 * i + 1, 8)).alias(f"_s{i}") for i in range(bands)]
+    )
+    return lane_mins.select(
         F.col(id_col).cast("bigint"),
-        F.col("band"),
-        F.array_min(
-            F.transform("shingles", lambda s: F.md5(F.concat_ws(":", F.col("band").cast("string"), s).cast("binary")))
-        ).alias("sig"),
-    )
+        F.posexplode(F.array(*[F.col(f"_s{i}") for i in range(bands)])).alias("band", "sig"),
+    ).where(F.col("sig").isNotNull())
 
 
 def lsh_candidate_pairs(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bands: int = DEFAULT_BANDS, shingle_n: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """(id_a, id_b) distinct candidate near-dup pairs: any shared
-    (band, sig) bucket. id_a < id_b."""
-    sigs = minhash_signatures(df, id_col, text_col, bands, shingle_n)
+    (band, sig) bucket. id_a < id_b.
+
+    Pass a persisted ``sigs`` for repeated use — a self-join otherwise
+    computes the signature subtree once per side (Spark reuses
+    exchanges, not arbitrary subplans)."""
+    if sigs is None:
+        sigs = minhash_signatures(df, id_col, text_col, bands, shingle_n)
     a = sigs.alias("a")
     b = sigs.alias("b")
     return (
@@ -131,8 +152,14 @@ def near_duplicates(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", min_jaccard_pct: int = 80
 ) -> DataFrame:
     """LSH candidates → exact-Jaccard verify: the scale path for
-    near-dup detection (candidates shuffle, not the corpus)."""
-    cands = lsh_candidate_pairs(df, id_col, text_col)
+    near-dup detection (candidates shuffle, not the corpus).
+
+    Signatures are persisted across the self-join sides; at cluster
+    scale this is the stage you'd checkpoint to a table instead."""
+    from pyspark.storagelevel import StorageLevel
+
+    sigs = minhash_signatures(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    cands = lsh_candidate_pairs(df, id_col, text_col, sigs=sigs)
     return jaccard_pairs(df, id_col, text_col, min_jaccard_pct, pairs=cands)
 
 
