@@ -387,6 +387,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _read(spark, sf_dir, "embeddings")
         return similarity.srp_lsh_topk(emb, emb.where(F.col("vec_id") < 10), k=5, dim=64)
 
+    def emb_ivf_topk(spark, sf_dir):
+        emb = _read(spark, sf_dir, "embeddings")
+        return similarity.ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=5, n_centroids=16, nprobe=4)
+
     def media_features(spark, sf_dir):
         return multimodal.extract_media_features(multimodal.fake_media_df(spark, 64)).drop("feature")
 
@@ -416,6 +420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs_token_counts=docs_token_counts,
         emb_cosine_topk=emb_cosine_topk,
         emb_srp_lsh_topk=emb_srp_lsh_topk,
+        emb_ivf_topk=emb_ivf_topk,
         media_features=media_features,
         ner_opennlp_sentences=ner_opennlp_sentences,
         kg_paragraph_contexts=kg_paragraph_contexts,

@@ -121,6 +121,120 @@ def srp_bucket_col(vec_col, planes: list[list[float]]):
     return bucket
 
 
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_iters: int = 1,
+) -> list[list[float]]:
+    """Deterministic IVF codebook: seed centroids are the ``n_centroids``
+    lowest-id vectors (seeded/deterministic, no RNG), refined by
+    ``train_iters`` Lloyd steps executed distributed: assign via
+    broadcast centroid literals (argmin dot-distance), then per-
+    (cluster, dimension) mean via posexplode + partial/final avg —
+    k-means as two codegen'd aggregations, no collect of vectors."""
+    seeds = (
+        embeddings.orderBy(F.col(id_col)).limit(n_centroids).select(_as_double(F.col(vec_col)).alias("v")).collect()
+    )
+    centroids = [list(r.v) for r in seeds]
+    for _ in range(train_iters):
+        assigned = with_ivf_cluster(embeddings, centroids, vec_col)
+        dims = assigned.select(
+            "cluster", F.posexplode(_as_double(F.col(vec_col))).alias("dim", "val")
+        )
+        means = (
+            dims.groupBy("cluster", "dim")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select("cluster", F.transform("dm", lambda s: s["m"]).alias("v"))
+            .collect()
+        )
+        new = {r.cluster: list(r.v) for r in means}
+        centroids = [new.get(i, centroids[i]) for i in range(len(centroids))]
+    return centroids
+
+
+def _centroid_dists(vec_col, centroids: list[list[float]]):
+    """ARRAY<DOUBLE> of negative-dot 'distances' to each centroid."""
+    dv = _as_double(vec_col)
+    return F.array(
+        *[
+            -_dot_double(dv, F.array(*[F.lit(float(x)) for x in c]))
+            for c in centroids
+        ]
+    )
+
+
+def with_ivf_cluster(embeddings: DataFrame, centroids: list[list[float]], vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector to its max-dot-product centroid (argmin of
+    the negative-dot array, ties to lowest index)."""
+    dists = _centroid_dists(F.col(vec_col), centroids)
+    return (
+        embeddings.withColumn("_d", dists)
+        .withColumn("cluster", (F.array_position(F.col("_d"), F.array_min(F.col("_d"))) - 1).cast("int"))
+        .drop("_d")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF ANN: partition vectors into centroid cells, probe only the
+    query's ``nprobe`` nearest cells, exact cosine within.
+
+    Scale shape: the codebook is tiny and broadcast as literals; the
+    corpus is equi-joined on ``cluster`` (shuffle ∝ probed cells, not
+    the cross product); cell assignment is write-once (store
+    ``cluster`` as a partition column of the embedding table and the
+    probe join becomes partition pruning)."""
+    from pyspark.sql import Window
+
+    if centroids is None:
+        centroids = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    t = with_ivf_cluster(embeddings, centroids, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("tv"), "cluster"
+    )
+    qd = queries.withColumn("_d", _centroid_dists(F.col(vec_col), centroids))
+    probe = (
+        qd.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.col("_d"),
+            F.explode(F.slice(F.array_sort(F.col("_d")), 1, nprobe)).alias("_pd"),
+        )
+        .withColumn("cluster", (F.array_position(F.col("_d"), F.col("_pd")) - 1).cast("int"))
+        .drop("_d", "_pd")
+    )
+
+    def norm(col):
+        return F.sqrt(_dot_double(col, col))
+
+    scored = (
+        probe.join(t, "cluster")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot_double(_as_double(F.col("qv")), _as_double(F.col("tv")))
+                / (norm(_as_double(F.col("qv"))) * norm(_as_double(F.col("tv"))))
+            ).alias("cos_sim"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def srp_lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -86,6 +86,26 @@ def test_cosine_vs_quantized_agree(spark, vecs):
     assert rows and all(r.query_id == 5 for r in rows)
 
 
+def test_ivf_topk_recall(spark):
+    import pyspark.sql.functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in similarity.cosine_topk(emb, q, k=3).collect()
+    }
+    ivf = similarity.ivf_topk(emb, q, k=3, n_centroids=8, nprobe=4)
+    got = {(r.query_id, r.rank): r.neighbor_id for r in ivf.collect()}
+    assert len(got) > 0
+    # probing half the cells must recover most exact top-1s
+    top1_hits = sum(1 for (qid, rk), n in exact.items() if rk == 1 and got.get((qid, 1)) == n)
+    assert top1_hits >= 3  # of 5 queries
+    # determinism
+    again = {(r.query_id, r.rank): r.neighbor_id for r in similarity.ivf_topk(emb, q, k=3, n_centroids=8, nprobe=4).collect()}
+    assert got == again
+
+
 def test_lang_id_and_quality(spark):
     rows = [
         (1, "the cat and the dog went to the house with that hat"),
