@@ -152,9 +152,15 @@ def _clean_inline(markup: str, out: _Builder, links: list[Annotation] | None) ->
             else:
                 target_raw = m.group(3)
                 surface_raw = m.group(4) if m.group(4) is not None else m.group(3)
-            sub = _Builder()
-            _clean_inline(surface_raw, sub, None)
-            surface = sub.text()
+            if "<" not in surface_raw and "&" not in surface_raw and "[" not in surface_raw:
+                # no markup possible in the surface: plain ws-collapse
+                # (identical to a sub-render: leading/trailing runs drop,
+                # interior runs become single spaces)
+                surface = " ".join(surface_raw.split())
+            else:
+                sub = _Builder()
+                _clean_inline(surface_raw, sub, None)
+                surface = sub.text()
             if surface:
                 out.flush()
                 begin = out.length
@@ -172,12 +178,20 @@ def _clean_inline(markup: str, out: _Builder, links: list[Annotation] | None) ->
 
 
 def _emit_text(s: str, out: _Builder) -> None:
-    pos = 0
-    for m in _WS_RE.finditer(s):
-        out.emit(s[pos : m.start()])
+    # equivalent to emitting each non-ws chunk with pending-space
+    # between runs: split() collapses interior runs to single spaces,
+    # ws() handles the boundary runs (hot path — keep allocation-light)
+    if not s:
+        return
+    parts = s.split()
+    if not parts:
         out.ws()
-        pos = m.end()
-    out.emit(s[pos:])
+        return
+    if s[0].isspace():
+        out.ws()
+    out.emit(" ".join(parts))
+    if s[-1].isspace():
+        out.ws()
 
 
 class ExtractResult(NamedTuple):

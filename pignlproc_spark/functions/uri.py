@@ -19,6 +19,7 @@ Two implementations with identical semantics:
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 from urllib.parse import quote, unquote
 
 # characters DBpedia keeps un-encoded in resource IRIs (reconstructed
@@ -27,11 +28,13 @@ _SAFE = "/:_()',.&!*;=$@~+-"
 _UNDERSCORE_RUN = re.compile(r"_+")
 
 
+@lru_cache(maxsize=65536)
 def normalize_title(raw: str | None) -> str:
     """Wiki link target → canonical title key.
 
     percent-unescape, strip, whitespace→underscore, collapse
-    underscore runs, uppercase first char only.
+    underscore runs, uppercase first char only. Cached: link targets
+    are Zipfian, so per-worker memoization pays for itself.
     """
     if not raw:
         return ""

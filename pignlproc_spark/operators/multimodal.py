@@ -83,6 +83,68 @@ def extract_media_features(media: DataFrame, decoder=fake_decode) -> DataFrame:
     return media.mapInPandas(gen, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = "url string, kind string, payload binary, width int, height int"
+FRAMES_SCHEMA = "url string, frame_idx int, frame binary, ts_ms int"
+
+
+def fake_resize(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """Deterministic stand-in for image resize: real impl would decode
+    → resample → re-encode; the fake keeps a size-proportional,
+    content-derived payload so downstream schema/partition tests are
+    meaningful."""
+    base = hashlib.md5(payload or b"").digest()
+    need = max(1, (target_w * target_h) // 64)
+    return (base * (need // len(base) + 1))[:need]
+
+
+def resize_images(media: DataFrame, target_w: int = 64, target_h: int = 64, resizer=fake_resize) -> DataFrame:
+    """Image resize stage via mapInPandas — payload-in, payload-out,
+    metadata updated; only 'image' rows transform, others pass with
+    untouched payloads filtered out upstream by the caller."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[pdf["kind"] == "image"].copy()
+            out["payload"] = [resizer(p, target_w, target_h) for p in out["payload"]]
+            out["width"] = target_w
+            out["height"] = target_h
+            yield out[["url", "kind", "payload", "width", "height"]]
+
+    return media.mapInPandas(gen, schema=RESIZE_SCHEMA)
+
+
+def fake_frame_iter(payload: bytes, every_ms: int):
+    """Deterministic stand-in for video frame sampling: yields
+    (frame_idx, frame_bytes, ts_ms) pseudo-frames derived from the
+    payload; a real impl wraps pyav/ffmpeg seek+decode."""
+    d = hashlib.md5(payload or b"").digest()
+    n = 1 + d[0] % 8
+    for i in range(n):
+        yield i, hashlib.md5(d + bytes([i])).digest(), i * every_ms
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000, framer=fake_frame_iter) -> DataFrame:
+    """Frame sampling = per-item fan-out: mapInPandas emitting multiple
+    rows per input (the UDTF shape; batch boundaries preserved so a
+    giant video never materializes all frames at once when the real
+    decoder streams)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"url": [], "frame_idx": [], "frame": [], "ts_ms": []}
+            for url, kind, payload in zip(pdf["url"], pdf["kind"], pdf["payload"]):
+                if kind != "video":
+                    continue
+                for idx, frame, ts in framer(payload, every_ms):
+                    rows["url"].append(url)
+                    rows["frame_idx"].append(idx)
+                    rows["frame"].append(frame)
+                    rows["ts_ms"].append(ts)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(gen, schema=FRAMES_SCHEMA)
+
+
 def fake_media_df(spark, n: int = 64) -> DataFrame:
     """Deterministic synthetic media table for plumbing tests."""
     rows = []

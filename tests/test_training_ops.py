@@ -139,6 +139,24 @@ def test_multimodal_plumbing(spark):
         multimodal.decode_payload(b"bytes", "image")
 
 
+def test_multimodal_resize_and_frames(spark):
+    media = multimodal.fake_media_df(spark, 30)
+    resized = multimodal.resize_images(media, 32, 16).collect()
+    assert resized and all(r.width == 32 and r.height == 16 and len(r.payload) == 8 for r in resized)
+    assert len(resized) == sum(1 for r in media.collect() if r.kind == "image")
+
+    frames = multimodal.sample_frames(media, every_ms=500)
+    rows = frames.collect()
+    assert rows and all(r.ts_ms == r.frame_idx * 500 and len(r.frame) == 16 for r in rows)
+    urls = {r.url for r in rows}
+    assert urls == {r.url for r in media.collect() if r.kind == "video"}
+    # determinism across partitionings
+    again = multimodal.sample_frames(media.repartition(5), every_ms=500).collect()
+    assert sorted((r.url, r.frame_idx, bytes(r.frame)) for r in rows) == sorted(
+        (r.url, r.frame_idx, bytes(r.frame)) for r in again
+    )
+
+
 def test_salted_text_agg_multiset_equivalent(spark):
     from pignlproc_spark.operators import stats
 
