@@ -46,7 +46,9 @@ def _syn(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _pipeline(spark: SparkSession, sf_dir: str) -> pipeline.PipelineResult:
-    key = ("pipe", sf_dir)
+    # keyed by application id: cached DataFrames are session-bound, so
+    # a fresh SparkSession must recompute rather than act on dead refs
+    key = ("pipe", spark.sparkContext.applicationId, sf_dir)
     if key not in _CACHE:
         _CACHE[key] = pipeline.run_synth(spark, sf_dir)
     return _CACHE[key]
@@ -442,18 +444,25 @@ def _tok_sql(col: str, stop: bool) -> str:
 
 
 def _langid_sql() -> str:
-    from pignlproc_spark.operators.textstats import LANG_MARKERS
+    from pignlproc_spark.operators.textstats import LANG_MARKERS, SUBSTRING_LANGS
 
-    hits_cols = ", ".join(
-        f"len(list_intersect(_t, ['" + "','".join(m) + f"'])) AS h_{lang}" for lang, m in LANG_MARKERS.items()
-    )
+    pieces = []
+    for lang, m in LANG_MARKERS.items():
+        if lang in SUBSTRING_LANGS:
+            pieces.append(
+                "(" + " + ".join(f"CASE WHEN contains(_lower, '{mk}') THEN 1 ELSE 0 END" for mk in m) + f") AS h_{lang}"
+            )
+        else:
+            pieces.append("len(list_intersect(_t, ['" + "','".join(m) + f"'])) AS h_{lang}")
+    hits_cols = ", ".join(pieces)
     best_lang, best_hits = "'und'", "0"
     for lang in sorted(LANG_MARKERS):
         best_lang = f"CASE WHEN h_{lang} > {best_hits} THEN '{lang}' ELSE {best_lang} END"
         best_hits = f"CASE WHEN h_{lang} > ({best_hits}) THEN h_{lang} ELSE ({best_hits}) END"
     return f"""
     WITH toks AS (
-      SELECT doc_id, list_distinct({_tok_sql('text', stop=False)}) AS _t FROM documents
+      SELECT doc_id, lower(text) AS _lower,
+             list_distinct({_tok_sql('text', stop=False)}) AS _t FROM documents
     ), hits AS (
       SELECT doc_id, {hits_cols} FROM toks
     )

@@ -309,11 +309,11 @@ def extract_udf():
 
 FUSED_SCHEMA = (
     "text string, redirect string, "
-    "mentions array<struct<ctx_idx:int,context:string,target:string,begin:int,end:int,surface_form:string>>"
+    "mentions array<struct<ctx_idx:int,context:string,target:string,uri:string,begin:int,end:int,surface_form:string>>"
 )
 
 
-def fused_mentions_udf(granularity: str = "sentence"):
+def fused_mentions_udf(granularity: str = "sentence", lang: str = "en"):
     """Fused extract + contexts-with-links in ONE pandas UDF:
     html → (text, redirect, mentions[]).
 
@@ -325,10 +325,16 @@ def fused_mentions_udf(granularity: str = "sentence"):
     parse itself, so fusing the two stages roughly halves pipeline CPU
     and removes a full pass over the parsed cache. This is the hot
     path run() uses; the layered API remains for parity/inspection.
+
+    Emits ``uri`` (DBpedia-encoded, memoized pure-Python uri_encode)
+    alongside the raw target: percent-encoding of non-ASCII/reserved
+    titles cannot be reproduced with JVM built-ins, and computing it
+    here costs nothing extra (already inside the Python stage).
     """
     from pyspark.sql.functions import pandas_udf
 
     from pignlproc_spark.functions.sentences import contexts_with_links
+    from pignlproc_spark.functions.uri import uri_encode
 
     @pandas_udf(FUSED_SCHEMA)
     def _fused(html: pd.Series) -> pd.DataFrame:
@@ -342,7 +348,10 @@ def fused_mentions_udf(granularity: str = "sentence"):
                 continue
             links = [{"target": a.value, "begin": a.begin, "end": a.end, "label": a.label} for a in r.links]
             paras = [{"begin": p[0], "end": p[1]} for p in r.paragraphs]
-            mentions.append(contexts_with_links(r.text, links, paras, granularity))
+            ctxs = contexts_with_links(r.text, links, paras, granularity)
+            for c in ctxs:
+                c["uri"] = uri_encode(c["target"], lang)
+            mentions.append(ctxs)
         return pd.DataFrame({"text": texts, "redirect": redirects, "mentions": mentions})
 
     return _fused

@@ -53,7 +53,11 @@ def tokens_col(col, with_stopwords: bool = True):
 
     if isinstance(col, str):
         col = F.col(col)
-    arr = F.regexp_extract_all(F.lower(col), F.lit(r"[^\W_]+"), 0)
+    # (?U): Java regex defaults \w to ASCII; the Unicode flag makes it
+    # match the Python spec ('café' must tokenize as one word). NFC
+    # normalization (the one remaining Python-spec step) has no JVM
+    # builtin — non-NFC text routes through functions.tokenize.
+    arr = F.regexp_extract_all(F.lower(col), F.lit(r"(?U)[^\W_]+"), 0)
     arr = F.filter(arr, lambda t: F.length(t) <= 64)
     if with_stopwords:
         # NOT array_except (it dedups — token counting needs the multiset)

@@ -46,6 +46,7 @@ def normalize_title(raw: str | None) -> str:
     return t[0].upper() + t[1:]
 
 
+@lru_cache(maxsize=65536)
 def uri_encode(title: str | None, lang: str = "en") -> str:
     """Normalized title → DBpedia-style resource URI (pure Python)."""
     t = normalize_title(title)
@@ -57,10 +58,12 @@ def uri_encode(title: str | None, lang: str = "en") -> str:
 def uri_encode_col(col, lang: str = "en"):
     """Spark-native uri_encode over a *normalized title* column.
 
-    Stays inside whole-stage codegen (no Python). Exact for titles
-    already produced by :func:`normalize_title` (the only characters
-    needing percent-encoding were handled at normalize time for our
-    corpus; quote() is a no-op on ``[A-Za-z0-9_]`` + _SAFE).
+    Stays inside whole-stage codegen (no Python) — but it does NOT
+    percent-encode, so it is exact ONLY for titles consisting of
+    ``[A-Za-z0-9_]`` + ``_SAFE`` characters. The product pipeline does
+    not use it for link targets (the fused extraction UDF emits the
+    exactly-encoded ``uri`` Python-side); keep this for ASCII-clean
+    columns and tests.
     """
     from pyspark.sql import functions as F
 

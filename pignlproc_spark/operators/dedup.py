@@ -10,11 +10,12 @@ Scale notes:
 
 - Exact dedup: hash-groupBy on ``md5(text)`` — one shuffle of (hash,
   id) pairs, never the text itself.
-- MinHash/LSH: signatures are computed scan-side (no shuffle); the
-  only shuffle is the tiny (band, sig) bucket join. Band/row tuning:
-  16 bands × 1 row ≈ catches Jaccard ≳ 0.5 shingle overlap; the
-  verify step re-checks candidates with exact Jaccard so LSH recall
-  tuning never affects correctness, only cost.
+- MinHash/LSH: signatures are 1–4 32-bit lanes of one md5 per shingle
+  (bands × 1 row; at 4 bands P(candidate) ≈ 1−(1−J)⁴ ≈ 0.94 at
+  J=0.5, 0.998 at J=0.8); the only shuffle is the tiny (band, sig)
+  bucket join, and the verify step re-checks candidates with exact
+  Jaccard so LSH recall tuning never affects correctness, only cost.
+  For more/wider bands swap md5 for two independent hashes.
 - SimHash: 16-bit here for oracle-checkability; production would use
   64-bit xxhash64 (same shape, swap the hash column).
 - All-pairs Jaccard is quadratic — only for bounded subsets / the
@@ -154,13 +155,17 @@ def near_duplicates(
     """LSH candidates → exact-Jaccard verify: the scale path for
     near-dup detection (candidates shuffle, not the corpus).
 
-    Signatures are persisted across the self-join sides; at cluster
-    scale this is the stage you'd checkpoint to a table instead."""
+    Signatures are persisted across the self-join sides and released
+    once the candidate set is materialized; at cluster scale this is
+    the stage you'd checkpoint to a table instead."""
     from pyspark.storagelevel import StorageLevel
 
     sigs = minhash_signatures(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
-    cands = lsh_candidate_pairs(df, id_col, text_col, sigs=sigs)
-    return jaccard_pairs(df, id_col, text_col, min_jaccard_pct, pairs=cands)
+    cands = lsh_candidate_pairs(df, id_col, text_col, sigs=sigs).persist(StorageLevel.MEMORY_AND_DISK)
+    cands.count()  # materialize so the signature cache can be freed
+    sigs.unpersist()
+    out = jaccard_pairs(df, id_col, text_col, min_jaccard_pct, pairs=cands)
+    return out
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

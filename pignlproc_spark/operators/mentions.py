@@ -18,9 +18,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pignlproc_spark.functions.extract import parse_pages
-from pignlproc_spark.functions.sentences import sentences_with_links
-from pignlproc_spark.functions.uri import uri_encode_col
 from pignlproc_spark.operators.canonicalize import apply_redirects
 
 URI_LANG = "en"
@@ -39,9 +36,18 @@ def extract_mentions(
     Offset contract (SURVEY.md §7.4-2): ``context[begin:end] ==
     surface_form`` in Pig's 0-based [begin, end) convention.
     """
-    parsed = parse_pages(pages.drop("text") if "text" in pages.columns else pages)
-    ctx = sentences_with_links(parsed, granularity=granularity)
-    mentions = ctx.withColumn("uri", uri_encode_col(F.col("target"), lang)).drop("target")
+    from pignlproc_spark.functions.extract import fused_mentions_udf
+
+    if "text" in pages.columns:
+        pages = pages.drop("text")
+    fused = fused_mentions_udf(granularity=granularity, lang=lang)
+    cols = ["url"] + (["lang"] if "lang" in pages.columns else [])
+    parsed = pages.select(*cols, fused(F.col("html")).alias("_p")).select(*cols, "_p.*")
+    mentions = (
+        parsed.where(F.col("redirect").isNull())
+        .select(*cols, F.explode("mentions").alias("c"))
+        .select(*cols, "c.ctx_idx", "c.context", "c.uri", "c.begin", "c.end", "c.surface_form")
+    )
     if redirects is not None:
         mentions = apply_redirects(mentions, redirects, "uri")
     return mentions

@@ -204,15 +204,21 @@ def ivf_topk(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("tv"), "cluster"
     )
     qd = queries.withColumn("_d", _centroid_dists(F.col(vec_col), centroids))
+    # rank (distance, index) structs so tied centroid distances still
+    # probe nprobe DISTINCT cells (array_position on the raw distance
+    # would collapse ties onto the first index)
+    ranked = F.transform(
+        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+        lambda i: F.struct(F.get(F.col("_d"), i).alias("d"), i.alias("idx")),
+    )
     probe = (
         qd.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
-            F.col("_d"),
-            F.explode(F.slice(F.array_sort(F.col("_d")), 1, nprobe)).alias("_pd"),
+            F.explode(F.slice(F.array_sort(ranked), 1, nprobe)).alias("_p"),
         )
-        .withColumn("cluster", (F.array_position(F.col("_d"), F.col("_pd")) - 1).cast("int"))
-        .drop("_d", "_pd")
+        .withColumn("cluster", F.col("_p.idx").cast("int"))
+        .drop("_p")
     )
 
     def norm(col):

@@ -23,6 +23,7 @@ Scale design (SURVEY.md §4):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -70,9 +71,27 @@ def sf_occurrence_totals(pages_text: DataFrame, surface_forms: list[str], max_n:
 
 
 def norm_sf_col(col):
-    """JVM-side surface-form normalization — must match
-    functions.ngrams.normalize_sf (lowercased space-joined tokens)."""
+    """JVM-side surface-form normalization. CAUTION: matches
+    functions.ngrams.normalize_sf only for ASCII input (Java's \\w is
+    ASCII, Python's is Unicode + NFC) — the join in sf_total_counts
+    uses the exact pandas-UDF path instead; this stays for ASCII-clean
+    relational uses."""
     return F.array_join(tokens_col(col, with_stopwords=False), " ")
+
+
+def normalize_sf_udf():
+    """Exact surface-form normalization (the Python spec) as a pandas
+    UDF — used on the small post-aggregation side, so the Python cost
+    is O(distinct surface forms), not O(corpus)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from pignlproc_spark.functions.ngrams import normalize_sf
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        return s.map(normalize_sf)
+
+    return _norm
 
 
 def sf_total_counts(
@@ -90,7 +109,9 @@ def sf_total_counts(
     annotated = annotated_sf_counts(mentions)
     forms = [r[0] for r in annotated.select("surface_form").distinct().collect()]
     totals = sf_occurrence_totals(pages_text, forms, max_n=max_n)
-    joined = annotated.withColumn("_norm", norm_sf_col(F.col("surface_form"))).join(
+    # exact (Unicode/NFC) normalization so the join key equals the
+    # matcher's dictionary key for every surface form, not just ASCII
+    joined = annotated.withColumn("_norm", normalize_sf_udf()(F.col("surface_form"))).join(
         totals, F.col("_norm") == totals["norm_sf"], "left"
     )
     return joined.select(
@@ -137,18 +158,30 @@ def aggregate_text_salted(
     text_col: str,
     sep: str = " ",
     salt_buckets: int = DEFAULT_SALT_BUCKETS,
+    salt_by_row: bool = False,
 ) -> DataFrame:
     """(key, text) — concatenate all text for a key, two-phase salted.
 
     Parity: AggregateTextBag / ConcatTextBag (J8/J9) after GROUP BY
     uri. ``concat_ws(collect_list)`` is holistic: a hub entity with
     10^5+ contexts would pin one reducer. Phase 1 concatenates within
-    ``(key, salt)`` (salt = hash of the row, so ~uniform); phase 2
-    concatenates the ≤ salt_buckets partials per key. Ordering within
-    the bag is not semantically load-bearing (Pig bags are unordered —
-    SURVEY.md §1.1); we still sort partials by salt for determinism.
+    ``(key, salt)``; phase 2 concatenates the ≤ salt_buckets partials
+    per key. Ordering within the bag is not semantically load-bearing
+    (Pig bags are unordered — SURVEY.md §1.1); partials are sorted for
+    within-bucket determinism.
+
+    ``salt_by_row=False`` (default) salts by text hash — fully
+    deterministic output, but DUPLICATE texts of a hub key share a
+    salt (a deduplicated or boilerplate-heavy corpus can still pin one
+    task). ``salt_by_row=True`` salts each row independently
+    (monotonically_increasing_id): immune to duplicate-text skew, at
+    the cost of run-to-run concatenation order (multiset unchanged).
     """
-    salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.col(text_col)), F.lit(salt_buckets)))
+    if salt_by_row:
+        salt = F.pmod(F.xxhash64(F.col(text_col), F.monotonically_increasing_id()), F.lit(salt_buckets))
+    else:
+        salt = F.pmod(F.xxhash64(F.col(text_col)), F.lit(salt_buckets))
+    salted = df.withColumn("_salt", salt)
     phase1 = salted.groupBy(key, "_salt").agg(F.concat_ws(sep, F.sort_array(F.collect_list(text_col))).alias("_part"))
     phase2 = (
         phase1.groupBy(key)

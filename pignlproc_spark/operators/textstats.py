@@ -22,14 +22,31 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
+SUBSTRING_LANGS = {"zh"}  # unsegmented scripts: the word regex yields no
+# tokens for CJK, so markers are counted by substring presence instead
+
+
 def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, lang_pred, marker_hits): argmax over marker-token hits,
-    ties broken by language code asc; 'und' when zero hits."""
-    toks = df.select(F.col(id_col), F.array_distinct(tokens_col(F.col(text_col), with_stopwords=False)).alias("_t"))
+    """(id, lang_pred, marker_hits): argmax over distinct-marker hits
+    (token membership for space-delimited languages, substring
+    presence for unsegmented scripts), ties broken by language code
+    asc; 'und' when zero hits."""
+    toks = df.select(
+        F.col(id_col),
+        F.lower(F.col(text_col)).alias("_lower"),
+        F.array_distinct(tokens_col(F.col(text_col), with_stopwords=False)).alias("_t"),
+    )
     scored = toks
     for lang, markers in LANG_MARKERS.items():
-        lit = F.array(*[F.lit(m) for m in markers])
-        scored = scored.withColumn(f"_hits_{lang}", F.size(F.array_intersect("_t", lit)))
+        if lang in SUBSTRING_LANGS:
+            hits = None
+            for m in markers:
+                h = F.when(F.contains(F.col("_lower"), F.lit(m)), 1).otherwise(0)
+                hits = h if hits is None else hits + h
+            scored = scored.withColumn(f"_hits_{lang}", hits)
+        else:
+            lit = F.array(*[F.lit(m) for m in markers])
+            scored = scored.withColumn(f"_hits_{lang}", F.size(F.array_intersect("_t", lit)))
     # argmax with lang-asc tie-break: iterate langs sorted, strict >
     langs = sorted(LANG_MARKERS)
     best_lang = F.lit("und")

@@ -36,7 +36,7 @@ class PipelineResult:
         self.triples = triples_df
 
     def unpersist(self):
-        for df in (self.parsed, self.mentions):
+        for df in (self.parsed, self.mentions, self.sf_total_counts):
             try:
                 df.unpersist()
             except Exception:
@@ -106,17 +106,14 @@ def run(
 
 
 def mentions_from_fused(fused_articles: DataFrame, redirects: DataFrame) -> DataFrame:
-    """Explode the fused mentions array, URI-encode (JVM-side), and
-    resolve redirects through the broadcast map — all relational."""
-    from pignlproc_spark.functions.uri import uri_encode_col
+    """Explode the fused mentions array (uri already exactly encoded
+    inside the UDF) and resolve redirects through the broadcast map —
+    all relational from here."""
     from pignlproc_spark.operators.canonicalize import apply_redirects
 
     cols = ["url"] + (["lang"] if "lang" in fused_articles.columns else [])
-    m = (
-        fused_articles.select(*cols, F.explode("mentions").alias("c"))
-        .select(*cols, "c.ctx_idx", "c.context", "c.target", "c.begin", "c.end", "c.surface_form")
-        .withColumn("uri", uri_encode_col(F.col("target")))
-        .drop("target")
+    m = fused_articles.select(*cols, F.explode("mentions").alias("c")).select(
+        *cols, "c.ctx_idx", "c.context", "c.uri", "c.begin", "c.end", "c.surface_form"
     )
     return apply_redirects(m, redirects, "uri")
 
@@ -125,10 +122,21 @@ def run_synth(
     spark: SparkSession, sf_dir: str, ckpt: CheckpointManager | None = None
 ) -> PipelineResult:
     """Run the full pipeline on the synthetic corpus matched to a
-    driver sf dir (FIXTURES.md §5 scale mapping)."""
+    driver sf dir (FIXTURES.md §5 scale mapping).
+
+    source_id embeds the generator version — the checkpoint
+    fingerprint must change whenever the input snapshot does
+    (checkpoint.input_fingerprint's contract); for real tables pass
+    the table path + snapshot/commit id instead."""
     pages = synth.pages_for(spark, sf_dir)
     redirects = synth.side_table(spark, sf_dir, "redirects")
-    return run(spark, pages, redirects, ckpt=ckpt, source_id=f"synth:{synth.sf_of_dir(sf_dir)}")
+    return run(
+        spark,
+        pages,
+        redirects,
+        ckpt=ckpt,
+        source_id=f"synth:{synth.sf_of_dir(sf_dir)}:gen{synth.GEN_VERSION}",
+    )
 
 
 def precision_recall(result: DataFrame, golden: DataFrame, keys: list[str]) -> dict:

@@ -32,7 +32,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pignlproc_spark.functions.extract import fused_mentions_udf
-from pignlproc_spark.functions.uri import uri_encode_col
 
 PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
 
@@ -59,9 +58,7 @@ def mention_stream(pages_stream: DataFrame) -> DataFrame:
     return (
         parsed.where(F.col("redirect").isNull())
         .select("url", "warc_ts", "lang", F.explode("mentions").alias("c"))
-        .select("url", "warc_ts", "lang", "c.ctx_idx", "c.context", "c.target", "c.begin", "c.end", "c.surface_form")
-        .withColumn("uri", uri_encode_col(F.col("target")))
-        .drop("target")
+        .select("url", "warc_ts", "lang", "c.ctx_idx", "c.context", "c.uri", "c.begin", "c.end", "c.surface_form")
     )
 
 
@@ -99,7 +96,10 @@ def run_incremental(
         out = batch_df
         if redirects is not None:
             out = apply_redirects(out, redirects, "uri")
-        out.withColumn("_batch_id", F.lit(batch_id)).write.mode("append").parquet(out_dir)
+        # per-batch directory + overwrite = idempotent on micro-batch
+        # replay (crash between sink write and checkpoint commit):
+        # re-running batch N replaces batch=N instead of appending dupes
+        out.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
 
     writer = (
         stream.writeStream.foreachBatch(handle_batch)

@@ -19,7 +19,7 @@ def test_tokenize_basic():
 
 
 def test_tokenize_spark_parity(spark):
-    texts = ["The quick brown-fox ran.", "r&d units", "", "a b c 123 x_y", "Hello WORLD!"]
+    texts = ["The quick brown-fox ran.", "r&d units", "", "a b c 123 x_y", "Hello WORLD!", "café Zürich naïve"]
     df = spark.createDataFrame([(t,) for t in texts], "text string")
     got = [r[0] for r in df.select(tokens_col("text")).collect()]
     assert got == [tokenize(t) for t in texts]
