@@ -81,6 +81,24 @@ def write_table(
     return path
 
 
+def write_tsv(df: DataFrame, path: str, header: bool = False) -> str:
+    """TSV sink — parity with the reference's ``STORE ... USING
+    PigStorage('\\t')`` (SURVEY.md §2.2 P2): tab-separated, no
+    quoting-by-default surprises (tabs/newlines inside values are
+    escaped), one directory per relation. Product output should use
+    :func:`write_table` (columnar); this exists for fixture/interop
+    parity with downstream consumers of the reference's TSVs."""
+    (
+        df.write.mode("overwrite")
+        .option("sep", "\t")
+        .option("header", str(header).lower())
+        .option("escape", "\\")
+        .option("emptyValue", "")
+        .csv(path)
+    )
+    return path
+
+
 def read_table(spark: SparkSession, name: str, root: str | None = None) -> DataFrame:
     cat = _catalog(spark)
     if cat:  # pragma: no cover

@@ -174,6 +174,19 @@ def test_salted_text_agg_multiset_equivalent(spark):
         assert sorted(salted[k].split(" ")) == sorted(plain[k].split(" "))
 
 
+def test_write_tsv_parity(spark, tmp_path):
+    from pignlproc_spark import tables
+
+    df = spark.createDataFrame(
+        [("alpha beta", "http://x/A", 3), ("with\ttab", "http://x/B", 1)],
+        "surface_form string, uri string, cnt int",
+    )
+    path = tables.write_tsv(df, str(tmp_path / "pairCounts"))
+    back = spark.read.option("sep", "\t").option("escape", "\\").csv(path)
+    rows = sorted(tuple(r) for r in back.collect())
+    assert rows == [("alpha beta", "http://x/A", "3"), ("with\ttab", "http://x/B", "1")]
+
+
 def test_write_graph_layout(spark, tmp_path):
     t = spark.createDataFrame(
         [("s1", "kg:linksTo", "o1", 2), ("s2", "kg:uriCount", "3", 3)],
