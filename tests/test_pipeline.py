@@ -54,6 +54,23 @@ def test_triples_pr_gate(spark, sf_dir, result):
     assert pr["precision"] == 1.0 and pr["recall"] == 1.0  # we hold exactness
 
 
+def test_graph_write_end_to_end(spark, result, tmp_path):
+    from pignlproc_spark.operators import triples as T
+
+    path = T.write_graph(result.triples, name="graph", num_partitions=8, salt_buckets=4, root=str(tmp_path))
+    back = spark.read.parquet(path)
+    assert back.count() == result.triples.count()
+    # pred partitioning → partition pruning for per-relation readers
+    import pyspark.sql.functions as F
+
+    preds = {r.pred for r in back.select("pred").distinct().collect()}
+    assert preds == {"kg:linksTo", "kg:uriCount", "kg:annotatedCount", "kg:totalCount", "kg:mentions"}
+    # round trip preserves the exact triple multiset (partitioned read
+    # appends the partition column last — realign positionally)
+    cols = ["subj", "pred", "obj", "weight"]
+    assert back.select(*cols).exceptAll(result.triples.select(*cols)).count() == 0
+
+
 def test_mention_offsets_invariant(result):
     rows = result.mentions.select("context", "begin", "end", "surface_form").collect()
     assert rows
