@@ -81,6 +81,27 @@ def write_table(
     return path
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    num_buckets: int = 32,
+    sort_col: str | None = None,
+) -> str:
+    """Bucketed managed table (SURVEY.md §4 / P20): co-locates rows by
+    ``hash(bucket_col) % num_buckets`` at WRITE time so later equi-joins
+    and aggregations on that key run with NO exchange — the shuffle is
+    paid once when the table lands, not per query. Use for the big
+    fact tables that get joined repeatedly on the same key (mentions
+    by uri, triples by subj). With an Iceberg catalog the same layout
+    is ``bucket(N, col)`` partition transforms."""
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table_name)
+    return table_name
+
+
 def write_tsv(df: DataFrame, path: str, header: bool = False) -> str:
     """TSV sink — parity with the reference's ``STORE ... USING
     PigStorage('\\t')`` (SURVEY.md §2.2 P2): tab-separated, no

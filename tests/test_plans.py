@@ -76,6 +76,27 @@ def test_salted_agg_two_phase(mentions):
     assert plan.count("hashpartitioning") >= 2
 
 
+def test_bucketed_join_has_no_exchange(spark, mentions):
+    from pignlproc_spark import tables
+
+    uris = mentions.select("uri", "surface_form")
+    cnts = mentions.groupBy("uri").count()
+    tables.write_bucketed(uris, "t_bucket_a", "uri", num_buckets=4)
+    tables.write_bucketed(cnts, "t_bucket_b", "uri", num_buckets=4)
+    a = spark.table("t_bucket_a")
+    b = spark.table("t_bucket_b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(a.join(b, "uri"))
+        # co-located buckets: sort-merge join with NO shuffle exchange
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_a")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_b")
+
+
 def test_whole_stage_codegen_spans(spark, synth_dir):
     # AQE hides WSCG subtrees until execution — toggle it off just to
     # assert the underlying stages compile to whole-stage codegen
