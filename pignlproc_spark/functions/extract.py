@@ -81,6 +81,22 @@ _ENTITIES = {
     "mdash": "—",
 }
 
+# Non-article namespaces: links into these render their surface text
+# but are NOT recorded as entity annotations — parity with the
+# reference's article-namespace-only link collection
+# (pignlproc/markup/AnnotatingMarkupParser.java [M], SURVEY.md §2.1 J5).
+# Frozen set; lowercase comparison on the prefix before ':'.
+NON_ARTICLE_NAMESPACES = frozenset(
+    "file image media category wikipedia help portal template talk user special book draft".split()
+)
+
+
+def _is_article_target(target: str) -> bool:
+    head, sep, _ = target.partition(":")
+    if not sep:
+        return True
+    return head.strip().lower() not in NON_ARTICLE_NAMESPACES
+
 
 class Annotation(NamedTuple):
     """Parity: pignlproc/markup/Annotation.java (value, begin, end, label)."""
@@ -165,7 +181,7 @@ def _clean_inline(markup: str, out: _Builder, links: list[Annotation] | None) ->
                 out.flush()
                 begin = out.length
                 out.emit(surface)
-                if links is not None:
+                if links is not None and _is_article_target(target_raw):
                     target = normalize_title(target_raw)
                     if target:
                         links.append(Annotation(target, begin, out.length, surface))

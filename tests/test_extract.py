@@ -82,6 +82,17 @@ def test_determinism_and_byte_identity_corpus(synth_dir):
             assert r1.text[a.begin : a.end] == a.label
 
 
+def test_namespace_links_render_but_dont_annotate():
+    r = extract(b"<p>see [[File:Pic.jpg|a photo]] and [[Category:Things|things]] and [[Real_Page|real]].</p>")
+    assert r.text == "see a photo and things and real."
+    assert [(a.value, a.label) for a in r.links] == [("Real_Page", "real")]
+    # colon in a title that is NOT a known namespace stays a link
+    r2 = extract(b"<p>[[Dr: Strange|doc]]</p>")
+    assert [(a.value, a.label) for a in r2.links] == [("Dr:_Strange", "doc")]
+    r3 = extract(b'<p><a href="/wiki/Category:Birds">birds</a></p>')
+    assert r3.text == "birds" and r3.links == []
+
+
 def test_robustness_probes():
     assert extract(None).text == ""
     assert extract(b"\xff\xfe<p>ok</p>").text.endswith("ok")
