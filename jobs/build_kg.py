@@ -1,0 +1,92 @@
+"""spark-submit entrypoint: full KG construction over a pages table.
+
+Cluster usage (BASELINE.json:6 "ships via spark-submit --py-files"):
+
+    python tools/package.py   # -> dist/pignlproc_spark.zip
+    spark-submit \\
+      --py-files dist/pignlproc_spark.zip \\
+      [--packages <iceberg runtime> --conf spark.sql.catalog.kg=... \\
+       --conf spark.pignlproc.catalog=kg] \\
+      jobs/build_kg.py \\
+      --pages /data/pages_parquet_or_table \\
+      --redirects /data/redirects \\
+      --out warehouse_root_or_catalog_prefix \\
+      --checkpoint /data/ckpt
+
+Local smoke: python jobs/build_kg.py --synth-sf 0.01 --out /tmp/kg_out
+
+The session is created by spark-submit on a cluster (this script only
+fills missing confs via get_session when run standalone). Stage
+checkpointing + lineage make the job resumable after driver loss:
+re-submit with the same --checkpoint and completed stages are skipped
+(fingerprint embeds the input identity passed via --snapshot-id).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+# allow running from a checkout without installation (spark-submit
+# --py-files puts the package on the path on a cluster)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", help="pages parquet path or catalog table")
+    ap.add_argument("--redirects", help="redirects dimension parquet path/table")
+    ap.add_argument("--synth-sf", type=float, help="use the synthetic corpus at this scale factor instead")
+    ap.add_argument("--out", required=True, help="output warehouse root (or catalog prefix)")
+    ap.add_argument("--checkpoint", help="checkpoint root for resumable stages")
+    ap.add_argument("--snapshot-id", default="", help="input snapshot/commit id for the resume fingerprint")
+    ap.add_argument("--write-tsv", action="store_true", help="also emit reference-style TSV count tables")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from pignlproc_spark import synth, tables
+    from pignlproc_spark.checkpoint import CheckpointManager
+    from pignlproc_spark.operators import triples as T
+    from pignlproc_spark.plans import pipeline
+    from pignlproc_spark.session import get_session
+
+    spark = SparkSession.getActiveSession() or get_session(app_name="build-kg")
+    ckpt = CheckpointManager(args.checkpoint) if args.checkpoint else None
+
+    t0 = time.time()
+    if args.synth_sf is not None:
+        res = pipeline.run_synth(spark, f"sf{args.synth_sf}", ckpt=ckpt)
+    else:
+        if not args.pages or not args.redirects:
+            ap.error("--pages and --redirects required without --synth-sf")
+        pages = spark.read.parquet(args.pages) if "/" in args.pages else spark.read.table(args.pages)
+        red = spark.read.parquet(args.redirects) if "/" in args.redirects else spark.read.table(args.redirects)
+        res = pipeline.run(
+            spark, pages, red, ckpt=ckpt, source_id=f"{args.pages}@{args.snapshot_id}"
+        )
+
+    graph_path = T.write_graph(res.triples, name="graph/triples", root=args.out)
+    n = spark.read.parquet(graph_path).count() if graph_path.startswith("/") else res.triples.count()
+    outputs = {"triples": graph_path}
+    for name, df in (
+        ("pair_counts", res.pair_counts),
+        ("uri_counts", res.uri_counts),
+        ("sf_total_counts", res.sf_total_counts),
+        ("token_counts", res.token_counts),
+    ):
+        outputs[name] = tables.write_table(df, f"stats/{name}", root=args.out)
+        if args.write_tsv:
+            tables.write_tsv(df, f"{args.out}/tsv/{name}")
+
+    wall = time.time() - t0
+    print(json.dumps({"triples": n, "wall_s": round(wall, 1), "triples_per_sec": round(n / wall, 1), "outputs": outputs}))
+    res.unpersist()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
