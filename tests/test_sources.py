@@ -33,6 +33,31 @@ def test_dump_to_pages_reparses(spark, synth_dir):
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
 
 
+def test_dump_replay_full_pipeline_parity(spark, synth_dir, sf_dir):
+    """J1→J2→J5→stats chain: running the WHOLE pipeline over the
+    XML-dump replay reproduces every url-independent statistic exactly
+    (urls differ by construction, so mention/url triples are excluded)."""
+    from pignlproc_spark import synth
+    from pignlproc_spark.plans import pipeline
+
+    pages = wikidump.dump_to_pages(spark, str(synth_dir / "dump"))
+    red = spark.read.parquet(str(synth_dir / "redirects.parquet"))
+    res = pipeline.run(spark, pages, red, source_id="dump-replay-test")
+    try:
+        for df, golden_name, cols in (
+            (res.pair_counts, "golden_pair_counts", ["surface_form", "uri", "cnt"]),
+            (res.uri_counts, "golden_uri_counts", ["uri", "cnt"]),
+            (res.sf_total_counts, "golden_sf_total_counts", ["surface_form", "annotated_cnt", "total_cnt"]),
+            (res.token_counts, "golden_token_counts", ["uri", "token", "cnt"]),
+        ):
+            g = synth.side_table(spark, sf_dir, golden_name).select(*cols)
+            d = df.select(*cols)
+            assert d.exceptAll(g).count() == 0, golden_name
+            assert g.exceptAll(d).count() == 0, golden_name
+    finally:
+        res.unpersist()
+
+
 def test_ntriples_uri_uri(spark, synth_dir):
     got = ntriples.read_uri_uri(spark, str(synth_dir / "nt" / "redirects.nt"), RED_PROP)
     want = spark.read.parquet(str(synth_dir / "redirects.parquet")).select(
