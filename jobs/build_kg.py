@@ -48,7 +48,7 @@ def main(argv=None):
 
     from pyspark.sql import SparkSession
 
-    from pignlproc_spark import synth, tables
+    from pignlproc_spark import tables
     from pignlproc_spark.checkpoint import CheckpointManager
     from pignlproc_spark.operators import triples as T
     from pignlproc_spark.plans import pipeline

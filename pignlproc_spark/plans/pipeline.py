@@ -20,7 +20,7 @@ from pyspark.storagelevel import StorageLevel
 from pignlproc_spark import synth
 from pignlproc_spark.checkpoint import CheckpointManager, input_fingerprint
 from pignlproc_spark.operators import stats, triples
-from pignlproc_spark.operators.mentions import extract_mentions
+
 
 SPEC_VERSION = "ccwikitext-v1"  # bump when any frozen spec changes
 
@@ -59,7 +59,7 @@ def run(
 
     ``input_partitions``: the parse stage is CPU-bound per page, so it
     needs fine-grained input splits. Default (None) trusts the scan:
-    session.py sets ``spark.sql.files.maxPartitionBytes=4m`` so even a
+    session.py sets ``spark.sql.files.maxPartitionBytes=1m`` so even a
     single parquet file with row groups splits into many tasks — no
     shuffle of the raw html bytes. Pass an int to force an explicit
     repartition instead (sources that arrive as one giant unsplittable

@@ -1,8 +1,8 @@
 """Unit tests: tokenizer (J14), URI encode (J11), restricted n-grams
 (J12), sentence splitting + span rebase (J6/J7)."""
 
-import pandas as pd
-from pyspark.sql import functions as F
+
+
 
 from pignlproc_spark.functions.ngrams import SurfaceFormMatcher, normalize_sf
 from pignlproc_spark.functions.sentences import contexts_with_links, split_sentences

@@ -12,7 +12,7 @@ from hypothesis import strategies as st
 
 from pignlproc_spark.functions.extract import extract
 from pignlproc_spark.functions.ngrams import SurfaceFormMatcher, normalize_sf
-from pignlproc_spark.functions.sentences import contexts_with_links, split_sentences
+from pignlproc_spark.functions.sentences import split_sentences
 from pignlproc_spark.functions.tokenize import tokenize
 from pignlproc_spark.functions.uri import normalize_title, uri_encode
 

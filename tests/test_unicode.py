@@ -6,7 +6,7 @@ CJK language detection (all found masked in review)."""
 from datetime import datetime
 
 import pytest
-from pyspark.sql import functions as F
+
 
 from pignlproc_spark.functions.uri import uri_encode
 from pignlproc_spark.operators import textstats
