@@ -25,11 +25,43 @@ import unicodedata
 
 _TOKEN_RE = re.compile(r"[^\W_]+", re.UNICODE)
 
-# small frozen English-ish stoplist (the reference ships per-language
-# stoplists; ours is frozen in-code so results are reproducible)
-STOPWORDS = frozenset(
-    "a an and are as at be by for from has he in is it its of on or that the to was were will with".split()
-)
+# Frozen per-language stoplists — parity with the reference's
+# LuceneTokenizer(stoplistPath, stoplistName, lang, analyzer) ctor
+# parameterization (tgalery fork's multilingual additions, SURVEY.md
+# §2.1 J14). Frozen in-code so results are reproducible offline.
+STOPWORDS_BY_LANG: dict[str, frozenset[str]] = {
+    "en": frozenset(
+        "a an and are as at be by for from has he in is it its of on or that the to was were will with".split()
+    ),
+    "de": frozenset("der die das und ist von mit den nicht ein eine im für auf des dem als auch an".split()),
+    "fr": frozenset("le la les et de des est dans pour une un du au aux par sur que qui ne pas".split()),
+    "es": frozenset("el la los las y de es en por una un del al con se que no para más como".split()),
+    "zh": frozenset("的 是 在 了 和 有 我 不 这 中 大 为 上 个 国 也 以 要 他 时".split()),
+}
+STOPWORDS = STOPWORDS_BY_LANG["en"]  # frozen default (goldens depend on it)
+
+
+def stopwords_for(lang: str) -> frozenset[str]:
+    return STOPWORDS_BY_LANG.get(lang, STOPWORDS)
+
+
+_HAN_RUN = re.compile(r"[一-鿿]+")
+
+
+def cjk_bigrams(text: str | None) -> list[str]:
+    """CJK analysis (frozen): maximal Han runs → overlapping character
+    bigrams (runs of length 1 emit the single char) — the classic
+    Lucene CJKAnalyzer behavior the reference used for zh models."""
+    if not text:
+        return []
+    out: list[str] = []
+    for m in _HAN_RUN.finditer(text):
+        run = m.group()
+        if len(run) == 1:
+            out.append(run)
+        else:
+            out.extend(run[i : i + 2] for i in range(len(run) - 1))
+    return out
 
 
 def tokenize(text: str | None, stopwords: frozenset[str] | None = STOPWORDS) -> list[str]:
@@ -42,7 +74,25 @@ def tokenize(text: str | None, stopwords: frozenset[str] | None = STOPWORDS) -> 
     return [t for t in toks if len(t) <= 64]
 
 
-def tokens_col(col, with_stopwords: bool = True):
+def cjk_bigrams_col(col):
+    """JVM-side CJK bigrams, identical to :func:`cjk_bigrams`: extract
+    Han runs with a codegen'd regexp, fan bigrams out with transform
+    (tiny arrays — HOF interpretation is irrelevant at run granularity)."""
+    from pyspark.sql import functions as F
+
+    if isinstance(col, str):
+        col = F.col(col)
+    runs = F.regexp_extract_all(col, F.lit(r"[一-鿿]+"), 0)
+    bigrams = F.transform(
+        runs,
+        lambda r: F.when(F.length(r) == 1, F.array(r)).otherwise(
+            F.transform(F.sequence(F.lit(1), F.length(r) - 1), lambda i: F.substring(r, i, 2))
+        ),
+    )
+    return F.flatten(bigrams)
+
+
+def tokens_col(col, with_stopwords: bool = True, lang: str = "en"):
     """ARRAY<STRING> token column using JVM-side built-ins only.
 
     NB: matches :func:`tokenize` for NFC-clean ASCII-ish corpora (our
@@ -61,5 +111,5 @@ def tokens_col(col, with_stopwords: bool = True):
     arr = F.filter(arr, lambda t: F.length(t) <= 64)
     if with_stopwords:
         # NOT array_except (it dedups — token counting needs the multiset)
-        arr = F.filter(arr, lambda t: ~t.isin(list(STOPWORDS)))
+        arr = F.filter(arr, lambda t: ~t.isin(list(stopwords_for(lang))))
     return arr

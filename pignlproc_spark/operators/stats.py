@@ -121,7 +121,7 @@ def sf_total_counts(
     )
 
 
-def token_counts(mentions: DataFrame) -> DataFrame:
+def token_counts(mentions: DataFrame, lang: str = "en", analysis: str = "word") -> DataFrame:
     """(uri, token, cnt) — per-entity context-token counts.
 
     Parity: token_counts.pig (SURVEY.md §2.3): contexts per link
@@ -132,8 +132,19 @@ def token_counts(mentions: DataFrame) -> DataFrame:
     aggregation absorbs hub-entity skew (no 100 MB strings shuffling
     to one reducer, which is exactly how the reference's J8 step
     melts down on hub entities).
+
+    ``lang`` picks the frozen stoplist (J14's per-language analyzers);
+    ``analysis='cjk'`` switches to Han character bigrams (the
+    CJKAnalyzer behavior the reference used for zh models; no
+    stoplist — bigrams and stop-tokens don't intersect).
     """
-    toks = mentions.select("uri", F.explode(tokens_col(F.col("context"))).alias("token"))
+    if analysis == "cjk":
+        from pignlproc_spark.functions.tokenize import cjk_bigrams_col
+
+        tok_expr = cjk_bigrams_col(F.col("context"))
+    else:
+        tok_expr = tokens_col(F.col("context"), lang=lang)
+    toks = mentions.select("uri", F.explode(tok_expr).alias("token"))
     return toks.groupBy("uri", "token").agg(F.count(F.lit(1)).alias("cnt"))
 
 

@@ -83,3 +83,34 @@ def test_contexts_rebase():
 
 def test_stopwords_frozen():
     assert "the" in STOPWORDS and "quick" not in STOPWORDS
+
+
+def test_multilingual_stoplists(spark):
+    from pignlproc_spark.functions.tokenize import stopwords_for
+
+    de = "der Hund und die Katze liefen"
+    df = spark.createDataFrame([(de,)], "text string")
+    got_de = df.select(tokens_col("text", lang="de")).collect()[0][0]
+    assert got_de == ["hund", "katze", "liefen"]
+    got_en = df.select(tokens_col("text", lang="en")).collect()[0][0]
+    assert "der" in got_en  # 'der' is not an English stopword
+    assert tokenize(de, stopwords=stopwords_for("de")) == got_de
+
+
+def test_cjk_bigrams_parity(spark):
+    from pignlproc_spark.functions.tokenize import cjk_bigrams, cjk_bigrams_col
+
+    texts = ["中文分词测试", "a中b文c", "", "中", "no han at all", "中文, 分词。中"]
+    assert cjk_bigrams("中文分词") == ["中文", "文分", "分词"]
+    assert cjk_bigrams("a中b文c") == ["中", "文"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r[0] for r in df.select(cjk_bigrams_col("text")).collect()]
+    assert got == [cjk_bigrams(t) for t in texts]
+
+
+def test_token_counts_cjk(spark):
+    from pignlproc_spark.operators import stats
+
+    m = spark.createDataFrame([("u1", "中文分词"), ("u1", "中文")], "uri string, context string")
+    got = {(r.uri, r.token): r.cnt for r in stats.token_counts(m, analysis="cjk").collect()}
+    assert got == {("u1", "中文"): 2, ("u1", "文分"): 1, ("u1", "分词"): 1}
