@@ -67,6 +67,19 @@ def run(sf_dir: str, cpus: int, quiet: bool = True, pipeline_only: bool = False)
             lambda: textstats.lang_id(docs).join(textstats.quality_signals(docs), "doc_id").count(),
         )
 
+        from pignlproc_spark.functions.extract import parse_pages
+        from pignlproc_spark.sources.wikidump import dump_to_pages
+
+        dump_dir = str(synth.synth_dir(synth.sf_of_dir(sf_dir)) / "dump")
+        timed(
+            "dump_replay_parse",
+            # sum(length(text)) so Catalyst cannot prune the parse UDF
+            # the way a bare count() would
+            lambda: int(
+                parse_pages(dump_to_pages(spark, dump_dir)).select(F.sum(F.length("text"))).collect()[0][0]
+            ),
+        )
+
     total = round(sum(timings.values()), 3)
     n_triples = counts["kg_pipeline_triples"]
     out = {
