@@ -131,6 +131,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "link_prob",
         )
 
+    def kg_disambiguate(spark, sf_dir):
+        p = _pipeline(spark, sf_dir)
+        return linking.disambiguate(p.mentions, p.pair_counts, p.token_counts, k=3)
+
     def kg_nerd_stats(spark, sf_dir):
         from pignlproc_spark.operators.stats import nerd_stats
 
@@ -149,6 +153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kg_dab_expand=kg_dab_expand,
         kg_link_candidates=kg_link_candidates,
         kg_link_probability=kg_link_probability,
+        kg_disambiguate=kg_disambiguate,
         kg_nerd_stats=kg_nerd_stats,
     )
 
@@ -551,6 +556,38 @@ def oracle_sql() -> dict[str, str]:
                 THEN sum(anchor_count)::BIGINT::DOUBLE / max(occurrence_count)::BIGINT::DOUBLE
                 ELSE 0.0 END AS link_prob
     FROM {g('surface_forms')} GROUP BY surface_form
+    """
+    o["kg_disambiguate"] = f"""
+    WITH dm AS (
+      SELECT DISTINCT url, context, surface_form FROM {g('golden_mentions')}
+    ), dmid AS (
+      SELECT url, context, surface_form,
+             md5(url || chr(31) || context || chr(31) || surface_form) AS mention_id
+      FROM dm
+    ), mt AS (
+      SELECT mention_id, surface_form,
+             unnest(list_distinct({_tok_sql('context', stop=True)})) AS token
+      FROM dmid
+    ), ov AS (
+      SELECT mt.mention_id, c.uri, sum(tc.cnt)::BIGINT AS overlap_cnt
+      FROM mt
+      JOIN {g('golden_pair_counts')} c ON mt.surface_form = c.surface_form
+      JOIN {g('golden_token_counts')} tc ON tc.uri = c.uri AND tc.token = mt.token
+      GROUP BY mt.mention_id, c.uri
+    ), scored AS (
+      SELECT d.url, d.surface_form, d.mention_id, c.uri,
+             coalesce(o.overlap_cnt, 0)::BIGINT AS overlap_cnt,
+             c.cnt::BIGINT AS prior_cnt
+      FROM dmid d
+      JOIN {g('golden_pair_counts')} c ON d.surface_form = c.surface_form
+      LEFT JOIN ov o ON o.mention_id = d.mention_id AND o.uri = c.uri
+    )
+    SELECT url, surface_form, mention_id, uri, overlap_cnt, prior_cnt, rank::INT AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY mention_id
+                                   ORDER BY overlap_cnt DESC, prior_cnt DESC, uri ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 3
     """
     o["kg_nerd_stats"] = f"""
     SELECT p.surface_form, p.uri, p.cnt,

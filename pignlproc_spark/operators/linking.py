@@ -24,6 +24,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+#: unit separator — joins mention key columns into one hashable id
+US = "\u001f"
+
 
 def candidate_topk(surface_forms: DataFrame, k: int = 3) -> DataFrame:
     """(surface_form, uri, anchor_count, occurrence_count, rank) — the
@@ -81,4 +84,74 @@ def score_mentions(mentions: DataFrame, surface_forms: DataFrame, k: int = 3) ->
             ),
         )
         .drop("_sf", "anchor_count", "_sf_anchor_total")
+    )
+
+
+def disambiguate(
+    mentions: DataFrame,
+    pair_counts: DataFrame,
+    token_counts: DataFrame,
+    k: int = 3,
+    lang: str = "en",
+) -> DataFrame:
+    """Full Spotlight-style candidate ranking: P(uri|sf) prior ×
+    context-token evidence, per mention occurrence.
+
+    The reference (names_and_entities.pig + token_counts.pig) produces
+    exactly the two statistics this consumes — ``pairCounts`` and the
+    per-entity ``tokenCounts`` profile; DBpedia Spotlight then ranks
+    candidates by mixing the anchor prior with context similarity.
+    This operator runs that ranking step in-engine.
+
+    Spec (FROZEN, integer-exact so the DuckDB oracle can hash it):
+
+    - mention unit: distinct ``(url, context, surface_form)``;
+      ``mention_id = md5(url ∥ US ∥ context ∥ US ∥ surface_form)``.
+    - candidates: every uri paired with the surface form in
+      ``pair_counts``; ``prior_cnt`` = its pair count (the P(uri|sf)
+      numerator — same denominator per group, so rank-equivalent).
+    - ``overlap_cnt`` = Σ over the mention's DISTINCT context tokens
+      (frozen tokenizer + per-``lang`` stoplist, identical to the
+      ``token_counts`` build) of the candidate's token count — a
+      naive-Bayes-style evidence term with integer weights (no float
+      sums; CLAUDE.md oracle rules).
+    - rank: ``row_number`` by (overlap_cnt desc, prior_cnt desc, uri
+      asc); top-``k`` kept.
+
+    Scale shape: the candidate dictionary is broadcast twice (P11) —
+    the corpus-sized sides never shuffle for it; the evidence join
+    shuffles compact ``(mention_id, uri, token)`` rows keyed on
+    ``(uri, token)`` against the token profile, then partial/final
+    aggregates on ``(mention_id, uri)``. Hub entities are absorbed by
+    map-side partial aggregation (counts are algebraic). NB the token
+    profile includes each mention's own context — deterministic
+    self-training semantics, same as Spotlight indexing its own corpus.
+    """
+    from pignlproc_spark.functions.tokenize import tokens_col
+
+    dm = mentions.select("url", "context", "surface_form").distinct().withColumn(
+        "mention_id", F.md5(F.concat_ws(US, "url", "context", "surface_form"))
+    )
+    cands = pair_counts.select("surface_form", "uri", F.col("cnt").cast("long").alias("prior_cnt"))
+    mention_tokens = dm.select(
+        "mention_id",
+        "surface_form",
+        F.explode(F.array_distinct(tokens_col(F.col("context"), lang=lang))).alias("token"),
+    )
+    overlap = (
+        mention_tokens.join(F.broadcast(cands.select("surface_form", "uri")), "surface_form")
+        .join(token_counts, ["uri", "token"])
+        .groupBy("mention_id", "uri")
+        .agg(F.sum("cnt").cast("long").alias("overlap_cnt"))
+    )
+    scored = (
+        dm.join(F.broadcast(cands), "surface_form")
+        .join(overlap, ["mention_id", "uri"], "left")
+        .withColumn("overlap_cnt", F.coalesce(F.col("overlap_cnt"), F.lit(0)).cast("long"))
+    )
+    w = Window.partitionBy("mention_id").orderBy(F.desc("overlap_cnt"), F.desc("prior_cnt"), F.asc("uri"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("url", "surface_form", "mention_id", "uri", "overlap_cnt", "prior_cnt", "rank")
     )

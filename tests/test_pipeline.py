@@ -78,6 +78,57 @@ def test_mention_offsets_invariant(result):
         assert r.context[r.begin : r.end] == r.surface_form
 
 
+def test_disambiguate_unit(spark):
+    # hand-built: sf "jaguar" has two candidates; the car URI wins on
+    # prior, but a context about rainforests must flip rank 1 to the
+    # animal URI via token overlap
+    mentions = spark.createDataFrame(
+        [
+            ("u1", "dense rainforest habitat prey", "jaguar"),
+            ("u2", "engine coupe dealership", "jaguar"),
+            ("u3", "", "jaguar"),  # no tokens -> prior decides
+        ],
+        "url string, context string, surface_form string",
+    )
+    pairs = spark.createDataFrame(
+        [("jaguar", "Jaguar_Cars", 90), ("jaguar", "Jaguar_(animal)", 10)],
+        "surface_form string, uri string, cnt long",
+    )
+    toks = spark.createDataFrame(
+        [
+            ("Jaguar_(animal)", "rainforest", 7),
+            ("Jaguar_(animal)", "prey", 5),
+            ("Jaguar_Cars", "engine", 9),
+            ("Jaguar_Cars", "dealership", 4),
+        ],
+        "uri string, token string, cnt long",
+    )
+    out = linking.disambiguate(mentions, pairs, toks, k=2)
+    best = {r.url: r.uri for r in out.where(F.col("rank") == 1).collect()}
+    assert best == {"u1": "Jaguar_(animal)", "u2": "Jaguar_Cars", "u3": "Jaguar_Cars"}
+    row = out.where((F.col("url") == "u1") & (F.col("rank") == 1)).collect()[0]
+    assert row.overlap_cnt == 12 and row.prior_cnt == 10
+
+
+def test_disambiguate_recovers_gold_links(spark, sf_dir, result):
+    # top-1 decision vs the mention's actual gold target: with the
+    # profile built from the same corpus the linker should recover the
+    # gold link for the overwhelming majority of mentions
+    pred = linking.disambiguate(result.mentions, result.pair_counts, result.token_counts, k=1)
+    gold = (
+        result.mentions.select("url", "context", "surface_form", "uri")
+        .distinct()
+        .withColumnRenamed("uri", "gold_uri")
+    )
+    j = pred.join(gold, ["url", "surface_form"]).where(
+        F.col("mention_id") == F.md5(F.concat_ws(linking.US, "url", "context", "surface_form"))
+    )
+    n = j.count()
+    hits = j.where(F.col("uri") == F.col("gold_uri")).count()
+    assert n > 0
+    assert hits / n > 0.9, f"disambiguation accuracy {hits}/{n}"
+
+
 def test_candidate_topk_and_scoring(spark, sf_dir, result):
     sfs = synth.side_table(spark, sf_dir, "surface_forms")
     topk = linking.candidate_topk(sfs, k=2)

@@ -42,6 +42,19 @@ def test_redirect_join_is_broadcast(spark, mentions):
     assert "SortMergeJoin" not in plan
 
 
+def test_disambiguate_dict_joins_broadcast(spark, mentions):
+    # both candidate-dictionary joins must broadcast: the corpus-sized
+    # mention/token sides never shuffle for dictionary enrichment; the
+    # only sort-merge allowed is the (uri, token) evidence join
+    from pignlproc_spark.operators import linking
+
+    pairs = mentions.groupBy("surface_form", "uri").agg(F.count(F.lit(1)).alias("cnt"))
+    toks = spark.createDataFrame([("uri1", "ctx", 3)], "uri string, token string, cnt long")
+    plan = plan_of(linking.disambiguate(mentions, pairs, toks))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "partial_sum" in plan  # evidence agg combines map-side
+
+
 def test_scan_prunes_columns(spark, synth_dir):
     from pignlproc_spark.functions.extract import parse_pages
 
