@@ -1,0 +1,122 @@
+"""Incrementally-maintained count tables (merge-on-read + compaction).
+
+The batch pipeline recomputes pairCounts/uriCounts from scratch; with
+streaming ingestion (ingest.run_incremental) the mention *facts* grow
+continuously and a full recompute per refresh is O(corpus). This
+module keeps the count tables fresh at O(batch):
+
+- every micro-batch appends a tiny pre-aggregated **delta** (the
+  partial counts of just that batch — the map-side-combine output,
+  materialized);
+- readers **merge on read**: union the live base+delta parquet dirs
+  and sum — exactly Iceberg/Delta merge-on-read semantics over an
+  algebraic aggregate (COUNT partials sum associatively, SURVEY.md
+  §2.2 P8);
+- **compaction** folds all live deltas into a new base when the delta
+  count grows, bounding read amplification.
+
+Commit protocol (local-parquet stand-in for an Iceberg snapshot):
+``_manifest.json`` lists the live directories and is swapped with an
+atomic ``os.replace``; a delta/base dir becomes visible only via the
+manifest, and delta dir names embed the micro-batch id so a replayed
+batch overwrites its own delta instead of double-counting (same
+idempotence contract as ingest.run_incremental's per-batch output
+dirs). On a real cluster the same shape is one Iceberg ``MERGE INTO``
+(or an append to a partial-counts table + scheduled rewrite_data_files
+compaction); the manifest here plays the catalog's snapshot pointer.
+
+Scale notes: a delta holds at most the batch's *distinct* keys —
+hub-entity skew is absorbed before the write by the partial
+aggregation. Merge-on-read cost is (#live dirs × their distinct
+keys); compaction keeps #live dirs bounded. The counts table itself
+is the small side at every scale (distinct (sf, uri) pairs, not
+mention occurrences).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST = "_manifest.json"
+
+
+def _read_manifest(counts_dir: str) -> dict:
+    p = Path(counts_dir) / MANIFEST
+    if not p.exists():
+        return {"live": [], "next_base": 0}
+    return json.loads(p.read_text())
+
+
+def _write_manifest(counts_dir: str, manifest: dict) -> None:
+    p = Path(counts_dir) / MANIFEST
+    tmp = p.with_suffix(".json.tmp")
+    tmp.write_text(json.dumps(manifest, sort_keys=True))
+    os.replace(tmp, p)  # atomic snapshot swap
+
+
+def append_delta(partial_counts: DataFrame, counts_dir: str, batch_id: int) -> None:
+    """Publish one micro-batch's partial counts.
+
+    ``partial_counts`` must already be aggregated to (keys..., cnt).
+    Idempotent per ``batch_id``: a replayed micro-batch rewrites
+    ``delta-<id>`` and the manifest add is a set-insert.
+    """
+    name = f"delta-{batch_id:08d}"
+    partial_counts.write.mode("overwrite").parquet(f"{counts_dir}/{name}")
+    m = _read_manifest(counts_dir)
+    if name not in m["live"]:
+        m["live"].append(name)
+        _write_manifest(counts_dir, m)
+
+
+def read_counts(spark: SparkSession, counts_dir: str, keys: list[str]) -> DataFrame:
+    """Merge-on-read: the current exact counts (keys..., cnt)."""
+    m = _read_manifest(counts_dir)
+    if not m["live"]:
+        fields = ", ".join(f"{k} string" for k in keys)
+        return spark.createDataFrame([], f"{fields}, cnt long")
+    df = spark.read.parquet(*[f"{counts_dir}/{d}" for d in m["live"]])
+    return df.groupBy(*keys).agg(F.sum("cnt").cast("long").alias("cnt"))
+
+
+def compact(spark: SparkSession, counts_dir: str, keys: list[str], min_deltas: int = 2) -> bool:
+    """Fold live dirs into one base. Returns True if it compacted.
+
+    New base is written first, then the manifest swap publishes it,
+    then the consumed dirs are removed — a reader holding the *old*
+    manifest across the removal would race; single-writer + read-
+    after-manifest is the supported protocol (an Iceberg catalog gives
+    real snapshot isolation for the cluster version of this).
+    """
+    m = _read_manifest(counts_dir)
+    if len(m["live"]) < min_deltas:
+        return False
+    merged = read_counts(spark, counts_dir, keys)
+    base = f"base-{m['next_base']:08d}"
+    merged.write.mode("overwrite").parquet(f"{counts_dir}/{base}")
+    consumed = list(m["live"])
+    _write_manifest(counts_dir, {"live": [base], "next_base": m["next_base"] + 1})
+    for d in consumed:
+        shutil.rmtree(f"{counts_dir}/{d}", ignore_errors=True)
+    return True
+
+
+def maintain_mention_stats(batch_mentions: DataFrame, stats_root: str, batch_id: int) -> None:
+    """Per-micro-batch hook: publish pairCounts/uriCounts/sf annotated-
+    count deltas for one batch of mention facts (call from
+    foreachBatch alongside the fact append)."""
+    from pignlproc_spark.operators import stats
+
+    append_delta(stats.pair_counts(batch_mentions), f"{stats_root}/pair_counts", batch_id)
+    append_delta(stats.uri_counts(batch_mentions), f"{stats_root}/uri_counts", batch_id)
+    append_delta(
+        stats.annotated_sf_counts(batch_mentions).withColumnRenamed("annotated_cnt", "cnt"),
+        f"{stats_root}/sf_counts",
+        batch_id,
+    )

@@ -81,13 +81,19 @@ def run_incremental(
     checkpoint_dir: str,
     redirects: DataFrame | None = None,
     available_now: bool = True,
+    stats_root: str | None = None,
 ):
     """Micro-batch driver: stream pages → mentions (+ optional redirect
     resolution against the broadcast dimension) → append parquet.
 
     ``availableNow`` drains what exists then stops (the test/backfill
     mode); without it the query runs continuously. Returns the
-    StreamingQuery."""
+    StreamingQuery.
+
+    ``stats_root``: also maintain incremental pairCounts/uriCounts/
+    sf-count tables (streaming/counts.py merge-on-read deltas) so the
+    stats stay fresh per micro-batch instead of needing a full
+    recompute over the fact table."""
     from pignlproc_spark.operators.canonicalize import apply_redirects
 
     stream = mention_stream(read_page_stream(spark, input_dir))
@@ -99,7 +105,14 @@ def run_incremental(
         # per-batch directory + overwrite = idempotent on micro-batch
         # replay (crash between sink write and checkpoint commit):
         # re-running batch N replaces batch=N instead of appending dupes
+        if stats_root is not None:
+            out = out.persist()  # one extraction pass feeds facts + stats
         out.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        if stats_root is not None:
+            from pignlproc_spark.streaming.counts import maintain_mention_stats
+
+            maintain_mention_stats(out, stats_root, batch_id)
+            out.unpersist()
 
     writer = (
         stream.writeStream.foreachBatch(handle_batch)

@@ -46,6 +46,60 @@ def test_incremental_matches_batch(spark, sf_dir, synth_dir, staged_pages, tmp_p
     shutil.rmtree(out_dir)
 
 
+def test_incremental_stats_merge_on_read(spark, sf_dir, synth_dir, staged_pages, tmp_path):
+    from pignlproc_spark.streaming import counts
+
+    out_dir = str(tmp_path / "facts")
+    stats_root = str(tmp_path / "stats")
+    ckpt = str(tmp_path / "ckpt")
+    red = spark.read.parquet(str(synth_dir / "redirects.parquet"))
+    q = ingest.run_incremental(spark, staged_pages, out_dir, ckpt, redirects=red, stats_root=stats_root)
+    q.awaitTermination(120)
+
+    def assert_fresh():
+        pc = counts.read_counts(spark, f"{stats_root}/pair_counts", ["surface_form", "uri"])
+        golden = synth.side_table(spark, sf_dir, "golden_pair_counts")
+        cols = ["surface_form", "uri", "cnt"]
+        assert pc.select(*cols).exceptAll(golden.select(*cols)).count() == 0
+        assert golden.select(*cols).exceptAll(pc.select(*cols)).count() == 0
+        uc = counts.read_counts(spark, f"{stats_root}/uri_counts", ["uri"])
+        gu = synth.side_table(spark, sf_dir, "golden_uri_counts")
+        assert uc.exceptAll(gu.select("uri", "cnt")).count() == 0
+        assert gu.select("uri", "cnt").exceptAll(uc).count() == 0
+
+    # merge-on-read over per-batch deltas == batch-recomputed counts
+    assert_fresh()
+    n_deltas = len(counts._read_manifest(f"{stats_root}/pair_counts")["live"])
+    assert n_deltas >= 2  # several micro-batches actually happened
+
+    # compaction folds deltas into one base; counts unchanged
+    assert counts.compact(spark, f"{stats_root}/pair_counts", ["surface_form", "uri"])
+    assert counts.compact(spark, f"{stats_root}/uri_counts", ["uri"])
+    assert len(counts._read_manifest(f"{stats_root}/pair_counts")["live"]) == 1
+    assert_fresh()
+
+    # replayed micro-batch (same batch_id) overwrites its delta — no
+    # double counting on crash-replay
+    some_batch = spark.read.parquet(f"{out_dir}/batch=0")
+    counts.append_delta(
+        some_batch.groupBy("surface_form", "uri").agg(F.count(F.lit(1)).alias("cnt")),
+        f"{stats_root}/pair_counts",
+        batch_id=0,
+    )
+    counts.append_delta(
+        some_batch.groupBy("surface_form", "uri").agg(F.count(F.lit(1)).alias("cnt")),
+        f"{stats_root}/pair_counts",
+        batch_id=0,
+    )
+    pc = counts.read_counts(spark, f"{stats_root}/pair_counts", ["surface_form", "uri"])
+    golden = synth.side_table(spark, sf_dir, "golden_pair_counts")
+    merged = pc.join(golden.select("surface_form", "uri", F.col("cnt").alias("g")), ["surface_form", "uri"])
+    # every key's count grew by exactly batch 0's contribution, once
+    b0 = some_batch.groupBy("surface_form", "uri").agg(F.count(F.lit(1)).alias("b0"))
+    chk = merged.join(b0, ["surface_form", "uri"], "left").fillna(0, subset=["b0"])
+    assert chk.where(F.col("cnt") != F.col("g") + F.col("b0")).count() == 0
+
+
 def test_windowed_counts_stream(spark, staged_pages, tmp_path):
     stream = ingest.mention_stream(ingest.read_page_stream(spark, staged_pages))
     counts = ingest.windowed_uri_counts(stream, window="30 minutes", watermark="1 hour")
