@@ -270,6 +270,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", F.col("band").cast("int").alias("band"), "sig"
         )
 
+    def docs_minhash_wide(spark, sf_dir):
+        # high-recall 8-band config (second keyed hash family)
+        return dedup.minhash_signatures(_read(spark, sf_dir, "documents"), bands=8).select(
+            "doc_id", F.col("band").cast("int").alias("band"), "sig"
+        )
+
     def docs_lsh_pairs(spark, sf_dir):
         return dedup.lsh_candidate_pairs(_read(spark, sf_dir, "documents"))
 
@@ -417,6 +423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(
         docs_dedup_exact=docs_dedup_exact,
         docs_minhash_sigs=docs_minhash_sigs,
+        docs_minhash_wide=docs_minhash_wide,
         docs_lsh_pairs=docs_lsh_pairs,
         docs_simhash=docs_simhash,
         docs_jaccard_pairs=docs_jaccard_pairs,
@@ -492,19 +499,30 @@ def _simhash_sql() -> str:
     """
 
 
-def _minhash_sql() -> str:
-    # lanes of ONE md5 per shingle (matches operators/dedup.py)
+def _minhash_sql(bands: int = 4) -> str:
+    # 32-bit lanes of ceil(bands/4) keyed md5s per shingle (matches
+    # operators/dedup.py: digest 0 = md5(shingle), digest g>=1 =
+    # md5(g || chr(31) || shingle); band i -> digest i//4, lane i%4)
+    digests = ", ".join(
+        ("md5(s)" if g == 0 else f"md5('{g}' || chr(31) || s)") + f" AS h{g}"
+        for g in range((bands + 3) // 4)
+    )
+    lanes = " ".join(
+        f"WHEN {i} THEN substr(h{i // 4}, {8 * (i % 4) + 1}, 8)" for i in range(bands)
+    )
     return f"""
     WITH toks AS (
       SELECT doc_id, {_tok_sql('text', stop=False)} AS t FROM documents
     ), sh AS (
-      SELECT doc_id, md5(unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
-                     j -> t[j] || ' ' || t[j+1] || ' ' || t[j+2]))) AS h
+      SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                     j -> t[j] || ' ' || t[j+1] || ' ' || t[j+2])) AS s
       FROM toks WHERE len(t) >= 3
+    ), h AS (
+      SELECT doc_id, {digests} FROM sh
     )
     SELECT doc_id::BIGINT AS doc_id, band::INT AS band,
-           min(substr(h, band * 8 + 1, 8)) AS sig
-    FROM sh CROSS JOIN range(4) b(band)
+           min(CASE band {lanes} END) AS sig
+    FROM h CROSS JOIN range({bands}) b(band)
     GROUP BY doc_id, band
     """
 
@@ -662,6 +680,7 @@ def oracle_sql() -> dict[str, str]:
     FROM documents GROUP BY md5(text)
     """
     o["docs_minhash_sigs"] = _minhash_sql()
+    o["docs_minhash_wide"] = _minhash_sql(bands=8)
     o["docs_lsh_pairs"] = f"""
     WITH sigs AS ({_minhash_sql()})
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

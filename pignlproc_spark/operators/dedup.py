@@ -10,12 +10,12 @@ Scale notes:
 
 - Exact dedup: hash-groupBy on ``md5(text)`` — one shuffle of (hash,
   id) pairs, never the text itself.
-- MinHash/LSH: signatures are 1–4 32-bit lanes of one md5 per shingle
-  (bands × 1 row; at 4 bands P(candidate) ≈ 1−(1−J)⁴ ≈ 0.94 at
-  J=0.5, 0.998 at J=0.8); the only shuffle is the tiny (band, sig)
-  bucket join, and the verify step re-checks candidates with exact
-  Jaccard so LSH recall tuning never affects correctness, only cost.
-  For more/wider bands swap md5 for two independent hashes.
+- MinHash/LSH: signatures are 32-bit lanes of ⌈bands/4⌉ keyed md5s per
+  shingle (bands × 1 row; at 4 bands P(candidate) ≈ 1−(1−J)⁴ ≈ 0.94 at
+  J=0.5, 0.998 at J=0.8; 8–16 bands for high-recall configs); the only
+  shuffle is the tiny (band, sig) bucket join, and the verify step
+  re-checks candidates with exact Jaccard so LSH recall tuning never
+  affects correctness, only cost.
 - SimHash: 16-bit here for oracle-checkability; production would use
   64-bit xxhash64 (same shape, swap the hash column).
 - All-pairs Jaccard is quadratic — only for bounded subsets / the
@@ -65,15 +65,20 @@ def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bands: int = DEFAULT_BANDS, shingle_n: int = 3
 ) -> DataFrame:
     """(id, band, sig) — per-band min-hash where band ``i``'s hash of a
-    shingle is hex lane ``i`` (8 hex chars = 32 bits) of ONE md5 of the
-    shingle. One digest per shingle instead of one per (band, shingle)
-    — the md5 work dominates signature cost at corpus scale, and md5's
-    lanes are independent enough to act as distinct hash functions
-    (bands ≤ 4 with 128-bit md5). Lexicographic min of the hex lane ==
-    numeric min (fixed width). Deterministic and oracle-reproducible.
+    shingle is hex lane ``i mod 4`` (8 hex chars = 32 bits) of md5
+    digest ``i div 4`` of the shingle. Digest 0 is ``md5(shingle)``
+    (unchanged vs the 4-band layout, so goldens/oracles for bands ≤ 4
+    are stable); digest g ≥ 1 is ``md5('g' ∥ US ∥ shingle)`` — an
+    independent keyed hash family, one extra digest per 4 extra bands.
+    High-recall configs (8–16 bands: P(candidate) = 1−(1−J)^b ≈ 0.996
+    at J=0.5, b=8) therefore cost ⌈b/4⌉ md5s per shingle, still one
+    explode pass. Lexicographic min of a fixed-width hex lane ==
+    numeric min. Deterministic and DuckDB-reproducible
+    (``md5(g || chr(31) || shingle)``).
     """
-    if not 1 <= bands <= 4:
-        raise ValueError("bands must be 1..4 (32-bit lanes of one md5)")
+    if not 1 <= bands <= 16:
+        raise ValueError("bands must be 1..16 (4 32-bit lanes per keyed md5)")
+    n_digests = (bands + 3) // 4
     # Plan-shape care (both measured, both matter at scale):
     # - higher-order functions (transform/array_min) are INTERPRETED,
     #   not codegen'd — per-element md5 inside a lambda ran ~50×
@@ -85,11 +90,12 @@ def minhash_signatures(
     #   projections and inlines the whole token+shingle expression
     #   into the predicate; exploding instead drops empty docs free.
     sh = with_shingles(df.select(F.col(id_col), F.col(text_col)), text_col, shingle_n)
+    digest = lambda g, c: F.md5((c if g == 0 else F.concat(F.lit(f"{g}\u001f"), c)).cast("binary"))  # noqa: E731
     hashed = sh.select(F.col(id_col), F.explode("shingles").alias("shingle")).select(
-        F.col(id_col), F.md5(F.col("shingle").cast("binary")).alias("h")
+        F.col(id_col), *[digest(g, F.col("shingle")).alias(f"h{g}") for g in range(n_digests)]
     )
     lane_mins = hashed.groupBy(id_col).agg(
-        *[F.min(F.substring("h", 8 * i + 1, 8)).alias(f"_s{i}") for i in range(bands)]
+        *[F.min(F.substring(f"h{i // 4}", 8 * (i % 4) + 1, 8)).alias(f"_s{i}") for i in range(bands)]
     )
     return lane_mins.select(
         F.col(id_col).cast("bigint"),

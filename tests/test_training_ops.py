@@ -40,6 +40,26 @@ def test_minhash_lsh_finds_near_dups(spark, docs):
     assert not any(3 in p for p in vp)
 
 
+def test_minhash_wide_bands(spark, docs):
+    # bands 0-3 of a wide config must equal the 4-band signatures
+    # (digest 0 is unchanged), and extra keyed digests must widen the
+    # candidate set monotonically (more bands -> superset of pairs)
+    s4 = {(r.doc_id, r.band, r.sig) for r in dedup.minhash_signatures(docs, bands=4).collect()}
+    s12 = dedup.minhash_signatures(docs, bands=12).collect()
+    assert {(r.doc_id, r.band, r.sig) for r in s12 if r.band < 4} == s4
+    assert {r.band for r in s12} == set(range(12))
+    # lanes from different digests are actually different hash values
+    by_doc = {}
+    for r in s12:
+        by_doc.setdefault(r.doc_id, set()).add(r.sig)
+    assert any(len(v) > 4 for v in by_doc.values())
+    p4 = {(r.id_a, r.id_b) for r in dedup.lsh_candidate_pairs(docs, bands=4).collect()}
+    p12 = {(r.id_a, r.id_b) for r in dedup.lsh_candidate_pairs(docs, bands=12).collect()}
+    assert p4 <= p12
+    with pytest.raises(ValueError):
+        dedup.minhash_signatures(docs, bands=17)
+
+
 def test_jaccard_pairs_counts(spark, docs):
     rows = dedup.jaccard_pairs(docs, min_jaccard_pct=99).collect()
     exact = [r for r in rows if r.id_a == 0 and r.id_b == 1]
