@@ -69,9 +69,24 @@ def write_graph(
     triples: DataFrame,
     name: str = "graph/triples",
     num_partitions: int = 32,
-    salt_buckets: int = 8,
+    salt_buckets: int | str = 8,
     root: str | None = None,
+    sample_fraction: float | None = None,
 ) -> str:
-    """Salted hashed-subject repartition + pred-partitioned table write."""
+    """Salted hashed-subject repartition + pred-partitioned table write.
+
+    ``salt_buckets="auto"`` sizes the salt from the observed subject
+    histogram (tables.tune_salt_buckets): no skew ⇒ unsalted hash
+    repartition; a hub subject holding p of all rows ⇒ ≈ p ×
+    num_partitions buckets, just enough to level it. The probe costs
+    one algebraic count pass over ``triples`` (which the write was
+    about to scan anyway); pass ``sample_fraction`` to probe a sample
+    at very large scale."""
+    if salt_buckets == "auto":
+        salt_buckets = tables.tune_salt_buckets(
+            triples, "subj", num_partitions, sample_fraction=sample_fraction
+        )
+        if salt_buckets <= 1:
+            salt_buckets = 0
     placed = tables.repartition_by_hash(triples, "subj", num_partitions, salt_buckets=salt_buckets)
     return tables.write_table(placed, name, partition_by=["pred"], root=root)

@@ -40,6 +40,41 @@ def repartition_by_hash(df: DataFrame, key: str, num_partitions: int, salt_bucke
     return df.repartition(num_partitions, F.col(key))
 
 
+def tune_salt_buckets(
+    df: DataFrame,
+    key: str,
+    num_partitions: int,
+    sample_fraction: float | None = None,
+    max_buckets: int | None = None,
+) -> int:
+    """Pick ``salt_buckets`` from the observed key histogram instead of
+    a constant: the heaviest key should spread to roughly the size of
+    an average partition, so
+
+        salt = ceil(max_key_cnt × num_partitions / total_rows)
+
+    clamped to [1, max_buckets or num_partitions]. 1 means no skew —
+    callers can skip salting entirely. The probe is one algebraic
+    count pass (map-side combine ⇒ the shuffle carries distinct keys,
+    not rows); ``sample_fraction`` subsamples it for very large inputs
+    — the rule uses only the max/total *ratio*, which is
+    scale-invariant under uniform sampling.
+    """
+    import math
+
+    src = df.sample(fraction=sample_fraction, seed=7) if sample_fraction else df
+    row = (
+        src.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(F.max("_c").alias("mx"), F.sum("_c").alias("total"))
+        .collect()[0]
+    )
+    if not row.total:
+        return 1
+    raw = math.ceil(row.mx * num_partitions / row.total)
+    return max(1, min(max_buckets or num_partitions, raw))
+
+
 def _catalog(spark: SparkSession) -> str | None:
     return spark.conf.get(CATALOG_CONF, None)
 

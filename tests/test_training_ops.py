@@ -207,6 +207,30 @@ def test_write_tsv_parity(spark, tmp_path):
     assert rows == [("alpha beta", "http://x/A", "3"), ("with\ttab", "http://x/B", "1")]
 
 
+def test_tune_salt_buckets(spark, tmp_path):
+    from pignlproc_spark import tables
+
+    # one hub subject holds half the rows: with 8 target partitions the
+    # tuner must pick ceil(0.5 * 8) = 4 buckets
+    rows = [("hub", i) for i in range(500)] + [(f"k{i}", i) for i in range(500)]
+    skewed = spark.createDataFrame(rows, "subj string, x long")
+    assert tables.tune_salt_buckets(skewed, "subj", 8) == 4
+
+    # uniform keys -> 1 (no salting needed); empty -> 1
+    uniform = spark.createDataFrame([(f"k{i}", i) for i in range(1000)], "subj string, x long")
+    assert tables.tune_salt_buckets(uniform, "subj", 8) == 1
+    empty = spark.createDataFrame([], "subj string, x long")
+    assert tables.tune_salt_buckets(empty, "subj", 8) == 1
+
+    # sampled probe lands near the exact answer (ratio is scale-invariant)
+    assert tables.tune_salt_buckets(skewed, "subj", 8, sample_fraction=0.5) in (3, 4, 5)
+
+    # auto mode writes end-to-end and round-trips
+    t = skewed.select("subj", F.lit("kg:linksTo").alias("pred"), F.col("x").cast("string").alias("obj"), F.col("x").alias("weight"))
+    path = triples.write_graph(t, name="graph_auto", num_partitions=8, salt_buckets="auto", root=str(tmp_path))
+    assert spark.read.parquet(path).count() == 1000
+
+
 def test_write_graph_layout(spark, tmp_path):
     t = spark.createDataFrame(
         [("s1", "kg:linksTo", "o1", 2), ("s2", "kg:uriCount", "3", 3)],
