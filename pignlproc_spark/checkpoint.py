@@ -18,6 +18,12 @@ fingerprinted materialization:
 - A fingerprint change (different input snapshot/config) invalidates
   the cache for that fingerprint only; old fingerprints remain for
   audit.
+- ``stage_partitioned(df, name, fingerprint, key)`` shrinks the redo
+  unit below a stage: rows are hash-sliced on ``key`` into N
+  independently-committed slices, each with its own manifest
+  (``_COMPLETE`` + lineage metrics). Resume recomputes ONLY the
+  missing slices — and all of them in ONE upstream pass (a single
+  ``isin`` filter + partitionBy write), not one pass per slice.
 
 At cluster scale the same protocol runs on object storage; with an
 Iceberg catalog configured the marker protocol is unnecessary
@@ -75,6 +81,77 @@ class CheckpointManager:
         (out / "_COMPLETE").write_text("ok\n")  # marker last => atomic-enough
         self._log(name, fingerprint, resumed=False, wall_s=wall)
         return spark.read.parquet(str(data_dir))
+
+    def slice_states(self, name: str, fingerprint: str, num_slices: int) -> list[bool]:
+        out = self._stage_dir(name, fingerprint)
+        return [(out / f"s{s}" / "_COMPLETE").exists() for s in range(num_slices)]
+
+    def stage_partitioned(
+        self, df: DataFrame, name: str, fingerprint: str, key: str, num_slices: int = 16
+    ) -> DataFrame:
+        """Materialize a stage as ``num_slices`` independently-committed
+        hash slices of ``key``; resume after loss recomputes only the
+        slices whose manifest is missing (one combined pass).
+
+        Slice membership is ``pmod(xxhash64(key), num_slices)`` —
+        deterministic across runs, so a recomputed slice holds exactly
+        the rows the lost one did. Slice dirs are named ``s<N>`` (no
+        ``=``) so the read-back does not infer a partition column.
+        """
+        from pyspark.sql import functions as F
+
+        spark = df.sparkSession
+        if not self.enabled:
+            return df
+        out = self._stage_dir(name, fingerprint)
+        done = self.slice_states(name, fingerprint, num_slices)
+        missing = [s for s in range(num_slices) if not done[s]]
+        if missing:
+            t0 = time.time()
+            sliced = df.withColumn("_slice", F.pmod(F.xxhash64(F.col(key)), F.lit(num_slices)))
+            todo = sliced.where(F.col("_slice").isin(missing))
+            inflight = out / "_inflight"
+            todo.write.mode("overwrite").partitionBy("_slice").parquet(str(inflight))
+            wall = time.time() - t0
+            for s in missing:
+                src = inflight / f"_slice={s}"
+                dst = out / f"s{s}"
+                if dst.exists():
+                    import shutil
+
+                    shutil.rmtree(dst)
+                if src.exists():
+                    os.replace(src, dst)
+                else:
+                    dst.mkdir(parents=True, exist_ok=True)  # empty slice
+                partitions = self._partition_metrics(dst)
+                (dst / "_lineage.json").write_text(
+                    json.dumps(
+                        {
+                            "stage": name,
+                            "fingerprint": fingerprint,
+                            "slice": s,
+                            "rows": sum(p["rows"] for p in partitions),
+                            "partitions": partitions,
+                            "ts": time.time(),
+                        },
+                        indent=1,
+                    )
+                )
+                (dst / "_COMPLETE").write_text("ok\n")
+            import shutil
+
+            shutil.rmtree(inflight, ignore_errors=True)
+            self._log(name, fingerprint, resumed=False, wall_s=wall)
+            self.events[-1]["slices_recomputed"] = missing
+        else:
+            self._log(name, fingerprint, resumed=True, wall_s=0.0)
+            self.events[-1]["slices_recomputed"] = []
+        return (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(str(out))
+            .drop("_slice")
+        )
 
     def _partition_metrics(self, data_dir: Path) -> list[dict]:
         import pyarrow.parquet as pq

@@ -40,6 +40,39 @@ def test_partial_resume_recomputes_only_missing(spark, sf_dir, tmp_path):
     assert [(e["stage"], e["resumed"]) for e in ckpt2.events] == [("parsed", True), ("mentions", False)]
 
 
+def test_partitioned_stage_slice_resume(spark, synth_dir, tmp_path):
+    """Redo unit below a stage: losing 2 of 8 slices recomputes only
+    those 2, in one pass, and the re-read equals the original rows."""
+    import shutil
+
+    pages = spark.read.parquet(str(synth_dir / "pages.parquet")).select("url", "lang")
+    root = tmp_path / "ck3"
+    ckpt1 = CheckpointManager(root)
+    fp = input_fingerprint(spark, "pages", "v1")
+    out1 = ckpt1.stage_partitioned(pages, "parsed", fp, key="url", num_slices=8)
+    rows1 = sorted(map(tuple, out1.collect()))
+    assert ckpt1.events[-1]["slices_recomputed"] == list(range(8))
+    assert all(ckpt1.slice_states("parsed", fp, 8))
+
+    # simulate executor/partition loss: two slice manifests vanish
+    shutil.rmtree(root / "parsed" / f"fp={fp}" / "s2")
+    shutil.rmtree(root / "parsed" / f"fp={fp}" / "s5")
+    ckpt2 = CheckpointManager(root)
+    out2 = ckpt2.stage_partitioned(pages, "parsed", fp, key="url", num_slices=8)
+    assert ckpt2.events[-1]["slices_recomputed"] == [2, 5]
+    assert sorted(map(tuple, out2.collect())) == rows1
+
+    # untouched re-run resumes fully; per-slice lineage has metrics
+    ckpt3 = CheckpointManager(root)
+    out3 = ckpt3.stage_partitioned(pages, "parsed", fp, key="url", num_slices=8)
+    assert ckpt3.events[-1]["resumed"] and ckpt3.events[-1]["slices_recomputed"] == []
+    assert out3.count() == len(rows1)
+    import json
+
+    lin = json.loads((root / "parsed" / f"fp={fp}" / "s2" / "_lineage.json").read_text())
+    assert lin["slice"] == 2 and lin["rows"] >= 0
+
+
 def test_fingerprint_stability(spark):
     a = input_fingerprint(spark, "x", "v1")
     assert a == input_fingerprint(spark, "x", "v1")
