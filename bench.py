@@ -52,6 +52,16 @@ def run(sf_dir: str, cpus: int, quiet: bool = True, pipeline_only: bool = False)
     if not pipeline_only:
         timed("kg_token_counts", lambda: res.token_counts.count())
 
+        from pignlproc_spark.operators import linking
+
+        # full Spotlight-style linking: prior × context-token evidence
+        # per mention (token_counts recomputed inside — the profile
+        # join is the cost being measured)
+        timed(
+            "kg_disambiguate",
+            lambda: linking.disambiguate(res.mentions, res.pair_counts, res.token_counts, k=1).count(),
+        )
+
         # tiny single-file tables scan as 1-2 partitions; spread the
         # CPU-bound operators across the cores (a real corpus arrives
         # as many files and needs no such nudge)
