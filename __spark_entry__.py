@@ -290,6 +290,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _read(spark, sf_dir, "embeddings")
         return similarity.dot_topk_quantized(emb, emb.where(F.col("vec_id") < 10), k=5)
 
+    def emb_near_dups(spark, sf_dir):
+        # all-pairs exact-integer mode (the oracle path; the scale path
+        # is n_planes-bucketed — tested in pytest)
+        emb = _read(spark, sf_dir, "embeddings")
+        return similarity.embedding_near_duplicates(emb, min_cos_pct=40)
+
     def docs_lang_id(spark, sf_dir):
         return textstats.lang_id(_read(spark, sf_dir, "documents"))
 
@@ -428,6 +434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs_simhash=docs_simhash,
         docs_jaccard_pairs=docs_jaccard_pairs,
         emb_dot_topk=emb_dot_topk,
+        emb_near_dups=emb_near_dups,
         docs_lang_id=docs_lang_id,
         docs_quality=docs_quality,
         docs_fingerprint=docs_fingerprint,
@@ -715,6 +722,21 @@ def oracle_sql() -> dict[str, str]:
       SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot_q DESC, neighbor_id ASC) AS rank
       FROM scored
     ) WHERE rank <= 5
+    """
+    o["emb_near_dups"] = """
+    WITH qv AS (
+      SELECT vec_id, list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS v
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, list_sum(list_transform(v, x -> x * x))::BIGINT AS nrm FROM qv
+    ), p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))::BIGINT AS dot_q,
+             a.nrm AS norm_a, b.nrm AS norm_b
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, dot_q, norm_a, norm_b
+    FROM p WHERE dot_q > 0 AND 10000 * dot_q * dot_q >= 1600 * norm_a * norm_b
     """
     o["docs_lang_id"] = _langid_sql()
     o["docs_quality"] = f"""

@@ -241,6 +241,71 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    min_cos_pct: int = 90,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    n_planes: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """(id_a, id_b, dot_q, norm_a, norm_b) — embedding-cosine near-
+    duplicate pairs with cosine ≥ min_cos_pct/100, in *exact integer*
+    arithmetic (the dedup-by-embedding completion of operators/dedup):
+
+        cos(a,b) ≥ τ  ⟺  dot_q > 0 ∧ 10⁴·dot_q² ≥ (100τ)²·‖a‖²·‖b‖²
+
+    over 1e-3-quantized vectors — no float sums, so the DuckDB oracle
+    hash-matches (CLAUDE.md oracle rules). int64 headroom: dims ≤ 10³
+    with |x| ≤ ~30 quantized-to-3-decimals keeps 10⁴·dot² < 2⁶³.
+
+    ``n_planes=None`` compares all pairs — bounded inputs only (the
+    oracle/verify path). With ``n_planes`` set, candidates come from a
+    sign-random-projection bucket equi-join (cos ≥ 0.9 pairs disagree
+    on a plane with prob ≈ 0.14·n_planes/π, so recall tuning =
+    plane count); the shuffle then scales with bucket sizes, not the
+    cross product — the 100 TB path, same candidates⊆verify contract
+    as dedup.near_duplicates.
+    """
+    n = embeddings.select(
+        F.col(id_col).alias("id"),
+        _quantize(F.col(vec_col), scale).alias("v"),
+        F.col(vec_col).alias("raw"),
+    ).withColumn("nrm", _dot_int(F.col("v"), F.col("v")))
+    if n_planes:
+        dim = len(embeddings.select(vec_col).first()[0])
+        planes = srp_planes(dim, n_planes, seed)
+        n = n.withColumn("bucket", srp_bucket_col(F.col("raw"), planes))
+    a = n.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("norm_a"),
+        *(["bucket"] if n_planes else []),
+    )
+    b = n.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("norm_b"),
+        *(["bucket"] if n_planes else []),
+    )
+    if n_planes:
+        pairs = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
+    else:
+        pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    pct2 = min_cos_pct * min_cos_pct
+    scored = pairs.withColumn("dot_q", _dot_int(F.col("va"), F.col("vb")))
+    return (
+        scored.where(
+            (F.col("dot_q") > 0)
+            & (F.lit(10000) * F.col("dot_q") * F.col("dot_q") >= F.lit(pct2) * F.col("norm_a") * F.col("norm_b"))
+        )
+        .select(
+            F.col("id_a").cast("bigint"),
+            F.col("id_b").cast("bigint"),
+            F.col("dot_q").cast("bigint"),
+            F.col("norm_a").cast("bigint"),
+            F.col("norm_b").cast("bigint"),
+        )
+    )
+
+
 def srp_lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -106,6 +106,35 @@ def test_cosine_vs_quantized_agree(spark, vecs):
     assert rows and all(r.query_id == 5 for r in rows)
 
 
+def test_embedding_near_duplicates(spark):
+    # planted cluster: 0/1 identical, 2 a scaled copy (cos=1), 3 close,
+    # 4 orthogonal, 5 antiparallel (dot<0 must never pair)
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0]),
+        (2, [2.0, 0.0, 0.0]),
+        (3, [0.95, 0.05, 0.0]),
+        (4, [0.0, 1.0, 0.0]),
+        (5, [-1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r.id_a, r.id_b) for r in similarity.embedding_near_duplicates(emb, min_cos_pct=90).collect()}
+    assert {(0, 1), (0, 2), (1, 2)} <= got
+    assert (0, 3) in got and (0, 4) not in got
+    assert not any(5 in p for p in got)
+
+    # cosine invariance to magnitude: identical-direction pairs satisfy
+    # the integer identity exactly (10^4 dot^2 == pct^2 na nb at cos=1
+    # requires pct=100 to still pass)
+    exact = {(r.id_a, r.id_b) for r in similarity.embedding_near_duplicates(emb, min_cos_pct=100).collect()}
+    assert {(0, 1), (0, 2), (1, 2)} <= exact and (0, 3) not in exact
+
+    # SRP-bucketed scale path: candidates subset of brute force, and
+    # identical vectors always share every bucket
+    srp = {(r.id_a, r.id_b) for r in similarity.embedding_near_duplicates(emb, min_cos_pct=90, n_planes=4).collect()}
+    assert srp <= got and (0, 1) in srp
+
+
 def test_ivf_topk_recall(spark):
     import pyspark.sql.functions as F
 
