@@ -1,0 +1,73 @@
+"""Streaming exact-dedup ledger — a custom stateful operator
+(``applyInPandasWithState``) that deduplicates a document stream
+against ALL history without rescanning it.
+
+Batch exact dedup (operators/dedup.py::exact_duplicates) needs the
+whole corpus per run; at ingest time the natural question is "is this
+arriving page a copy of anything ever seen?". State keyed by
+``content_hash`` remembers the first doc id seen for that content;
+every arriving row is emitted with its verdict:
+
+    (content_hash, doc_id, keep_id, is_duplicate)
+
+``keep_id`` is the FIRST-seen id (min id within the first batch a
+hash appears in — deterministic under availableNow replay); later
+arrivals of the same hash are flagged ``is_duplicate=true`` forever,
+across micro-batches and across restarts (state lives in the
+streaming checkpoint's state store).
+
+Scale notes: state size is bounded by *distinct* contents, not rows
+(a 16-byte hash + one long each); the state store shards by group key
+across executors, and on a real cluster the RocksDB state store
+(``spark.sql.streaming.stateStore.providerClass``) spills it off-heap.
+Per-group batches are tiny (rows sharing one md5), so the pandas
+callback is O(duplicates), not O(corpus). A retention policy (e.g.
+GroupStateTimeout.ProcessingTimeTimeout + a TTL) bounds state for
+unbounded feeds where year-old dedup is unwanted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+OUTPUT_SCHEMA = "content_hash string, doc_id long, keep_id long, is_duplicate boolean"
+STATE_SCHEMA = "keep_id long"
+
+
+def streaming_exact_dedup(
+    docs_stream: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Stream of (id, text) → stream of first-seen/duplicate verdicts.
+
+    Usable on any streaming DataFrame; groupBy(content_hash) shuffles
+    only (hash, id) pairs — the text never leaves the hashing stage.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    hashed = docs_stream.select(
+        F.md5(F.col(text_col).cast("binary")).alias("content_hash"),
+        F.col(id_col).cast("long").alias("doc_id"),
+    )
+
+    def ledger(key, pdf_iter, state):
+        (content_hash,) = key
+        keep = state.get[0] if state.exists else None
+        # materialize the group's chunks (tiny: rows sharing one md5)
+        # so keep = min over the WHOLE batch, not the first Arrow chunk
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        if keep is None and len(pdf):
+            keep = int(pdf["doc_id"].min())
+        out = pd.DataFrame(
+            {"content_hash": content_hash, "doc_id": pdf["doc_id"].astype("int64")}
+        )
+        out["keep_id"] = keep
+        out["is_duplicate"] = out["doc_id"] != keep
+        if keep is not None:
+            state.update((keep,))
+        return iter([out])
+
+    return hashed.groupBy("content_hash").applyInPandasWithState(
+        ledger, OUTPUT_SCHEMA, STATE_SCHEMA, "update", GroupStateTimeout.NoTimeout
+    )

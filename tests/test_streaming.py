@@ -100,6 +100,58 @@ def test_incremental_stats_merge_on_read(spark, sf_dir, synth_dir, staged_pages,
     assert chk.where(F.col("cnt") != F.col("g") + F.col("b0")).count() == 0
 
 
+def test_streaming_exact_dedup_stateful(spark, tmp_path):
+    """applyInPandasWithState ledger: duplicates are flagged against
+    ALL history — within a batch, across micro-batches, and across a
+    checkpointed restart (state store persistence)."""
+    from pignlproc_spark.streaming.dedup import streaming_exact_dedup
+
+    in_dir = tmp_path / "docs_in"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "ck")
+
+    def arrive(name, rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(in_dir / name))
+
+    def drain(phase):
+        out_dir = str(tmp_path / f"out_{phase}")
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir) + "/*")
+        )
+        q = (
+            streaming_exact_dedup(stream)
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("overwrite").parquet(f"{out_dir}/batch={bid}")
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r.doc_id: r for r in spark.read.parquet(out_dir).collect()}
+
+    # phase 1: doc 3 duplicates doc 1 (same batch-or-later micro-batch)
+    arrive("a", [(1, "alpha text"), (2, "beta text")])
+    arrive("b", [(3, "alpha text"), (4, "gamma text")])
+    got = drain("dedup1")
+    assert not got[1].is_duplicate and got[1].keep_id == 1
+    assert not got[2].is_duplicate and not got[4].is_duplicate
+    assert got[3].is_duplicate and got[3].keep_id == 1
+
+    # phase 2 (restart, same checkpoint): new file duplicating OLD
+    # content — state must remember doc 1 across the restart
+    arrive("c", [(5, "alpha text"), (6, "delta text")])
+    got2 = drain("dedup2")
+    assert set(got2) == {5, 6}  # only the new arrivals re-emit
+    assert got2[5].is_duplicate and got2[5].keep_id == 1
+    assert not got2[6].is_duplicate and got2[6].keep_id == 6
+
+
 def test_windowed_counts_stream(spark, staged_pages, tmp_path):
     stream = ingest.mention_stream(ingest.read_page_stream(spark, staged_pages))
     counts = ingest.windowed_uri_counts(stream, window="30 minutes", watermark="1 hour")
