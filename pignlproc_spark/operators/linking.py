@@ -144,11 +144,39 @@ def disambiguate(
         .groupBy("mention_id", "uri")
         .agg(F.sum("cnt").cast("long").alias("overlap_cnt"))
     )
+    # context is consumed by tokenization above — drop it before the
+    # scored join so the (mention_id, uri) shuffle carries ~50-byte
+    # keys, not full context strings
     scored = (
-        dm.join(F.broadcast(cands), "surface_form")
+        dm.select("url", "surface_form", "mention_id")
+        .join(F.broadcast(cands), "surface_form")
         .join(overlap, ["mention_id", "uri"], "left")
         .withColumn("overlap_cnt", F.coalesce(F.col("overlap_cnt"), F.lit(0)).cast("long"))
     )
+    if k == 1:
+        # decision mode: min(struct) aggregation instead of a window —
+        # partial/final HashAggregate (map-side combine, no per-group
+        # sort); struct field order IS the ranking (neg counts ⇒ desc)
+        best = scored.groupBy("mention_id").agg(
+            F.min(
+                F.struct(
+                    (-F.col("overlap_cnt")).alias("_no"),
+                    (-F.col("prior_cnt")).alias("_np"),
+                    F.col("uri"),
+                    F.col("url"),
+                    F.col("surface_form"),
+                )
+            ).alias("b")
+        )
+        return best.select(
+            F.col("b.url").alias("url"),
+            F.col("b.surface_form").alias("surface_form"),
+            "mention_id",
+            F.col("b.uri").alias("uri"),
+            (-F.col("b._no")).cast("long").alias("overlap_cnt"),
+            (-F.col("b._np")).cast("long").alias("prior_cnt"),
+            F.lit(1).cast("int").alias("rank"),
+        )
     w = Window.partitionBy("mention_id").orderBy(F.desc("overlap_cnt"), F.desc("prior_cnt"), F.asc("uri"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))

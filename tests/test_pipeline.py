@@ -110,6 +110,18 @@ def test_disambiguate_unit(spark):
     assert row.overlap_cnt == 12 and row.prior_cnt == 10
 
 
+def test_disambiguate_k1_agg_path_equals_window_path(spark, sf_dir, result):
+    # the k=1 min(struct) aggregation must pick exactly the window
+    # path's rank-1 row for every mention
+    agg = linking.disambiguate(result.mentions, result.pair_counts, result.token_counts, k=1)
+    win = linking.disambiguate(result.mentions, result.pair_counts, result.token_counts, k=2).where(
+        F.col("rank") == 1
+    )
+    cols = ["url", "surface_form", "mention_id", "uri", "overlap_cnt", "prior_cnt", "rank"]
+    assert agg.select(*cols).exceptAll(win.select(*cols)).count() == 0
+    assert win.select(*cols).exceptAll(agg.select(*cols)).count() == 0
+
+
 def test_disambiguate_recovers_gold_links(spark, sf_dir, result):
     # top-1 decision vs the mention's actual gold target: with the
     # profile built from the same corpus the linker should recover the
