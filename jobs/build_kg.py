@@ -44,6 +44,16 @@ def main(argv=None):
     ap.add_argument("--checkpoint", help="checkpoint root for resumable stages")
     ap.add_argument("--snapshot-id", default="", help="input snapshot/commit id for the resume fingerprint")
     ap.add_argument("--write-tsv", action="store_true", help="also emit reference-style TSV count tables")
+    ap.add_argument(
+        "--link-decisions",
+        action="store_true",
+        help="also run Spotlight-style disambiguation and write the top-1 link decision per mention",
+    )
+    ap.add_argument(
+        "--auto-salt",
+        action="store_true",
+        help="size graph-write salting from the observed subject histogram instead of the default",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -69,9 +79,19 @@ def main(argv=None):
             spark, pages, red, ckpt=ckpt, source_id=f"{args.pages}@{args.snapshot_id}"
         )
 
-    graph_path = T.write_graph(res.triples, name="graph/triples", root=args.out)
+    graph_path = T.write_graph(
+        res.triples,
+        name="graph/triples",
+        root=args.out,
+        salt_buckets="auto" if args.auto_salt else 8,
+    )
     n = spark.read.parquet(graph_path).count() if graph_path.startswith("/") else res.triples.count()
     outputs = {"triples": graph_path}
+    if args.link_decisions:
+        from pignlproc_spark.operators import linking
+
+        decisions = linking.disambiguate(res.mentions, res.pair_counts, res.token_counts, k=1)
+        outputs["link_decisions"] = tables.write_table(decisions, "stats/link_decisions", root=args.out)
     for name, df in (
         ("pair_counts", res.pair_counts),
         ("uri_counts", res.uri_counts),

@@ -1,0 +1,33 @@
+"""spark-submit entrypoint smoke: the CLI surface must run the full
+pipeline, write every output table, and honor the optional link-
+decision / auto-salt / TSV flags (reuses the session fixture — the
+job picks up the active session exactly as under spark-submit)."""
+
+from pyspark.sql import functions as F
+
+from jobs.build_kg import main
+
+
+def test_build_kg_job_end_to_end(spark, tmp_path):
+    out = str(tmp_path / "kg")
+    rc = main(
+        [
+            "--synth-sf",
+            "0.001",
+            "--out",
+            out,
+            "--checkpoint",
+            str(tmp_path / "ck"),
+            "--link-decisions",
+            "--auto-salt",
+        ]
+    )
+    assert rc == 0
+    triples = spark.read.parquet(f"{out}/graph/triples")
+    assert triples.count() > 0
+    assert {d for d in __import__("os").listdir(f"{out}/graph/triples") if d.startswith("pred=")}
+    dec = spark.read.parquet(f"{out}/stats/link_decisions")
+    assert dec.count() > 0
+    assert dec.where(F.col("rank") != 1).count() == 0
+    for t in ("pair_counts", "uri_counts", "sf_total_counts", "token_counts"):
+        assert spark.read.parquet(f"{out}/stats/{t}").count() > 0
