@@ -587,7 +587,8 @@ def oracle_sql() -> dict[str, str]:
       SELECT DISTINCT url, context, surface_form FROM {g('golden_mentions')}
     ), dmid AS (
       SELECT url, context, surface_form,
-             md5(url || chr(31) || context || chr(31) || surface_form) AS mention_id
+             md5(coalesce(url, '') || chr(31) || coalesce(context, '')
+                 || chr(31) || coalesce(surface_form, '')) AS mention_id
       FROM dm
     ), mt AS (
       SELECT mention_id, surface_form,

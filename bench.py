@@ -55,8 +55,10 @@ def run(sf_dir: str, cpus: int, quiet: bool = True, pipeline_only: bool = False)
         from pignlproc_spark.operators import linking
 
         # full Spotlight-style linking: prior × context-token evidence
-        # per mention (token_counts recomputed inside — the profile
-        # join is the cost being measured)
+        # per mention. Consumes the token profile built by the
+        # kg_token_counts stage above — this stage's time is the
+        # mention tokenization + evidence join + decision aggregate,
+        # NOT the profile build
         timed(
             "kg_disambiguate",
             lambda: linking.disambiguate(res.mentions, res.pair_counts, res.token_counts, k=1).count(),

@@ -104,6 +104,20 @@ class CheckpointManager:
         if not self.enabled:
             return df
         out = self._stage_dir(name, fingerprint)
+        # pin the slice count: resuming the same fingerprint with a
+        # different modulus would mix pmod-N and pmod-M slice files and
+        # silently duplicate rows on read-back
+        slices_marker = out / "_SLICES"
+        if slices_marker.exists():
+            prior = int(slices_marker.read_text().strip())
+            if prior != num_slices:
+                raise ValueError(
+                    f"stage '{name}' fp={fingerprint} was written with num_slices={prior}; "
+                    f"resume requested {num_slices} — use the original value or a new fingerprint"
+                )
+        else:
+            out.mkdir(parents=True, exist_ok=True)
+            slices_marker.write_text(f"{num_slices}\n")
         done = self.slice_states(name, fingerprint, num_slices)
         missing = [s for s in range(num_slices) if not done[s]]
         if missing:
@@ -147,10 +161,12 @@ class CheckpointManager:
         else:
             self._log(name, fingerprint, resumed=True, wall_s=0.0)
             self.events[-1]["slices_recomputed"] = []
+        # explicit schema: an all-empty stage leaves slice dirs with no
+        # parquet files, and schema inference would fail on zero files
         return (
-            spark.read.option("recursiveFileLookup", "true")
+            spark.read.schema(df.schema)
+            .option("recursiveFileLookup", "true")
             .parquet(str(out))
-            .drop("_slice")
         )
 
     def _partition_metrics(self, data_dir: Path) -> list[dict]:

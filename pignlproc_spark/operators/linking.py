@@ -129,8 +129,14 @@ def disambiguate(
     """
     from pignlproc_spark.functions.tokenize import tokens_col
 
+    # coalesce to '' BEFORE hashing: concat_ws SKIPS nulls (dropping
+    # the separator — a null-context mention would collide with a
+    # no-context one under a different grouping) while SQL '||'
+    # propagates them (md5(NULL) = NULL); pinning '' keeps both
+    # engines identical and every mention addressable
+    _k = lambda c: F.coalesce(F.col(c), F.lit(""))  # noqa: E731
     dm = mentions.select("url", "context", "surface_form").distinct().withColumn(
-        "mention_id", F.md5(F.concat_ws(US, "url", "context", "surface_form"))
+        "mention_id", F.md5(F.concat_ws(US, _k("url"), _k("context"), _k("surface_form")))
     )
     cands = pair_counts.select("surface_form", "uri", F.col("cnt").cast("long").alias("prior_cnt"))
     mention_tokens = dm.select(

@@ -257,8 +257,13 @@ def embedding_near_duplicates(
         cos(a,b) ≥ τ  ⟺  dot_q > 0 ∧ 10⁴·dot_q² ≥ (100τ)²·‖a‖²·‖b‖²
 
     over 1e-3-quantized vectors — no float sums, so the DuckDB oracle
-    hash-matches (CLAUDE.md oracle rules). int64 headroom: dims ≤ 10³
-    with |x| ≤ ~30 quantized-to-3-decimals keeps 10⁴·dot² < 2⁶³.
+    hash-matches (CLAUDE.md oracle rules). int64 headroom: both sides
+    are ≤ 10⁴·‖a‖²·‖b‖² (|dot| ≤ √(‖a‖²‖b‖²), pct ≤ 100), so the test
+    is exact iff max ‖v‖²_q < √(2⁶³/10⁴) ≈ 3.0×10⁷ — true for any
+    unit-norm embedding at ``scale=1000`` (‖v‖²_q ≈ 10⁶ regardless of
+    dim) but NOT for arbitrary-magnitude vectors; a driver-side guard
+    aggregates max ‖v‖²_q and raises rather than wrap silently
+    (Spark's non-ANSI bigint multiply does not error on overflow).
 
     ``n_planes=None`` compares all pairs — bounded inputs only (the
     oracle/verify path). With ``n_planes`` set, candidates come from a
@@ -273,6 +278,18 @@ def embedding_near_duplicates(
         _quantize(F.col(vec_col), scale).alias("v"),
         F.col(vec_col).alias("raw"),
     ).withColumn("nrm", _dot_int(F.col("v"), F.col("v")))
+    # overflow guard: one tiny agg — the int64 comparison wraps
+    # silently past 2^63 under non-ANSI semantics. The norm is
+    # re-summed in DOUBLE for the guard (floats cannot wrap; relative
+    # error ~1e-16 is absorbed by the 2× safety factor in 2^62), so
+    # the guard itself is immune to the wrap it detects
+    nrm_d = F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double"))
+    max_nrm = n.agg(F.max(nrm_d)).collect()[0][0] or 0.0
+    if 10000.0 * max_nrm * max_nrm >= float(2**62):
+        raise ValueError(
+            f"quantized norm^2 up to {max_nrm:.3g} overflows the int64 cosine "
+            "test; unit-normalize the embeddings or lower `scale`"
+        )
     if n_planes:
         dim = len(embeddings.select(vec_col).first()[0])
         planes = srp_planes(dim, n_planes, seed)

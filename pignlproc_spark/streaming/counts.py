@@ -49,8 +49,10 @@ MANIFEST = "_manifest.json"
 def _read_manifest(counts_dir: str) -> dict:
     p = Path(counts_dir) / MANIFEST
     if not p.exists():
-        return {"live": [], "next_base": 0}
-    return json.loads(p.read_text())
+        return {"live": [], "next_base": 0, "folded_through": -1}
+    m = json.loads(p.read_text())
+    m.setdefault("folded_through", -1)
+    return m
 
 
 def _write_manifest(counts_dir: str, manifest: dict) -> None:
@@ -64,10 +66,18 @@ def append_delta(partial_counts: DataFrame, counts_dir: str, batch_id: int) -> N
     """Publish one micro-batch's partial counts.
 
     ``partial_counts`` must already be aggregated to (keys..., cnt).
-    Idempotent per ``batch_id``: a replayed micro-batch rewrites
-    ``delta-<id>`` and the manifest add is a set-insert.
+    Idempotent per ``batch_id`` — including across compaction: a
+    replayed micro-batch rewrites ``delta-<id>`` while the delta is
+    still live, and is a NO-OP once compaction folded that batch into
+    a base (the manifest's ``folded_through`` high-water mark records
+    the largest batch id any base absorbed; without it a
+    crash-between-sink-and-checkpoint replay after compact() would
+    re-insert an already-counted batch forever).
     """
+    m = _read_manifest(counts_dir)
     name = f"delta-{batch_id:08d}"
+    if batch_id <= m["folded_through"] and name not in m["live"]:
+        return  # already folded into a base — replay must not re-add
     partial_counts.write.mode("overwrite").parquet(f"{counts_dir}/{name}")
     m = _read_manifest(counts_dir)
     if name not in m["live"]:
@@ -101,7 +111,14 @@ def compact(spark: SparkSession, counts_dir: str, keys: list[str], min_deltas: i
     base = f"base-{m['next_base']:08d}"
     merged.write.mode("overwrite").parquet(f"{counts_dir}/{base}")
     consumed = list(m["live"])
-    _write_manifest(counts_dir, {"live": [base], "next_base": m["next_base"] + 1})
+    folded = max(
+        [m["folded_through"]]
+        + [int(d.split("-")[1]) for d in consumed if d.startswith("delta-")]
+    )
+    _write_manifest(
+        counts_dir,
+        {"live": [base], "next_base": m["next_base"] + 1, "folded_through": folded},
+    )
     for d in consumed:
         shutil.rmtree(f"{counts_dir}/{d}", ignore_errors=True)
     return True

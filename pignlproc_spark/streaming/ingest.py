@@ -105,13 +105,18 @@ def run_incremental(
         # per-batch directory + overwrite = idempotent on micro-batch
         # replay (crash between sink write and checkpoint commit):
         # re-running batch N replaces batch=N instead of appending dupes
-        if stats_root is not None:
-            out = out.persist()  # one extraction pass feeds facts + stats
-        out.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
-        if stats_root is not None:
+        if stats_root is None:
+            out.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+            return
+        out = out.persist()  # one extraction pass feeds facts + stats
+        try:
+            out.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
             from pignlproc_spark.streaming.counts import maintain_mention_stats
 
             maintain_mention_stats(out, stats_root, batch_id)
+        finally:
+            # unpersist even when the write/stats raise — foreachBatch
+            # retries would otherwise layer a leaked cache per attempt
             out.unpersist()
 
     writer = (

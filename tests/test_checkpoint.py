@@ -2,6 +2,8 @@
 SURVEY.md §5.2 item 4): a re-run with the same fingerprint skips
 completed stages and produces identical triples."""
 
+from pyspark.sql import functions as F
+
 from pignlproc_spark.checkpoint import CheckpointManager, input_fingerprint
 from pignlproc_spark.plans import pipeline
 
@@ -71,6 +73,25 @@ def test_partitioned_stage_slice_resume(spark, synth_dir, tmp_path):
 
     lin = json.loads((root / "parsed" / f"fp={fp}" / "s2" / "_lineage.json").read_text())
     assert lin["slice"] == 2 and lin["rows"] >= 0
+
+
+def test_partitioned_stage_guards(spark, tmp_path):
+    import pytest
+
+    df = spark.createDataFrame([(f"u{i}", i) for i in range(50)], "url string, x long")
+    ckpt = CheckpointManager(tmp_path / "ck4")
+    fp = input_fingerprint(spark, "g", "v1")
+    ckpt.stage_partitioned(df, "s", fp, key="url", num_slices=4)
+    # resuming the same fingerprint with a different modulus would mix
+    # pmod-4 and pmod-8 slices and duplicate rows — must refuse
+    with pytest.raises(ValueError, match="num_slices=4"):
+        ckpt.stage_partitioned(df, "s", fp, key="url", num_slices=8)
+
+    # an all-empty stage must round-trip (schema given explicitly; no
+    # parquet files exist to infer from)
+    empty = df.where(F.lit(False))
+    out = ckpt.stage_partitioned(empty, "s_empty", fp, key="url", num_slices=4)
+    assert out.count() == 0 and out.columns == ["url", "x"]
 
 
 def test_fingerprint_stability(spark):

@@ -78,23 +78,20 @@ def test_incremental_stats_merge_on_read(spark, sf_dir, synth_dir, staged_pages,
     assert len(counts._read_manifest(f"{stats_root}/pair_counts")["live"]) == 1
     assert_fresh()
 
-    # replayed micro-batch (same batch_id) overwrites its delta — no
-    # double counting on crash-replay
+    # replay of a batch ALREADY FOLDED by compaction must be a no-op
+    # (the folded_through high-water mark): counts stay exact
     some_batch = spark.read.parquet(f"{out_dir}/batch=0")
-    counts.append_delta(
-        some_batch.groupBy("surface_form", "uri").agg(F.count(F.lit(1)).alias("cnt")),
-        f"{stats_root}/pair_counts",
-        batch_id=0,
-    )
-    counts.append_delta(
-        some_batch.groupBy("surface_form", "uri").agg(F.count(F.lit(1)).alias("cnt")),
-        f"{stats_root}/pair_counts",
-        batch_id=0,
-    )
+    b0_delta = some_batch.groupBy("surface_form", "uri").agg(F.count(F.lit(1)).alias("cnt"))
+    counts.append_delta(b0_delta, f"{stats_root}/pair_counts", batch_id=0)
+    assert_fresh()
+
+    # replay of a NEW (still-live) batch overwrites its own delta —
+    # appended twice, counted once
+    counts.append_delta(b0_delta, f"{stats_root}/pair_counts", batch_id=999)
+    counts.append_delta(b0_delta, f"{stats_root}/pair_counts", batch_id=999)
     pc = counts.read_counts(spark, f"{stats_root}/pair_counts", ["surface_form", "uri"])
     golden = synth.side_table(spark, sf_dir, "golden_pair_counts")
     merged = pc.join(golden.select("surface_form", "uri", F.col("cnt").alias("g")), ["surface_form", "uri"])
-    # every key's count grew by exactly batch 0's contribution, once
     b0 = some_batch.groupBy("surface_form", "uri").agg(F.count(F.lit(1)).alias("b0"))
     chk = merged.join(b0, ["surface_form", "uri"], "left").fillna(0, subset=["b0"])
     assert chk.where(F.col("cnt") != F.col("g") + F.col("b0")).count() == 0

@@ -134,6 +134,14 @@ def test_embedding_near_duplicates(spark):
     srp = {(r.id_a, r.id_b) for r in similarity.embedding_near_duplicates(emb, min_cos_pct=90, n_planes=4).collect()}
     assert srp <= got and (0, 1) in srp
 
+    # overflow guard: magnitudes whose squared test would wrap int64
+    # must raise, not silently compare garbage
+    big = spark.createDataFrame(
+        [(0, [4.0e6, 0.0]), (1, [4.0e6, 1.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="overflow"):
+        similarity.embedding_near_duplicates(big, min_cos_pct=90)
+
 
 def test_ivf_topk_recall(spark):
     import pyspark.sql.functions as F
