@@ -124,16 +124,29 @@ def compact(spark: SparkSession, counts_dir: str, keys: list[str], min_deltas: i
     return True
 
 
-def maintain_mention_stats(batch_mentions: DataFrame, stats_root: str, batch_id: int) -> None:
+def maintain_mention_stats(
+    batch_mentions: DataFrame, stats_root: str, batch_id: int, compact_every: int = 0
+) -> None:
     """Per-micro-batch hook: publish pairCounts/uriCounts/sf annotated-
     count deltas for one batch of mention facts (call from
-    foreachBatch alongside the fact append)."""
+    foreachBatch alongside the fact append).
+
+    ``compact_every > 0`` bounds read amplification inline: once a
+    table accumulates that many live dirs they are folded into a new
+    base right here (single-writer, so compacting inside the batch
+    hook is race-free)."""
     from pignlproc_spark.operators import stats
 
-    append_delta(stats.pair_counts(batch_mentions), f"{stats_root}/pair_counts", batch_id)
-    append_delta(stats.uri_counts(batch_mentions), f"{stats_root}/uri_counts", batch_id)
-    append_delta(
-        stats.annotated_sf_counts(batch_mentions).withColumnRenamed("annotated_cnt", "cnt"),
-        f"{stats_root}/sf_counts",
-        batch_id,
-    )
+    spark = batch_mentions.sparkSession
+    tables = {
+        "pair_counts": (stats.pair_counts(batch_mentions), ["surface_form", "uri"]),
+        "uri_counts": (stats.uri_counts(batch_mentions), ["uri"]),
+        "sf_counts": (
+            stats.annotated_sf_counts(batch_mentions).withColumnRenamed("annotated_cnt", "cnt"),
+            ["surface_form"],
+        ),
+    }
+    for name, (delta, keys) in tables.items():
+        append_delta(delta, f"{stats_root}/{name}", batch_id)
+        if compact_every:
+            compact(spark, f"{stats_root}/{name}", keys, min_deltas=compact_every)

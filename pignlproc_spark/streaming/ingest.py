@@ -82,6 +82,7 @@ def run_incremental(
     redirects: DataFrame | None = None,
     available_now: bool = True,
     stats_root: str | None = None,
+    compact_every: int = 0,
 ):
     """Micro-batch driver: stream pages → mentions (+ optional redirect
     resolution against the broadcast dimension) → append parquet.
@@ -113,7 +114,7 @@ def run_incremental(
             out.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
             from pignlproc_spark.streaming.counts import maintain_mention_stats
 
-            maintain_mention_stats(out, stats_root, batch_id)
+            maintain_mention_stats(out, stats_root, batch_id, compact_every=compact_every)
         finally:
             # unpersist even when the write/stats raise — foreachBatch
             # retries would otherwise layer a leaked cache per attempt

@@ -97,6 +97,26 @@ def test_incremental_stats_merge_on_read(spark, sf_dir, synth_dir, staged_pages,
     assert chk.where(F.col("cnt") != F.col("g") + F.col("b0")).count() == 0
 
 
+def test_maintain_stats_auto_compaction(spark, tmp_path):
+    from pignlproc_spark.streaming import counts
+
+    root = str(tmp_path / "stats")
+    m1 = spark.createDataFrame([("u1", "sf_a", "U1"), ("u2", "sf_a", "U2")], "url string, surface_form string, uri string")
+    m2 = spark.createDataFrame([("u3", "sf_a", "U1")], "url string, surface_form string, uri string")
+    counts.maintain_mention_stats(m1, root, batch_id=0, compact_every=2)
+    counts.maintain_mention_stats(m2, root, batch_id=1, compact_every=2)
+    # second batch triggered the fold: one live base, counts merged
+    man = counts._read_manifest(f"{root}/pair_counts")
+    assert len(man["live"]) == 1 and man["live"][0].startswith("base-")
+    assert man["folded_through"] == 1
+    pc = {(r.surface_form, r.uri): r.cnt for r in counts.read_counts(spark, f"{root}/pair_counts", ["surface_form", "uri"]).collect()}
+    assert pc == {("sf_a", "U1"): 2, ("sf_a", "U2"): 1}
+    # replay of folded batch 1 is a no-op
+    counts.maintain_mention_stats(m2, root, batch_id=1, compact_every=2)
+    pc2 = {(r.surface_form, r.uri): r.cnt for r in counts.read_counts(spark, f"{root}/pair_counts", ["surface_form", "uri"]).collect()}
+    assert pc2 == pc
+
+
 def test_streaming_exact_dedup_stateful(spark, tmp_path):
     """applyInPandasWithState ledger: duplicates are flagged against
     ALL history — within a batch, across micro-batches, and across a
