@@ -308,6 +308,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def docs_token_counts(spark, sf_dir):
         return textstats.token_counts_per_doc(_read(spark, sf_dir, "documents"))
 
+    def docs_bpe_pieces(spark, sf_dir):
+        return textstats.bpe_ish_token_counts(_read(spark, sf_dir, "documents"))
+
+    def docs_corpus_filter(spark, sf_dir):
+        return textstats.corpus_filter(_read(spark, sf_dir, "documents"))
+
     # ---- sources: dump replay + NTriples (J1/J2/J4) ----
     def src_wikidump_index(spark, sf_dir):
         from pignlproc_spark.sources.wikidump import read_dump
@@ -439,6 +445,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs_quality=docs_quality,
         docs_fingerprint=docs_fingerprint,
         docs_token_counts=docs_token_counts,
+        docs_bpe_pieces=docs_bpe_pieces,
+        docs_corpus_filter=docs_corpus_filter,
         emb_cosine_topk=emb_cosine_topk,
         emb_srp_lsh_topk=emb_srp_lsh_topk,
         emb_ivf_topk=emb_ivf_topk,
@@ -769,6 +777,29 @@ def oracle_sql() -> dict[str, str]:
            len(list_distinct(toks))::BIGINT AS n_unique_tokens
     FROM t
     """
+    o["docs_bpe_pieces"] = r"""
+    SELECT doc_id::BIGINT AS doc_id,
+           len(regexp_extract_all(text,
+               '''(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+'))::BIGINT AS n_pieces
+    FROM documents
+    """
+    o["docs_corpus_filter"] = f"""
+    WITH q AS ({o["docs_quality"]}),
+    l AS ({_langid_sql()}),
+    h AS (SELECT doc_id::BIGINT AS doc_id, md5(text) AS ch FROM documents),
+    k AS (SELECT ch, min(doc_id)::BIGINT AS keep_id FROM h GROUP BY ch),
+    c AS (SELECT h.doc_id, (h.doc_id = k.keep_id)::INT AS is_canonical FROM h JOIN k USING (ch))
+    SELECT q.doc_id,
+           (q.n_tokens >= 25 AND q.n_tokens <= 100000)::INT AS ok_len,
+           (q.mean_token_len_x100 BETWEEN 300 AND 800)::INT AS ok_token_len,
+           (l.lang_pred = 'en')::INT AS ok_lang,
+           c.is_canonical,
+           ((q.n_tokens >= 25 AND q.n_tokens <= 100000)
+            AND (q.mean_token_len_x100 BETWEEN 300 AND 800)
+            AND l.lang_pred = 'en' AND c.is_canonical = 1)::INT AS keep
+    FROM q JOIN l USING (doc_id) JOIN c USING (doc_id)
+    """
+
     # ---- sources ----
     o["src_wikidump_index"] = (
         f"SELECT title, page_id, markup_bytes FROM {g('golden_dump_index')}"

@@ -106,6 +106,76 @@ def token_counts_per_doc(df: DataFrame, id_col: str = "doc_id", text_col: str = 
     )
 
 
+def bpe_ish_token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, n_pieces) — GPT-2-style regex pre-tokenizer piece count
+    (contractions | space?+letters | space?+digits | space?+other),
+    whitespace pieces not counted. Lookahead-free so the same pattern
+    runs under Java regex (Spark) and RE2 (DuckDB oracle) identically.
+    The count estimates LLM token budgets far better than word counts
+    (punctuation/number runs become their own pieces)."""
+    pat = r"'(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+"
+    pieces = F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)
+    return df.select(
+        F.col(id_col).cast("bigint"),
+        F.size(pieces).cast("bigint").alias("n_pieces"),
+    )
+
+
+def corpus_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang: str = "en",
+    min_tokens: int = 25,
+    max_tokens: int = 100000,
+    min_mean_token_len_x100: int = 300,
+    max_mean_token_len_x100: int = 800,
+) -> DataFrame:
+    """C4-style corpus curation decision: compose quality signals,
+    language ID, and exact-dedup canonicality into one keep/drop row
+    per document —
+
+        (id, ok_len, ok_token_len, ok_lang, is_canonical, keep)
+
+    with INT flags (oracle-hashable). ``keep = 1`` iff all pass.
+    Thresholds are policy knobs; the defaults are C4-ish (drop very
+    short docs, degenerate token lengths, off-language docs, and
+    non-first copies of duplicated content).
+
+    Scale shape: three per-document aggregates joined on the id — the
+    joins co-partition on one key and each input is one codegen'd
+    pass; the dedup side shuffles (hash, id) pairs only.
+    """
+    from pignlproc_spark.operators.dedup import exact_duplicates
+
+    q = quality_signals(df, id_col, text_col)
+    lid = lang_id(df, id_col, text_col)
+    hashes = df.select(
+        F.col(id_col).cast("bigint"), F.md5(F.col(text_col).cast("binary")).alias("_ch")
+    )
+    canon = hashes.join(
+        exact_duplicates(df, id_col, text_col).select(F.col("content_hash").alias("_ch"), "keep_id"),
+        "_ch",
+    ).select(
+        F.col(id_col),
+        (F.col(id_col) == F.col("keep_id")).cast("int").alias("is_canonical"),
+    )
+    j = q.join(lid, id_col).join(canon, id_col)
+    ok_len = (F.col("n_tokens") >= min_tokens) & (F.col("n_tokens") <= max_tokens)
+    ok_tl = (F.col("mean_token_len_x100") >= min_mean_token_len_x100) & (
+        F.col("mean_token_len_x100") <= max_mean_token_len_x100
+    )
+    ok_lang = F.col("lang_pred") == lang
+    return j.select(
+        F.col(id_col),
+        ok_len.cast("int").alias("ok_len"),
+        ok_tl.cast("int").alias("ok_token_len"),
+        ok_lang.cast("int").alias("ok_lang"),
+        "is_canonical",
+        (ok_len & ok_tl & ok_lang & (F.col("is_canonical") == 1)).cast("int").alias("keep"),
+    )
+
+
 def top_tokens(df: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
     """(token, cnt) global top-k corpus tokens (FLATTEN/explode + count
     + top-k — the P4/P7/P15 composition over free text)."""

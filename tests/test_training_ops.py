@@ -244,6 +244,34 @@ def test_write_tsv_parity(spark, tmp_path):
     assert rows == [("alpha beta", "http://x/A", "3"), ("with\ttab", "http://x/B", "1")]
 
 
+def test_bpe_ish_token_counts(spark):
+    rows = [
+        (0, "Hello world"),        # 2 pieces
+        (1, "it's 2024, folks!"),  # it|'s| 2024|,| folks|! = 6
+        (2, ""),                   # 0
+        (3, "a-b"),                # a|-|b = 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.n_pieces for r in textstats.bpe_ish_token_counts(df).collect()}
+    assert got == {0: 2, 1: 6, 2: 0, 3: 3}
+
+
+def test_corpus_filter_decisions(spark):
+    good = "the quick brown fox jumps over the lazy dog and then runs far away to find " * 2
+    rows = [
+        (0, good),                      # keep
+        (1, good),                      # exact dup of 0 -> dropped (not canonical)
+        (2, "short text"),              # too few tokens
+        (3, "le chat est dans la maison et le chien est dans le jardin pour une promenade " * 2),  # fr
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in textstats.corpus_filter(df, min_tokens=20).collect()}
+    assert got[0].keep == 1 and got[0].is_canonical == 1
+    assert got[1].keep == 0 and got[1].is_canonical == 0 and got[1].ok_len == 1
+    assert got[2].keep == 0 and got[2].ok_len == 0
+    assert got[3].keep == 0 and got[3].ok_lang == 0
+
+
 def test_tune_salt_buckets(spark, tmp_path):
     from pignlproc_spark import tables
 
