@@ -135,6 +135,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         p = _pipeline(spark, sf_dir)
         return linking.disambiguate(p.mentions, p.pair_counts, p.token_counts, k=3)
 
+    def kg_disambiguation_accuracy(spark, sf_dir):
+        # top-1 gold-link recovery, full model vs prior-only ablation —
+        # the corpus-level quality metric for the linker (the synthetic
+        # corpus plants contested surface forms, so the two differ)
+        p = _pipeline(spark, sf_dir)
+        kcol = lambda c: F.coalesce(F.col(c), F.lit(""))  # noqa: E731
+        gold = (
+            p.mentions.select("url", "context", "surface_form", "uri")
+            .distinct()
+            .select(
+                F.md5(F.concat_ws(linking.US, kcol("url"), kcol("context"), kcol("surface_form"))).alias(
+                    "mention_id"
+                ),
+                F.col("uri").alias("gold_uri"),
+            )
+        )
+        best = linking.disambiguate(p.mentions, p.pair_counts, p.token_counts, k=1).select(
+            "mention_id", F.col("uri").alias("pred")
+        )
+        prior = linking.disambiguate(
+            p.mentions, p.pair_counts, p.token_counts.where(F.lit(False)), k=1
+        ).select("mention_id", F.col("uri").alias("pred_prior"))
+        return (
+            gold.join(best, "mention_id")
+            .join(prior, "mention_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_gold"),
+                F.sum((F.col("pred") == F.col("gold_uri")).cast("long")).cast("bigint").alias("n_hit"),
+                F.sum((F.col("pred_prior") == F.col("gold_uri")).cast("long"))
+                .cast("bigint")
+                .alias("n_hit_prior"),
+            )
+        )
+
     def kg_nerd_stats(spark, sf_dir):
         from pignlproc_spark.operators.stats import nerd_stats
 
@@ -154,6 +188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kg_link_candidates=kg_link_candidates,
         kg_link_probability=kg_link_probability,
         kg_disambiguate=kg_disambiguate,
+        kg_disambiguation_accuracy=kg_disambiguation_accuracy,
         kg_nerd_stats=kg_nerd_stats,
     )
 
@@ -590,8 +625,8 @@ def oracle_sql() -> dict[str, str]:
                 ELSE 0.0 END AS link_prob
     FROM {g('surface_forms')} GROUP BY surface_form
     """
-    o["kg_disambiguate"] = f"""
-    WITH dm AS (
+    disambig_scored = f"""
+    dm AS (
       SELECT DISTINCT url, context, surface_form FROM {g('golden_mentions')}
     ), dmid AS (
       SELECT url, context, surface_form,
@@ -602,6 +637,8 @@ def oracle_sql() -> dict[str, str]:
       SELECT mention_id, surface_form,
              unnest(list_distinct({_tok_sql('context', stop=True)})) AS token
       FROM dmid
+    ), prof AS (
+      SELECT uri, sum(cnt)::BIGINT AS ptot FROM {g('golden_token_counts')} GROUP BY uri
     ), ov AS (
       SELECT mt.mention_id, c.uri, sum(tc.cnt)::BIGINT AS overlap_cnt
       FROM mt
@@ -610,18 +647,46 @@ def oracle_sql() -> dict[str, str]:
       GROUP BY mt.mention_id, c.uri
     ), scored AS (
       SELECT d.url, d.surface_form, d.mention_id, c.uri,
+             CASE WHEN coalesce(p.ptot, 0) > 0
+                  THEN coalesce(o.overlap_cnt, 0) * 1000000 // p.ptot
+                  ELSE 0 END::BIGINT AS evidence,
              coalesce(o.overlap_cnt, 0)::BIGINT AS overlap_cnt,
              c.cnt::BIGINT AS prior_cnt
       FROM dmid d
       JOIN {g('golden_pair_counts')} c ON d.surface_form = c.surface_form
       LEFT JOIN ov o ON o.mention_id = d.mention_id AND o.uri = c.uri
-    )
-    SELECT url, surface_form, mention_id, uri, overlap_cnt, prior_cnt, rank::INT AS rank
+      LEFT JOIN prof p ON p.uri = c.uri
+    )"""
+    o["kg_disambiguate"] = f"""
+    WITH {disambig_scored}
+    SELECT url, surface_form, mention_id, uri, evidence, overlap_cnt, prior_cnt, rank::INT AS rank
     FROM (
       SELECT *, row_number() OVER (PARTITION BY mention_id
-                                   ORDER BY overlap_cnt DESC, prior_cnt DESC, uri ASC) AS rank
+                                   ORDER BY evidence DESC, prior_cnt DESC, uri ASC) AS rank
       FROM scored
     ) WHERE rank <= 3
+    """
+    o["kg_disambiguation_accuracy"] = f"""
+    WITH {disambig_scored},
+    best AS (
+      SELECT mention_id, uri FROM (
+        SELECT mention_id, uri, row_number() OVER (PARTITION BY mention_id
+          ORDER BY evidence DESC, prior_cnt DESC, uri ASC) AS r FROM scored
+      ) WHERE r = 1
+    ), best_prior AS (
+      SELECT mention_id, uri FROM (
+        SELECT mention_id, uri, row_number() OVER (PARTITION BY mention_id
+          ORDER BY prior_cnt DESC, uri ASC) AS r FROM scored
+      ) WHERE r = 1
+    ), gold AS (
+      SELECT md5(coalesce(url, '') || chr(31) || coalesce(context, '')
+                 || chr(31) || coalesce(surface_form, '')) AS mention_id, uri
+      FROM (SELECT DISTINCT url, context, surface_form, uri FROM {g('golden_mentions')})
+    )
+    SELECT count(*)::BIGINT AS n_gold,
+           count(*) FILTER (WHERE b.uri = gold.uri)::BIGINT AS n_hit,
+           count(*) FILTER (WHERE p.uri = gold.uri)::BIGINT AS n_hit_prior
+    FROM gold JOIN best b USING (mention_id) JOIN best_prior p USING (mention_id)
     """
     o["kg_nerd_stats"] = f"""
     SELECT p.surface_form, p.uri, p.cnt,

@@ -40,7 +40,7 @@ from pignlproc_spark.functions.tokenize import tokenize
 from pignlproc_spark.functions.uri import uri_encode
 
 SEED = 42
-GEN_VERSION = "4"  # bump → cached .synthdata regenerates
+GEN_VERSION = "5"  # bump → cached .synthdata regenerates
 MAX_HOPS = 8  # frozen redirect-resolution bound (matches canonicalize)
 URI_LANG = "en"  # URI base is a per-run constant, like the reference's lang param
 
@@ -261,6 +261,21 @@ class Corpus:
 
         surfaces_by_title = {_entity_title(i): _entity_surfaces(i) for i in range(n_entities)}
 
+        # --- contested surface forms (FIXTURES.md §1 ambiguity knob):
+        # adjacent-Zipf-rank entity PAIRS share one surface, so the
+        # pair's priors are comparable and P(uri|sf) alone cannot
+        # resolve the minority side — context evidence has to ---
+        contested: dict[str, tuple[str, str]] = {}
+        for j in range(max(2, n_entities // 20)):
+            a, b = _entity_title(2 * j), _entity_title(2 * j + 1)
+            if a == b or 2 * j + 1 >= n_entities:
+                continue
+            shared = f"{VOCAB[(j * 11 + 5) % len(VOCAB)]} affair {j}"
+            surfaces_by_title[a].append(shared)
+            surfaces_by_title[b].append(shared)
+            contested[shared] = (a, b)
+        self.contested = contested
+
         def surfaces_for(title: str) -> list[str]:
             if title in surfaces_by_title:
                 return surfaces_by_title[title]
@@ -298,6 +313,14 @@ class Corpus:
                         items.insert(pos, ("a", target, surface))
                         placed += 1
                         n_anchor_here += 1
+                        # topic token: pages talk about what they link.
+                        # One letters+digits word unique to the target
+                        # ("alpha0") — the context-evidence signal the
+                        # disambiguator needs to beat the bare prior on
+                        # contested surfaces
+                        if prng.random() < 0.8:
+                            topic = target.replace("_", "").lower()
+                            items.insert(prng.randrange(len(items) + 1), ("w", topic))
                     # unlinked surface-form occurrence (link-probability denominator)
                     if prng.random() < 0.3:
                         sf = prng.choice(surfaces_for(sample_target(prng)))
@@ -360,6 +383,7 @@ class Corpus:
         self.dabs = dabs
         self.n_entities = n_entities
         self.base_ts = base_ts
+        self.surfaces_by_title = surfaces_by_title
 
         # --- redirect resolution (frozen: follow ≤ MAX_HOPS, stop early) ---
         def resolve_title(t: str) -> str:
@@ -482,11 +506,18 @@ def generate(sf: float, root: str | Path = None, force: bool = False) -> Path:
 
     sf_rows = []
     for k in range(c.n_entities):
-        uri = uri_encode(c.resolve_title(_entity_title(k)), URI_LANG)
-        for sf_ in _entity_surfaces(k):
+        title = _entity_title(k)
+        uri = uri_encode(c.resolve_title(title), URI_LANG)
+        # surfaces_by_title includes the contested shared surfaces, so
+        # an ambiguous surface gets one dimension row PER candidate uri
+        for sf_ in c.surfaces_by_title[title]:
             total = c.sf_total.get(sf_, -1)
             occ = total if total > 0 else max(c.annotated.get(sf_, 0), 1)
-            sf_rows.append((sf_, uri, c.annotated.get(sf_, 0), occ))
+            # per-(sf, uri) anchor count where observed (distinguishes
+            # the two candidates of a contested surface); fall back to
+            # the surface total for never-linked dictionary entries
+            anchor = c.pair_counts.get((sf_, uri), c.annotated.get(sf_, 0))
+            sf_rows.append((sf_, uri, anchor, occ))
     frames["surface_forms"] = pd.DataFrame(
         sf_rows, columns=["surface_form", "uri", "anchor_count", "occurrence_count"]
     ).drop_duplicates(subset=["surface_form", "uri"])
