@@ -460,12 +460,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ner_training_sentences(_pipeline(spark, sf_dir).mentions, _syn(spark, sf_dir, "entity_types"))
 
     def kg_paragraph_contexts(spark, sf_dir):
+        # J7 ParagraphsWithLink, full granularity — exact vs the
+        # generator's independent paragraph-mention golden
         from pignlproc_spark.operators.mentions import extract_mentions
 
         pages = synth.pages_for(spark, sf_dir)
         red = _syn(spark, sf_dir, "redirects")
         m = extract_mentions(pages, red, granularity="paragraph")
-        return m.groupBy("url", "uri").agg(F.count(F.lit(1)).alias("cnt"))
+        return m.groupBy("url", "context", "surface_form", "uri").agg(F.count(F.lit(1)).alias("cnt"))
 
     q.update(
         docs_dedup_exact=docs_dedup_exact,
@@ -927,8 +929,11 @@ def oracle_sql() -> dict[str, str]:
     FROM events GROUP BY event_type
     """
 
+    o["kg_paragraph_contexts"] = (
+        f"SELECT url, context, surface_form, uri, cnt FROM {g('golden_paragraph_mentions')}"
+    )
+
     # emb_cosine_topk / emb_srp_lsh_topk / media_features /
-    # ner_opennlp_sentences / kg_paragraph_contexts: intentionally no
-    # oracle (float ordering / pandas-UDF-only paths) → driver records
-    # rows-only checks.
+    # ner_opennlp_sentences: intentionally no oracle (float ordering /
+    # format-rendering paths) → driver records rows-only checks.
     return o

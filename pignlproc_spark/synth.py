@@ -40,7 +40,7 @@ from pignlproc_spark.functions.tokenize import tokenize
 from pignlproc_spark.functions.uri import uri_encode
 
 SEED = 42
-GEN_VERSION = "5"  # bump → cached .synthdata regenerates
+GEN_VERSION = "6"  # bump → cached .synthdata regenerates
 MAX_HOPS = 8  # frozen redirect-resolution bound (matches canonicalize)
 URI_LANG = "en"  # URI base is a per-run constant, like the reference's lang param
 
@@ -152,6 +152,16 @@ class PagePlan:
                 words = [it[1] if it[0] == "w" else it[2] for it in sent]
                 anchors = [(it[1], it[2]) for it in sent if it[0] == "a"]
                 yield " ".join(words) + ".", anchors
+
+    def paragraphs(self):
+        """(paragraph_text, [(target, surface), ...]) per 'p' block —
+        the J7 granularity: one extractor paragraph span per block."""
+        for kind, payload in self.blocks:
+            if kind != "p":
+                continue
+            texts = [" ".join(_item_text(i) for i in s) + "." for s in payload]
+            anchors = [(it[1], it[2]) for s in payload for it in s if it[0] == "a"]
+            yield " ".join(texts), anchors
 
 
 def _item_text(item) -> str:
@@ -404,6 +414,7 @@ class Corpus:
         mentions: Counter = Counter()
         token_counts: Counter = Counter()
         ctx_mentions: Counter = Counter()  # (url, context, surface, uri)
+        para_mentions: Counter = Counter()  # same keys, J7 granularity
         for p in pages:
             if p.kind == "redirect":
                 continue
@@ -417,6 +428,10 @@ class Corpus:
                     ctx_mentions[(p.url, sent_text, surface, uri)] += 1
                     for tok in tokenize(sent_text):
                         token_counts[(uri, tok)] += 1
+            for para_text, anchors in p.paragraphs():
+                for target, surface in anchors:
+                    uri = uri_encode(resolve_title(target), URI_LANG)
+                    para_mentions[(p.url, para_text, surface, uri)] += 1
 
         matcher = SurfaceFormMatcher(annotated.keys())
         totals: Counter = Counter()
@@ -437,6 +452,7 @@ class Corpus:
         self.token_counts = token_counts
         self.mentions = mentions
         self.ctx_mentions = ctx_mentions
+        self.para_mentions = para_mentions
 
 
 # ---------------------------------------------------------------------------
@@ -463,6 +479,7 @@ TABLES = [
     "golden_token_counts",
     "golden_triples",
     "golden_mentions",
+    "golden_paragraph_mentions",
     "article_categories",
     "skos_broader",
     "golden_dump_index",
@@ -561,6 +578,10 @@ def generate(sf: float, root: str | Path = None, force: bool = False) -> Path:
     frames["golden_triples"] = _triples_frame(c)
     frames["golden_mentions"] = pd.DataFrame(
         [(u, ctx, s, uri, n) for (u, ctx, s, uri), n in sorted(c.ctx_mentions.items())],
+        columns=["url", "context", "surface_form", "uri", "cnt"],
+    )
+    frames["golden_paragraph_mentions"] = pd.DataFrame(
+        [(u, ctx, s, uri, n) for (u, ctx, s, uri), n in sorted(c.para_mentions.items())],
         columns=["url", "context", "surface_form", "uri", "cnt"],
     )
 
