@@ -17,7 +17,7 @@ import sys
 import time
 
 
-def run(sf_dir: str, cpus: int, quiet: bool = True, pipeline_only: bool = False) -> dict:
+def run(sf_dir: str, cpus: int, quiet: bool = True, pipeline_only: bool = False, repeat: int = 1) -> dict:
     from pyspark.sql import functions as F
 
     from pignlproc_spark import synth
@@ -30,10 +30,20 @@ def run(sf_dir: str, cpus: int, quiet: bool = True, pipeline_only: bool = False)
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
 
-    def timed(name, fn):
-        t0 = time.time()
-        counts[name] = fn()
-        timings[name] = round(time.time() - t0, 3)
+    def timed(name, fn, setup=None):
+        # repeat > 1: host wall-clock noise here is up to 4x between
+        # runs and 35x per action (BASELINE.md host-noise caveat); the
+        # minimum over repeats approximates the true cost. Default 1 =
+        # the driver-contract cold measurement.
+        best = None
+        for _ in range(repeat):
+            if setup is not None:
+                setup()
+            t0 = time.time()
+            counts[name] = fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     # warm-up: JVM codegen + fork the Python UDF workers once (daemon
     # reuse keeps them alive) so cold-start isn't billed to the pipeline
@@ -47,7 +57,12 @@ def run(sf_dir: str, cpus: int, quiet: bool = True, pipeline_only: bool = False)
         res_box["res"] = pipeline.run_synth(spark, sf_dir)
         return res_box["res"].triples.count()
 
-    timed("kg_pipeline_triples", _run_pipeline)
+    def _drop_pipeline():
+        if "res" in res_box:
+            res_box["res"].unpersist()
+            del res_box["res"]
+
+    timed("kg_pipeline_triples", _run_pipeline, setup=_drop_pipeline)
     res = res_box["res"]
     if not pipeline_only:
         timed("kg_token_counts", lambda: res.token_counts.count())
@@ -104,6 +119,8 @@ def run(sf_dir: str, cpus: int, quiet: bool = True, pipeline_only: bool = False)
         "rows": counts,
         "triples_per_sec": round(n_triples / timings["kg_pipeline_triples"], 1),
     }
+    if repeat > 1:
+        out["repeat"] = repeat  # timings are min-of-N, not cold single-shot
     res.unpersist()
     spark.stop()
     return out
@@ -112,7 +129,10 @@ def run(sf_dir: str, cpus: int, quiet: bool = True, pipeline_only: bool = False)
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    out = run(sf_dir, cpus, pipeline_only="--pipeline-only" in sys.argv)
+    repeat = 1
+    if "--repeat" in sys.argv:
+        repeat = int(sys.argv[sys.argv.index("--repeat") + 1])
+    out = run(sf_dir, cpus, pipeline_only="--pipeline-only" in sys.argv, repeat=repeat)
     print(json.dumps(out))
 
 

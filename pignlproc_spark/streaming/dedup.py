@@ -71,3 +71,71 @@ def streaming_exact_dedup(
     return hashed.groupBy("content_hash").applyInPandasWithState(
         ledger, OUTPUT_SCHEMA, STATE_SCHEMA, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_exact_dedup_tws(
+    docs_stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Same ledger on the Spark 4 ``transformWithStateInPandas`` API.
+
+    Differences vs the classic variant that matter at scale:
+
+    - ``ttl_ms`` bounds state natively (the state store expires a
+      hash's entry after the TTL) — the retention policy an unbounded
+      feed needs, without hand-rolled timeout plumbing; a re-arrival
+      after expiry is treated as first-seen again.
+    - typed state variables (value/list/map) per key instead of one
+      tuple; this processor needs only a value state holding keep_id.
+
+    Environment note: the transformWithState protocol needs
+    ``google.protobuf`` (PySpark's state-server wire format), which
+    this offline sandbox lacks — the import guard below raises a
+    clear error; the ``applyInPandasWithState`` variant above has no
+    such dependency and is the locally-tested path.
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas requires google.protobuf (not bundled "
+            "in this sandbox); use streaming_exact_dedup instead"
+        ) from e
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor, StatefulProcessorHandle
+
+    hashed = docs_stream.select(
+        F.md5(F.col(text_col).cast("binary")).alias("content_hash"),
+        F.col(id_col).cast("long").alias("doc_id"),
+    )
+
+    class DedupLedger(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._keep = handle.getValueState("keep", STATE_SCHEMA, ttlDurationMs=ttl_ms)
+
+        def handleInputRows(self, key, rows, timerValues):
+            (content_hash,) = key
+            keep = self._keep.get()[0] if self._keep.exists() else None
+            pdf = pd.concat(list(rows), ignore_index=True)
+            if keep is None and len(pdf):
+                keep = int(pdf["doc_id"].min())
+            out = pd.DataFrame(
+                {"content_hash": content_hash, "doc_id": pdf["doc_id"].astype("int64")}
+            )
+            out["keep_id"] = keep
+            out["is_duplicate"] = out["doc_id"] != keep
+            if keep is not None:
+                self._keep.update((keep,))
+            yield out
+
+        def close(self) -> None:
+            pass
+
+    return hashed.groupBy("content_hash").transformWithStateInPandas(
+        statefulProcessor=DedupLedger(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

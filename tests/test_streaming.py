@@ -169,6 +169,41 @@ def test_streaming_exact_dedup_stateful(spark, tmp_path):
     assert not got2[6].is_duplicate and got2[6].keep_id == 6
 
 
+def test_streaming_exact_dedup_transform_with_state(spark, tmp_path):
+    """Spark-4 stateful API variant: same ledger semantics on
+    transformWithStateInPandas (RocksDB-backed state store). Skipped
+    where google.protobuf (the state-server wire format) is absent."""
+    pytest.importorskip("google.protobuf")
+    from pignlproc_spark.streaming.dedup import streaming_exact_dedup_tws
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text"), (3, "alpha text")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(in_dir / "a"))
+    out_dir = str(tmp_path / "out")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir) + "/*")
+    )
+    q = (
+        streaming_exact_dedup_tws(stream)
+        .writeStream.foreachBatch(
+            lambda df, bid: df.write.mode("overwrite").parquet(f"{out_dir}/batch={bid}")
+        )
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id: r for r in spark.read.parquet(out_dir).collect()}
+    assert not got[1].is_duplicate and got[1].keep_id == 1
+    assert not got[2].is_duplicate
+    assert got[3].is_duplicate and got[3].keep_id == 1
+
+
 def test_windowed_counts_stream(spark, staged_pages, tmp_path):
     stream = ingest.mention_stream(ingest.read_page_stream(spark, staged_pages))
     counts = ingest.windowed_uri_counts(stream, window="30 minutes", watermark="1 hour")
