@@ -55,15 +55,16 @@ def cpu_envelope(n: int, n4: int) -> dict:
     }
 
 
-def run_once(sf_dir: str, cpus: int) -> dict:
+def run_once(sf_dir: str, cpus: int, repeat: int = 1) -> dict:
+    # repeat > 1: bench.py reports the per-stage MINIMUM over N
+    # in-session executions — the host-noise mitigation BASELINE.md
+    # documents (wall-clock varies up to 4x between runs; the minimum
+    # approximates the true cost)
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus))
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py"), "--pipeline-only"],
-        env=env,
-        capture_output=True,
-        text=True,
-        timeout=3600,
-    )
+    cmd = [sys.executable, os.path.join(REPO, "bench.py"), "--pipeline-only"]
+    if repeat > 1:
+        cmd += ["--repeat", str(repeat)]
+    out = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=3600)
     line = out.stdout.strip().splitlines()[-1]
     return json.loads(line)
 
@@ -71,10 +72,11 @@ def run_once(sf_dir: str, cpus: int) -> dict:
 def main():
     sf_dir = os.environ.get("SCALING_SF_DIR", os.path.join(REPO, ".synthdata/sf1.0"))
     n = int(os.environ.get("SCALING_N", "4"))
+    repeat = int(os.environ.get("SCALING_REPEAT", "1"))
     n4 = 4 * n
     hw = cpu_envelope(n, n4)
-    r_n = run_once(sf_dir, n)
-    r_n4 = run_once(sf_dir, n4)
+    r_n = run_once(sf_dir, n, repeat)
+    r_n4 = run_once(sf_dir, n4, repeat)
     t_n = r_n["queries"]["kg_pipeline_triples"]
     t_n4 = r_n4["queries"]["kg_pipeline_triples"]
     eff = (t_n / t_n4) / (n4 / n)
@@ -90,6 +92,7 @@ def main():
         "speedup": round(t_n / t_n4, 3),
         "scaling_efficiency": round(eff, 3),
         "hardware_envelope": hw,
+        "repeat": repeat,
         "gate": "PASS" if eff >= 0.8 else "FAIL",
     }
     with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
