@@ -140,14 +140,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the corpus-level quality metric for the linker (the synthetic
         # corpus plants contested surface forms, so the two differ)
         p = _pipeline(spark, sf_dir)
-        kcol = lambda c: F.coalesce(F.col(c), F.lit(""))  # noqa: E731
         gold = (
             p.mentions.select("url", "context", "surface_form", "uri")
             .distinct()
             .select(
-                F.md5(F.concat_ws(linking.US, kcol("url"), kcol("context"), kcol("surface_form"))).alias(
-                    "mention_id"
-                ),
+                linking.mention_id_col().alias("mention_id"),
                 F.col("uri").alias("gold_uri"),
             )
         )

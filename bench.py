@@ -131,7 +131,11 @@ def main():
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     repeat = 1
     if "--repeat" in sys.argv:
-        repeat = int(sys.argv[sys.argv.index("--repeat") + 1])
+        try:
+            repeat = int(sys.argv[sys.argv.index("--repeat") + 1])
+        except (IndexError, ValueError):
+            print("usage: bench.py [--pipeline-only] [--repeat N]", file=sys.stderr)
+            return 2
     out = run(sf_dir, cpus, pipeline_only="--pipeline-only" in sys.argv, repeat=repeat)
     print(json.dumps(out))
 

@@ -28,6 +28,18 @@ from pyspark.sql import functions as F
 US = "\u001f"
 
 
+def mention_id_col(url="url", context="context", surface_form="surface_form"):
+    """The FROZEN mention identity: md5 over coalesced-to-'' key
+    columns joined by US. Single definition — disambiguate, the
+    accuracy evaluation, and tests must all hash byte-identically or
+    their joins silently go empty."""
+    cols = [
+        F.coalesce(F.col(c) if isinstance(c, str) else c, F.lit(""))
+        for c in (url, context, surface_form)
+    ]
+    return F.md5(F.concat_ws(US, *cols))
+
+
 def candidate_topk(surface_forms: DataFrame, k: int = 3) -> DataFrame:
     """(surface_form, uri, anchor_count, occurrence_count, rank) — the
     k most-linked entities per surface form."""
@@ -136,14 +148,13 @@ def disambiguate(
     """
     from pignlproc_spark.functions.tokenize import tokens_col
 
-    # coalesce to '' BEFORE hashing: concat_ws SKIPS nulls (dropping
-    # the separator — a null-context mention would collide with a
-    # no-context one under a different grouping) while SQL '||'
-    # propagates them (md5(NULL) = NULL); pinning '' keeps both
-    # engines identical and every mention addressable
-    _k = lambda c: F.coalesce(F.col(c), F.lit(""))  # noqa: E731
+    # mention_id_col coalesces to '' BEFORE hashing: concat_ws SKIPS
+    # nulls (dropping the separator — a null-context mention would
+    # collide with a no-context one under a different grouping) while
+    # SQL '||' propagates them (md5(NULL) = NULL); pinning '' keeps
+    # both engines identical and every mention addressable
     dm = mentions.select("url", "context", "surface_form").distinct().withColumn(
-        "mention_id", F.md5(F.concat_ws(US, _k("url"), _k("context"), _k("surface_form")))
+        "mention_id", mention_id_col()
     )
     cands = pair_counts.select("surface_form", "uri", F.col("cnt").cast("long").alias("prior_cnt"))
     mention_tokens = dm.select(
@@ -171,8 +182,11 @@ def disambiguate(
         .withColumn("overlap_cnt", F.coalesce(F.col("overlap_cnt"), F.lit(0)).cast("long"))
         .withColumn(
             "evidence",
+            # integral DIV, not floor(double /): long/long promotes to
+            # double and loses exactness past 2^53 — DIV matches
+            # DuckDB's `//` bit-for-bit up to overlap_cnt < 2^63/10^6
             F.when(
-                F.col("_ptot") > 0, F.floor(F.col("overlap_cnt") * F.lit(1_000_000) / F.col("_ptot"))
+                F.col("_ptot") > 0, F.expr("(overlap_cnt * 1000000L) DIV _ptot")
             )
             .otherwise(F.lit(0))
             .cast("long"),

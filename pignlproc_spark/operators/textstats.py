@@ -146,19 +146,18 @@ def corpus_filter(
     joins co-partition on one key and each input is one codegen'd
     pass; the dedup side shuffles (hash, id) pairs only.
     """
-    from pignlproc_spark.operators.dedup import exact_duplicates
+    from pyspark.sql import Window
 
     q = quality_signals(df, id_col, text_col)
     lid = lang_id(df, id_col, text_col)
-    hashes = df.select(
-        F.col(id_col).cast("bigint"), F.md5(F.col(text_col).cast("binary")).alias("_ch")
-    )
-    canon = hashes.join(
-        exact_duplicates(df, id_col, text_col).select(F.col("content_hash").alias("_ch"), "keep_id"),
-        "_ch",
-    ).select(
-        F.col(id_col),
-        (F.col(id_col) == F.col("keep_id")).cast("int").alias("is_canonical"),
+    # one hash pass: canonical = min id within the content-hash group
+    # (window over the hash — same shuffle as the dedup groupBy but no
+    # second md5 scan and no join back)
+    w = Window.partitionBy("_ch")
+    canon = (
+        df.select(F.col(id_col).cast("bigint"), F.md5(F.col(text_col).cast("binary")).alias("_ch"))
+        .withColumn("is_canonical", (F.col(id_col) == F.min(id_col).over(w)).cast("int"))
+        .drop("_ch")
     )
     j = q.join(lid, id_col).join(canon, id_col)
     ok_len = (F.col("n_tokens") >= min_tokens) & (F.col("n_tokens") <= max_tokens)

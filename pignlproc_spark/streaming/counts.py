@@ -105,7 +105,11 @@ def compact(spark: SparkSession, counts_dir: str, keys: list[str], min_deltas: i
     real snapshot isolation for the cluster version of this).
     """
     m = _read_manifest(counts_dir)
-    if len(m["live"]) < min_deltas:
+    # threshold counts DELTAS only: the base dir always stays live, so
+    # counting it would re-trigger compaction on every append after
+    # the first fold (O(table) write amplification per micro-batch)
+    n_deltas = sum(1 for d in m["live"] if d.startswith("delta-"))
+    if n_deltas < min_deltas:
         return False
     merged = read_counts(spark, counts_dir, keys)
     base = f"base-{m['next_base']:08d}"

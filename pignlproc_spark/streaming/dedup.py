@@ -133,9 +133,12 @@ def streaming_exact_dedup_tws(
         def close(self) -> None:
             pass
 
+    # TTL requires a time mode: state expiry is measured against the
+    # processing-time clock (timeMode="None" + ttlDurationMs raises
+    # STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL)
     return hashed.groupBy("content_hash").transformWithStateInPandas(
         statefulProcessor=DedupLedger(),
         outputStructType=OUTPUT_SCHEMA,
         outputMode="Update",
-        timeMode="None",
+        timeMode="ProcessingTime" if ttl_ms is not None else "None",
     )

@@ -138,7 +138,7 @@ def test_disambiguate_recovers_gold_links(spark, sf_dir, result):
             .withColumnRenamed("uri", "gold_uri")
         )
         j = pred.join(gold, ["url", "surface_form"]).where(
-            F.col("mention_id") == F.md5(F.concat_ws(linking.US, "url", "context", "surface_form"))
+            F.col("mention_id") == linking.mention_id_col()
         )
         return j.where(F.col("uri") == F.col("gold_uri")).count(), j.count()
 
