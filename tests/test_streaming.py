@@ -116,6 +116,13 @@ def test_maintain_stats_auto_compaction(spark, tmp_path):
     pc2 = {(r.surface_form, r.uri): r.cnt for r in counts.read_counts(spark, f"{root}/pair_counts", ["surface_form", "uri"]).collect()}
     assert pc2 == pc
 
+    # ONE new delta after a fold must NOT re-trigger compaction (the
+    # base doesn't count toward min_deltas — else every batch would
+    # rewrite the whole table)
+    counts.maintain_mention_stats(m2, root, batch_id=2, compact_every=2)
+    man2 = counts._read_manifest(f"{root}/pair_counts")
+    assert sorted(man2["live"]) == ["base-00000000", "delta-00000002"]
+
 
 def test_streaming_exact_dedup_stateful(spark, tmp_path):
     """applyInPandasWithState ledger: duplicates are flagged against
