@@ -149,6 +149,9 @@ def maintain_mention_stats(
             stats.annotated_sf_counts(batch_mentions).withColumnRenamed("annotated_cnt", "cnt"),
             ["surface_form"],
         ),
+        # per-entity token profile — keeps the incremental linker's
+        # evidence term fresh (same frozen tokenizer as the batch build)
+        "token_counts": (stats.token_counts(batch_mentions), ["uri", "token"]),
     }
     for name, (delta, keys) in tables.items():
         append_delta(delta, f"{stats_root}/{name}", batch_id)

@@ -83,6 +83,7 @@ def run_incremental(
     available_now: bool = True,
     stats_root: str | None = None,
     compact_every: int = 0,
+    link_decisions: bool = False,
 ):
     """Micro-batch driver: stream pages → mentions (+ optional redirect
     resolution against the broadcast dimension) → append parquet.
@@ -92,9 +93,18 @@ def run_incremental(
     StreamingQuery.
 
     ``stats_root``: also maintain incremental pairCounts/uriCounts/
-    sf-count tables (streaming/counts.py merge-on-read deltas) so the
-    stats stay fresh per micro-batch instead of needing a full
-    recompute over the fact table."""
+    sf-count/token-profile tables (streaming/counts.py merge-on-read
+    deltas) so the stats stay fresh per micro-batch instead of needing
+    a full recompute over the fact table.
+
+    ``link_decisions`` (requires ``stats_root``): after updating the
+    stats, run the Spotlight-style disambiguation for THIS batch's
+    mentions against the merged-to-date dictionaries and write the
+    top-1 decision per mention to ``<out_dir>/decisions/batch=N`` —
+    the incremental linker: new pages are linked with statistics that
+    include everything ingested so far (self-inclusive, matching the
+    batch operator's semantics; a single availableNow batch is exactly
+    equal to batch ``linking.disambiguate``)."""
     from pignlproc_spark.operators.canonicalize import apply_redirects
 
     stream = mention_stream(read_page_stream(spark, input_dir))
@@ -112,9 +122,17 @@ def run_incremental(
         out = out.persist()  # one extraction pass feeds facts + stats
         try:
             out.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
-            from pignlproc_spark.streaming.counts import maintain_mention_stats
+            from pignlproc_spark.streaming.counts import maintain_mention_stats, read_counts
 
             maintain_mention_stats(out, stats_root, batch_id, compact_every=compact_every)
+            if link_decisions:
+                from pignlproc_spark.operators import linking
+
+                spark_b = out.sparkSession
+                pair = read_counts(spark_b, f"{stats_root}/pair_counts", ["surface_form", "uri"])
+                toks = read_counts(spark_b, f"{stats_root}/token_counts", ["uri", "token"])
+                dec = linking.disambiguate(out, pair, toks, k=1)
+                dec.write.mode("overwrite").parquet(f"{out_dir}/decisions/batch={batch_id}")
         finally:
             # unpersist even when the write/stats raise — foreachBatch
             # retries would otherwise layer a leaked cache per attempt

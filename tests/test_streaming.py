@@ -97,12 +97,66 @@ def test_incremental_stats_merge_on_read(spark, sf_dir, synth_dir, staged_pages,
     assert chk.where(F.col("cnt") != F.col("g") + F.col("b0")).count() == 0
 
 
+def test_incremental_link_decisions(spark, synth_dir, tmp_path):
+    """Per-batch disambiguation against merged-to-date stats: a single
+    availableNow batch must equal the batch operator exactly; a
+    multi-batch drain produces prefix-stats decisions per batch."""
+    from pignlproc_spark.operators import linking, stats
+    from pignlproc_spark.streaming import counts
+
+    pages = spark.read.parquet(str(synth_dir / "pages.parquet"))
+    red = spark.read.parquet(str(synth_dir / "redirects.parquet"))
+
+    # single batch: one input file -> one micro-batch
+    one = tmp_path / "one"
+    pages.coalesce(1).write.parquet(str(one / "pages"))
+    out1 = str(tmp_path / "out1")
+    q = ingest.run_incremental(
+        spark, str(one / "pages"), out1, str(tmp_path / "ck1"),
+        redirects=red, stats_root=str(tmp_path / "st1"), link_decisions=True,
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(f"{out1}/decisions/batch=0")
+    m = spark.read.parquet(f"{out1}/batch=0")
+    want = linking.disambiguate(m, stats.pair_counts(m), stats.token_counts(m), k=1)
+    cols = ["url", "surface_form", "mention_id", "uri", "evidence", "overlap_cnt", "prior_cnt", "rank"]
+    assert got.select(*cols).exceptAll(want.select(*cols)).count() == 0
+    assert want.select(*cols).exceptAll(got.select(*cols)).count() == 0
+
+    # multi batch: decisions per batch, all rank-1, cumulative stats grow
+    multi = tmp_path / "multi"
+    pages.repartition(12).write.parquet(str(multi / "pages"))  # 4 files/trigger -> 3 batches
+    out2 = str(tmp_path / "out2")
+    q2 = ingest.run_incremental(
+        spark, str(multi / "pages"), out2, str(tmp_path / "ck2"),
+        redirects=red, stats_root=str(tmp_path / "st2"),
+        link_decisions=True, compact_every=2,
+    )
+    q2.awaitTermination(180)
+    import os
+
+    batches = [d for d in os.listdir(f"{out2}/decisions") if d.startswith("batch=")]
+    assert len(batches) >= 2
+    dec = spark.read.parquet(f"{out2}/decisions")
+    assert dec.where(F.col("rank") != 1).count() == 0
+    # merged pair counts over all batches equal the batch-global counts
+    pc = counts.read_counts(spark, str(tmp_path / "st2" / "pair_counts"), ["surface_form", "uri"])
+    all_m = spark.read.parquet(f"{out2}/batch=*")
+    want_pc = stats.pair_counts(all_m)
+    assert pc.exceptAll(want_pc).count() == 0 and want_pc.exceptAll(pc).count() == 0
+
+
 def test_maintain_stats_auto_compaction(spark, tmp_path):
     from pignlproc_spark.streaming import counts
 
     root = str(tmp_path / "stats")
-    m1 = spark.createDataFrame([("u1", "sf_a", "U1"), ("u2", "sf_a", "U2")], "url string, surface_form string, uri string")
-    m2 = spark.createDataFrame([("u3", "sf_a", "U1")], "url string, surface_form string, uri string")
+    m1 = spark.createDataFrame(
+        [("u1", "sf_a", "U1", "river words"), ("u2", "sf_a", "U2", "engine words")],
+        "url string, surface_form string, uri string, context string",
+    )
+    m2 = spark.createDataFrame(
+        [("u3", "sf_a", "U1", "river again")], "url string, surface_form string, uri string, context string"
+    )
     counts.maintain_mention_stats(m1, root, batch_id=0, compact_every=2)
     counts.maintain_mention_stats(m2, root, batch_id=1, compact_every=2)
     # second batch triggered the fold: one live base, counts merged
