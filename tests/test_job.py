@@ -6,6 +6,7 @@ job picks up the active session exactly as under spark-submit)."""
 from pyspark.sql import functions as F
 
 from jobs.build_kg import main
+from jobs.ingest_stream import main as stream_main
 
 
 def test_build_kg_job_end_to_end(spark, tmp_path):
@@ -31,3 +32,29 @@ def test_build_kg_job_end_to_end(spark, tmp_path):
     assert dec.where(F.col("rank") != 1).count() == 0
     for t in ("pair_counts", "uri_counts", "sf_total_counts", "token_counts"):
         assert spark.read.parquet(f"{out}/stats/{t}").count() > 0
+
+
+def test_ingest_stream_job_end_to_end(spark, synth_dir, tmp_path):
+    from pignlproc_spark.streaming.counts import read_counts
+
+    in_dir = tmp_path / "arrivals"
+    spark.read.parquet(str(synth_dir / "pages.parquet")).repartition(3).write.parquet(
+        str(in_dir / "pages")
+    )
+    out = str(tmp_path / "facts")
+    stats = str(tmp_path / "stats")
+    rc = stream_main(
+        [
+            "--pages", str(in_dir / "pages"),
+            "--redirects", str(synth_dir / "redirects.parquet"),
+            "--out", out,
+            "--checkpoint", str(tmp_path / "ck"),
+            "--stats", stats,
+            "--link-decisions",
+            "--compact-every", "2",
+        ]
+    )
+    assert rc == 0
+    assert spark.read.parquet(f"{out}/batch=*").count() > 0
+    assert spark.read.parquet(f"{out}/decisions").where(F.col("rank") != 1).count() == 0
+    assert read_counts(spark, f"{stats}/pair_counts", ["surface_form", "uri"]).count() > 0
