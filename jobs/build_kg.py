@@ -73,8 +73,8 @@ def main(argv=None):
     else:
         if not args.pages or not args.redirects:
             ap.error("--pages and --redirects required without --synth-sf")
-        pages = spark.read.parquet(args.pages) if "/" in args.pages else spark.read.table(args.pages)
-        red = spark.read.parquet(args.redirects) if "/" in args.redirects else spark.read.table(args.redirects)
+        pages = tables.read_path_or_table(spark, args.pages)
+        red = tables.read_path_or_table(spark, args.redirects)
         res = pipeline.run(
             spark, pages, red, ckpt=ckpt, source_id=f"{args.pages}@{args.snapshot_id}"
         )

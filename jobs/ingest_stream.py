@@ -45,17 +45,12 @@ def main(argv=None):
 
     from pyspark.sql import SparkSession
 
+    from pignlproc_spark import tables
     from pignlproc_spark.session import get_session
     from pignlproc_spark.streaming import ingest
 
     spark = SparkSession.getActiveSession() or get_session(app_name="ingest-stream")
-    red = None
-    if args.redirects:
-        red = (
-            spark.read.parquet(args.redirects)
-            if "/" in args.redirects
-            else spark.read.table(args.redirects)
-        )
+    red = tables.read_path_or_table(spark, args.redirects) if args.redirects else None
     q = ingest.run_incremental(
         spark,
         args.pages,
@@ -68,7 +63,11 @@ def main(argv=None):
         link_decisions=args.link_decisions,
     )
     q.awaitTermination()
-    n = spark.read.parquet(f"{args.out}/batch=*").count()
+    import glob
+
+    # an empty-arrivals drain writes no batch dirs — a correct no-op,
+    # not an error
+    n = spark.read.parquet(f"{args.out}/batch=*").count() if glob.glob(f"{args.out}/batch=*") else 0
     print(json.dumps({"mentions": n, "out": args.out, "stats": args.stats}))
     return 0
 

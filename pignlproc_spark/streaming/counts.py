@@ -129,7 +129,12 @@ def compact(spark: SparkSession, counts_dir: str, keys: list[str], min_deltas: i
 
 
 def maintain_mention_stats(
-    batch_mentions: DataFrame, stats_root: str, batch_id: int, compact_every: int = 0
+    batch_mentions: DataFrame,
+    stats_root: str,
+    batch_id: int,
+    compact_every: int = 0,
+    lang: str = "en",
+    analysis: str = "word",
 ) -> None:
     """Per-micro-batch hook: publish pairCounts/uriCounts/sf annotated-
     count deltas for one batch of mention facts (call from
@@ -138,8 +143,26 @@ def maintain_mention_stats(
     ``compact_every > 0`` bounds read amplification inline: once a
     table accumulates that many live dirs they are folded into a new
     base right here (single-writer, so compacting inside the batch
-    hook is race-free)."""
+    hook is race-free). ``lang``/``analysis`` parameterize the token
+    profile exactly like the batch ``stats.token_counts`` build."""
     from pignlproc_spark.operators import stats
+
+    # guard against a stats root written before token profiles were
+    # maintained: resuming on it would produce truncated profiles and
+    # silently prior-biased link decisions. A root is "legacy" if the
+    # pair table has history beyond THIS batch (other batch ids or a
+    # fold) while token_counts has no manifest — a crash between this
+    # very batch's pair and token appends is NOT legacy and replays
+    # cleanly.
+    if not (Path(stats_root) / "token_counts" / MANIFEST).exists():
+        pm = _read_manifest(f"{stats_root}/pair_counts")
+        own = f"delta-{batch_id:08d}"
+        if pm["folded_through"] >= 0 or any(d != own for d in pm["live"]):
+            raise ValueError(
+                f"{stats_root} has count history but no token_counts manifest — it "
+                "predates token-profile maintenance; backfill token_counts from the "
+                "fact table or start a fresh stats root"
+            )
 
     spark = batch_mentions.sparkSession
     tables = {
@@ -151,7 +174,7 @@ def maintain_mention_stats(
         ),
         # per-entity token profile — keeps the incremental linker's
         # evidence term fresh (same frozen tokenizer as the batch build)
-        "token_counts": (stats.token_counts(batch_mentions), ["uri", "token"]),
+        "token_counts": (stats.token_counts(batch_mentions, lang=lang, analysis=analysis), ["uri", "token"]),
     }
     for name, (delta, keys) in tables.items():
         append_delta(delta, f"{stats_root}/{name}", batch_id)

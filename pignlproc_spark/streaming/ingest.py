@@ -84,6 +84,8 @@ def run_incremental(
     stats_root: str | None = None,
     compact_every: int = 0,
     link_decisions: bool = False,
+    lang: str = "en",
+    analysis: str = "word",
 ):
     """Micro-batch driver: stream pages → mentions (+ optional redirect
     resolution against the broadcast dimension) → append parquet.
@@ -107,6 +109,8 @@ def run_incremental(
     equal to batch ``linking.disambiguate``)."""
     from pignlproc_spark.operators.canonicalize import apply_redirects
 
+    if link_decisions and stats_root is None:
+        raise ValueError("link_decisions=True requires stats_root (the merged dictionaries)")
     stream = mention_stream(read_page_stream(spark, input_dir))
 
     def handle_batch(batch_df: DataFrame, batch_id: int):
@@ -124,14 +128,16 @@ def run_incremental(
             out.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
             from pignlproc_spark.streaming.counts import maintain_mention_stats, read_counts
 
-            maintain_mention_stats(out, stats_root, batch_id, compact_every=compact_every)
+            maintain_mention_stats(
+                out, stats_root, batch_id, compact_every=compact_every, lang=lang, analysis=analysis
+            )
             if link_decisions:
                 from pignlproc_spark.operators import linking
 
                 spark_b = out.sparkSession
                 pair = read_counts(spark_b, f"{stats_root}/pair_counts", ["surface_form", "uri"])
                 toks = read_counts(spark_b, f"{stats_root}/token_counts", ["uri", "token"])
-                dec = linking.disambiguate(out, pair, toks, k=1)
+                dec = linking.disambiguate(out, pair, toks, k=1, lang=lang)
                 dec.write.mode("overwrite").parquet(f"{out_dir}/decisions/batch={batch_id}")
         finally:
             # unpersist even when the write/stats raise — foreachBatch

@@ -79,6 +79,13 @@ def _catalog(spark: SparkSession) -> str | None:
     return spark.conf.get(CATALOG_CONF, None)
 
 
+def read_path_or_table(spark: SparkSession, ref: str) -> DataFrame:
+    """Job-argument dispatch shared by the spark-submit entrypoints:
+    anything with a path separator is a Parquet path, otherwise a
+    catalog table name."""
+    return spark.read.parquet(ref) if "/" in ref else spark.read.table(ref)
+
+
 def table_path(name: str, root: str | None = None) -> str:
     return os.path.join(root or DEFAULT_ROOT, name)
 
