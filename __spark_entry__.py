@@ -311,6 +311,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def docs_lsh_pairs(spark, sf_dir):
         return dedup.lsh_candidate_pairs(_read(spark, sf_dir, "documents"))
 
+    def docs_dedup_clusters(spark, sf_dir):
+        # LSH pairs -> transitive near-dup clusters (large-star/small-star)
+        d = _read(spark, sf_dir, "documents")
+        return dedup.connected_components(dedup.lsh_candidate_pairs(d))
+
+    def docs_dedup_keep(spark, sf_dir):
+        # the end-to-end near-dup verdict: one survivor per cluster
+        d = _read(spark, sf_dir, "documents")
+        return dedup.dedup_keep_decision(d, dedup.lsh_candidate_pairs(d))
+
+    def docs_repetition(spark, sf_dir):
+        return textstats.repetition_signals(_read(spark, sf_dir, "documents"))
+
     def docs_simhash(spark, sf_dir):
         return dedup.simhash(_read(spark, sf_dir, "documents"))
 
@@ -471,6 +484,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs_minhash_sigs=docs_minhash_sigs,
         docs_minhash_wide=docs_minhash_wide,
         docs_lsh_pairs=docs_lsh_pairs,
+        docs_dedup_clusters=docs_dedup_clusters,
+        docs_dedup_keep=docs_dedup_keep,
+        docs_repetition=docs_repetition,
         docs_simhash=docs_simhash,
         docs_jaccard_pairs=docs_jaccard_pairs,
         emb_dot_topk=emb_dot_topk,
@@ -765,6 +781,58 @@ def oracle_sql() -> dict[str, str]:
     WITH sigs AS ({_minhash_sql()})
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    """
+    _lsh_pairs_sql = f"""
+      WITH sigs AS ({_minhash_sql()})
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    """
+    _clusters_sql = f"""
+    pairs AS ({_lsh_pairs_sql}),
+    sym AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(u, l) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+      UNION
+      SELECT s.v, r.l FROM reach r JOIN sym s ON s.u = r.u
+    ),
+    comp AS (SELECT u AS doc_id, min(l) AS component_id FROM reach GROUP BY u)
+    """
+    o["docs_dedup_clusters"] = f"""
+    WITH RECURSIVE {_clusters_sql}
+    SELECT doc_id::BIGINT AS doc_id, component_id::BIGINT AS component_id FROM comp
+    """
+    o["docs_dedup_keep"] = f"""
+    WITH RECURSIVE {_clusters_sql}
+    SELECT d.doc_id::BIGINT AS doc_id,
+           coalesce(c.component_id, d.doc_id)::BIGINT AS component_id,
+           (coalesce(c.component_id, d.doc_id) = d.doc_id)::INT AS keep
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    """
+    o["docs_repetition"] = f"""
+    WITH toks AS (
+      SELECT doc_id, {_tok_sql('text', stop=False)} AS t FROM documents
+    ), g2 AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(t)), j -> t[j] || ' ' || t[j+1])) AS g
+      FROM toks WHERE len(t) >= 2
+    ), g2c AS (
+      SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY doc_id, g
+    ), g2a AS (
+      SELECT doc_id, sum(cnt) AS n2, max(cnt) AS top2 FROM g2c GROUP BY doc_id
+    ), g3 AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(t) - 1), j -> t[j] || ' ' || t[j+1] || ' ' || t[j+2])) AS g
+      FROM toks WHERE len(t) >= 3
+    ), g3c AS (
+      SELECT doc_id, g, count(*) AS cnt FROM g3 GROUP BY doc_id, g
+    ), g3a AS (
+      SELECT doc_id, sum(cnt) AS n3, sum(cnt) - count(*) AS dup3 FROM g3c GROUP BY doc_id
+    )
+    SELECT t.doc_id::BIGINT AS doc_id, len(t.t)::BIGINT AS n_tokens,
+           coalesce(n2, 0)::BIGINT AS n_2grams, coalesce(top2, 0)::BIGINT AS top2gram_cnt,
+           coalesce(n3, 0)::BIGINT AS n_3grams, coalesce(dup3, 0)::BIGINT AS dup3gram_cnt
+    FROM toks t LEFT JOIN g2a ON t.doc_id = g2a.doc_id LEFT JOIN g3a ON t.doc_id = g3a.doc_id
     """
     o["docs_simhash"] = _simhash_sql()
     o["docs_jaccard_pairs"] = f"""

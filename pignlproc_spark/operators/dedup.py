@@ -174,6 +174,121 @@ def near_duplicates(
     return out
 
 
+def _norm_pairs(e: DataFrame) -> DataFrame:
+    """Normalize an edge set to distinct (a < b) pairs, no self-loops."""
+    return (
+        e.select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_rounds: int = 16,
+) -> DataFrame:
+    """(doc_id, component_id) for every node appearing in ``pairs`` —
+    component_id = min node id of the connected component.
+
+    This is the missing third stage of near-dup dedup at scale:
+    LSH candidate pairs → verified pairs → **clusters** → one survivor
+    per cluster. Transitivity matters (A~B, B~C ⇒ {A,B,C} is one
+    group even when A~C was never a candidate pair).
+
+    Algorithm: alternating **large-star / small-star** (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    O(log²) -round, shuffle-bounded formulation used at web scale,
+    expressed purely relationally (groupBy-min + join; NO driver-side
+    union-find, NO ``collect_set`` neighborhoods — hub nodes with 10⁶
+    edges stay as rows, so skew is AQE's problem, not an OOM):
+
+    - large-star(u): every neighbor v > u re-points to
+      m(u) = min(Γ(u) ∪ {u})
+    - small-star(u): every neighbor v < u, and u itself, re-point to
+      m⁻(u) = min of the smaller neighborhood
+
+    Each round strictly shrinks total path length; at fixpoint the
+    edge set is a forest of stars rooted at component minima, read off
+    with one groupBy-min. Near-dup graphs converge in 2–3 rounds
+    (components are shallow). Every round ``localCheckpoint``s its
+    (small, strictly shrinking) edge set: the fixpoint check needs two
+    actions anyway, and truncating lineage keeps round k from
+    re-executing rounds 1..k-1.
+
+    Reference parity note: pignlproc has no graph operator — this is a
+    "beyond the reference" training-pipeline op (COVERAGE.md), but it
+    reuses the same bounded-fixpoint discipline as the redirect chase
+    (SURVEY.md §2.2 P12, operators/canonicalize.py).
+    """
+    e = _norm_pairs(pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v")))
+    for rnd in range(max_rounds):
+        sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        # large-star: m(u) over the full neighborhood; emit (v, m) for v > u
+        m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        large = _norm_pairs(
+            sym.where(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        # small-star over the smaller-neighbor orientation of `large`
+        lsym = large.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            large.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        lower = lsym.where(F.col("v") < F.col("u"))
+        m2 = lower.groupBy("u").agg(F.min("v").alias("m"))
+        small = _norm_pairs(
+            lower.join(m2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(m2.select(F.col("u"), F.col("m").alias("v")))
+        )
+        small = small.localCheckpoint(eager=True)
+        # fixpoint: edge set unchanged (star forest reached)
+        if (
+            small.count() == e.count()
+            and small.exceptAll(e).limit(1).count() == 0
+        ):
+            e = small
+            break
+        e = small
+    sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    return sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("component_id")).select(
+        F.col("u").cast("bigint").alias("doc_id"), F.col("component_id").cast("bigint")
+    )
+
+
+def dedup_keep_decision(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """(doc_id, component_id, keep INT) — the end-to-end dedup verdict:
+    cluster near-dup pairs transitively, keep the min-id doc of each
+    component, keep all unpaired docs (their component is themselves).
+    ``keep`` is an INT flag (oracle-hashable, same convention as
+    textstats.corpus_filter).
+
+    The components table is tiny relative to the corpus (only docs
+    with ≥1 near-dup edge appear), so the fact-side join broadcasts.
+    """
+    cc = connected_components(pairs, src_col, dst_col).withColumnRenamed("doc_id", "_cc_id")
+    out = df.select(F.col(id_col).cast("bigint")).join(
+        F.broadcast(cc), F.col(id_col) == F.col("_cc_id"), "left"
+    )
+    return out.select(
+        F.col(id_col),
+        F.coalesce("component_id", F.col(id_col)).cast("bigint").alias("component_id"),
+        (F.coalesce("component_id", F.col(id_col)) == F.col(id_col)).cast("int").alias("keep"),
+    )
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, simhash) — 16-bit SimHash over the token multiset.
 

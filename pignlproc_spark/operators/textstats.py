@@ -121,6 +121,63 @@ def bpe_ish_token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = 
     )
 
 
+def repetition_signals(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, n_tokens, n_2grams, top2gram_cnt, n_3grams, dup3gram_cnt) —
+    Gopher-style within-document repetition features (Rae et al. 2021
+    §A1.1: "fraction of characters in the most common n-gram",
+    "fraction of duplicate n-grams"), emitted as exact integer
+    numerators/denominators so thresholds stay a downstream policy and
+    the DuckDB oracle hash-matches (no float ratios):
+
+    - ``top2gram_cnt / n_2grams`` — the most-common-2-gram fraction
+      (boilerplate/template detector)
+    - ``dup3gram_cnt / n_3grams`` — occurrences beyond each 3-gram's
+      first, i.e. the duplicate-3-gram fraction (loops/spam detector)
+
+    Line-granularity duplicate metrics are this same shape with a
+    newline splitter; this corpus' documents are single-line token
+    streams, so n-gram granularity is the meaningful one.
+
+    Plan shape: explode n-grams → two-level partial/final aggregation
+    (per (doc, gram) count, then per doc) — map-side combine absorbs
+    the n-gram fanout, nothing wider than (doc_id, gram) ever
+    shuffles; the per-doc aggregates then co-join on doc_id. Docs
+    with < n tokens survive with zero counts via the left joins.
+    """
+    toks = df.select(F.col(id_col).cast("bigint").alias("doc_id"), tokens_col(F.col(text_col), with_stopwords=False).alias("_toks"))
+
+    def gram_counts(n: int) -> DataFrame:
+        sh = (
+            f"case when size(_toks) >= {n} then "
+            f"transform(sequence(1, size(_toks) - {n - 1}), i -> concat_ws(' ', slice(_toks, i, {n}))) "
+            "else array() end"
+        )
+        per_gram = (
+            toks.select(F.col("doc_id"), F.explode(F.expr(sh)).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        return per_gram.groupBy("doc_id").agg(
+            F.sum("cnt").alias(f"n_{n}grams"),
+            F.max("cnt").alias(f"_top{n}"),
+            (F.sum("cnt") - F.count(F.lit(1))).alias(f"_dup{n}"),
+        )
+
+    g2 = gram_counts(2)
+    g3 = gram_counts(3)
+    base = toks.select("doc_id", F.size("_toks").cast("bigint").alias("n_tokens"))
+    out = base.join(g2, "doc_id", "left").join(g3, "doc_id", "left")
+    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("bigint")  # noqa: E731
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        z("n_2grams").alias("n_2grams"),
+        z("_top2").alias("top2gram_cnt"),
+        z("n_3grams").alias("n_3grams"),
+        z("_dup3").alias("dup3gram_cnt"),
+    )
+
+
 def corpus_filter(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -60,6 +60,83 @@ def test_minhash_wide_bands(spark, docs):
         dedup.minhash_signatures(docs, bands=17)
 
 
+def _union_find_components(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@pytest.mark.parametrize(
+    "pairs",
+    [
+        [],  # empty graph
+        [(1, 2)],  # single edge
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7)],  # long chain
+        [(10, 11), (11, 12), (12, 10)],  # cycle
+        [(5, 1), (5, 2), (5, 3), (5, 4)],  # star rooted above its leaves
+        [(1, 2), (3, 4), (2, 3), (7, 8), (9, 9)],  # merge + self-loop
+    ],
+)
+def test_connected_components_shapes(spark, pairs):
+    df = spark.createDataFrame(pairs or [(0, 0)], "id_a long, id_b long")
+    if not pairs:
+        df = df.where(F.lit(False))
+    got = {r.doc_id: r.component_id for r in dedup.connected_components(df).collect()}
+    want = _union_find_components([(a, b) for a, b in pairs if a != b])
+    assert got == want
+
+
+def test_connected_components_random_graphs(spark):
+    import random
+
+    for seed in (7, 42, 1234):
+        rng = random.Random(seed)
+        n = 60
+        pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(45)]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        got = {r.doc_id: r.component_id for r in dedup.connected_components(df).collect()}
+        assert got == _union_find_components(pairs), f"seed {seed}"
+
+
+def test_dedup_keep_decision(spark, docs):
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (4, 0)], "id_a long, id_b long")
+    rows = {r.doc_id: r for r in dedup.dedup_keep_decision(docs, pairs).collect()}
+    assert rows[0].keep and rows[0].component_id == 0
+    for d in (1, 2, 4):
+        assert not rows[d].keep and rows[d].component_id == 0
+    for d in (3, 5, 6):  # unpaired docs keep themselves
+        assert rows[d].keep and rows[d].component_id == d
+    assert len(rows) == 7
+
+
+def test_repetition_signals(spark):
+    rows = [
+        (0, "a b a b a b"),  # 2-grams: ab×3 ba×2 -> n=5 top=3; 3-grams: aba×2 bab×2 -> n=4 dup=2
+        (1, "x y z w"),  # all grams unique
+        (2, "t"),  # below every gram size
+        (3, ""),  # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in textstats.repetition_signals(df).collect()}
+    r0 = got[0]
+    assert (r0.n_tokens, r0.n_2grams, r0.top2gram_cnt, r0.n_3grams, r0.dup3gram_cnt) == (6, 5, 3, 4, 2)
+    r1 = got[1]
+    assert (r1.n_tokens, r1.n_2grams, r1.top2gram_cnt, r1.n_3grams, r1.dup3gram_cnt) == (4, 3, 1, 2, 0)
+    assert (got[2].n_2grams, got[2].top2gram_cnt, got[3].n_tokens) == (0, 0, 0)
+
+
 def test_jaccard_pairs_counts(spark, docs):
     rows = dedup.jaccard_pairs(docs, min_jaccard_pct=99).collect()
     exact = [r for r in rows if r.id_a == 0 and r.id_b == 1]
