@@ -359,6 +359,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def docs_corpus_filter(spark, sf_dir):
         return textstats.corpus_filter(_read(spark, sf_dir, "documents"))
 
+    # ---- web-page URL ops (CCUrl v1; input_hint's url key) ----
+    def web_canonical_urls(spark, sf_dir):
+        from pignlproc_spark.functions.urls import canonical_url_col, host_col
+
+        pages = spark.read.parquet(str(synth.generate(synth.sf_of_dir(sf_dir)) / "pages.parquet"))
+        # plant the classic crawl-dup variants (fragment, cased
+        # scheme+host, trailing slash) and collapse them
+        v = pages.select(
+            F.explode(
+                F.array(
+                    F.col("url"),
+                    F.concat(F.col("url"), F.lit("#section")),
+                    F.upper(F.col("url")),
+                    F.concat(F.col("url"), F.lit("/")),
+                )
+            ).alias("variant")
+        )
+        return v.select(
+            "variant",
+            canonical_url_col(F.col("variant")).alias("canonical_url"),
+            host_col(F.col("variant")).alias("host"),
+        )
+
+    def web_domain_stats(spark, sf_dir):
+        from pignlproc_spark.functions.urls import host_col
+
+        pages = spark.read.parquet(str(synth.generate(synth.sf_of_dir(sf_dir)) / "pages.parquet"))
+        return (
+            pages.select(host_col(F.col("url")).alias("host"), F.length("text").alias("_n"))
+            .groupBy("host")
+            .agg(
+                F.count(F.lit(1)).alias("n_pages"),
+                F.sum("_n").cast("bigint").alias("text_chars"),
+            )
+        )
+
+    def events_hourly_rollup(spark, sf_dir):
+        # temporal rollup on the crawl/event timestamp: hour bucket as
+        # epoch seconds (TZ pinned UTC both engines), exact-int value
+        # quantization (floor of an IEEE double is reproducible; SUM of
+        # raw doubles is not)
+        e = _read(spark, sf_dir, "events")
+        return (
+            e.select(
+                F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).cast("bigint").alias("hour_epoch"),
+                "event_type",
+                "user_id",
+                F.floor(F.col("value") * 100).cast("bigint").alias("_v"),
+            )
+            .groupBy("hour_epoch", "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum("_v").cast("bigint").alias("value_c_sum"),
+                F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            )
+        )
+
+    q.update(
+        web_canonical_urls=web_canonical_urls,
+        web_domain_stats=web_domain_stats,
+        events_hourly_rollup=events_hourly_rollup,
+    )
+
     # ---- sources: dump replay + NTriples (J1/J2/J4) ----
     def src_wikidump_index(spark, sf_dir):
         from pignlproc_spark.sources.wikidump import read_dump
@@ -768,6 +831,41 @@ def oracle_sql() -> dict[str, str]:
     SELECT token, count(*) AS cnt FROM (
       SELECT unnest({_tok_sql('text', stop=False)}) AS token FROM documents
     ) GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 100
+    """
+
+    # ---- web-page URL ops (CCUrl v1 — same RE2 regexes as
+    # functions/urls.py, so both engines run the identical frozen spec) ----
+    _url_parts = f"""
+      SELECT variant, trim(variant) AS u,
+        lower(regexp_extract(trim(variant), '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+        lower(regexp_extract(trim(variant), '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host0,
+        regexp_replace(regexp_extract(trim(variant), '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/+$', '') AS path,
+        regexp_replace(regexp_extract(trim(variant), '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+[^?#]*(\\?[^#]*)', 1), '^\\?$', '') AS query
+    """
+    o["web_canonical_urls"] = f"""
+    WITH v AS (
+      SELECT unnest([url, url || '#section', upper(url), url || '/']) AS variant
+      FROM {g('pages')}
+    ), parts AS ({_url_parts} FROM v)
+    SELECT variant,
+      CASE WHEN scheme = '' THEN u
+           ELSE scheme || '://' ||
+                CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+                     WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+                     ELSE host0 END || path || query END AS canonical_url,
+      host0 AS host
+    FROM parts
+    """
+    o["web_domain_stats"] = f"""
+    SELECT lower(regexp_extract(trim(url), '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host,
+           count(*) AS n_pages, sum(length(text))::BIGINT AS text_chars
+    FROM {g('pages')} GROUP BY 1
+    """
+    o["events_hourly_rollup"] = """
+    SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch, event_type,
+           count(*) AS cnt, sum(floor(value * 100))::BIGINT AS value_c_sum,
+           count(DISTINCT user_id)::BIGINT AS n_users
+    FROM events GROUP BY 1, 2
     """
 
     # ---- training-data ops ----

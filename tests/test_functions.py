@@ -114,3 +114,39 @@ def test_token_counts_cjk(spark):
     m = spark.createDataFrame([("u1", "中文分词"), ("u1", "中文")], "uri string, context string")
     got = {(r.uri, r.token): r.cnt for r in stats.token_counts(m, analysis="cjk").collect()}
     assert got == {("u1", "中文"): 2, ("u1", "文分"): 1, ("u1", "分词"): 1}
+
+
+def test_url_canonicalization(spark):
+    from pignlproc_spark.functions.urls import canonical_url_col, host_col
+
+    cases = [
+        # (input, canonical, host)
+        ("https://Example.COM/Path/To?q=1#frag", "https://example.com/Path/To?q=1", "example.com"),
+        ("HTTP://HOST:80/a/", "http://host/a", "host:80"),
+        ("https://host:443/", "https://host", "host:443"),
+        ("https://host:8443/x", "https://host:8443/x", "host:8443"),
+        ("http://host/path/?q=2", "http://host/path?q=2", "host"),
+        ("http://host/?", "http://host", "host"),
+        ("  http://host/a  ", "http://host/a", "host"),
+        ("http://host//a///", "http://host//a", "host"),
+        ("not a url", "not a url", ""),
+        ("/relative/path", "/relative/path", ""),
+        ("ftp://Mixed.Case/KeepCase", "ftp://mixed.case/KeepCase", "mixed.case"),
+        ("https://host/path#a#b", "https://host/path", "host"),
+        ("http://host", "http://host", "host"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _, _ in cases], "url string")
+    import pyspark.sql.functions as F
+
+    got = df.select(
+        "url",
+        canonical_url_col(F.col("url")).alias("c"),
+        host_col(F.col("url")).alias("h"),
+    ).collect()
+    by_url = {r.url: (r.c, r.h) for r in got}
+    for u, want_c, want_h in cases:
+        assert by_url[u] == (want_c, want_h), u
+
+    # determinism/idempotence: canonical(canonical(x)) == canonical(x)
+    twice = df.select(canonical_url_col(canonical_url_col(F.col("url"))).alias("c2")).collect()
+    assert [r.c2 for r in twice] == [r.c for r in got]
