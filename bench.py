@@ -85,6 +85,14 @@ def run(sf_dir: str, cpus: int, quiet: bool = True, pipeline_only: bool = False,
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(cpus * 2)
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(cpus)
         timed("dedup_near_duplicates", lambda: dedup.near_duplicates(docs, min_jaccard_pct=50).count())
+
+        # transitive clustering of the candidate graph; the pair set is
+        # prebuilt+persisted so the stage times the alternating
+        # large-star/small-star fixpoint itself, not LSH again
+        lsh_pairs = dedup.lsh_candidate_pairs(docs).persist()
+        lsh_pairs.count()
+        timed("dedup_cluster_components", lambda: dedup.connected_components(lsh_pairs).count())
+        lsh_pairs.unpersist()
         timed(
             "emb_dot_topk",
             lambda: similarity.dot_topk_quantized(emb, emb.where(F.col("vec_id") < 50), k=10).count(),

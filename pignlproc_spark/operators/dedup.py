@@ -223,7 +223,10 @@ def connected_components(
     (SURVEY.md §2.2 P12, operators/canonicalize.py).
     """
     e = _norm_pairs(pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v")))
+    e_count = e.count()  # one pass over the input lineage, then cached
     for rnd in range(max_rounds):
+        if e_count == 0:
+            break
         sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
             e.select(F.col("b").alias("u"), F.col("a").alias("v"))
         )
@@ -246,14 +249,14 @@ def connected_components(
             .union(m2.select(F.col("u"), F.col("m").alias("v")))
         )
         small = small.localCheckpoint(eager=True)
-        # fixpoint: edge set unchanged (star forest reached)
-        if (
-            small.count() == e.count()
-            and small.exceptAll(e).limit(1).count() == 0
-        ):
+        # fixpoint: edge set unchanged (star forest reached). Counts
+        # are cached across rounds, so a round costs the checkpoint
+        # job + one count + (only on count-match) one anti-diff probe.
+        n = small.count()
+        if n == e_count and small.exceptAll(e).limit(1).count() == 0:
             e = small
             break
-        e = small
+        e, e_count = small, n
     sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
         e.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
