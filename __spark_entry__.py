@@ -324,6 +324,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def docs_repetition(spark, sf_dir):
         return textstats.repetition_signals(_read(spark, sf_dir, "documents"))
 
+    def docs_duplicate_spans(spark, sf_dir):
+        # ExactSubstr-style partial-duplication spans (15-token windows)
+        return dedup.duplicate_spans(_read(spark, sf_dir, "documents"), window=15)
+
+    def kg_entity_cooccurrence(spark, sf_dir):
+        from pignlproc_spark.operators import stats
+
+        return stats.entity_cooccurrence(_pipeline(spark, sf_dir).mentions)
+
     def docs_simhash(spark, sf_dir):
         return dedup.simhash(_read(spark, sf_dir, "documents"))
 
@@ -550,6 +559,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs_dedup_clusters=docs_dedup_clusters,
         docs_dedup_keep=docs_dedup_keep,
         docs_repetition=docs_repetition,
+        docs_duplicate_spans=docs_duplicate_spans,
+        kg_entity_cooccurrence=kg_entity_cooccurrence,
         docs_simhash=docs_simhash,
         docs_jaccard_pairs=docs_jaccard_pairs,
         emb_dot_topk=emb_dot_topk,
@@ -931,6 +942,37 @@ def oracle_sql() -> dict[str, str]:
            coalesce(n2, 0)::BIGINT AS n_2grams, coalesce(top2, 0)::BIGINT AS top2gram_cnt,
            coalesce(n3, 0)::BIGINT AS n_3grams, coalesce(dup3, 0)::BIGINT AS dup3gram_cnt
     FROM toks t LEFT JOIN g2a ON t.doc_id = g2a.doc_id LEFT JOIN g3a ON t.doc_id = g3a.doc_id
+    """
+    _W = 15  # duplicate_spans window (matches the docs_duplicate_spans query)
+    _wcat = " || ' ' || ".join(f"t[j+{k}]" for k in range(_W))
+    o["docs_duplicate_spans"] = f"""
+    WITH toks AS (
+      SELECT doc_id, {_tok_sql('text', stop=False)} AS t FROM documents
+    ), w AS (
+      SELECT doc_id, j - 1 AS pos, md5({_wcat}) AS h
+      FROM toks, unnest(range(1, greatest(len(t) - {_W - 2}, 1))) AS u(j)
+      WHERE len(t) >= {_W}
+    ), d AS (
+      SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ), hits AS (
+      SELECT w.doc_id, w.pos FROM w JOIN d USING (h)
+    ), isl0 AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= {_W - 1}
+                  THEN 0 ELSE 1 END AS brk
+      FROM hits
+    ), isl AS (
+      SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM isl0
+    )
+    SELECT doc_id::BIGINT AS doc_id, min(pos)::BIGINT AS span_start,
+           (max(pos) + {_W - 1})::BIGINT AS span_end, count(*)::BIGINT AS n_windows
+    FROM isl GROUP BY doc_id, grp
+    """
+    o["kg_entity_cooccurrence"] = f"""
+    WITH m AS (SELECT DISTINCT url, uri FROM {g('golden_mentions')})
+    SELECT a.uri AS uri_a, b.uri AS uri_b, count(*) AS cnt
+    FROM m a JOIN m b ON a.url = b.url AND a.uri < b.uri
+    GROUP BY a.uri, b.uri
     """
     o["docs_simhash"] = _simhash_sql()
     o["docs_jaccard_pairs"] = f"""

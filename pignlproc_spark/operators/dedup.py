@@ -292,6 +292,57 @@ def dedup_keep_decision(
     )
 
 
+def duplicate_spans(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", window: int = 15
+) -> DataFrame:
+    """(doc_id, span_start, span_end, n_windows) — within-document
+    token spans whose content also appears in at least one OTHER
+    document ("ExactSubstr"-style cross-document duplicate detection,
+    Lee et al. 2022, at token-window granularity): hash every
+    ``window``-token sliding window, keep hashes seen in ≥ 2 distinct
+    docs, merge overlapping hit positions per doc into maximal spans
+    (token indices, 0-based inclusive).
+
+    Unlike whole-doc near-dup (MinHash), this finds *partial*
+    duplication — boilerplate headers, license blocks, syndicated
+    paragraphs — the spans a training pipeline cuts out rather than
+    dropping the doc.
+
+    Shape: posexplode windows → md5 as a plain projection (codegen) →
+    count-distinct-docs per hash (partial/final agg) → left-semi join
+    back → per-doc island merge via lag/cumsum window functions. The
+    only per-doc-ordered state is the tiny (doc_id, pos) hit set;
+    window hashing itself never shuffles more than (doc_id, pos, md5).
+    At crawl scale the hash table is the big shuffle — the same
+    (hash, id) profile as minhash_signatures, AQE-handled.
+    """
+    from pyspark.sql import Window as W
+
+    toks = df.select(F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("_toks"))
+    w_expr = (
+        f"case when size(_toks) >= {window} then "
+        f"transform(sequence(1, size(_toks) - {window - 1}), i -> concat_ws(' ', slice(_toks, i, {window}))) "
+        "else array() end"
+    )
+    wins = toks.select("doc_id", F.posexplode(F.expr(w_expr)).alias("pos", "w")).select(
+        "doc_id", "pos", F.md5(F.col("w").cast("binary")).alias("h")
+    )
+    dup = wins.groupBy("h").agg(F.count_distinct("doc_id").alias("_nd")).where(F.col("_nd") >= 2)
+    hits = wins.join(dup.select("h"), "h", "left_semi").select("doc_id", "pos")
+    w_doc = W.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(w_doc) <= window - 1, F.lit(0)).otherwise(F.lit(1))
+    isl = hits.withColumn("_brk", brk).withColumn("_grp", F.sum("_brk").over(w_doc))
+    return (
+        isl.groupBy("doc_id", "_grp")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + F.lit(window - 1)).cast("bigint").alias("span_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        )
+        .select(F.col("doc_id").cast("bigint"), "span_start", "span_end", "n_windows")
+    )
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, simhash) — 16-bit SimHash over the token multiset.
 

@@ -202,6 +202,35 @@ def aggregate_text_salted(
     return phase2
 
 
+def entity_cooccurrence(mentions: DataFrame, max_entities_per_page: int | None = None) -> DataFrame:
+    """(uri_a, uri_b, cnt) — number of pages on which both entities are
+    mentioned (uri_a < uri_b). The co-occurrence statistic downstream
+    KG-embedding / entity-salience training consumes; beyond the
+    reference's per-page counts (COVERAGE.md) but built from the same
+    mention stream as nerd_stats.
+
+    Shape: distinct (url, uri) → self-join on url → count. The self-
+    join is quadratic in distinct entities per page, so at crawl scale
+    pass ``max_entities_per_page`` (standard practice: drop list/index
+    pages, which contribute noise, not signal) — the filter runs
+    before the join fanout. Default None = exact (oracle mode).
+    """
+    per_page = mentions.select("url", "uri").distinct()
+    if max_entities_per_page is not None:
+        n = per_page.groupBy("url").agg(F.count(F.lit(1)).alias("_n"))
+        per_page = per_page.join(
+            n.where(F.col("_n") <= max_entities_per_page).drop("_n"), "url"
+        )
+    a = per_page.alias("a")
+    b = per_page.alias("b")
+    return (
+        a.join(b, "url")
+        .where(F.col("a.uri") < F.col("b.uri"))
+        .groupBy(F.col("a.uri").alias("uri_a"), F.col("b.uri").alias("uri_b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def nerd_stats(mentions: DataFrame) -> DataFrame:
     """Per-(surface_form, uri) link stats with per-URI totals, ordered —
     the raw P(uri|sf) statistics of examples/nerd-stats/nerd_stats.pig

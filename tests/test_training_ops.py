@@ -385,3 +385,56 @@ def test_write_graph_layout(spark, tmp_path):
     assert preds == {"pred=kg%3AlinksTo", "pred=kg%3AuriCount"} or preds == {"pred=kg:linksTo", "pred=kg:uriCount"}
     back = spark.read.parquet(path)
     assert back.count() == 2 and set(back.columns) == {"subj", "pred", "obj", "weight"}
+
+
+def test_duplicate_spans(spark):
+    shared = "one two three four five six seven eight nine ten"
+    rows = [
+        (0, "aaa bbb " + shared + " ccc"),
+        (1, "xxx " + shared + " yyy zzz"),
+        (2, "totally different content with many unique tokens here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup.duplicate_spans(df, window=5).collect()}
+    # d0: shared occupies tokens 2..11 -> windows at pos 2..7
+    assert (got[0].span_start, got[0].span_end, got[0].n_windows) == (2, 11, 6)
+    # d1: shared occupies tokens 1..10 -> windows at pos 1..6
+    assert (got[1].span_start, got[1].span_end, got[1].n_windows) == (1, 10, 6)
+    assert 2 not in got
+    # doc shorter than the window never emits
+    tiny = spark.createDataFrame([(9, "a b c")], "doc_id long, text string")
+    assert dedup.duplicate_spans(tiny, window=5).count() == 0
+
+
+def test_duplicate_spans_island_merge(spark):
+    # two shared stretches separated by > window unique tokens -> two spans
+    s1 = "alpha beta gamma delta epsilon"
+    s2 = "zeta eta theta iota kappa"
+    filler = " ".join(f"u{i}" for i in range(8))
+    rows = [
+        (0, s1 + " " + filler + " " + s2),
+        (1, s1 + " completely other middle text here now " + s2),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = [
+        (r.doc_id, r.span_start, r.span_end, r.n_windows)
+        for r in dedup.duplicate_spans(df, window=5).collect()
+    ]
+    d0 = sorted(s for s in spans if s[0] == 0)
+    assert d0 == [(0, 0, 4, 1), (0, 13, 17, 1)]
+
+
+def test_entity_cooccurrence(spark):
+    from pignlproc_spark.operators import stats
+
+    rows = [
+        ("u1", "A"), ("u1", "B"), ("u1", "B"),
+        ("u2", "A"), ("u2", "C"),
+        ("u3", "A"),
+    ]
+    m = spark.createDataFrame(rows, "url string, uri string")
+    got = {(r.uri_a, r.uri_b): r.cnt for r in stats.entity_cooccurrence(m).collect()}
+    assert got == {("A", "B"): 1, ("A", "C"): 1}
+    # the fanout cap drops busy pages before the self-join
+    capped = stats.entity_cooccurrence(m, max_entities_per_page=1).count()
+    assert capped == 0
