@@ -333,6 +333,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return stats.entity_cooccurrence(_pipeline(spark, sf_dir).mentions)
 
+    def kg_entity_pagerank(spark, sf_dir):
+        # rows-only: float power iteration (pytest verifies against a
+        # dense reference implementation to 1e-9)
+        from pignlproc_spark.operators import stats
+
+        return stats.entity_pagerank(_pipeline(spark, sf_dir).mentions, iterations=5)
+
     def docs_simhash(spark, sf_dir):
         return dedup.simhash(_read(spark, sf_dir, "documents"))
 
@@ -561,6 +568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs_repetition=docs_repetition,
         docs_duplicate_spans=docs_duplicate_spans,
         kg_entity_cooccurrence=kg_entity_cooccurrence,
+        kg_entity_pagerank=kg_entity_pagerank,
         docs_simhash=docs_simhash,
         docs_jaccard_pairs=docs_jaccard_pairs,
         emb_dot_topk=emb_dot_topk,

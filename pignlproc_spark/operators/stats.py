@@ -231,6 +231,73 @@ def entity_cooccurrence(mentions: DataFrame, max_entities_per_page: int | None =
     )
 
 
+def entity_pagerank(
+    mentions: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    num_partitions: int | None = None,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """(uri, rank) — weighted PageRank over the entity co-occurrence
+    graph: the entity-salience score downstream linking/ranking uses
+    as a graph-global prior (complements the purely local P(uri|sf)
+    priors of nerd_stats). Beyond the reference (COVERAGE.md).
+
+    Graph: symmetric co-occurrence edges weighted by shared-page
+    count (entity_cooccurrence); every node has degree ≥ 1, so there
+    are no dangling nodes and mass is conserved exactly by
+    construction. rank⁰ = 1/N; rankᵏ⁺¹(v) = (1−d)/N + d·Σᵤ
+    rankᵏ(u)·w(u,v)/W(u).
+
+    Scale shape — the classic Spark iterative-join discipline:
+
+    - the (big) edge table is hash-partitioned on ``src`` ONCE and
+      persisted; each iteration shuffles only the (uri, rank) table
+      (tiny: one row per entity) into that same partitioning, so the
+      per-iteration cost is one small exchange + one aggregation;
+    - per-edge weight shares (w/W) are precomputed outside the loop;
+    - ``localCheckpoint`` every ``checkpoint_every`` iterations cuts
+      the iterative lineage.
+
+    Float ranks are deterministic per plan but not SQL-oracle-exact;
+    the driver records a rows-only check and pytest verifies against
+    dense power iteration (tests/test_training_ops.py).
+    """
+    spark = mentions.sparkSession
+    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cooc = entity_cooccurrence(mentions)
+    edges = cooc.select(
+        F.col("uri_a").alias("src"), F.col("uri_b").alias("dst"), F.col("cnt").alias("w")
+    ).union(cooc.select(F.col("uri_b").alias("src"), F.col("uri_a").alias("dst"), F.col("cnt").alias("w")))
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("_wsum"))
+    shares = (
+        edges.join(out_w, "src")
+        .select("src", "dst", (F.col("w") / F.col("_wsum")).alias("share"))
+        .repartition(n_part, "src")
+        .persist()
+    )
+    nodes = edges.select("src").distinct()
+    n = nodes.count()
+    if n == 0:
+        shares.unpersist()
+        return spark.createDataFrame([], "uri string, rank double")
+    ranks = nodes.select(F.col("src").alias("uri"), F.lit(1.0 / n).alias("rank"))
+    for it in range(iterations):
+        contribs = (
+            shares.join(ranks.withColumnRenamed("uri", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("share") * F.col("rank")).alias("contrib"))
+        )
+        ranks = contribs.select(
+            F.col("dst").alias("uri"),
+            (F.lit((1.0 - damping) / n) + F.lit(damping) * F.col("contrib")).alias("rank"),
+        )
+        if (it + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    shares.unpersist()
+    return ranks
+
+
 def nerd_stats(mentions: DataFrame) -> DataFrame:
     """Per-(surface_form, uri) link stats with per-URI totals, ordered —
     the raw P(uri|sf) statistics of examples/nerd-stats/nerd_stats.pig

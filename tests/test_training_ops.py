@@ -438,3 +438,41 @@ def test_entity_cooccurrence(spark):
     # the fanout cap drops busy pages before the self-join
     capped = stats.entity_cooccurrence(m, max_entities_per_page=1).count()
     assert capped == 0
+
+
+def test_entity_pagerank(spark):
+    from pignlproc_spark.operators import stats
+
+    rows = [
+        ("p1", "A"), ("p1", "B"),
+        ("p2", "A"), ("p2", "B"),
+        ("p3", "A"), ("p3", "C"),
+        ("p4", "D"), ("p4", "E"),
+    ]
+    m = spark.createDataFrame(rows, "url string, uri string")
+    got = {r.uri: r.rank for r in stats.entity_pagerank(m, iterations=12).collect()}
+
+    # dense reference: same update rule, same iteration count
+    w = {("A", "B"): 2, ("A", "C"): 1, ("D", "E"): 1}
+    edges = {}
+    for (a, b), c in w.items():
+        edges.setdefault(a, {})[b] = c
+        edges.setdefault(b, {})[a] = c
+    n = len(edges)
+    ranks = {u: 1.0 / n for u in edges}
+    d = 0.85
+    for _ in range(12):
+        contrib = {u: 0.0 for u in edges}
+        for u, nbrs in edges.items():
+            W = sum(nbrs.values())
+            for v, c in nbrs.items():
+                contrib[v] += ranks[u] * c / W
+        ranks = {u: (1 - d) / n + d * contrib[u] for u in edges}
+
+    assert set(got) == set(ranks)
+    for u in ranks:
+        assert abs(got[u] - ranks[u]) < 1e-9, u
+    # mass conservation (no dangling nodes by construction)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # hub entity dominates its cluster
+    assert got["A"] > got["B"] > 0
