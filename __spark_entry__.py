@@ -379,7 +379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def web_canonical_urls(spark, sf_dir):
         from pignlproc_spark.functions.urls import canonical_url_col, host_col
 
-        pages = spark.read.parquet(str(synth.generate(synth.sf_of_dir(sf_dir)) / "pages.parquet"))
+        pages = synth.pages_for(spark, sf_dir)
         # plant the classic crawl-dup variants (fragment, cased
         # scheme+host, trailing slash) and collapse them
         v = pages.select(
@@ -401,7 +401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def web_domain_stats(spark, sf_dir):
         from pignlproc_spark.functions.urls import host_col
 
-        pages = spark.read.parquet(str(synth.generate(synth.sf_of_dir(sf_dir)) / "pages.parquet"))
+        pages = synth.pages_for(spark, sf_dir)
         return (
             pages.select(host_col(F.col("url")).alias("host"), F.length("text").alias("_n"))
             .groupBy("host")
@@ -867,7 +867,7 @@ def oracle_sql() -> dict[str, str]:
       FROM {g('pages')}
     ), parts AS ({_url_parts} FROM v)
     SELECT variant,
-      CASE WHEN scheme = '' THEN u
+      CASE WHEN scheme = '' OR host0 = '' THEN u
            ELSE scheme || '://' ||
                 CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
                      WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')

@@ -46,12 +46,14 @@ def canonical_url_col(url: Column) -> Column:
     """CCUrl v1 canonical form (see module docstring)."""
     u = F.trim(url)
     scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
-    host = F.lower(F.regexp_extract(u, _HOST_RE, 1))
-    host = F.when(scheme == "http", F.regexp_replace(host, ":80$", "")).otherwise(
-        F.when(scheme == "https", F.regexp_replace(host, ":443$", "")).otherwise(host)
+    raw_host = F.lower(F.regexp_extract(u, _HOST_RE, 1))
+    host = F.when(scheme == "http", F.regexp_replace(raw_host, ":80$", "")).otherwise(
+        F.when(scheme == "https", F.regexp_replace(raw_host, ":443$", "")).otherwise(raw_host)
     )
     path = F.regexp_replace(F.regexp_extract(u, _PATH_RE, 1), "/+$", "")
     query = F.regexp_replace(F.regexp_extract(u, _QUERY_RE, 1), r"^\?$", "")
-    return F.when(scheme == "", u).otherwise(
+    # empty-host URLs ('file:///x', 'http://#f') fall under rule 2: a
+    # canonicalizer must never merge distinct inputs it cannot parse
+    return F.when((scheme == "") | (raw_host == ""), u).otherwise(
         F.concat(scheme, F.lit("://"), host, path, query)
     )

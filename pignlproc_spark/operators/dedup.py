@@ -223,7 +223,11 @@ def connected_components(
     (SURVEY.md §2.2 P12, operators/canonicalize.py).
     """
     e = _norm_pairs(pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v")))
-    e_count = e.count()  # one pass over the input lineage, then cached
+    # materialize ONCE: round 0 references the edge set 4+ times (sym
+    # union, m agg, large join, fixpoint probe) and the upstream
+    # lineage is typically the whole LSH pipeline
+    e = e.localCheckpoint(eager=True)
+    e_count = e.count()
     for rnd in range(max_rounds):
         if e_count == 0:
             break

@@ -294,6 +294,10 @@ def entity_pagerank(
         )
         if (it + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
+    # materialize the final ranks BEFORE releasing the share cache —
+    # otherwise the caller's action re-executes the quadratic
+    # co-occurrence self-join once per post-checkpoint iteration
+    ranks = ranks.localCheckpoint(eager=True)
     shares.unpersist()
     return ranks
 

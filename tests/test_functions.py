@@ -131,6 +131,11 @@ def test_url_canonicalization(spark):
         ("http://host//a///", "http://host//a", "host"),
         ("not a url", "not a url", ""),
         ("/relative/path", "/relative/path", ""),
+        # empty host: must pass through untouched, never merge (rule 2)
+        ("file:///etc/passwd", "file:///etc/passwd", ""),
+        ("file:///home/x", "file:///home/x", ""),
+        ("http://#frag", "http://#frag", ""),
+        ("http://?q=1", "http://?q=1", ""),
         ("ftp://Mixed.Case/KeepCase", "ftp://mixed.case/KeepCase", "mixed.case"),
         ("https://host/path#a#b", "https://host/path", "host"),
         ("http://host", "http://host", "host"),
