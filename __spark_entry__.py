@@ -328,6 +328,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ExactSubstr-style partial-duplication spans (15-token windows)
         return dedup.duplicate_spans(_read(spark, sf_dir, "documents"), window=15)
 
+    def docs_strip_spans(spark, sf_dir):
+        # the transform half: cut the duplicated spans out of the text
+        return dedup.strip_duplicate_spans(_read(spark, sf_dir, "documents"), window=15)
+
     def kg_entity_cooccurrence(spark, sf_dir):
         from pignlproc_spark.operators import stats
 
@@ -567,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs_dedup_keep=docs_dedup_keep,
         docs_repetition=docs_repetition,
         docs_duplicate_spans=docs_duplicate_spans,
+        docs_strip_spans=docs_strip_spans,
         kg_entity_cooccurrence=kg_entity_cooccurrence,
         kg_entity_pagerank=kg_entity_pagerank,
         docs_simhash=docs_simhash,
@@ -951,10 +956,10 @@ def oracle_sql() -> dict[str, str]:
            coalesce(n3, 0)::BIGINT AS n_3grams, coalesce(dup3, 0)::BIGINT AS dup3gram_cnt
     FROM toks t LEFT JOIN g2a ON t.doc_id = g2a.doc_id LEFT JOIN g3a ON t.doc_id = g3a.doc_id
     """
-    _W = 15  # duplicate_spans window (matches the docs_duplicate_spans query)
+    _W = 15  # duplicate_spans window (matches the docs_* span queries)
     _wcat = " || ' ' || ".join(f"t[j+{k}]" for k in range(_W))
-    o["docs_duplicate_spans"] = f"""
-    WITH toks AS (
+    _spans_ctes = f"""
+    toks AS (
       SELECT doc_id, {_tok_sql('text', stop=False)} AS t FROM documents
     ), w AS (
       SELECT doc_id, j - 1 AS pos, md5({_wcat}) AS h
@@ -971,10 +976,38 @@ def oracle_sql() -> dict[str, str]:
       FROM hits
     ), isl AS (
       SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM isl0
+    ), spans AS (
+      SELECT doc_id, grp, min(pos) AS span_start, max(pos) + {_W - 1} AS span_end,
+             count(*) AS n_windows
+      FROM isl GROUP BY doc_id, grp
+    )"""
+    o["docs_duplicate_spans"] = f"""
+    WITH {_spans_ctes}
+    SELECT doc_id::BIGINT AS doc_id, span_start::BIGINT AS span_start,
+           span_end::BIGINT AS span_end, n_windows::BIGINT AS n_windows
+    FROM spans
+    """
+    o["docs_strip_spans"] = f"""
+    WITH {_spans_ctes},
+    pt AS (
+      SELECT doc_id, i - 1 AS pos, t[i] AS tok
+      FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+    ), kept AS (
+      SELECT pt.doc_id, pt.pos, pt.tok FROM pt
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.doc_id = pt.doc_id AND pt.pos BETWEEN s.span_start AND s.span_end
+      )
+    ), reb AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
     )
-    SELECT doc_id::BIGINT AS doc_id, min(pos)::BIGINT AS span_start,
-           (max(pos) + {_W - 1})::BIGINT AS span_end, count(*)::BIGINT AS n_windows
-    FROM isl GROUP BY doc_id, grp
+    SELECT t.doc_id::BIGINT AS doc_id,
+           coalesce(reb.clean_text, '') AS clean_text,
+           coalesce(reb.n_kept, 0)::BIGINT AS n_tokens_kept,
+           (len(t.t) - coalesce(reb.n_kept, 0))::BIGINT AS n_tokens_dropped
+    FROM toks t LEFT JOIN reb ON t.doc_id = reb.doc_id
     """
     o["kg_entity_cooccurrence"] = f"""
     WITH m AS (SELECT DISTINCT url, uri FROM {g('golden_mentions')})

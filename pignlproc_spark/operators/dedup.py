@@ -347,6 +347,54 @@ def duplicate_spans(
     )
 
 
+def strip_duplicate_spans(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", window: int = 15
+) -> DataFrame:
+    """(doc_id, clean_text, n_tokens_kept, n_tokens_dropped) — the
+    transform half of ExactSubstr dedup: cut the cross-document
+    duplicated spans (duplicate_spans) OUT of each document and rejoin
+    the surviving tokens with single spaces, instead of dropping the
+    whole doc.
+
+    Frozen spec: tokenization is the engine tokenizer (so clean_text
+    is a space-joined token stream, not byte-spliced original text —
+    the right shape for a training corpus, and the only
+    whitespace-lossless one for token-indexed spans); a token is
+    dropped iff its index falls inside any span.
+
+    Shape: posexplode tokens → range-predicate anti-join against the
+    (tiny) span table on (doc_id, pos BETWEEN start AND end) → ordered
+    per-doc reconstruction via sort_array(collect_list(struct(pos,
+    tok))). The collect is per-document (same cardinality discipline
+    as J8's context concat); docs with nothing duplicated pass
+    through unchanged.
+    """
+    spans = duplicate_spans(df, id_col, text_col, window)
+    toks = df.select(F.col(id_col).cast("bigint").alias("doc_id"), _tokens(F.col(text_col)).alias("_toks"))
+    pos_toks = toks.select("doc_id", F.posexplode("_toks").alias("pos", "tok"))
+    kept = pos_toks.join(
+        spans,
+        (pos_toks["doc_id"] == spans["doc_id"])
+        & (pos_toks["pos"] >= spans["span_start"])
+        & (pos_toks["pos"] <= spans["span_end"]),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ", F.transform(F.sort_array(F.collect_list(F.struct("pos", "tok"))), lambda s: s["tok"])
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens_kept"),
+    )
+    base = toks.select("doc_id", F.size("_toks").cast("bigint").alias("_n_total"))
+    out = base.join(rebuilt, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_tokens_kept", F.lit(0)).cast("bigint").alias("n_tokens_kept"),
+        (F.col("_n_total") - F.coalesce("n_tokens_kept", F.lit(0))).cast("bigint").alias("n_tokens_dropped"),
+    )
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, simhash) — 16-bit SimHash over the token multiset.
 

@@ -476,3 +476,21 @@ def test_entity_pagerank(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9
     # hub entity dominates its cluster
     assert got["A"] > got["B"] > 0
+
+
+def test_strip_duplicate_spans(spark):
+    shared = "one two three four five six seven eight nine ten"
+    rows = [
+        (0, "aaa bbb " + shared + " ccc"),
+        (1, "xxx " + shared + " yyy zzz"),
+        (2, "totally different content with many unique tokens here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup.strip_duplicate_spans(df, window=5).collect()}
+    assert got[0].clean_text == "aaa bbb ccc"
+    assert (got[0].n_tokens_kept, got[0].n_tokens_dropped) == (3, 10)
+    assert got[1].clean_text == "xxx yyy zzz"
+    # untouched doc passes through verbatim (token-rejoined)
+    assert got[2].clean_text == rows[2][1]
+    assert got[2].n_tokens_dropped == 0
+    assert len(got) == 3
