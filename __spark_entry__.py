@@ -436,10 +436,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def events_sessionize(spark, sf_dir):
+        # gap-based sessionization (30-min inactivity closes a session):
+        # the batch form of a session window, via lag/cumsum — exact
+        # ints, deterministic tie-break on (ts, event_id)
+        from pyspark.sql import Window as W
+
+        e = _read(spark, sf_dir, "events")
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        ep = F.unix_timestamp(F.col("ts")).cast("bigint")
+        prev = F.lag(F.col("ts")).over(w)
+        new_sess = F.when(
+            prev.isNull() | (ep - F.unix_timestamp(prev).cast("bigint") > 1800), F.lit(1)
+        ).otherwise(F.lit(0))
+        sess = e.select("user_id", "ts", "event_id", ep.alias("_ep")).withColumn(
+            "session_id", F.sum(new_sess).over(w).cast("bigint")
+        )
+        return sess.groupBy("user_id", "session_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("_ep").alias("start_epoch"),
+            F.max("_ep").alias("end_epoch"),
+        )
+
+    def docs_stratified_sample(spark, sf_dir):
+        return textstats.stratified_sample(
+            _read(spark, sf_dir, "documents"), rates_pct={"en": 50, "de": 20}, default_pct=5
+        )
+
+    def docs_global_token_stats(spark, sf_dir):
+        return textstats.global_token_stats(_read(spark, sf_dir, "documents"))
+
     q.update(
         web_canonical_urls=web_canonical_urls,
         web_domain_stats=web_domain_stats,
         events_hourly_rollup=events_hourly_rollup,
+        events_sessionize=events_sessionize,
+        docs_stratified_sample=docs_stratified_sample,
+        docs_global_token_stats=docs_global_token_stats,
     )
 
     # ---- sources: dump replay + NTriples (J1/J2/J4) ----
@@ -890,6 +923,37 @@ def oracle_sql() -> dict[str, str]:
            count(*) AS cnt, sum(floor(value * 100))::BIGINT AS value_c_sum,
            count(DISTINCT user_id)::BIGINT AS n_users
     FROM events GROUP BY 1, 2
+    """
+    o["events_sessionize"] = """
+    WITH o AS (
+      SELECT user_id, ts, event_id, floor(epoch(ts))::BIGINT AS ep,
+             lag(floor(epoch(ts))::BIGINT) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ep
+      FROM events
+    ), marked AS (
+      SELECT user_id, ts, event_id, ep,
+             CASE WHEN prev_ep IS NULL OR ep - prev_ep > 1800 THEN 1 ELSE 0 END AS brk
+      FROM o
+    ), sess AS (
+      SELECT user_id, ep,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id)::BIGINT AS session_id
+      FROM marked
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(ep)::BIGINT AS start_epoch, max(ep)::BIGINT AS end_epoch
+    FROM sess GROUP BY user_id, session_id
+    """
+    o["docs_stratified_sample"] = """
+    SELECT doc_id::BIGINT AS doc_id, lang AS stratum,
+           (('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100) AS bucket,
+           ((('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100)
+            < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20 ELSE 5 END)::INT AS keep
+    FROM documents
+    """
+
+    o["docs_global_token_stats"] = f"""
+    SELECT token, count(DISTINCT doc_id)::BIGINT AS doc_freq, count(*) AS total_cnt
+    FROM (SELECT doc_id, unnest({_tok_sql('text', stop=False)}) AS token FROM documents)
+    GROUP BY token
     """
 
     # ---- training-data ops ----

@@ -232,6 +232,54 @@ def corpus_filter(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    rates_pct: dict[str, int],
+    id_col: str = "doc_id",
+    strata_col: str = "lang",
+    default_pct: int = 0,
+) -> DataFrame:
+    """(id, stratum, bucket, keep INT) — deterministic hash-bucket
+    stratified sampling: doc ``i`` lands in bucket
+    ``int(md5(str(i))[:4], 16) % 100`` and is kept iff
+    ``bucket < rates_pct[stratum]``. The corpus-mixing primitive
+    (per-language / per-domain / per-quality-tier rates) with three
+    properties random sampling lacks at 100 TB: reproducible across
+    runs and partitionings, consistent when the corpus grows (a doc's
+    verdict never changes), and exactly auditable (oracle-hashable —
+    no RNG state). Pure projection: no shuffle at all.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 4), 16, 10).cast("bigint")
+        % 100
+    )
+    rate = F.lit(default_pct)
+    for stratum, pct in sorted(rates_pct.items()):
+        rate = F.when(F.col(strata_col) == stratum, F.lit(pct)).otherwise(rate)
+    return df.select(
+        F.col(id_col).cast("bigint"),
+        F.col(strata_col).alias("stratum"),
+        bucket.alias("bucket"),
+        (bucket < rate).cast("int").alias("keep"),
+    )
+
+
+def global_token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(token, doc_freq, total_cnt) — corpus-global vocabulary with
+    document frequency (the IDF numerator/denominator pair as exact
+    ints). One explode + one partial/final aggregate; the per-(doc,
+    token) dedup for doc_freq rides the same shuffle via
+    count(DISTINCT doc) — Catalyst expands it to a two-phase
+    aggregate, still map-side-combined on token."""
+    toks = df.select(
+        F.col(id_col).alias("_doc"), F.explode(tokens_col(F.col(text_col), with_stopwords=False)).alias("token")
+    )
+    return toks.groupBy("token").agg(
+        F.count_distinct("_doc").cast("bigint").alias("doc_freq"),
+        F.count(F.lit(1)).cast("bigint").alias("total_cnt"),
+    )
+
+
 def top_tokens(df: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
     """(token, cnt) global top-k corpus tokens (FLATTEN/explode + count
     + top-k — the P4/P7/P15 composition over free text)."""

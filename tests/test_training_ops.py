@@ -494,3 +494,31 @@ def test_strip_duplicate_spans(spark):
     assert got[2].clean_text == rows[2][1]
     assert got[2].n_tokens_dropped == 0
     assert len(got) == 3
+
+
+def test_stratified_sample(spark):
+    rows = [(i, "x y z", "en" if i % 2 == 0 else "de") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.doc_id: r for r in textstats.stratified_sample(df, {"en": 100, "de": 0}).collect()}
+    assert all(out[i].keep == 1 for i in range(0, 200, 2))
+    assert all(out[i].keep == 0 for i in range(1, 200, 2))
+    # growth consistency: a doc's verdict never changes as the corpus grows
+    sub = {
+        r.doc_id: r.keep
+        for r in textstats.stratified_sample(df.where("doc_id < 50"), {"en": 100, "de": 0}).collect()
+    }
+    assert all(sub[i] == out[i].keep for i in sub)
+    # 50% rate lands near 50% (hash buckets, not RNG)
+    half = textstats.stratified_sample(df, {"en": 50, "de": 50})
+    frac = half.agg(F.sum("keep")).collect()[0][0] / 200
+    assert 0.35 < frac < 0.65
+    # unknown stratum falls to default_pct
+    other = spark.createDataFrame([(999, "t", "fr")], "doc_id long, text string, lang string")
+    assert textstats.stratified_sample(other, {"en": 50}, default_pct=0).collect()[0].keep == 0
+
+
+def test_global_token_stats(spark):
+    rows = [(0, "a b a"), (1, "a c"), (2, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.token: (r.doc_freq, r.total_cnt) for r in textstats.global_token_stats(df).collect()}
+    assert got == {"a": (2, 3), "b": (1, 1), "c": (1, 1)}
