@@ -297,7 +297,11 @@ def dedup_keep_decision(
 
 
 def duplicate_spans(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", window: int = 15
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 15,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, span_start, span_end, n_windows) — within-document
     token spans whose content also appears in at least one OTHER
@@ -319,10 +323,15 @@ def duplicate_spans(
     window hashing itself never shuffles more than (doc_id, pos, md5).
     At crawl scale the hash table is the big shuffle — the same
     (hash, id) profile as minhash_signatures, AQE-handled.
+
+    Pass a precomputed/materialized ``toks`` (doc_id, _toks) to share
+    the tokenization pass with other consumers (strip_duplicate_spans
+    does — Spark reuses exchanges, not arbitrary subplans).
     """
     from pyspark.sql import Window as W
 
-    toks = df.select(F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("_toks"))
+    if toks is None:
+        toks = df.select(F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("_toks"))
     w_expr = (
         f"case when size(_toks) >= {window} then "
         f"transform(sequence(1, size(_toks) - {window - 1}), i -> concat_ws(' ', slice(_toks, i, {window}))) "
@@ -348,7 +357,11 @@ def duplicate_spans(
 
 
 def strip_duplicate_spans(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", window: int = 15
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 15,
+    broadcast_spans: bool = True,
 ) -> DataFrame:
     """(doc_id, clean_text, n_tokens_kept, n_tokens_dropped) — the
     transform half of ExactSubstr dedup: cut the cross-document
@@ -362,18 +375,28 @@ def strip_duplicate_spans(
     whitespace-lossless one for token-indexed spans); a token is
     dropped iff its index falls inside any span.
 
-    Shape: posexplode tokens → range-predicate anti-join against the
-    (tiny) span table on (doc_id, pos BETWEEN start AND end) → ordered
-    per-doc reconstruction via sort_array(collect_list(struct(pos,
-    tok))). The collect is per-document (same cardinality discipline
-    as J8's context concat); docs with nothing duplicated pass
-    through unchanged.
+    Shape: the corpus is tokenized ONCE and materialized
+    (localCheckpoint — at cluster scale this is the checkpoint table),
+    then shared by all three consumers (span detection, the token
+    explode, the size() base); posexplode tokens → range-predicate
+    anti-join against the **broadcast** span table (the fact side
+    never shuffles for it; spans are small when duplication is
+    sparse — for boilerplate-heavy corpora where the span table is
+    itself corpus-scale, pass ``broadcast_spans=False`` to fall back
+    to the doc_id-co-partitioned sort-merge join) → ordered per-doc
+    reconstruction via
+    sort_array(collect_list(struct(pos, tok))).tok (codegen'd, no
+    interpreted lambda). The collect is per-document (same cardinality
+    discipline as J8's context concat); docs with nothing duplicated
+    pass through unchanged.
     """
-    spans = duplicate_spans(df, id_col, text_col, window)
-    toks = df.select(F.col(id_col).cast("bigint").alias("doc_id"), _tokens(F.col(text_col)).alias("_toks"))
+    toks = df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"), _tokens(F.col(text_col)).alias("_toks")
+    ).localCheckpoint(eager=True)
+    spans = duplicate_spans(df, id_col, text_col, window, toks=toks)
     pos_toks = toks.select("doc_id", F.posexplode("_toks").alias("pos", "tok"))
     kept = pos_toks.join(
-        spans,
+        F.broadcast(spans) if broadcast_spans else spans,
         (pos_toks["doc_id"] == spans["doc_id"])
         & (pos_toks["pos"] >= spans["span_start"])
         & (pos_toks["pos"] <= spans["span_end"]),
@@ -381,7 +404,7 @@ def strip_duplicate_spans(
     )
     rebuilt = kept.groupBy("doc_id").agg(
         F.concat_ws(
-            " ", F.transform(F.sort_array(F.collect_list(F.struct("pos", "tok"))), lambda s: s["tok"])
+            " ", F.sort_array(F.collect_list(F.struct("pos", "tok"))).getField("tok")
         ).alias("clean_text"),
         F.count(F.lit(1)).cast("bigint").alias("n_tokens_kept"),
     )
