@@ -1,0 +1,186 @@
+"""Incremental near-duplicate detection over streaming document
+arrival.
+
+Batch MinHash dedup (operators/dedup.py) is O(corpus) per run; when
+documents arrive continuously the right cost per micro-batch is
+O(batch × matching buckets): hash ONLY the new documents, probe their
+signatures against the cumulatively-maintained signature store, verify
+candidates with exact Jaccard against the stored token sets, and emit
+each near-dup pair exactly once — at the micro-batch where its later
+document arrives.
+
+Store layout under ``root`` (same manifest commit protocol as
+streaming/counts.py — an Iceberg-append stand-in; dirs become visible
+only via the atomically-swapped manifest, delta names embed the batch
+id so replays overwrite instead of duplicating):
+
+- ``signatures/delta-<batch>``: (doc_id, band, sig) — facts, no merge
+  needed on read (union of live dirs).
+- ``token_sets/delta-<batch>``: (doc_id, tok ARRAY<STRING>) — the
+  verify-side profiles (documents' raw text is NOT retained).
+- ``pairs/batch=<batch>``: (id_a, id_b, inter_cnt, union_cnt) —
+  verified near-dup pairs first visible in that batch.
+
+Equivalence contract (tested): after draining any batch split of a
+corpus, the union of emitted pairs equals batch
+``dedup.near_duplicates`` on the whole corpus at the same threshold —
+a pair sharing an LSH bucket is detected when its later member
+arrives, independent of how the stream was batched.
+
+Crash/replay: a retried micro-batch recomputes against history that
+EXCLUDES its own partially-committed deltas (live dirs minus this
+batch's), rewrites its pair output (overwrite), and re-appends its
+deltas idempotently — the store never double-counts and the pair set
+is stable under replay.
+
+Scale notes: the probe join keys on (band, sig) — the same tiny-key
+shuffle profile as batch LSH; the signature store grows as
+O(docs × bands) rows and at cluster scale becomes a bucketed Iceberg
+table so the probe is a bucket-pruned join, and token_sets a
+sorted-on-doc_id table for the verify lookups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pignlproc_spark.operators import dedup
+from pignlproc_spark.streaming.counts import _read_manifest, _write_manifest
+
+SIGS_SCHEMA = "doc_id long, band int, sig string"
+TOKS_SCHEMA = "doc_id long, tok array<string>"
+
+
+def _append_facts(facts: DataFrame, facts_dir: str, batch_id: int) -> None:
+    """Publish one batch's fact rows (idempotent per batch_id)."""
+    name = f"delta-{batch_id:08d}"
+    facts.write.mode("overwrite").parquet(f"{facts_dir}/{name}")
+    m = _read_manifest(facts_dir)
+    if name not in m["live"]:
+        m["live"].append(name)
+        _write_manifest(facts_dir, m)
+
+
+def _read_facts(
+    spark: SparkSession, facts_dir: str, schema: str, exclude_batch: int | None = None
+) -> DataFrame:
+    """Union of live fact dirs, optionally excluding one batch's delta
+    (a replayed batch must not see its own partially-committed rows)."""
+    m = _read_manifest(facts_dir)
+    live = [
+        d
+        for d in m["live"]
+        if exclude_batch is None or d != f"delta-{exclude_batch:08d}"
+    ]
+    if not live:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*[f"{facts_dir}/{d}" for d in live])
+
+
+def process_batch(
+    batch_docs: DataFrame,
+    root: str,
+    batch_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = dedup.DEFAULT_BANDS,
+    min_jaccard_pct: int = 80,
+) -> None:
+    """One micro-batch: probe, verify, publish (call from foreachBatch)."""
+    from pyspark.storagelevel import StorageLevel
+
+    spark = batch_docs.sparkSession
+    sigs_new = dedup.minhash_signatures(batch_docs, id_col, text_col, bands).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    toks_new = batch_docs.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.array_distinct(dedup._tokens(F.col(text_col))).alias("tok"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        sigs_hist = _read_facts(spark, f"{root}/signatures", SIGS_SCHEMA, exclude_batch=batch_id)
+        toks_hist = _read_facts(spark, f"{root}/token_sets", TOKS_SCHEMA, exclude_batch=batch_id)
+
+        # candidates: new×history plus new×new, normalized (id_a < id_b),
+        # each unordered pair surfaces exactly once — here, now
+        probe = sigs_new.alias("n").join(
+            sigs_hist.alias("h"),
+            (F.col("n.band") == F.col("h.band")) & (F.col("n.sig") == F.col("h.sig")),
+        )
+        cand_hist = probe.select(
+            F.least(F.col("n.doc_id"), F.col("h.doc_id")).alias("id_a"),
+            F.greatest(F.col("n.doc_id"), F.col("h.doc_id")).alias("id_b"),
+        ).where(F.col("id_a") != F.col("id_b"))
+        a = sigs_new.alias("a")
+        b = sigs_new.alias("b")
+        cand_new = (
+            a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")))
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        )
+        cands = cand_hist.union(cand_new).distinct()
+
+        all_toks = toks_hist.union(toks_new)
+        ta = all_toks.select(F.col("doc_id").alias("id_a"), F.col("tok").alias("tok_a"))
+        tb = all_toks.select(F.col("doc_id").alias("id_b"), F.col("tok").alias("tok_b"))
+        verified = (
+            cands.join(ta, "id_a")
+            .join(tb, "id_b")
+            .withColumn("inter_cnt", F.size(F.array_intersect("tok_a", "tok_b")).cast("bigint"))
+            .withColumn(
+                "union_cnt",
+                (F.size("tok_a") + F.size("tok_b") - F.col("inter_cnt")).cast("bigint"),
+            )
+            .where(F.col("inter_cnt") * 100 >= F.col("union_cnt") * min_jaccard_pct)
+            .select("id_a", "id_b", "inter_cnt", "union_cnt")
+        )
+        # pairs first (overwrite = replay-safe), then the store appends —
+        # a crash at any point replays into the identical final state
+        verified.write.mode("overwrite").parquet(f"{root}/pairs/batch={batch_id}")
+        _append_facts(sigs_new, f"{root}/signatures", batch_id)
+        _append_facts(toks_new, f"{root}/token_sets", batch_id)
+    finally:
+        sigs_new.unpersist()
+        toks_new.unpersist()
+
+
+def read_pairs(spark: SparkSession, root: str) -> DataFrame:
+    """All verified near-dup pairs emitted so far."""
+    import os
+
+    if not os.path.isdir(f"{root}/pairs"):
+        return spark.createDataFrame([], "id_a long, id_b long, inter_cnt long, union_cnt long")
+    return spark.read.parquet(f"{root}/pairs").select("id_a", "id_b", "inter_cnt", "union_cnt")
+
+
+def run_incremental_near_dup(
+    spark: SparkSession,
+    input_dir: str,
+    root: str,
+    checkpoint_dir: str,
+    schema: str = "doc_id long, text string, lang string, source string, n_chars long",
+    available_now: bool = True,
+    max_files_per_trigger: int = 1,
+    bands: int = dedup.DEFAULT_BANDS,
+    min_jaccard_pct: int = 80,
+):
+    """foreachBatch driver: file-arrival document stream → incremental
+    near-dup maintenance. Returns the StreamingQuery."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int):
+        process_batch(batch_df, root, batch_id, bands=bands, min_jaccard_pct=min_jaccard_pct)
+
+    writer = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -281,3 +281,50 @@ def test_windowed_counts_stream(spark, staged_pages, tmp_path):
     assert df.count() > 0
     assert set(df.columns) == {"window_start", "uri", "cnt"}
     assert df.agg(F.min("cnt")).collect()[0][0] >= 1
+
+
+def test_incremental_near_dup(spark, tmp_path):
+    """Streaming near-dup: union of per-batch pairs == batch
+    near_duplicates on the whole corpus; a replayed micro-batch leaves
+    state and pair set unchanged."""
+    from pignlproc_spark.operators import dedup
+    from pignlproc_spark.streaming import neardup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = docs.select("doc_id", "text", "lang", "source", "n_chars").collect()
+    half = len(rows) // 2
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    spark.createDataFrame(rows[:half], schema).coalesce(1).write.parquet(str(in_dir / "a"))
+    spark.createDataFrame(rows[half:], schema).coalesce(1).write.parquet(str(in_dir / "b"))
+
+    root = str(tmp_path / "nd")
+    q = neardup.run_incremental_near_dup(
+        spark, str(in_dir) + "/*", root, str(tmp_path / "ck"), min_jaccard_pct=60
+    )
+    q.awaitTermination(180)
+
+    got = {(r.id_a, r.id_b) for r in neardup.read_pairs(spark, root).collect()}
+    want = {(r.id_a, r.id_b) for r in dedup.near_duplicates(docs, min_jaccard_pct=60).collect()}
+    assert got == want and len(want) > 0
+
+    # replay the LAST micro-batch (foreachBatch retry semantics):
+    # identical pair set, no duplicated store rows
+    m = neardup._read_manifest(f"{root}/signatures")
+    last_batch = max(int(d.split("-")[1]) for d in m["live"])
+    # reconstruct that batch's docs from the store (file->batch order
+    # is a streaming implementation detail)
+    last_ids = {
+        r.doc_id
+        for r in spark.read.parquet(f"{root}/signatures/delta-{last_batch:08d}")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    replay_docs = spark.createDataFrame([r for r in rows if r.doc_id in last_ids], schema)
+    n_sig_before = neardup._read_facts(spark, f"{root}/signatures", neardup.SIGS_SCHEMA).count()
+    neardup.process_batch(replay_docs, root, last_batch, min_jaccard_pct=60)
+    got2 = {(r.id_a, r.id_b) for r in neardup.read_pairs(spark, root).collect()}
+    assert got2 == want
+    assert neardup._read_facts(spark, f"{root}/signatures", neardup.SIGS_SCHEMA).count() == n_sig_before
