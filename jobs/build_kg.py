@@ -54,6 +54,11 @@ def main(argv=None):
         action="store_true",
         help="size graph-write salting from the observed subject histogram instead of the default",
     )
+    ap.add_argument(
+        "--graph-stats",
+        action="store_true",
+        help="also emit entity co-occurrence and PageRank-salience tables",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -92,6 +97,13 @@ def main(argv=None):
 
         decisions = linking.disambiguate(res.mentions, res.pair_counts, res.token_counts, k=1)
         outputs["link_decisions"] = tables.write_table(decisions, "stats/link_decisions", root=args.out)
+    if args.graph_stats:
+        from pignlproc_spark.operators import stats as S
+
+        cooc = S.entity_cooccurrence(res.mentions, max_entities_per_page=512)
+        outputs["cooccurrence"] = tables.write_table(cooc, "stats/cooccurrence", root=args.out)
+        pr = S.entity_pagerank(res.mentions, cooc=cooc)
+        outputs["pagerank"] = tables.write_table(pr, "stats/pagerank", root=args.out)
     for name, df in (
         ("pair_counts", res.pair_counts),
         ("uri_counts", res.uri_counts),

@@ -237,6 +237,7 @@ def entity_pagerank(
     damping: float = 0.85,
     num_partitions: int | None = None,
     checkpoint_every: int = 4,
+    cooc: DataFrame | None = None,
 ) -> DataFrame:
     """(uri, rank) — weighted PageRank over the entity co-occurrence
     graph: the entity-salience score downstream linking/ranking uses
@@ -265,7 +266,8 @@ def entity_pagerank(
     """
     spark = mentions.sparkSession
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    cooc = entity_cooccurrence(mentions)
+    if cooc is None:
+        cooc = entity_cooccurrence(mentions)
     edges = cooc.select(
         F.col("uri_a").alias("src"), F.col("uri_b").alias("dst"), F.col("cnt").alias("w")
     ).union(cooc.select(F.col("uri_b").alias("src"), F.col("uri_a").alias("dst"), F.col("cnt").alias("w")))

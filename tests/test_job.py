@@ -21,6 +21,7 @@ def test_build_kg_job_end_to_end(spark, tmp_path):
             str(tmp_path / "ck"),
             "--link-decisions",
             "--auto-salt",
+            "--graph-stats",
         ]
     )
     assert rc == 0
@@ -32,6 +33,12 @@ def test_build_kg_job_end_to_end(spark, tmp_path):
     assert dec.where(F.col("rank") != 1).count() == 0
     for t in ("pair_counts", "uri_counts", "sf_total_counts", "token_counts"):
         assert spark.read.parquet(f"{out}/stats/{t}").count() > 0
+    # --graph-stats artifacts: co-occurrence pairs + normalized ranks
+    cooc = spark.read.parquet(f"{out}/stats/cooccurrence")
+    assert cooc.count() > 0 and cooc.where(F.col("uri_a") >= F.col("uri_b")).count() == 0
+    pr = spark.read.parquet(f"{out}/stats/pagerank")
+    total = pr.agg(F.sum("rank")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-6
 
 
 def test_ingest_stream_job_end_to_end(spark, synth_dir, tmp_path):
