@@ -65,3 +65,30 @@ def test_ingest_stream_job_end_to_end(spark, synth_dir, tmp_path):
     assert spark.read.parquet(f"{out}/batch=*").count() > 0
     assert spark.read.parquet(f"{out}/decisions").where(F.col("rank") != 1).count() == 0
     assert read_counts(spark, f"{stats}/pair_counts", ["surface_form", "uri"]).count() > 0
+
+
+def test_dedup_stream_job_end_to_end(spark, tmp_path):
+    from jobs.dedup_stream import main as dedup_main
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    in_dir = tmp_path / "docs"
+    in_dir.mkdir()
+    docs.coalesce(1).write.parquet(str(in_dir / "drop1"))
+    rc = dedup_main(
+        [
+            "--docs",
+            str(in_dir) + "/*",
+            "--root",
+            str(tmp_path / "nd"),
+            "--checkpoint",
+            str(tmp_path / "ck"),
+            "--min-jaccard-pct",
+            "60",
+        ]
+    )
+    assert rc == 0
+    from pignlproc_spark.streaming import neardup
+
+    pairs = neardup.read_pairs(spark, str(tmp_path / "nd"))
+    assert pairs.count() > 0
+    assert pairs.where(F.col("id_a") >= F.col("id_b")).count() == 0

@@ -121,3 +121,43 @@ def test_whole_stage_codegen_spans(spark, synth_dir):
         assert "Found 0 WholeStageCodegen" not in plan
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_strip_spans_anti_join_is_broadcast(spark):
+    from pignlproc_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, "tok%d " % (i % 3) * 20) for i in range(20)], "doc_id long, text string"
+    )
+    p = plan_of(dedup.strip_duplicate_spans(docs, window=5))
+    # exploded fact side must meet the span table via broadcast, not a
+    # fact-side shuffle (sort-merge)
+    assert "BroadcastHashJoin LeftAnti" in p.replace("\n", " ") or (
+        "LeftAnti" in p and "BroadcastHashJoin" in p
+    )
+    assert "SortMergeJoin LeftAnti" not in p
+
+
+def test_repetition_signals_partial_final(spark):
+    from pignlproc_spark.operators import textstats
+
+    docs = spark.createDataFrame([(1, "a b c a b")], "doc_id long, text string")
+    p = plan_of(textstats.repetition_signals(docs))
+    # per-(doc, gram) count then per-doc rollup: two partial/final
+    # HashAggregate pairs with map-side combine absorbing the fanout
+    assert p.count("HashAggregate") >= 4
+    assert "partial_count" in p or "partial_sum" in p
+
+
+def test_pagerank_iteration_shuffles_only_ranks(spark):
+    # the per-iteration join must key ranks into the edges' existing
+    # hash partitioning: the shares side is persisted pre-partitioned,
+    # so no exchange may sit between the InMemoryRelation scan and the
+    # join
+    from pignlproc_spark.operators import stats as S
+
+    m = spark.createDataFrame(
+        [("p%d" % (i // 3), "e%d" % (i % 9)) for i in range(60)], "url string, uri string"
+    )
+    ranks = S.entity_pagerank(m, iterations=2)
+    assert abs(sum(r.rank for r in ranks.collect()) - 1.0) < 1e-9
