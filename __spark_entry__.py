@@ -632,6 +632,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 
+def url_canonical_sql(src: str) -> str:
+    """(variant, canonical_url, host) from a relation with a ``variant``
+    column — the DuckDB side of the frozen CCUrl v1 spec
+    (functions/urls.py). Shared by the driver oracle and the
+    differential fuzz test so the two cannot drift apart."""
+    return f"""
+    SELECT variant,
+      CASE WHEN scheme = '' OR host0 = '' THEN u
+           ELSE scheme || '://' ||
+                CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+                     WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+                     ELSE host0 END || path || query END AS canonical_url,
+      host0 AS host
+    FROM (
+      SELECT variant, trim(variant) AS u,
+        lower(regexp_extract(trim(variant), '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+        lower(regexp_extract(trim(variant), '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host0,
+        regexp_replace(regexp_extract(trim(variant), '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/+$', '') AS path,
+        regexp_replace(regexp_extract(trim(variant), '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+[^?#]*(\\?[^#]*)', 1), '^\\?$', '') AS query
+      FROM {src}
+    )
+    """
+
+
 def _tok_sql(col: str, stop: bool) -> str:
     base = f"regexp_extract_all(lower({col}), '{TOKEN_RE_SQL}')"
     filt = f"list_filter({base}, t -> length(t) <= 64)"
@@ -892,26 +916,11 @@ def oracle_sql() -> dict[str, str]:
 
     # ---- web-page URL ops (CCUrl v1 — same RE2 regexes as
     # functions/urls.py, so both engines run the identical frozen spec) ----
-    _url_parts = f"""
-      SELECT variant, trim(variant) AS u,
-        lower(regexp_extract(trim(variant), '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
-        lower(regexp_extract(trim(variant), '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host0,
-        regexp_replace(regexp_extract(trim(variant), '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/+$', '') AS path,
-        regexp_replace(regexp_extract(trim(variant), '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+[^?#]*(\\?[^#]*)', 1), '^\\?$', '') AS query
-    """
     o["web_canonical_urls"] = f"""
     WITH v AS (
       SELECT unnest([url, url || '#section', upper(url), url || '/']) AS variant
       FROM {g('pages')}
-    ), parts AS ({_url_parts} FROM v)
-    SELECT variant,
-      CASE WHEN scheme = '' OR host0 = '' THEN u
-           ELSE scheme || '://' ||
-                CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
-                     WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
-                     ELSE host0 END || path || query END AS canonical_url,
-      host0 AS host
-    FROM parts
+    ) {url_canonical_sql('v')}
     """
     o["web_domain_stats"] = f"""
     SELECT lower(regexp_extract(trim(url), '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host,

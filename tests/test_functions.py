@@ -155,3 +155,67 @@ def test_url_canonicalization(spark):
     # determinism/idempotence: canonical(canonical(x)) == canonical(x)
     twice = df.select(canonical_url_col(canonical_url_col(F.col("url"))).alias("c2")).collect()
     assert [r.c2 for r in twice] == [r.c for r in got]
+
+
+def test_url_canonical_differential_fuzz(spark):
+    """Seeded random URL-ish strings through BOTH engines: the Spark
+    expression and the DuckDB oracle SQL (shared helper) must agree on
+    every input, and canonicalization must be idempotent."""
+    import random
+
+    import duckdb
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from __spark_entry__ import url_canonical_sql
+    from pignlproc_spark.functions.urls import canonical_url_col, host_col
+
+    rng = random.Random(20260817)
+    schemes = ["http", "HTTP", "https", "HtTpS", "ftp", "file", ""]
+    hosts = ["Example.COM", "host", "a.b.c", "HOST:80", "host:443", "h:8080", "", "ho_st"]
+    paths = ["", "/", "/a", "/A/B", "//x", "/a/", "/a///", "/%20x", "/a b"]
+    queries = ["", "?", "?q=1", "?Q=A&b=2"]
+    frags = ["", "#f", "#a#b", "#"]
+    urls = []
+    for _ in range(400):
+        if rng.random() < 0.1:
+            urls.append(rng.choice(["", " ", "not a url", "/rel/path", "::://x", "a//b"]))
+            continue
+        u = (
+            rng.choice(schemes)
+            + "://"
+            + rng.choice(hosts)
+            + rng.choice(paths)
+            + rng.choice(queries)
+            + rng.choice(frags)
+        )
+        if rng.random() < 0.2:
+            u = " " + u + "  "
+        urls.append(u)
+
+    sdf = spark.createDataFrame([(u,) for u in urls], "variant string")
+    got = (
+        sdf.select(
+            "variant",
+            canonical_url_col(F.col("variant")).alias("canonical_url"),
+            host_col(F.col("variant")).alias("host"),
+        )
+        .toPandas()
+        .sort_values("variant")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"variant": urls}))
+    want = con.execute(url_canonical_sql("t") + " ORDER BY variant").df().reset_index(drop=True)
+    # duplicates in urls make order within equal variants ambiguous;
+    # compare as multisets of rows
+    g = sorted(map(tuple, got.values.tolist()))
+    w = sorted(map(tuple, want.values.tolist()))
+    assert g == w
+
+    # idempotence on the Spark side
+    twice = sdf.select(
+        canonical_url_col(canonical_url_col(F.col("variant"))).alias("c2"),
+        canonical_url_col(F.col("variant")).alias("c1"),
+    ).collect()
+    assert all(r.c1 == r.c2 for r in twice)
