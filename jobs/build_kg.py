@@ -100,10 +100,13 @@ def main(argv=None):
     if args.graph_stats:
         from pignlproc_spark.operators import stats as S
 
-        cooc = S.entity_cooccurrence(res.mentions, max_entities_per_page=512)
+        # persist: the quadratic co-occurrence self-join feeds both the
+        # table write and (twice, internally) the PageRank build
+        cooc = S.entity_cooccurrence(res.mentions, max_entities_per_page=512).persist()
         outputs["cooccurrence"] = tables.write_table(cooc, "stats/cooccurrence", root=args.out)
         pr = S.entity_pagerank(res.mentions, cooc=cooc)
         outputs["pagerank"] = tables.write_table(pr, "stats/pagerank", root=args.out)
+        cooc.unpersist()
     for name, df in (
         ("pair_counts", res.pair_counts),
         ("uri_counts", res.uri_counts),

@@ -35,6 +35,12 @@ def main(argv=None):
     ap.add_argument("--checkpoint", required=True, help="streaming checkpoint location")
     ap.add_argument("--bands", type=int, default=4, help="LSH bands (1-16; more = higher recall)")
     ap.add_argument("--min-jaccard-pct", type=int, default=80, help="verify threshold (percent)")
+    ap.add_argument(
+        "--max-files",
+        type=int,
+        default=4,
+        help="files per micro-batch (each batch probes the full store once — bigger batches amortize it)",
+    )
     ap.add_argument("--continuous", action="store_true", help="run until killed instead of draining and exiting")
     args = ap.parse_args(argv)
 
@@ -50,6 +56,7 @@ def main(argv=None):
         args.root,
         args.checkpoint,
         available_now=not args.continuous,
+        max_files_per_trigger=args.max_files,
         bands=args.bands,
         min_jaccard_pct=args.min_jaccard_pct,
     )

@@ -390,9 +390,13 @@ def strip_duplicate_spans(
     discipline as J8's context concat); docs with nothing duplicated
     pass through unchanged.
     """
+    # lazy checkpoint: materializes (once) at the FIRST action, not at
+    # plan-construction time — dump_plans/explain must stay free. The
+    # blocks live until the RDD is GC'd (localCheckpoint has no
+    # explicit release); at cluster scale this is a checkpoint table.
     toks = df.select(
         F.col(id_col).cast("bigint").alias("doc_id"), _tokens(F.col(text_col)).alias("_toks")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     spans = duplicate_spans(df, id_col, text_col, window, toks=toks)
     pos_toks = toks.select("doc_id", F.posexplode("_toks").alias("pos", "tok"))
     kept = pos_toks.join(

@@ -46,20 +46,36 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pignlproc_spark.operators import dedup
-from pignlproc_spark.streaming.counts import _read_manifest, _write_manifest
+from pignlproc_spark.streaming.counts import _read_manifest, append_delta
 
 SIGS_SCHEMA = "doc_id long, band int, sig string"
 TOKS_SCHEMA = "doc_id long, tok array<string>"
 
+# fact appends reuse the counts-module commit protocol verbatim
+# (write delta dir → manifest append → atomic swap); its
+# folded_through guard is inert here because this store never compacts
+_append_facts = append_delta
 
-def _append_facts(facts: DataFrame, facts_dir: str, batch_id: int) -> None:
-    """Publish one batch's fact rows (idempotent per batch_id)."""
-    name = f"delta-{batch_id:08d}"
-    facts.write.mode("overwrite").parquet(f"{facts_dir}/{name}")
-    m = _read_manifest(facts_dir)
-    if name not in m["live"]:
-        m["live"].append(name)
-        _write_manifest(facts_dir, m)
+
+def _check_meta(root: str, bands: int) -> None:
+    """Pin the store's LSH config: probing 8-band signatures against
+    4-band history silently halves recall — refuse instead."""
+    import json
+    from pathlib import Path
+
+    p = Path(root) / "_meta.json"
+    if p.exists():
+        stored = json.loads(p.read_text())["bands"]
+        if stored != bands:
+            raise ValueError(
+                f"near-dup store {root} was built with bands={stored}; "
+                f"restarting with bands={bands} would silently degrade "
+                "probe recall against history — rebuild the store or "
+                "keep the original setting"
+            )
+        return
+    Path(root).mkdir(parents=True, exist_ok=True)
+    p.write_text(json.dumps({"bands": bands}))
 
 
 def _read_facts(
@@ -91,6 +107,17 @@ def process_batch(
     from pyspark.storagelevel import StorageLevel
 
     spark = batch_docs.sparkSession
+    _check_meta(root, bands)
+    sigs_hist = _read_facts(spark, f"{root}/signatures", SIGS_SCHEMA, exclude_batch=batch_id)
+    toks_hist = _read_facts(spark, f"{root}/token_sets", TOKS_SCHEMA, exclude_batch=batch_id)
+    # upstream RE-DELIVERY guard (distinct from Spark's own replay,
+    # which exclude_batch handles): a doc_id already in history must
+    # not re-enter — it would duplicate store rows and re-emit its
+    # pairs. token_sets covers every ingested doc (signatures miss
+    # sub-shingle docs), so it is the authoritative seen-set.
+    batch_docs = batch_docs.join(
+        toks_hist.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
+    ).dropDuplicates([id_col])
     sigs_new = dedup.minhash_signatures(batch_docs, id_col, text_col, bands).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -99,8 +126,6 @@ def process_batch(
         F.array_distinct(dedup._tokens(F.col(text_col))).alias("tok"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        sigs_hist = _read_facts(spark, f"{root}/signatures", SIGS_SCHEMA, exclude_batch=batch_id)
-        toks_hist = _read_facts(spark, f"{root}/token_sets", TOKS_SCHEMA, exclude_batch=batch_id)
 
         # candidates: new×history plus new×new, normalized (id_a < id_b),
         # each unordered pair surfaces exactly once — here, now
@@ -161,7 +186,7 @@ def run_incremental_near_dup(
     checkpoint_dir: str,
     schema: str = "doc_id long, text string, lang string, source string, n_chars long",
     available_now: bool = True,
-    max_files_per_trigger: int = 1,
+    max_files_per_trigger: int = 4,
     bands: int = dedup.DEFAULT_BANDS,
     min_jaccard_pct: int = 80,
 ):

@@ -301,7 +301,8 @@ def test_incremental_near_dup(spark, tmp_path):
 
     root = str(tmp_path / "nd")
     q = neardup.run_incremental_near_dup(
-        spark, str(in_dir) + "/*", root, str(tmp_path / "ck"), min_jaccard_pct=60
+        spark, str(in_dir) + "/*", root, str(tmp_path / "ck"),
+        min_jaccard_pct=60, max_files_per_trigger=1,
     )
     q.awaitTermination(180)
 
@@ -328,3 +329,17 @@ def test_incremental_near_dup(spark, tmp_path):
     got2 = {(r.id_a, r.id_b) for r in neardup.read_pairs(spark, root).collect()}
     assert got2 == want
     assert neardup._read_facts(spark, f"{root}/signatures", neardup.SIGS_SCHEMA).count() == n_sig_before
+
+    # upstream RE-DELIVERY (same docs under a NEW batch id — not a
+    # Spark replay): already-seen docs must not duplicate store rows
+    # or re-emit their pairs
+    neardup.process_batch(replay_docs, root, last_batch + 1, min_jaccard_pct=60)
+    got3 = {(r.id_a, r.id_b) for r in neardup.read_pairs(spark, root).collect()}
+    assert got3 == want
+    assert neardup._read_facts(spark, f"{root}/signatures", neardup.SIGS_SCHEMA).count() == n_sig_before
+
+    # config pinning: restarting with different bands must refuse
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bands"):
+        neardup.process_batch(replay_docs, root, last_batch + 2, bands=8)
