@@ -332,6 +332,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the transform half: cut the duplicated spans out of the text
         return dedup.strip_duplicate_spans(_read(spark, sf_dir, "documents"), window=15)
 
+    def docs_curation_pipeline(spark, sf_dir):
+        # the composed per-doc curation verdict a training pipeline
+        # materializes: C4-style quality/lang/exact-canonicality gate ×
+        # transitive near-dup survivorship, one row per document
+        d = _read(spark, sf_dir, "documents")
+        cf = textstats.corpus_filter(d).select("doc_id", F.col("keep").alias("quality_keep"))
+        nd = dedup.dedup_keep_decision(d, dedup.lsh_candidate_pairs(d)).select(
+            "doc_id", F.col("keep").alias("neardup_keep")
+        )
+        return cf.join(nd, "doc_id").select(
+            "doc_id",
+            "quality_keep",
+            "neardup_keep",
+            (F.col("quality_keep") * F.col("neardup_keep")).cast("int").alias("keep"),
+        )
+
     def kg_entity_cooccurrence(spark, sf_dir):
         from pignlproc_spark.operators import stats
 
@@ -605,6 +621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs_repetition=docs_repetition,
         docs_duplicate_spans=docs_duplicate_spans,
         docs_strip_spans=docs_strip_spans,
+        docs_curation_pipeline=docs_curation_pipeline,
         kg_entity_cooccurrence=kg_entity_cooccurrence,
         kg_entity_pagerank=kg_entity_pagerank,
         docs_simhash=docs_simhash,
@@ -1082,6 +1099,17 @@ def oracle_sql() -> dict[str, str]:
            (len(t.t) - coalesce(reb.n_kept, 0))::BIGINT AS n_tokens_dropped
     FROM toks t LEFT JOIN reb ON t.doc_id = reb.doc_id
     """
+    o["docs_curation_pipeline"] = f"""
+    WITH RECURSIVE {_clusters_sql},
+    nd AS (
+      SELECT d.doc_id::BIGINT AS doc_id,
+             (coalesce(c.component_id, d.doc_id) = d.doc_id)::INT AS neardup_keep
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    ), cf AS ({{CORPUS_FILTER}})
+    SELECT cf.doc_id, cf.keep AS quality_keep, nd.neardup_keep,
+           (cf.keep * nd.neardup_keep)::INT AS keep
+    FROM cf JOIN nd ON cf.doc_id = nd.doc_id
+    """
     o["kg_entity_cooccurrence"] = f"""
     WITH m AS (SELECT DISTINCT url, uri FROM {g('golden_mentions')})
     SELECT a.uri AS uri_a, b.uri AS uri_b, count(*) AS cnt
@@ -1185,6 +1213,11 @@ def oracle_sql() -> dict[str, str]:
             AND l.lang_pred = 'en' AND c.is_canonical = 1)::INT AS keep
     FROM q JOIN l USING (doc_id) JOIN c USING (doc_id)
     """
+    # the curation-pipeline oracle composes the corpus-filter SQL
+    # (defined just above) into its quality CTE
+    o["docs_curation_pipeline"] = o["docs_curation_pipeline"].replace(
+        "{CORPUS_FILTER}", o["docs_corpus_filter"]
+    )
 
     # ---- sources ----
     o["src_wikidump_index"] = (
