@@ -135,12 +135,20 @@ def jaccard_pairs(
     text_col: str = "text",
     min_jaccard_pct: int = 10,
     pairs: DataFrame | None = None,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """(id_a, id_b, inter_cnt, union_cnt) for token-set Jaccard ≥
     min_jaccard_pct/100 — integer counts only (hash-stable; the float
     ratio is derivable). With ``pairs`` given (e.g. LSH candidates)
-    verifies only those; else all pairs (bounded inputs only!)."""
-    t = df.select(F.col(id_col), F.array_distinct(_tokens(F.col(text_col))).alias("tok"))
+    verifies only those; else all pairs (bounded inputs only!).
+
+    Pass a precomputed/materialized ``toks`` (id, tok ARRAY) to avoid
+    tokenizing the corpus once per join side — Spark reuses exchanges,
+    not arbitrary subplans, so without it the token subtree executes
+    twice."""
+    t = toks if toks is not None else df.select(
+        F.col(id_col), F.array_distinct(_tokens(F.col(text_col))).alias("tok")
+    )
     a = t.select(F.col(id_col).alias("id_a"), F.col("tok").alias("tok_a"))
     b = t.select(F.col(id_col).alias("id_b"), F.col("tok").alias("tok_b"))
     if pairs is not None:
@@ -162,15 +170,20 @@ def near_duplicates(
     near-dup detection (candidates shuffle, not the corpus).
 
     Signatures are persisted across the self-join sides and released
-    once the candidate set is materialized; at cluster scale this is
-    the stage you'd checkpoint to a table instead."""
+    once the candidate set is materialized, and the verify step's
+    token sets are computed once (lazy localCheckpoint) instead of
+    once per join side; at cluster scale both are the stages you'd
+    checkpoint to tables instead."""
     from pyspark.storagelevel import StorageLevel
 
     sigs = minhash_signatures(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
     cands = lsh_candidate_pairs(df, id_col, text_col, sigs=sigs).persist(StorageLevel.MEMORY_AND_DISK)
     cands.count()  # materialize so the signature cache can be freed
     sigs.unpersist()
-    out = jaccard_pairs(df, id_col, text_col, min_jaccard_pct, pairs=cands)
+    toks = df.select(
+        F.col(id_col), F.array_distinct(_tokens(F.col(text_col))).alias("tok")
+    ).localCheckpoint(eager=False)
+    out = jaccard_pairs(df, id_col, text_col, min_jaccard_pct, pairs=cands, toks=toks)
     return out
 
 
