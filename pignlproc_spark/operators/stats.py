@@ -267,7 +267,9 @@ def entity_pagerank(
     spark = mentions.sparkSession
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     if cooc is None:
-        cooc = entity_cooccurrence(mentions)
+        # the quadratic self-join feeds the edge union (twice), the
+        # node count, and the share build — compute it once
+        cooc = entity_cooccurrence(mentions).localCheckpoint(eager=False)
     edges = cooc.select(
         F.col("uri_a").alias("src"), F.col("uri_b").alias("dst"), F.col("cnt").alias("w")
     ).union(cooc.select(F.col("uri_b").alias("src"), F.col("uri_a").alias("dst"), F.col("cnt").alias("w")))
