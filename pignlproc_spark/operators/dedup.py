@@ -36,6 +36,17 @@ def _tokens(text_col):
     return tokens_col(text_col, with_stopwords=False)
 
 
+def _token_sets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, tok ARRAY<STRING>) — the distinct-token set every Jaccard
+    consumer uses. Single-sourced: the streaming/batch equivalence
+    contract (streaming/neardup.py) depends on all verify paths
+    tokenizing identically."""
+    return df.select(
+        F.col(id_col).cast("bigint").alias(id_col),
+        F.array_distinct(_tokens(F.col(text_col))).alias("tok"),
+    )
+
+
 def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Adds ``shingles`` ARRAY<STRING>: word n-grams (space-joined),
     built-ins only; empty array when the doc has < n tokens."""
@@ -146,9 +157,7 @@ def jaccard_pairs(
     tokenizing the corpus once per join side — Spark reuses exchanges,
     not arbitrary subplans, so without it the token subtree executes
     twice."""
-    t = toks if toks is not None else df.select(
-        F.col(id_col), F.array_distinct(_tokens(F.col(text_col))).alias("tok")
-    )
+    t = toks if toks is not None else _token_sets(df, id_col, text_col)
     a = t.select(F.col(id_col).alias("id_a"), F.col("tok").alias("tok_a"))
     b = t.select(F.col(id_col).alias("id_b"), F.col("tok").alias("tok_b"))
     if pairs is not None:
@@ -180,9 +189,7 @@ def near_duplicates(
     cands = lsh_candidate_pairs(df, id_col, text_col, sigs=sigs).persist(StorageLevel.MEMORY_AND_DISK)
     cands.count()  # materialize so the signature cache can be freed
     sigs.unpersist()
-    toks = df.select(
-        F.col(id_col), F.array_distinct(_tokens(F.col(text_col))).alias("tok")
-    ).localCheckpoint(eager=False)
+    toks = _token_sets(df, id_col, text_col).localCheckpoint(eager=False)
     out = jaccard_pairs(df, id_col, text_col, min_jaccard_pct, pairs=cands, toks=toks)
     return out
 

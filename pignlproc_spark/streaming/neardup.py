@@ -61,6 +61,7 @@ def _check_meta(root: str, bands: int) -> None:
     """Pin the store's LSH config: probing 8-band signatures against
     4-band history silently halves recall — refuse instead."""
     import json
+    import os
     from pathlib import Path
 
     p = Path(root) / "_meta.json"
@@ -74,8 +75,18 @@ def _check_meta(root: str, bands: int) -> None:
                 "keep the original setting"
             )
         return
+    # a store with signature history but no meta predates the pin (or
+    # lost its sidecar) — adopting the caller's bands here would be the
+    # exact silent degradation this guard exists to prevent
+    if _read_manifest(f"{root}/signatures")["live"]:
+        raise ValueError(
+            f"near-dup store {root} has signature history but no _meta.json — "
+            "cannot confirm its bands config; restore the sidecar or rebuild"
+        )
     Path(root).mkdir(parents=True, exist_ok=True)
-    p.write_text(json.dumps({"bands": bands}))
+    tmp = p.with_suffix(".json.tmp")
+    tmp.write_text(json.dumps({"bands": bands}))
+    os.replace(tmp, p)  # atomic: a crash mid-write must not brick the stream
 
 
 def _read_facts(
@@ -115,16 +126,20 @@ def process_batch(
     # not re-enter — it would duplicate store rows and re-emit its
     # pairs. token_sets covers every ingested doc (signatures miss
     # sub-shingle docs), so it is the authoritative seen-set.
-    batch_docs = batch_docs.join(
-        toks_hist.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
-    ).dropDuplicates([id_col])
+    batch_docs = (
+        batch_docs.join(toks_hist.select(F.col("doc_id").alias(id_col)), id_col, "left_anti")
+        .dropDuplicates([id_col])
+        .persist(StorageLevel.MEMORY_AND_DISK)  # the history anti-join runs once,
+        # not once per derived frame (sigs + toks both materialize it)
+    )
     sigs_new = dedup.minhash_signatures(batch_docs, id_col, text_col, bands).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    toks_new = batch_docs.select(
-        F.col(id_col).cast("bigint").alias("doc_id"),
-        F.array_distinct(dedup._tokens(F.col(text_col))).alias("tok"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    toks_new = (
+        dedup._token_sets(batch_docs, id_col, text_col)
+        .withColumnRenamed(id_col, "doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     try:
 
         # candidates: new×history plus new×new, normalized (id_a < id_b),
@@ -168,6 +183,7 @@ def process_batch(
     finally:
         sigs_new.unpersist()
         toks_new.unpersist()
+        batch_docs.unpersist()
 
 
 def read_pairs(spark: SparkSession, root: str) -> DataFrame:
