@@ -343,3 +343,42 @@ def test_incremental_near_dup(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="bands"):
         neardup.process_batch(replay_docs, root, last_batch + 2, bands=8)
+
+
+def test_incremental_near_dup_crash_window(spark, tmp_path, monkeypatch):
+    """Crash AFTER the pair publish but BEFORE the store appends: the
+    replayed batch must converge to the same final state as a clean
+    run (pairs overwritten identically, store appended exactly once)."""
+    from pignlproc_spark.streaming import neardup
+
+    schema = "doc_id long, text string"
+    b0 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "unrelated words entirely here now")], schema
+    )
+    b1 = spark.createDataFrame([(3, "alpha beta gamma delta epsilon zeta")], schema)
+    root = str(tmp_path / "nd")
+    neardup.process_batch(b0, root, 0, text_col="text", min_jaccard_pct=60)
+
+    # crash: batch 1 dies after writing pairs, before any store append
+    calls = {"n": 0}
+    real_append = neardup._append_facts
+
+    def dying_append(*a, **k):
+        calls["n"] += 1
+        raise RuntimeError("simulated crash before store append")
+
+    monkeypatch.setattr(neardup, "_append_facts", dying_append)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        neardup.process_batch(b1, root, 1, min_jaccard_pct=60)
+    assert calls["n"] == 1  # died on the first append
+    monkeypatch.setattr(neardup, "_append_facts", real_append)
+
+    # replay of batch 1 (foreachBatch retry) completes the batch
+    neardup.process_batch(b1, root, 1, min_jaccard_pct=60)
+    pairs = {(r.id_a, r.id_b) for r in neardup.read_pairs(spark, root).collect()}
+    assert pairs == {(1, 3)}
+    sigs = neardup._read_facts(spark, f"{root}/signatures", neardup.SIGS_SCHEMA)
+    assert sigs.select("doc_id").distinct().count() == 3  # docs 1, 2, 3
+    assert sigs.count() == sigs.distinct().count()  # appended exactly once each
