@@ -641,6 +641,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ner_opennlp_sentences=ner_opennlp_sentences,
         kg_paragraph_contexts=kg_paragraph_contexts,
     )
+
+    # ---- training-data ops, continued session 2 ----
+    def docs_decontaminate(spark, sf_dir):
+        # benchmark decontamination: eval set = every 5th doc (the
+        # deterministic stand-in for a benchmark table), n=8 windows
+        # at this corpus scale (13 in production); the eval-gram probe
+        # broadcasts, the corpus never shuffles
+        d = _read(spark, sf_dir, "documents")
+        return dedup.contamination(
+            d.where(F.col("doc_id") % 5 != 0), d.where(F.col("doc_id") % 5 == 0), n=8
+        )
+
+    def docs_pack_sequences(spark, sf_dir):
+        # concat-and-chunk LLM sequence packing (512-piece sequences,
+        # 8 shards — one shard ≈ one output file at scale)
+        return textstats.pack_sequences(_read(spark, sf_dir, "documents"), capacity=512, shards=8)
+
+    def docs_length_quantiles(spark, sf_dir):
+        # exact per-language p50/p90/p99 of token counts
+        return textstats.length_quantiles(_read(spark, sf_dir, "documents"))
+
+    q.update(
+        docs_decontaminate=docs_decontaminate,
+        docs_pack_sequences=docs_pack_sequences,
+        docs_length_quantiles=docs_length_quantiles,
+    )
     return q
 
 
@@ -1284,6 +1310,61 @@ def oracle_sql() -> dict[str, str]:
     o["kg_paragraph_contexts"] = (
         f"SELECT url, context, surface_form, uri, cnt FROM {g('golden_paragraph_mentions')}"
     )
+
+    _CN = 8  # contamination window (matches docs_decontaminate)
+    _cncat = " || ' ' || ".join(f"t[j+{k}]" for k in range(_CN))
+    o["docs_decontaminate"] = f"""
+    WITH toks AS (
+      SELECT doc_id, {_tok_sql('text', stop=False)} AS t FROM documents
+    ), w AS (
+      SELECT doc_id, md5({_cncat}) AS h
+      FROM toks, unnest(range(1, greatest(len(t) - {_CN - 2}, 1))) AS u(j)
+      WHERE len(t) >= {_CN}
+    ), ev AS (SELECT DISTINCT h FROM w WHERE doc_id % 5 = 0),
+    hits AS (
+      SELECT doc_id, count(*)::BIGINT AS n_hit_windows, count(DISTINCT h)::BIGINT AS n_hit_grams
+      FROM w JOIN ev USING (h) WHERE doc_id % 5 <> 0 GROUP BY doc_id
+    )
+    SELECT t.doc_id::BIGINT AS doc_id,
+           greatest(len(t.t) - {_CN - 1}, 0)::BIGINT AS n_windows,
+           coalesce(h.n_hit_windows, 0)::BIGINT AS n_hit_windows,
+           coalesce(h.n_hit_grams, 0)::BIGINT AS n_hit_grams,
+           (coalesce(h.n_hit_windows, 0) >= 1)::INT AS contaminated
+    FROM toks t LEFT JOIN hits h USING (doc_id)
+    WHERE t.doc_id % 5 <> 0
+    """
+    o["docs_pack_sequences"] = r"""
+    WITH base AS (
+      SELECT doc_id::BIGINT AS doc_id,
+             (('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 8) AS shard,
+             len(regexp_extract_all(text,
+                 '''(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+'))::BIGINT AS n_pieces
+      FROM documents
+    ), c AS (
+      SELECT *, (sum(n_pieces) OVER (PARTITION BY shard ORDER BY doc_id) - n_pieces)::BIGINT AS cum_before
+      FROM base
+    )
+    SELECT doc_id, shard, n_pieces, cum_before,
+           (cum_before // 512)::BIGINT AS seq_start,
+           ((cum_before + greatest(n_pieces, 1) - 1) // 512)::BIGINT AS seq_end,
+           (cum_before % 512)::BIGINT AS offset_in_seq
+    FROM c
+    """
+    o["docs_length_quantiles"] = f"""
+    WITH t AS (
+      SELECT lang AS stratum, doc_id::BIGINT AS id,
+             len({_tok_sql('text', stop=False)})::BIGINT AS n_tokens
+      FROM documents
+    ), r AS (
+      SELECT stratum, n_tokens,
+             row_number() OVER (PARTITION BY stratum ORDER BY n_tokens, id)::BIGINT AS rn,
+             count(*) OVER (PARTITION BY stratum)::BIGINT AS n_docs
+      FROM t
+    )
+    SELECT stratum, q::INT AS q, n_docs, n_tokens AS q_value
+    FROM r CROSS JOIN unnest([50, 90, 99]) AS u(q)
+    WHERE rn = (n_docs * q + 99) // 100
+    """
 
     # emb_cosine_topk / emb_srp_lsh_topk / media_features /
     # ner_opennlp_sentences: intentionally no oracle (float ordering /

@@ -442,6 +442,78 @@ def strip_duplicate_spans(
     )
 
 
+def contamination(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str | None = None,
+    n: int = 13,
+    min_hit_windows: int = 1,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """(doc_id, n_windows, n_hit_windows, n_hit_grams, contaminated INT)
+    — benchmark decontamination (GPT-3 appendix-C style, Brown et al.
+    2020; also Llama/PaLM): flag training documents that contain any
+    ``n``-token window also present in an evaluation set, so they can
+    be dropped (or span-stripped) before training.
+
+    Frozen spec: windows are ``n`` consecutive engine-tokenizer tokens
+    (stopwords kept), space-joined, md5-hashed; the eval side
+    contributes its DISTINCT window hashes; a corpus doc's
+    ``n_hit_windows`` counts its window *positions* whose hash is in
+    the eval set, ``n_hit_grams`` the distinct hashes hit;
+    ``contaminated = 1`` iff ``n_hit_windows ≥ min_hit_windows``.
+    Docs with < n tokens have 0 windows and are never contaminated.
+
+    Scale shape: the eval-gram table is benchmark-sized (10⁵–10⁷
+    hashes — tiny next to a 100 TB corpus), so the probe is a
+    **broadcast** semi-ish join: corpus window hashing is a pure
+    codegen'd projection + explode, the hit counting a partial/final
+    aggregate on doc_id — the corpus text itself never shuffles at
+    all. Pass ``broadcast_eval=False`` only if the "eval" side is
+    corpus-scale (then it is a (hash, id) shuffle, the
+    duplicate_spans profile).
+    """
+    w_expr = (
+        f"case when size(_toks) >= {n} then "
+        f"transform(sequence(1, size(_toks) - {n - 1}), i -> concat_ws(' ', slice(_toks, i, {n}))) "
+        "else array() end"
+    )
+
+    def windows(src: DataFrame, text: str) -> DataFrame:
+        t = src.select(F.col(id_col).cast("bigint").alias("doc_id"), _tokens(F.col(text)).alias("_toks"))
+        return t.select("doc_id", F.size("_toks").alias("_nt"), F.explode(F.expr(w_expr)).alias("w")).select(
+            "doc_id", F.md5(F.col("w").cast("binary")).alias("h")
+        )
+
+    ev = windows(eval_df, eval_text_col or text_col).select("h").distinct()
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    cw = windows(df, text_col)
+    hits = (
+        cw.join(ev, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hit_windows"),
+            F.count_distinct("h").cast("bigint").alias("n_hit_grams"),
+        )
+    )
+    base = df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.greatest(F.size(_tokens(F.col(text_col))) - (n - 1), F.lit(0)).cast("bigint").alias("n_windows"),
+    )
+    out = base.join(hits, "doc_id", "left")
+    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("bigint")  # noqa: E731
+    return out.select(
+        "doc_id",
+        "n_windows",
+        z("n_hit_windows").alias("n_hit_windows"),
+        z("n_hit_grams").alias("n_hit_grams"),
+        (z("n_hit_windows") >= min_hit_windows).cast("int").alias("contaminated"),
+    )
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, simhash) — 16-bit SimHash over the token multiset.
 

@@ -280,6 +280,111 @@ def global_token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    capacity: int = 2048,
+    shards: int = 8,
+) -> DataFrame:
+    """(doc_id, shard, n_pieces, cum_before, seq_start, seq_end,
+    offset_in_seq) — concat-and-chunk sequence packing, the standard
+    LLM-pretraining layout: within a shard, documents are concatenated
+    in a deterministic order and the token stream is cut into
+    fixed-``capacity`` training sequences (documents may straddle a
+    boundary — that IS the standard packing; the attention mask, not
+    the layout, separates them). Emitted per document:
+
+    - ``shard``       — md5 hash bucket of the id (``% shards``), the
+      unit of parallel packing; at production scale one shard ≈ one
+      output file, so ``shards`` is the parallelism lever and no
+      global order exists (none is needed).
+    - ``cum_before``  — pieces emitted before this doc in its shard
+      (exclusive prefix sum over ``(shard) ORDER BY doc_id``).
+    - ``seq_start`` / ``seq_end`` — first/last sequence index touched
+      (``floor(cum_before / capacity)`` …); empty docs occupy none and
+      report ``seq_end = seq_start``.
+    - ``offset_in_seq`` — position of the doc's first piece within
+      ``seq_start``.
+
+    Token budget = the BPE-ish piece count (bpe_ish_token_counts) —
+    the realistic LLM budget, not whitespace words. All exact ints.
+
+    Scale shape: one codegen'd projection for the piece count, then a
+    single window cumsum partitioned by shard — the only shuffle is
+    the (shard, id, n) triple, never text; per-shard state is a
+    running sum. Skew is bounded by the md5 bucketing.
+    """
+    pat = r"'(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+"
+    from pyspark.sql import Window as W
+
+    n_pieces = F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)).cast("bigint")
+    shard = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 4), 16, 10).cast("bigint")
+        % shards
+    )
+    base = df.select(F.col(id_col).cast("bigint").alias("doc_id"), shard.alias("shard"), n_pieces.alias("n_pieces"))
+    w = W.partitionBy("shard").orderBy("doc_id")
+    cum_before = (F.sum("n_pieces").over(w) - F.col("n_pieces")).cast("bigint")
+    out = base.withColumn("cum_before", cum_before)
+    # integer `div`, not floor(double/...) — exact at any stream length
+    seq_start = F.expr(f"cum_before div {capacity}").cast("bigint")
+    seq_end = F.expr(f"(cum_before + greatest(n_pieces, 1) - 1) div {capacity}").cast("bigint")
+    return out.select(
+        "doc_id",
+        "shard",
+        "n_pieces",
+        "cum_before",
+        seq_start.alias("seq_start"),
+        seq_end.alias("seq_end"),
+        (F.col("cum_before") % capacity).cast("bigint").alias("offset_in_seq"),
+    )
+
+
+def length_quantiles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strata_col: str = "lang",
+    qs: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """(stratum, q, n_docs, q_value) — EXACT per-stratum quantiles of
+    the per-document token count (the corpus length profile a curation
+    pipeline monitors). Frozen definition: the q-th percentile is the
+    value at row ``ceil(n·q/100)`` of the stratum ordered by
+    (n_tokens, doc_id) — integer arithmetic only, so the DuckDB oracle
+    hash-matches (approx sketches never would; at 100 TB you would
+    point this at a stratified sample or accept a sketch, but the
+    exact form is the auditable one).
+
+    Shape: one tokenize+count projection, ONE window rank over
+    (stratum) — the same shuffle a groupBy(stratum) would pay — then a
+    fanout of the (tiny) ranked rows over the q list and a selective
+    filter. Nothing but (stratum, n, id) triples ever shuffle.
+    """
+    from pyspark.sql import Window as W
+
+    counts = df.select(
+        F.col(strata_col).alias("stratum"),
+        F.col(id_col).cast("bigint").alias("_id"),
+        F.size(tokens_col(F.col(text_col), with_stopwords=False)).cast("bigint").alias("n_tokens"),
+    )
+    w = W.partitionBy("stratum").orderBy("n_tokens", "_id")
+    ranked = counts.select(
+        "stratum",
+        "n_tokens",
+        F.row_number().over(w).cast("bigint").alias("_rn"),
+        F.count(F.lit(1)).over(W.partitionBy("stratum")).cast("bigint").alias("n_docs"),
+    )
+    fan = ranked.select(
+        "stratum", "n_tokens", "_rn", "n_docs", F.explode(F.array(*[F.lit(q) for q in qs])).alias("q")
+    )
+    hit = fan.where(F.col("_rn") == F.expr("(n_docs * q + 99) div 100"))
+    return hit.select(
+        "stratum", F.col("q").cast("int").alias("q"), "n_docs", F.col("n_tokens").alias("q_value")
+    )
+
+
 def top_tokens(df: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
     """(token, cnt) global top-k corpus tokens (FLATTEN/explode + count
     + top-k — the P4/P7/P15 composition over free text)."""

@@ -171,3 +171,36 @@ def test_pagerank_mass_conserved_and_shares_cached(spark):
         assert "InMemoryTableScan" in plan_of(joined) or "InMemoryRelation" in plan_of(joined)
     finally:
         shares.unpersist()
+
+
+def test_contamination_probe_is_broadcast_and_jvm_only(spark):
+    # decontaminating 100 TB against a benchmark set must be a
+    # broadcast probe (corpus never shuffles for the join) with no
+    # Python eval anywhere
+    from pignlproc_spark.operators import dedup
+
+    corpus = spark.createDataFrame([(1, "a b c d e f g h i")], "doc_id long, text string")
+    ev = spark.createDataFrame([(2, "a b c d e f g h")], "doc_id long, text string")
+    plan = plan_of(dedup.contamination(corpus, ev, n=8), mode="simple")
+    # the h-probe against the eval grams must be the broadcast join;
+    # the only sort-merge join allowed is the zero-fill outer join
+    # back to the corpus base (co-partitioned on doc_id)
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "BroadcastHashJoin [h#" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pack_sequences_single_shuffle(spark):
+    # one exchange on the shard key feeds the window cumsum; only the
+    # (shard, id, count) triple ever shuffles, never text
+    from pignlproc_spark.operators import textstats
+
+    df = spark.createDataFrame([(i, "some text here") for i in range(10)], "doc_id long, text string")
+    plan = plan_of(textstats.pack_sequences(df), mode="simple")
+    assert plan.count("Exchange") == 1
+    # the piece count is projected BELOW the exchange (text never shuffles)
+    import re
+
+    ex = re.search(r"Exchange hashpartitioning\(shard", plan)
+    assert ex is not None
+    assert "Window" in plan[: ex.start()]  # window consumes the one shuffle

@@ -522,3 +522,70 @@ def test_global_token_stats(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.token: (r.doc_freq, r.total_cnt) for r in textstats.global_token_stats(df).collect()}
     assert got == {"a": (2, 3), "b": (1, 1), "c": (1, 1)}
+
+
+def test_contamination_counts(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "one two three four five six seven eight tail moretail"),
+            # the eval window appears twice (positions 1 and 9)
+            (2, "x one two three four five six seven eight one two three four five six seven eight"),
+            (3, "totally unrelated content with plenty of words here indeed"),
+            (4, "tiny doc"),  # < n tokens: zero windows, never contaminated
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "ZZZ one two three four five six seven eight qqq")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in dedup.contamination(corpus, ev, n=8).collect()}
+    assert len(out) == 4
+    assert (out[1].n_windows, out[1].n_hit_windows, out[1].n_hit_grams, out[1].contaminated) == (3, 1, 1, 1)
+    assert (out[2].n_hit_windows, out[2].n_hit_grams, out[2].contaminated) == (2, 1, 1)
+    assert (out[3].n_hit_windows, out[3].contaminated) == (0, 0)
+    assert (out[4].n_windows, out[4].contaminated) == (0, 0)
+    # threshold: require >= 2 hit windows -> only the double-hit doc flags
+    out2 = {r.doc_id: r.contaminated for r in dedup.contamination(corpus, ev, n=8, min_hit_windows=2).collect()}
+    assert out2 == {1: 0, 2: 1, 3: 0, 4: 0}
+
+
+def test_pack_sequences_matches_reference(spark):
+    import hashlib
+
+    cap, shards = 7, 3
+    texts = {i: "tok " * (i % 5) for i in range(40)}  # includes empty docs
+    df = spark.createDataFrame([(i, t) for i, t in texts.items()], "doc_id long, text string")
+    got = {r.doc_id: r for r in textstats.pack_sequences(df, capacity=cap, shards=shards).collect()}
+
+    # independent reference: python bucketing + running sums
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % shards
+
+    by_shard: dict[int, list[int]] = {}
+    for i in sorted(texts):
+        by_shard.setdefault(bucket(i), []).append(i)
+    for shard, ids in by_shard.items():
+        cum = 0
+        for i in ids:
+            n = i % 5  # "tok " * k -> k pieces (one per word)
+            r = got[i]
+            assert (r.shard, r.n_pieces, r.cum_before) == (shard, n, cum)
+            assert r.seq_start == cum // cap
+            assert r.offset_in_seq == cum % cap
+            assert r.seq_end == (cum + max(n, 1) - 1) // cap
+            cum += n
+    assert len(got) == len(texts)
+
+
+def test_length_quantiles_exact_ranks(spark):
+    # en: counts 1..10 -> p50 = value at rank 5, p90 at 9, p99 at 10
+    # de: counts all equal (ties) -> every quantile is that value
+    rows = [(i, "w " * i, "en") for i in range(1, 11)]
+    rows += [(100 + i, "w w w", "de") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {(r.stratum, r.q): (r.n_docs, r.q_value) for r in textstats.length_quantiles(df).collect()}
+    assert got[("en", 50)] == (10, 5)
+    assert got[("en", 90)] == (10, 9)
+    assert got[("en", 99)] == (10, 10)
+    assert got[("de", 50)] == (4, 3) and got[("de", 90)] == (4, 3) and got[("de", 99)] == (4, 3)
+    assert len(got) == 6

@@ -93,6 +93,21 @@ def main():
         textstats.repetition_signals(docs),
     )
     add(
+        "Benchmark decontamination (broadcast eval-gram probe)",
+        "The eval set's distinct window hashes broadcast; the corpus windows probe "
+        "them map-side (BroadcastHashJoin on h) — the corpus text never shuffles "
+        "for the join. Hit counting is a partial/final aggregate on doc_id; the "
+        "zero-fill outer join back to the base co-partitions on doc_id.",
+        dedup.contamination(docs, docs.where(F.col("doc_id") % 5 == 0), n=8),
+    )
+    add(
+        "Sequence packing (one shuffle, window cumsum per shard)",
+        "The BPE-ish piece count and the md5 shard are projected below the single "
+        "exchange — only (doc_id, shard, n_pieces) shuffles, never text; the "
+        "running sum is one Window over the shard partitioning.",
+        textstats.pack_sequences(docs),
+    )
+    add(
         "Salted two-phase text aggregation (holistic agg under skew)",
         "Two exchanges: (uri, salt) then uri — a hub entity's contexts spread over "
         "salt_buckets partial concats before the final merge.",
