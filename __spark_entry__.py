@@ -841,16 +841,20 @@ def oracle_sql() -> dict[str, str]:
       FROM dmid
     ), prof AS (
       SELECT uri, sum(cnt)::BIGINT AS ptot FROM {g('golden_token_counts')} GROUP BY uri
+    ), uf AS (
+      SELECT token, count(DISTINCT uri)::BIGINT AS uf FROM {g('golden_token_counts')} GROUP BY token
     ), ov AS (
-      SELECT mt.mention_id, c.uri, sum(tc.cnt)::BIGINT AS overlap_cnt
+      SELECT mt.mention_id, c.uri, sum(tc.cnt)::BIGINT AS overlap_cnt,
+             sum(tc.cnt * (1000000 // (uf.uf * uf.uf)))::BIGINT AS icf_overlap
       FROM mt
       JOIN {g('golden_pair_counts')} c ON mt.surface_form = c.surface_form
       JOIN {g('golden_token_counts')} tc ON tc.uri = c.uri AND tc.token = mt.token
+      JOIN uf ON uf.token = mt.token
       GROUP BY mt.mention_id, c.uri
     ), scored AS (
       SELECT d.url, d.surface_form, d.mention_id, c.uri,
              CASE WHEN coalesce(p.ptot, 0) > 0
-                  THEN coalesce(o.overlap_cnt, 0) * 1000000 // p.ptot
+                  THEN coalesce(o.icf_overlap, 0) * 1000 // p.ptot
                   ELSE 0 END::BIGINT AS evidence,
              coalesce(o.overlap_cnt, 0)::BIGINT AS overlap_cnt,
              c.cnt::BIGINT AS prior_cnt

@@ -126,14 +126,25 @@ def disambiguate(
       (frozen tokenizer + per-``lang`` stoplist, identical to the
       ``token_counts`` build) of the candidate's token count — a
       naive-Bayes-style evidence term with integer weights (no float
-      sums; CLAUDE.md oracle rules).
-    - ``evidence`` = ⌊overlap_cnt × 10⁶ / profile_total(uri)⌋ — the
-      P(context|uri)-style normalization by the candidate's total
-      token mass. Raw overlap favors hub entities (their profiles
-      carry big counts for common words); division removes that bias
-      (+1.8 pt top-1 accuracy on the ambiguous synthetic corpus).
-      Integer division of exact ints — oracle-safe; needs
-      overlap_cnt < 2⁶³/10⁶ ≈ 9.2×10¹², far above any real profile.
+      sums; CLAUDE.md oracle rules). Kept as a raw diagnostic column.
+    - token discrimination weight: ``w(t) = 10⁶ DIV uf(t)²`` where
+      ``uf(t)`` = number of distinct entity profiles containing ``t``
+      (an integer-exact inverse-candidate-frequency, the TF-ICF idea
+      Spotlight uses with floats). A token unique to one profile
+      weighs 10⁶; one spread over 1000 profiles weighs 1 — common
+      filler words stop out-voting the discriminating ones.
+    - ``evidence`` = ⌊(Σ_t cnt(uri,t)·w(t)) × 10³ / profile_total⌋ —
+      ICF-weighted overlap normalized by the candidate's total token
+      mass. Raw overlap favors hub entities; per-mass normalization
+      alone over-penalizes them when the discriminating token IS
+      present (big profile ⇒ small normalized score even with the
+      topic token). The measured ladder on the ambiguous synthetic
+      corpus (sf0.01 top-1 accuracy): prior-only 0.9137 → +overlap
+      /profile_total 0.9753 → +ICF² weighting 0.9831. Integer
+      division of exact ints — oracle-safe; bound: the weighted sum
+      ×10³ must stay < 2⁶³, i.e. Σ cnt·w < 9.2×10¹⁵ — at w ≤ 10⁶
+      that is 9.2×10⁹ raw overlap mass per (mention, uri), orders of
+      magnitude above any real context.
     - rank: ``row_number`` by (evidence desc, prior_cnt desc, uri
       asc); top-``k`` kept.
 
@@ -162,11 +173,20 @@ def disambiguate(
         "surface_form",
         F.explode(F.array_distinct(tokens_col(F.col("context"), lang=lang))).alias("token"),
     )
+    # per-token discrimination weight: uf = #distinct profiles holding
+    # the token. One extra aggregation + co-partitioned join of the
+    # dictionary-sized profile table on `token` — an indexing-time
+    # artifact (materialize alongside tokenCounts on a real cluster)
+    uf = token_counts.groupBy("token").agg(F.count_distinct("uri").cast("long").alias("_uf"))
+    weighted_counts = token_counts.join(uf, "token")
     overlap = (
         mention_tokens.join(F.broadcast(cands.select("surface_form", "uri")), "surface_form")
-        .join(token_counts, ["uri", "token"])
+        .join(weighted_counts, ["uri", "token"])
         .groupBy("mention_id", "uri")
-        .agg(F.sum("cnt").cast("long").alias("overlap_cnt"))
+        .agg(
+            F.sum("cnt").cast("long").alias("overlap_cnt"),
+            F.sum(F.expr("cnt * (1000000L DIV (_uf * _uf))")).cast("long").alias("_icf_overlap"),
+        )
     )
     # per-candidate token mass for the evidence normalization — one
     # row per uri, dictionary-sized, broadcast like the candidates
@@ -180,13 +200,14 @@ def disambiguate(
         .join(overlap, ["mention_id", "uri"], "left")
         .join(F.broadcast(profile_totals), "uri", "left")
         .withColumn("overlap_cnt", F.coalesce(F.col("overlap_cnt"), F.lit(0)).cast("long"))
+        .withColumn("_icf_overlap", F.coalesce(F.col("_icf_overlap"), F.lit(0)).cast("long"))
         .withColumn(
             "evidence",
             # integral DIV, not floor(double /): long/long promotes to
             # double and loses exactness past 2^53 — DIV matches
-            # DuckDB's `//` bit-for-bit up to overlap_cnt < 2^63/10^6
+            # DuckDB's `//` bit-for-bit (bound in the docstring)
             F.when(
-                F.col("_ptot") > 0, F.expr("(overlap_cnt * 1000000L) DIV _ptot")
+                F.col("_ptot") > 0, F.expr("(_icf_overlap * 1000L) DIV _ptot")
             )
             .otherwise(F.lit(0))
             .cast("long"),

@@ -108,8 +108,10 @@ def test_disambiguate_unit(spark):
     assert best == {"u1": "Jaguar_(animal)", "u2": "Jaguar_Cars", "u3": "Jaguar_Cars"}
     row = out.where((F.col("url") == "u1") & (F.col("rank") == 1)).collect()[0]
     assert row.overlap_cnt == 12 and row.prior_cnt == 10
-    # animal profile total = 12, overlap 12 -> evidence = 1_000_000
-    assert row.evidence == 1_000_000
+    # rainforest/prey each live in exactly 1 profile -> w = 10^6 each;
+    # ICF overlap = (7+5)*10^6; profile total 12 -> evidence =
+    # 12e6 * 1000 / 12 = 1e9
+    assert row.evidence == 1_000_000_000
 
 
 def test_disambiguate_k1_agg_path_equals_window_path(spark, sf_dir, result):
