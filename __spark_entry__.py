@@ -662,10 +662,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact per-language p50/p90/p99 of token counts
         return textstats.length_quantiles(_read(spark, sf_dir, "documents"))
 
+    def docs_contamination_spans(spark, sf_dir):
+        # span-granular decontamination: WHERE the eval overlap sits
+        d = _read(spark, sf_dir, "documents")
+        return dedup.contamination_spans(
+            d.where(F.col("doc_id") % 5 != 0), d.where(F.col("doc_id") % 5 == 0), n=8
+        )
+
+    def docs_strip_contamination(spark, sf_dir):
+        # the transform half: cut the leaked spans, keep the docs
+        d = _read(spark, sf_dir, "documents")
+        return dedup.strip_contaminated_spans(
+            d.where(F.col("doc_id") % 5 != 0), d.where(F.col("doc_id") % 5 == 0), n=8
+        )
+
     q.update(
         docs_decontaminate=docs_decontaminate,
         docs_pack_sequences=docs_pack_sequences,
         docs_length_quantiles=docs_length_quantiles,
+        docs_contamination_spans=docs_contamination_spans,
+        docs_strip_contamination=docs_strip_contamination,
     )
     return q
 
@@ -1336,6 +1352,60 @@ def oracle_sql() -> dict[str, str]:
            (coalesce(h.n_hit_windows, 0) >= 1)::INT AS contaminated
     FROM toks t LEFT JOIN hits h USING (doc_id)
     WHERE t.doc_id % 5 <> 0
+    """
+    _cont_ctes = f"""
+    ctoks AS (
+      SELECT doc_id, {_tok_sql('text', stop=False)} AS t FROM documents WHERE doc_id % 5 <> 0
+    ), cw AS (
+      SELECT doc_id, j - 1 AS pos, md5({_cncat}) AS h
+      FROM ctoks, unnest(range(1, greatest(len(t) - {_CN - 2}, 1))) AS u(j)
+      WHERE len(t) >= {_CN}
+    ), evw AS (
+      SELECT DISTINCT md5({_cncat}) AS h
+      FROM (SELECT {_tok_sql('text', stop=False)} AS t FROM documents WHERE doc_id % 5 = 0),
+           unnest(range(1, greatest(len(t) - {_CN - 2}, 1))) AS u(j)
+      WHERE len(t) >= {_CN}
+    ), chits AS (
+      SELECT cw.doc_id, cw.pos FROM cw JOIN evw USING (h)
+    ), cisl0 AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= {_CN - 1}
+                  THEN 0 ELSE 1 END AS brk
+      FROM chits
+    ), cisl AS (
+      SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM cisl0
+    ), cspans AS (
+      SELECT doc_id, grp, min(pos) AS span_start, max(pos) + {_CN - 1} AS span_end,
+             count(*) AS n_windows
+      FROM cisl GROUP BY doc_id, grp
+    )"""
+    o["docs_contamination_spans"] = f"""
+    WITH {_cont_ctes}
+    SELECT doc_id::BIGINT AS doc_id, span_start::BIGINT AS span_start,
+           span_end::BIGINT AS span_end, n_windows::BIGINT AS n_windows
+    FROM cspans
+    """
+    o["docs_strip_contamination"] = f"""
+    WITH {_cont_ctes},
+    cpt AS (
+      SELECT doc_id, i - 1 AS pos, t[i] AS tok
+      FROM ctoks, unnest(range(1, len(t) + 1)) AS u(i)
+    ), ckept AS (
+      SELECT cpt.doc_id, cpt.pos, cpt.tok FROM cpt
+      WHERE NOT EXISTS (
+        SELECT 1 FROM cspans s
+        WHERE s.doc_id = cpt.doc_id AND cpt.pos BETWEEN s.span_start AND s.span_end
+      )
+    ), creb AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+             count(*) AS n_kept
+      FROM ckept GROUP BY doc_id
+    )
+    SELECT t.doc_id::BIGINT AS doc_id,
+           coalesce(creb.clean_text, '') AS clean_text,
+           coalesce(creb.n_kept, 0)::BIGINT AS n_tokens_kept,
+           (len(t.t) - coalesce(creb.n_kept, 0))::BIGINT AS n_tokens_dropped
+    FROM ctoks t LEFT JOIN creb ON t.doc_id = creb.doc_id
     """
     o["docs_pack_sequences"] = r"""
     WITH base AS (

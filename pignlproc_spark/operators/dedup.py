@@ -362,6 +362,15 @@ def duplicate_spans(
     )
     dup = wins.groupBy("h").agg(F.count_distinct("doc_id").alias("_nd")).where(F.col("_nd") >= 2)
     hits = wins.join(dup.select("h"), "h", "left_semi").select("doc_id", "pos")
+    return _merge_hit_spans(hits, window)
+
+
+def _merge_hit_spans(hits: DataFrame, window: int) -> DataFrame:
+    """(doc_id, pos) window-hit positions → maximal merged per-doc
+    spans (doc_id, span_start, span_end, n_windows): lag/cumsum island
+    detection over the (tiny) hit set, 0-based inclusive token spans."""
+    from pyspark.sql import Window as W
+
     w_doc = W.partitionBy("doc_id").orderBy("pos")
     brk = F.when(F.col("pos") - F.lag("pos").over(w_doc) <= window - 1, F.lit(0)).otherwise(F.lit(1))
     isl = hits.withColumn("_brk", brk).withColumn("_grp", F.sum("_brk").over(w_doc))
@@ -418,6 +427,14 @@ def strip_duplicate_spans(
         F.col(id_col).cast("bigint").alias("doc_id"), _tokens(F.col(text_col)).alias("_toks")
     ).localCheckpoint(eager=False)
     spans = duplicate_spans(df, id_col, text_col, window, toks=toks)
+    return _excise_spans(toks, spans, broadcast_spans)
+
+
+def _excise_spans(toks: DataFrame, spans: DataFrame, broadcast_spans: bool = True) -> DataFrame:
+    """Cut token-index ``spans`` out of tokenized docs and rejoin:
+    (doc_id, clean_text, n_tokens_kept, n_tokens_dropped). ``toks``
+    must be (doc_id, _toks) and materialized by the caller (it is
+    consumed twice: the explode and the size base)."""
     pos_toks = toks.select("doc_id", F.posexplode("_toks").alias("pos", "tok"))
     kept = pos_toks.join(
         F.broadcast(spans) if broadcast_spans else spans,
@@ -440,6 +457,73 @@ def strip_duplicate_spans(
         F.coalesce("n_tokens_kept", F.lit(0)).cast("bigint").alias("n_tokens_kept"),
         (F.col("_n_total") - F.coalesce("n_tokens_kept", F.lit(0))).cast("bigint").alias("n_tokens_dropped"),
     )
+
+
+def contamination_spans(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str | None = None,
+    n: int = 13,
+    toks: DataFrame | None = None,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """(doc_id, span_start, span_end, n_windows) — the span-granular
+    half of benchmark decontamination: maximal merged token spans of a
+    corpus document whose ``n``-token windows appear in the eval set
+    (same frozen window/tokenizer spec as :func:`contamination`, same
+    island-merge as :func:`duplicate_spans`). Where the doc-level flag
+    answers "drop it?", this answers "what exactly leaked" — the form
+    GPT-3-style decontamination actually removes (cut the overlapping
+    region, keep the doc).
+
+    Scale shape identical to :func:`contamination`: broadcast eval-gram
+    probe (corpus never shuffles for the join) + the tiny hit set
+    through one per-doc window merge.
+    """
+    if toks is None:
+        toks = df.select(F.col(id_col).cast("bigint").alias("doc_id"), _tokens(F.col(text_col)).alias("_toks"))
+    w_expr = (
+        f"case when size(_toks) >= {n} then "
+        f"transform(sequence(1, size(_toks) - {n - 1}), i -> concat_ws(' ', slice(_toks, i, {n}))) "
+        "else array() end"
+    )
+    wins = toks.select("doc_id", F.posexplode(F.expr(w_expr)).alias("pos", "w")).select(
+        "doc_id", "pos", F.md5(F.col("w").cast("binary")).alias("h")
+    )
+    ev_toks = eval_df.select(_tokens(F.col(eval_text_col or text_col)).alias("_toks"))
+    ev = (
+        ev_toks.select(F.explode(F.expr(w_expr)).alias("w"))
+        .select(F.md5(F.col("w").cast("binary")).alias("h"))
+        .distinct()
+    )
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    hits = wins.join(ev, "h", "left_semi").select("doc_id", "pos")
+    return _merge_hit_spans(hits, n)
+
+
+def strip_contaminated_spans(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str | None = None,
+    n: int = 13,
+    broadcast_spans: bool = True,
+) -> DataFrame:
+    """(doc_id, clean_text, n_tokens_kept, n_tokens_dropped) — cut the
+    eval-overlapping spans out of each corpus document and rejoin the
+    survivors (same frozen excision spec as
+    :func:`strip_duplicate_spans`: clean_text is the space-joined
+    surviving token stream). The decontamination *transform*: docs
+    keep their non-leaked content instead of being dropped."""
+    toks = df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"), _tokens(F.col(text_col)).alias("_toks")
+    ).localCheckpoint(eager=False)
+    spans = contamination_spans(df, eval_df, id_col, text_col, eval_text_col, n, toks=toks)
+    return _excise_spans(toks, spans, broadcast_spans)
 
 
 def contamination(

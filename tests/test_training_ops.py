@@ -589,3 +589,24 @@ def test_length_quantiles_exact_ranks(spark):
     assert got[("en", 99)] == (10, 10)
     assert got[("de", 50)] == (4, 3) and got[("de", 90)] == (4, 3) and got[("de", 99)] == (4, 3)
     assert len(got) == 6
+
+
+def test_contamination_spans_and_strip(spark):
+    shared = "one two three four five six seven eight"  # one eval window (n=8)
+    corpus = spark.createDataFrame(
+        [
+            (1, "aaa bbb " + shared + " ccc ddd"),
+            (2, "clean doc with nothing shared at all here ok"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(100, "intro " + shared + " outro")], "doc_id long, text string")
+    spans = dedup.contamination_spans(corpus, ev, n=8).collect()
+    assert len(spans) == 1
+    s = spans[0]
+    assert (s.doc_id, s.span_start, s.span_end, s.n_windows) == (1, 2, 9, 1)
+    got = {r.doc_id: r for r in dedup.strip_contaminated_spans(corpus, ev, n=8).collect()}
+    assert got[1].clean_text == "aaa bbb ccc ddd"
+    assert (got[1].n_tokens_kept, got[1].n_tokens_dropped) == (4, 8)
+    assert got[2].clean_text == corpus.collect()[1].text  # token-identical passthrough
+    assert got[2].n_tokens_dropped == 0
