@@ -1,0 +1,156 @@
+"""spark-submit entrypoint: training-corpus curation over a documents
+table.
+
+The training-data counterpart of jobs/build_kg.py — one composed
+pipeline over ``documents(doc_id, text, lang, ...)``:
+
+  1. quality gate      — C4-style length / token-length / language /
+                         exact-canonicality (textstats.corpus_filter)
+  2. near-dup verdict  — MinHash+LSH candidates → exact-Jaccard verify
+                         → transitive clusters → one survivor per
+                         cluster (dedup.near_duplicates +
+                         dedup_keep_decision)
+  3. decontamination   — with --eval-docs: flag docs sharing n-token
+                         windows with the eval set and excise the
+                         leaked spans (GPT-3-style; dedup.contamination
+                         + strip_contaminated_spans)
+  4. packing layout    — concat-and-chunk sequence assignment for the
+                         surviving docs (textstats.pack_sequences)
+
+Cluster usage:
+
+    spark-submit --py-files dist/pignlproc_spark.zip \\
+      jobs/curate_corpus.py \\
+      --docs /data/documents --out /warehouse/curated \\
+      [--eval-docs /data/benchmarks --contamination-n 13] \\
+      [--min-jaccard-pct 80 --capacity 2048 --shards 64]
+
+Local smoke:
+
+    python jobs/curate_corpus.py \\
+      --docs /root/testdata/sf0.001/documents.parquet --out /tmp/curated
+
+Outputs under --out: ``report`` (one row per input doc, every flag),
+``curated`` (doc_id, text — decontaminated token stream of the
+keepers), ``packing`` (training-sequence layout of the keepers).
+Every stage is a plain DataFrame job: at cluster scale the three
+writes are the natural checkpoints, and the near-dup stage is the only
+corpus×corpus shuffle (the LSH bucket join).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", required=True, help="documents parquet path or catalog table")
+    ap.add_argument("--out", required=True, help="output warehouse root")
+    ap.add_argument("--eval-docs", help="benchmark/eval documents to decontaminate against")
+    ap.add_argument("--contamination-n", type=int, default=13, help="decontamination window (tokens)")
+    ap.add_argument("--min-jaccard-pct", type=int, default=80, help="near-dup verify threshold")
+    ap.add_argument("--bands", type=int, default=4, help="LSH bands (1-16)")
+    ap.add_argument("--lang", default="en", help="language the quality gate keeps")
+    ap.add_argument("--capacity", type=int, default=2048, help="training-sequence token capacity")
+    ap.add_argument("--shards", type=int, default=8, help="packing shards (≈ output files)")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from pignlproc_spark import tables
+    from pignlproc_spark.operators import dedup, textstats
+    from pignlproc_spark.session import get_session
+
+    spark = SparkSession.getActiveSession() or get_session(app_name="curate-corpus")
+    t0 = time.time()
+
+    docs = tables.read_path_or_table(spark, args.docs)
+    # the corpus feeds 4+ downstream consumers — share the scan
+    docs = docs.persist()
+
+    # 1. quality / language / exact-canonicality
+    quality = textstats.corpus_filter(docs, lang=args.lang).select(
+        "doc_id", "ok_len", "ok_token_len", "ok_lang", "is_canonical",
+        F.col("keep").alias("quality_keep"),
+    )
+
+    # 2. verified near-dup pairs -> transitive clusters -> survivors
+    pairs = dedup.near_duplicates(docs, min_jaccard_pct=args.min_jaccard_pct)
+    neardup = dedup.dedup_keep_decision(docs, pairs).select(
+        "doc_id", "component_id", F.col("keep").alias("neardup_keep")
+    )
+
+    report = quality.join(neardup, "doc_id")
+
+    # 3. decontamination (optional)
+    if args.eval_docs:
+        ev = tables.read_path_or_table(spark, args.eval_docs)
+        cont = dedup.contamination(docs, ev, n=args.contamination_n).select(
+            "doc_id", "n_hit_windows", "contaminated"
+        )
+        stripped = dedup.strip_contaminated_spans(docs, ev, n=args.contamination_n).select(
+            "doc_id", F.col("clean_text").alias("_clean"), "n_tokens_dropped"
+        )
+        report = report.join(cont, "doc_id").join(
+            stripped.select("doc_id", "n_tokens_dropped"), "doc_id"
+        )
+        curated_text = stripped
+    else:
+        report = report.withColumn("contaminated", F.lit(0)).withColumn(
+            "n_tokens_dropped", F.lit(0).cast("bigint")
+        )
+        curated_text = docs.select("doc_id", F.col("text").alias("_clean"))
+
+    report = report.withColumn(
+        "keep", (F.col("quality_keep") * F.col("neardup_keep")).cast("int")
+    )
+    report_path = tables.write_table(report, "report", root=args.out)
+    report_w = spark.read.parquet(report_path)
+
+    # 4. curated corpus + packing layout for the keepers
+    keepers = report_w.where(F.col("keep") == 1).select("doc_id")
+    curated = keepers.join(curated_text, "doc_id").select(
+        "doc_id", F.col("_clean").alias("text")
+    )
+    curated_path = tables.write_table(curated, "curated", root=args.out)
+    curated_w = spark.read.parquet(curated_path)
+    packing = textstats.pack_sequences(
+        curated_w, capacity=args.capacity, shards=args.shards
+    )
+    packing_path = tables.write_table(packing, "packing", root=args.out)
+
+    n_in = docs.count()
+    n_keep = curated_w.count()
+    n_seqs = (
+        spark.read.parquet(packing_path)
+        .groupBy("shard")
+        .agg(F.max("seq_end").alias("m"))
+        .agg(F.sum(F.col("m") + 1))
+        .collect()[0][0]
+    )
+    docs.unpersist()
+    wall = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "docs_in": n_in,
+                "docs_kept": n_keep,
+                "sequences": int(n_seqs or 0),
+                "wall_s": round(wall, 1),
+                "outputs": {"report": report_path, "curated": curated_path, "packing": packing_path},
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -92,3 +92,43 @@ def test_dedup_stream_job_end_to_end(spark, tmp_path):
     pairs = neardup.read_pairs(spark, str(tmp_path / "nd"))
     assert pairs.count() > 0
     assert pairs.where(F.col("id_a") >= F.col("id_b")).count() == 0
+
+
+def test_curate_corpus_job_end_to_end(spark, tmp_path):
+    from jobs.curate_corpus import main as curate_main
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus_p = str(tmp_path / "corpus.parquet")
+    eval_p = str(tmp_path / "eval.parquet")
+    docs.where(F.col("doc_id") % 5 != 0).write.parquet(corpus_p)
+    docs.where(F.col("doc_id") % 5 == 0).write.parquet(eval_p)
+    out = str(tmp_path / "curated")
+    rc = curate_main(
+        [
+            "--docs", corpus_p,
+            "--eval-docs", eval_p,
+            "--contamination-n", "8",
+            "--out", out,
+        ]
+    )
+    assert rc == 0
+    report = spark.read.parquet(f"{out}/report")
+    n_in = docs.where(F.col("doc_id") % 5 != 0).count()
+    assert report.count() == n_in  # one verdict row per input doc
+    assert set(report.columns) >= {
+        "doc_id", "quality_keep", "neardup_keep", "contaminated", "n_tokens_dropped", "keep",
+    }
+    # keep is exactly the conjunction
+    assert report.where(
+        (F.col("keep") == 1) != ((F.col("quality_keep") == 1) & (F.col("neardup_keep") == 1))
+    ).count() == 0
+    curated = spark.read.parquet(f"{out}/curated")
+    assert curated.count() == report.where("keep = 1").count()
+    # contaminated keepers had their leaked spans cut (token drop recorded)
+    contaminated_kept = report.where("keep = 1 AND contaminated = 1")
+    if contaminated_kept.count():
+        assert contaminated_kept.where(F.col("n_tokens_dropped") > 0).count() > 0
+    packing = spark.read.parquet(f"{out}/packing")
+    assert packing.count() == curated.count()
+    # packing never exceeds capacity at a doc's start offset
+    assert packing.where(F.col("offset_in_seq") >= 2048).count() == 0
