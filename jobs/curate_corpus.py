@@ -75,6 +75,7 @@ def main(argv=None):
     docs = tables.read_path_or_table(spark, args.docs)
     # the corpus feeds 4+ downstream consumers — share the scan
     docs = docs.persist()
+    extra_persists = []
 
     # 1. quality / language / exact-canonicality
     quality = textstats.corpus_filter(docs, lang=args.lang).select(
@@ -83,29 +84,56 @@ def main(argv=None):
     )
 
     # 2. verified near-dup pairs -> transitive clusters -> survivors
-    pairs = dedup.near_duplicates(docs, min_jaccard_pct=args.min_jaccard_pct)
+    pairs = dedup.near_duplicates(docs, min_jaccard_pct=args.min_jaccard_pct, bands=args.bands)
     neardup = dedup.dedup_keep_decision(docs, pairs).select(
         "doc_id", "component_id", F.col("keep").alias("neardup_keep")
     )
 
     report = quality.join(neardup, "doc_id")
 
-    # 3. decontamination (optional)
+    # 3. decontamination (optional): tokenize + window-hash ONCE — the
+    # span table feeds both the report columns and the excision
     if args.eval_docs:
         ev = tables.read_path_or_table(spark, args.eval_docs)
-        cont = dedup.contamination(docs, ev, n=args.contamination_n).select(
-            "doc_id", "n_hit_windows", "contaminated"
+        from pignlproc_spark.functions.tokenize import tokens_col
+
+        toks = docs.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            tokens_col(F.col("text"), with_stopwords=False).alias("_toks"),
+        ).localCheckpoint(eager=False)
+        spans = dedup.contamination_spans(docs, ev, n=args.contamination_n, toks=toks).persist()
+        extra_persists.append(spans)
+        cont = spans.groupBy("doc_id").agg(
+            F.sum("n_windows").cast("bigint").alias("n_hit_windows")
         )
-        stripped = dedup.strip_contaminated_spans(docs, ev, n=args.contamination_n).select(
-            "doc_id", F.col("clean_text").alias("_clean"), "n_tokens_dropped"
+        stripped = dedup.strip_contaminated_spans(
+            docs, ev, n=args.contamination_n, toks=toks, spans=spans
         )
-        report = report.join(cont, "doc_id").join(
-            stripped.select("doc_id", "n_tokens_dropped"), "doc_id"
+        report = (
+            report.join(cont, "doc_id", "left")
+            .withColumn("n_hit_windows", F.coalesce("n_hit_windows", F.lit(0)).cast("bigint"))
+            .withColumn("contaminated", (F.col("n_hit_windows") > 0).cast("int"))
+            .join(stripped.select("doc_id", "n_tokens_dropped"), "doc_id")
         )
-        curated_text = stripped
+        # rewrite ONLY the contaminated docs (excision is token-level,
+        # so their text becomes the rejoined clean token stream); clean
+        # docs keep their original bytes untouched
+        curated_text = (
+            docs.select("doc_id", "text")
+            .join(
+                stripped.where(F.col("n_tokens_dropped") > 0).select(
+                    "doc_id", F.col("clean_text").alias("_clean")
+                ),
+                "doc_id",
+                "left",
+            )
+            .select("doc_id", F.coalesce("_clean", F.col("text")).alias("_clean"))
+        )
     else:
-        report = report.withColumn("contaminated", F.lit(0)).withColumn(
-            "n_tokens_dropped", F.lit(0).cast("bigint")
+        report = (
+            report.withColumn("n_hit_windows", F.lit(0).cast("bigint"))
+            .withColumn("contaminated", F.lit(0))
+            .withColumn("n_tokens_dropped", F.lit(0).cast("bigint"))
         )
         curated_text = docs.select("doc_id", F.col("text").alias("_clean"))
 
@@ -129,14 +157,19 @@ def main(argv=None):
 
     n_in = docs.count()
     n_keep = curated_w.count()
+    # sequences actually containing pieces: empty docs occupy none, so
+    # a shard of only-empty docs contributes 0 (not a phantom seq 0)
     n_seqs = (
         spark.read.parquet(packing_path)
+        .where(F.col("n_pieces") > 0)
         .groupBy("shard")
-        .agg(F.max("seq_end").alias("m"))
-        .agg(F.sum(F.col("m") + 1))
+        .agg((F.max("seq_end") + 1).alias("m"))
+        .agg(F.coalesce(F.sum("m"), F.lit(0)))
         .collect()[0][0]
     )
     docs.unpersist()
+    for df_ in extra_persists:
+        df_.unpersist()
     wall = time.time() - t0
     print(
         json.dumps(

@@ -47,17 +47,29 @@ def _token_sets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def window_expr(n: int, toks_col: str = "_toks") -> str:
+    """The FROZEN token-window shingle expression shared by every
+    window-hashing operator (minhash shingles, duplicate/contamination
+    spans, repetition grams) and mirrored by the DuckDB oracles: all
+    space-joined runs of ``n`` consecutive tokens, empty array below
+    ``n`` tokens. Single-sourced — a divergence between copies would
+    silently break oracle hash-parity. (Array construction inside a
+    transform lambda feeding an immediate explode is the accepted
+    HOF exception in CLAUDE.md plan rules: the expensive work — md5,
+    aggregation — sits after the explode as relational projections.)"""
+    return (
+        f"case when size({toks_col}) >= {n} then "
+        f"transform(sequence(1, size({toks_col}) - {n - 1}), i -> concat_ws(' ', slice({toks_col}, i, {n}))) "
+        "else array() end"
+    )
+
+
 def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Adds ``shingles`` ARRAY<STRING>: word n-grams (space-joined),
     built-ins only; empty array when the doc has < n tokens."""
-    shingle_expr = (
-        f"case when size(_toks) >= {n} then "
-        f"transform(sequence(1, size(_toks) - {n - 1}), i -> concat_ws(' ', slice(_toks, i, {n}))) "
-        "else array() end"
-    )
     return (
         df.withColumn("_toks", _tokens(F.col(text_col)))
-        .withColumn("shingles", F.expr(shingle_expr))
+        .withColumn("shingles", F.expr(window_expr(n)))
         .drop("_toks")
     )
 
@@ -173,7 +185,11 @@ def jaccard_pairs(
 
 
 def near_duplicates(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", min_jaccard_pct: int = 80
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_jaccard_pct: int = 80,
+    bands: int = DEFAULT_BANDS,
 ) -> DataFrame:
     """LSH candidates → exact-Jaccard verify: the scale path for
     near-dup detection (candidates shuffle, not the corpus).
@@ -185,8 +201,10 @@ def near_duplicates(
     checkpoint to tables instead."""
     from pyspark.storagelevel import StorageLevel
 
-    sigs = minhash_signatures(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
-    cands = lsh_candidate_pairs(df, id_col, text_col, sigs=sigs).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = minhash_signatures(df, id_col, text_col, bands=bands).persist(StorageLevel.MEMORY_AND_DISK)
+    cands = lsh_candidate_pairs(df, id_col, text_col, bands=bands, sigs=sigs).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     cands.count()  # materialize so the signature cache can be freed
     sigs.unpersist()
     toks = _token_sets(df, id_col, text_col).localCheckpoint(eager=False)
@@ -352,12 +370,7 @@ def duplicate_spans(
 
     if toks is None:
         toks = df.select(F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("_toks"))
-    w_expr = (
-        f"case when size(_toks) >= {window} then "
-        f"transform(sequence(1, size(_toks) - {window - 1}), i -> concat_ws(' ', slice(_toks, i, {window}))) "
-        "else array() end"
-    )
-    wins = toks.select("doc_id", F.posexplode(F.expr(w_expr)).alias("pos", "w")).select(
+    wins = toks.select("doc_id", F.posexplode(F.expr(window_expr(window))).alias("pos", "w")).select(
         "doc_id", "pos", F.md5(F.col("w").cast("binary")).alias("h")
     )
     dup = wins.groupBy("h").agg(F.count_distinct("doc_id").alias("_nd")).where(F.col("_nd") >= 2)
@@ -484,24 +497,23 @@ def contamination_spans(
     """
     if toks is None:
         toks = df.select(F.col(id_col).cast("bigint").alias("doc_id"), _tokens(F.col(text_col)).alias("_toks"))
-    w_expr = (
-        f"case when size(_toks) >= {n} then "
-        f"transform(sequence(1, size(_toks) - {n - 1}), i -> concat_ws(' ', slice(_toks, i, {n}))) "
-        "else array() end"
-    )
-    wins = toks.select("doc_id", F.posexplode(F.expr(w_expr)).alias("pos", "w")).select(
+    wins = toks.select("doc_id", F.posexplode(F.expr(window_expr(n))).alias("pos", "w")).select(
         "doc_id", "pos", F.md5(F.col("w").cast("binary")).alias("h")
     )
-    ev_toks = eval_df.select(_tokens(F.col(eval_text_col or text_col)).alias("_toks"))
+    ev = _eval_grams(eval_df, eval_text_col or text_col, n, broadcast_eval)
+    hits = wins.join(ev, "h", "left_semi").select("doc_id", "pos")
+    return _merge_hit_spans(hits, n)
+
+
+def _eval_grams(eval_df: DataFrame, text_col: str, n: int, broadcast_eval: bool):
+    """DISTINCT md5 window hashes of the eval side (the probe table)."""
+    ev_toks = eval_df.select(_tokens(F.col(text_col)).alias("_toks"))
     ev = (
-        ev_toks.select(F.explode(F.expr(w_expr)).alias("w"))
+        ev_toks.select(F.explode(F.expr(window_expr(n))).alias("w"))
         .select(F.md5(F.col("w").cast("binary")).alias("h"))
         .distinct()
     )
-    if broadcast_eval:
-        ev = F.broadcast(ev)
-    hits = wins.join(ev, "h", "left_semi").select("doc_id", "pos")
-    return _merge_hit_spans(hits, n)
+    return F.broadcast(ev) if broadcast_eval else ev
 
 
 def strip_contaminated_spans(
@@ -512,17 +524,26 @@ def strip_contaminated_spans(
     eval_text_col: str | None = None,
     n: int = 13,
     broadcast_spans: bool = True,
+    toks: DataFrame | None = None,
+    spans: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, clean_text, n_tokens_kept, n_tokens_dropped) — cut the
     eval-overlapping spans out of each corpus document and rejoin the
     survivors (same frozen excision spec as
     :func:`strip_duplicate_spans`: clean_text is the space-joined
     surviving token stream). The decontamination *transform*: docs
-    keep their non-leaked content instead of being dropped."""
-    toks = df.select(
-        F.col(id_col).cast("bigint").alias("doc_id"), _tokens(F.col(text_col)).alias("_toks")
-    ).localCheckpoint(eager=False)
-    spans = contamination_spans(df, eval_df, id_col, text_col, eval_text_col, n, toks=toks)
+    keep their non-leaked content instead of being dropped.
+
+    Pass precomputed ``toks`` (materialized (doc_id, _toks)) and/or
+    ``spans`` (contamination_spans output) to share the tokenize +
+    window-hash passes with other consumers — jobs/curate_corpus.py
+    derives its report columns from the same span table."""
+    if toks is None:
+        toks = df.select(
+            F.col(id_col).cast("bigint").alias("doc_id"), _tokens(F.col(text_col)).alias("_toks")
+        ).localCheckpoint(eager=False)
+    if spans is None:
+        spans = contamination_spans(df, eval_df, id_col, text_col, eval_text_col, n, toks=toks)
     return _excise_spans(toks, spans, broadcast_spans)
 
 
@@ -559,22 +580,12 @@ def contamination(
     corpus-scale (then it is a (hash, id) shuffle, the
     duplicate_spans profile).
     """
-    w_expr = (
-        f"case when size(_toks) >= {n} then "
-        f"transform(sequence(1, size(_toks) - {n - 1}), i -> concat_ws(' ', slice(_toks, i, {n}))) "
-        "else array() end"
+    ev = _eval_grams(eval_df, eval_text_col or text_col, n, broadcast_eval)
+    cw = (
+        df.select(F.col(id_col).cast("bigint").alias("doc_id"), _tokens(F.col(text_col)).alias("_toks"))
+        .select("doc_id", F.explode(F.expr(window_expr(n))).alias("w"))
+        .select("doc_id", F.md5(F.col("w").cast("binary")).alias("h"))
     )
-
-    def windows(src: DataFrame, text: str) -> DataFrame:
-        t = src.select(F.col(id_col).cast("bigint").alias("doc_id"), _tokens(F.col(text)).alias("_toks"))
-        return t.select("doc_id", F.size("_toks").alias("_nt"), F.explode(F.expr(w_expr)).alias("w")).select(
-            "doc_id", F.md5(F.col("w").cast("binary")).alias("h")
-        )
-
-    ev = windows(eval_df, eval_text_col or text_col).select("h").distinct()
-    if broadcast_eval:
-        ev = F.broadcast(ev)
-    cw = windows(df, text_col)
     hits = (
         cw.join(ev, "h")
         .groupBy("doc_id")

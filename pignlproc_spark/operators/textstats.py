@@ -25,6 +25,24 @@ LANG_MARKERS: dict[str, list[str]] = {
 SUBSTRING_LANGS = {"zh"}  # unsegmented scripts: the word regex yields no
 # tokens for CJK, so markers are counted by substring presence instead
 
+#: FROZEN GPT-2-style pre-tokenizer split (lookahead-free: runs
+#: identically under Java regex and DuckDB RE2) — shared by
+#: bpe_ish_token_counts and pack_sequences and mirrored verbatim in
+#: their oracles; never edit one copy alone.
+BPE_SPLIT_RE = r"'(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+"
+
+
+def hash_bucket(col, mod: int):
+    """Deterministic md5 hash bucket of an id column (``% mod``) — the
+    frozen bucketing shared by stratified_sample and pack_sequences
+    (first 4 md5 hex chars of the stringified id as an int)."""
+    from pyspark.sql import functions as F
+
+    return (
+        F.conv(F.substring(F.md5(col.cast("string").cast("binary")), 1, 4), 16, 10).cast("bigint")
+        % mod
+    )
+
 
 def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, lang_pred, marker_hits): argmax over distinct-marker hits
@@ -113,8 +131,7 @@ def bpe_ish_token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = 
     runs under Java regex (Spark) and RE2 (DuckDB oracle) identically.
     The count estimates LLM token budgets far better than word counts
     (punctuation/number runs become their own pieces)."""
-    pat = r"'(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+"
-    pieces = F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)
+    pieces = F.regexp_extract_all(F.col(text_col), F.lit(BPE_SPLIT_RE), 0)
     return df.select(
         F.col(id_col).cast("bigint"),
         F.size(pieces).cast("bigint").alias("n_pieces"),
@@ -146,14 +163,11 @@ def repetition_signals(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     """
     toks = df.select(F.col(id_col).cast("bigint").alias("doc_id"), tokens_col(F.col(text_col), with_stopwords=False).alias("_toks"))
 
+    from pignlproc_spark.operators.dedup import window_expr
+
     def gram_counts(n: int) -> DataFrame:
-        sh = (
-            f"case when size(_toks) >= {n} then "
-            f"transform(sequence(1, size(_toks) - {n - 1}), i -> concat_ws(' ', slice(_toks, i, {n}))) "
-            "else array() end"
-        )
         per_gram = (
-            toks.select(F.col("doc_id"), F.explode(F.expr(sh)).alias("g"))
+            toks.select(F.col("doc_id"), F.explode(F.expr(window_expr(n))).alias("g"))
             .groupBy("doc_id", "g")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
@@ -249,10 +263,7 @@ def stratified_sample(
     verdict never changes), and exactly auditable (oracle-hashable —
     no RNG state). Pure projection: no shuffle at all.
     """
-    bucket = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 4), 16, 10).cast("bigint")
-        % 100
-    )
+    bucket = hash_bucket(F.col(id_col), 100)
     rate = F.lit(default_pct)
     for stratum, pct in sorted(rates_pct.items()):
         rate = F.when(F.col(strata_col) == stratum, F.lit(pct)).otherwise(rate)
@@ -315,14 +326,10 @@ def pack_sequences(
     the (shard, id, n) triple, never text; per-shard state is a
     running sum. Skew is bounded by the md5 bucketing.
     """
-    pat = r"'(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+"
     from pyspark.sql import Window as W
 
-    n_pieces = F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)).cast("bigint")
-    shard = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 4), 16, 10).cast("bigint")
-        % shards
-    )
+    n_pieces = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_SPLIT_RE), 0)).cast("bigint")
+    shard = hash_bucket(F.col(id_col), shards)
     base = df.select(F.col(id_col).cast("bigint").alias("doc_id"), shard.alias("shard"), n_pieces.alias("n_pieces"))
     w = W.partitionBy("shard").orderBy("doc_id")
     cum_before = (F.sum("n_pieces").over(w) - F.col("n_pieces")).cast("bigint")

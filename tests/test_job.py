@@ -116,7 +116,8 @@ def test_curate_corpus_job_end_to_end(spark, tmp_path):
     n_in = docs.where(F.col("doc_id") % 5 != 0).count()
     assert report.count() == n_in  # one verdict row per input doc
     assert set(report.columns) >= {
-        "doc_id", "quality_keep", "neardup_keep", "contaminated", "n_tokens_dropped", "keep",
+        "doc_id", "quality_keep", "neardup_keep", "contaminated", "n_hit_windows",
+        "n_tokens_dropped", "keep",
     }
     # keep is exactly the conjunction
     assert report.where(
@@ -128,6 +129,14 @@ def test_curate_corpus_job_end_to_end(spark, tmp_path):
     contaminated_kept = report.where("keep = 1 AND contaminated = 1")
     if contaminated_kept.count():
         assert contaminated_kept.where(F.col("n_tokens_dropped") > 0).count() > 0
+    # clean keepers pass through with their ORIGINAL bytes (casing,
+    # punctuation, whitespace untouched) — only excised docs rewrite
+    clean_ids = report.where("keep = 1 AND n_tokens_dropped = 0").select("doc_id")
+    orig = docs.select("doc_id", F.col("text").alias("orig"))
+    mismatched = (
+        curated.join(clean_ids, "doc_id").join(orig, "doc_id").where(F.col("text") != F.col("orig"))
+    )
+    assert mismatched.count() == 0
     packing = spark.read.parquet(f"{out}/packing")
     assert packing.count() == curated.count()
     # packing never exceeds capacity at a doc's start offset
