@@ -58,6 +58,11 @@ def main(argv=None):
     ap.add_argument("--min-jaccard-pct", type=int, default=80, help="near-dup verify threshold")
     ap.add_argument("--bands", type=int, default=4, help="LSH bands (1-16)")
     ap.add_argument("--lang", default="en", help="language the quality gate keeps")
+    ap.add_argument(
+        "--min-keep-tokens", type=int, default=25,
+        help="drop excised docs whose surviving token stream falls below this "
+             "(the corpus_filter min_tokens recheck after decontamination)",
+    )
     ap.add_argument("--capacity", type=int, default=2048, help="training-sequence token capacity")
     ap.add_argument("--shards", type=int, default=8, help="packing shards (≈ output files)")
     args = ap.parse_args(argv)
@@ -92,7 +97,9 @@ def main(argv=None):
     report = quality.join(neardup, "doc_id")
 
     # 3. decontamination (optional): tokenize + window-hash ONCE — the
-    # span table feeds both the report columns and the excision
+    # span table alone feeds the report columns (span lengths = tokens
+    # dropped; the spans are disjoint maximal merges), and the
+    # expensive excision explode runs ONLY over the contaminated docs
     if args.eval_docs:
         ev = tables.read_path_or_table(spark, args.eval_docs)
         from pignlproc_spark.functions.tokenize import tokens_col
@@ -103,27 +110,41 @@ def main(argv=None):
         ).localCheckpoint(eager=False)
         spans = dedup.contamination_spans(docs, ev, n=args.contamination_n, toks=toks).persist()
         extra_persists.append(spans)
-        cont = spans.groupBy("doc_id").agg(
-            F.sum("n_windows").cast("bigint").alias("n_hit_windows")
+        span_stats = spans.groupBy("doc_id").agg(
+            F.sum("n_windows").cast("bigint").alias("n_hit_windows"),
+            F.sum(F.col("span_end") - F.col("span_start") + 1).cast("bigint").alias("n_tokens_dropped"),
         )
-        stripped = dedup.strip_contaminated_spans(
-            docs, ev, n=args.contamination_n, toks=toks, spans=spans
-        )
+        sizes = toks.select("doc_id", F.size("_toks").cast("bigint").alias("_n_toks"))
         report = (
-            report.join(cont, "doc_id", "left")
+            report.join(span_stats, "doc_id", "left")
+            .join(sizes, "doc_id")
             .withColumn("n_hit_windows", F.coalesce("n_hit_windows", F.lit(0)).cast("bigint"))
+            .withColumn("n_tokens_dropped", F.coalesce("n_tokens_dropped", F.lit(0)).cast("bigint"))
             .withColumn("contaminated", (F.col("n_hit_windows") > 0).cast("int"))
-            .join(stripped.select("doc_id", "n_tokens_dropped"), "doc_id")
+            .withColumn("n_tokens_kept", (F.col("_n_toks") - F.col("n_tokens_dropped")).cast("bigint"))
+            # post-excision quality recheck: a doc gutted below the
+            # corpus_filter floor is dropped, not shipped near-empty
+            .withColumn(
+                "decon_keep",
+                (
+                    (F.col("n_tokens_dropped") == 0)
+                    | (F.col("n_tokens_kept") >= args.min_keep_tokens)
+                ).cast("int"),
+            )
+            .drop("_n_toks")
         )
         # rewrite ONLY the contaminated docs (excision is token-level,
         # so their text becomes the rejoined clean token stream); clean
-        # docs keep their original bytes untouched
+        # docs keep their original bytes untouched — and the explode
+        # only ever sees the (tiny) contaminated slice of the corpus
+        toks_cont = toks.join(spans.select("doc_id").distinct(), "doc_id", "left_semi")
+        stripped = dedup.strip_contaminated_spans(
+            docs, ev, n=args.contamination_n, toks=toks_cont, spans=spans
+        )
         curated_text = (
             docs.select("doc_id", "text")
             .join(
-                stripped.where(F.col("n_tokens_dropped") > 0).select(
-                    "doc_id", F.col("clean_text").alias("_clean")
-                ),
+                stripped.select("doc_id", F.col("clean_text").alias("_clean")),
                 "doc_id",
                 "left",
             )
@@ -134,14 +155,16 @@ def main(argv=None):
             report.withColumn("n_hit_windows", F.lit(0).cast("bigint"))
             .withColumn("contaminated", F.lit(0))
             .withColumn("n_tokens_dropped", F.lit(0).cast("bigint"))
+            .withColumn("decon_keep", F.lit(1))
         )
         curated_text = docs.select("doc_id", F.col("text").alias("_clean"))
 
     report = report.withColumn(
-        "keep", (F.col("quality_keep") * F.col("neardup_keep")).cast("int")
+        "keep",
+        (F.col("quality_keep") * F.col("neardup_keep") * F.col("decon_keep")).cast("int"),
     )
     report_path = tables.write_table(report, "report", root=args.out)
-    report_w = spark.read.parquet(report_path)
+    report_w = tables.read_path_or_table(spark, report_path)
 
     # 4. curated corpus + packing layout for the keepers
     keepers = report_w.where(F.col("keep") == 1).select("doc_id")
@@ -149,7 +172,7 @@ def main(argv=None):
         "doc_id", F.col("_clean").alias("text")
     )
     curated_path = tables.write_table(curated, "curated", root=args.out)
-    curated_w = spark.read.parquet(curated_path)
+    curated_w = tables.read_path_or_table(spark, curated_path)
     packing = textstats.pack_sequences(
         curated_w, capacity=args.capacity, shards=args.shards
     )
@@ -160,7 +183,7 @@ def main(argv=None):
     # sequences actually containing pieces: empty docs occupy none, so
     # a shard of only-empty docs contributes 0 (not a phantom seq 0)
     n_seqs = (
-        spark.read.parquet(packing_path)
+        tables.read_path_or_table(spark, packing_path)
         .where(F.col("n_pieces") > 0)
         .groupBy("shard")
         .agg((F.max("seq_end") + 1).alias("m"))

@@ -556,6 +556,7 @@ def contamination(
     n: int = 13,
     min_hit_windows: int = 1,
     broadcast_eval: bool = True,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, n_windows, n_hit_windows, n_hit_grams, contaminated INT)
     — benchmark decontamination (GPT-3 appendix-C style, Brown et al.
@@ -564,7 +565,8 @@ def contamination(
     be dropped (or span-stripped) before training.
 
     Frozen spec: windows are ``n`` consecutive engine-tokenizer tokens
-    (stopwords kept), space-joined, md5-hashed; the eval side
+    (stopword-free, like every dedup operator), space-joined,
+    md5-hashed; the eval side
     contributes its DISTINCT window hashes; a corpus doc's
     ``n_hit_windows`` counts its window *positions* whose hash is in
     the eval set, ``n_hit_grams`` the distinct hashes hit;
@@ -579,12 +581,19 @@ def contamination(
     all. Pass ``broadcast_eval=False`` only if the "eval" side is
     corpus-scale (then it is a (hash, id) shuffle, the
     duplicate_spans profile).
+
+    Pass a materialized ``toks`` ((doc_id, _toks)) to share the
+    tokenize pass with sibling consumers; the default lazily
+    checkpoints its own so the window explode and the n_windows base
+    tokenize the corpus ONCE, not twice.
     """
+    if toks is None:
+        toks = df.select(
+            F.col(id_col).cast("bigint").alias("doc_id"), _tokens(F.col(text_col)).alias("_toks")
+        ).localCheckpoint(eager=False)
     ev = _eval_grams(eval_df, eval_text_col or text_col, n, broadcast_eval)
-    cw = (
-        df.select(F.col(id_col).cast("bigint").alias("doc_id"), _tokens(F.col(text_col)).alias("_toks"))
-        .select("doc_id", F.explode(F.expr(window_expr(n))).alias("w"))
-        .select("doc_id", F.md5(F.col("w").cast("binary")).alias("h"))
+    cw = toks.select("doc_id", F.explode(F.expr(window_expr(n))).alias("w")).select(
+        "doc_id", F.md5(F.col("w").cast("binary")).alias("h")
     )
     hits = (
         cw.join(ev, "h")
@@ -594,9 +603,9 @@ def contamination(
             F.count_distinct("h").cast("bigint").alias("n_hit_grams"),
         )
     )
-    base = df.select(
-        F.col(id_col).cast("bigint").alias("doc_id"),
-        F.greatest(F.size(_tokens(F.col(text_col))) - (n - 1), F.lit(0)).cast("bigint").alias("n_windows"),
+    base = toks.select(
+        "doc_id",
+        F.greatest(F.size("_toks") - (n - 1), F.lit(0)).cast("bigint").alias("n_windows"),
     )
     out = base.join(hits, "doc_id", "left")
     z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("bigint")  # noqa: E731

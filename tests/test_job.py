@@ -117,11 +117,22 @@ def test_curate_corpus_job_end_to_end(spark, tmp_path):
     assert report.count() == n_in  # one verdict row per input doc
     assert set(report.columns) >= {
         "doc_id", "quality_keep", "neardup_keep", "contaminated", "n_hit_windows",
-        "n_tokens_dropped", "keep",
+        "n_tokens_dropped", "decon_keep", "keep",
     }
-    # keep is exactly the conjunction
+    # keep is exactly the conjunction (incl. the post-excision recheck)
     assert report.where(
-        (F.col("keep") == 1) != ((F.col("quality_keep") == 1) & (F.col("neardup_keep") == 1))
+        (F.col("keep") == 1)
+        != (
+            (F.col("quality_keep") == 1)
+            & (F.col("neardup_keep") == 1)
+            & (F.col("decon_keep") == 1)
+        )
+    ).count() == 0
+    # the recheck's exact rule: untouched docs always pass; excised
+    # docs pass iff the surviving stream clears the floor (default 25)
+    assert report.where(
+        (F.col("decon_keep") == 1)
+        != ((F.col("n_tokens_dropped") == 0) | (F.col("n_tokens_kept") >= 25))
     ).count() == 0
     curated = spark.read.parquet(f"{out}/curated")
     assert curated.count() == report.where("keep = 1").count()
@@ -139,5 +150,15 @@ def test_curate_corpus_job_end_to_end(spark, tmp_path):
     assert mismatched.count() == 0
     packing = spark.read.parquet(f"{out}/packing")
     assert packing.count() == curated.count()
-    # packing never exceeds capacity at a doc's start offset
-    assert packing.where(F.col("offset_in_seq") >= 2048).count() == 0
+    # packing is gapless concat-and-chunk: within each shard the last
+    # sequence index must equal ceil(total pieces / capacity) - 1
+    per_shard = (
+        packing.where(F.col("n_pieces") > 0)
+        .groupBy("shard")
+        .agg(
+            (F.max("seq_end") + 1).alias("n_seqs"),
+            F.ceil(F.sum("n_pieces") / 2048).alias("expect"),
+        )
+    )
+    assert per_shard.where(F.col("n_seqs") != F.col("expect")).count() == 0
+    assert per_shard.count() > 0
