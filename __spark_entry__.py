@@ -676,12 +676,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             d.where(F.col("doc_id") % 5 != 0), d.where(F.col("doc_id") % 5 == 0), n=8
         )
 
+    def docs_tf_cosine_pairs(spark, sf_dir):
+        # tf-weighted sparse cosine join (exact integer verify); the
+        # inverted-index candidate set is exact at max_df=None
+        return dedup.tf_cosine_pairs(_read(spark, sf_dir, "documents"), min_cos_pct=50)
+
+    def kg_entity_triangles(spark, sf_dir):
+        # degree-oriented per-entity triangle counts over co-occurrence
+        from pignlproc_spark.operators import stats
+
+        return stats.entity_triangles(_pipeline(spark, sf_dir).mentions)
+
+    def kg_related_entities(spark, sf_dir):
+        # PMI-ordered top-k related entities (exact-int columns; the
+        # ranking divides exact ints, deterministic cross-engine)
+        from pignlproc_spark.operators import stats
+
+        return stats.related_entities(_pipeline(spark, sf_dir).mentions, k=5)
+
     q.update(
         docs_decontaminate=docs_decontaminate,
         docs_pack_sequences=docs_pack_sequences,
         docs_length_quantiles=docs_length_quantiles,
         docs_contamination_spans=docs_contamination_spans,
         docs_strip_contamination=docs_strip_contamination,
+        docs_tf_cosine_pairs=docs_tf_cosine_pairs,
+        kg_entity_triangles=kg_entity_triangles,
+        kg_related_entities=kg_related_entities,
     )
     return q
 
@@ -1438,6 +1459,61 @@ def oracle_sql() -> dict[str, str]:
     SELECT stratum, q::INT AS q, n_docs, n_tokens AS q_value
     FROM r CROSS JOIN unnest([50, 90, 99]) AS u(q)
     WHERE rn = (n_docs * q + 99) // 100
+    """
+
+    o["docs_tf_cosine_pairs"] = f"""
+    WITH tf AS (
+      SELECT doc_id::BIGINT AS doc_id, tok, count(*)::BIGINT AS tf
+      FROM (SELECT doc_id, unnest({_tok_sql('text', stop=False)}) AS tok FROM documents)
+      GROUP BY doc_id, tok
+    ), nrm AS (
+      SELECT doc_id, sum(tf * tf)::BIGINT AS norm2 FROM tf GROUP BY doc_id
+    ), dots AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.tf * b.tf)::BIGINT AS dot
+      FROM tf a JOIN tf b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, dot, na.norm2 AS norm_a, nb.norm2 AS norm_b
+    FROM dots JOIN nrm na ON dots.id_a = na.doc_id JOIN nrm nb ON dots.id_b = nb.doc_id
+    WHERE dot > 0 AND 10000 * dot * dot >= 2500 * na.norm2 * nb.norm2
+    """
+    o["kg_entity_triangles"] = f"""
+    WITH m AS (SELECT DISTINCT url, uri FROM {g('golden_mentions')}),
+    e AS (
+      SELECT a.uri AS ua, b.uri AS ub
+      FROM m a JOIN m b ON a.url = b.url AND a.uri < b.uri
+      GROUP BY a.uri, b.uri
+    ), tri AS (
+      SELECT e1.ua AS x, e1.ub AS y, e2.ub AS z
+      FROM e e1 JOIN e e2 ON e1.ub = e2.ua
+                JOIN e e3 ON e3.ua = e1.ua AND e3.ub = e2.ub
+    )
+    SELECT uri, count(*)::BIGINT AS n_triangles
+    FROM (SELECT unnest([x, y, z]) AS uri FROM tri)
+    GROUP BY uri
+    """
+    o["kg_related_entities"] = f"""
+    WITH m AS (SELECT DISTINCT url, uri FROM {g('golden_mentions')}),
+    cx AS (SELECT uri, count(*)::BIGINT AS cnt FROM m GROUP BY uri),
+    cooc AS (
+      SELECT a.uri AS uri_a, b.uri AS uri_b, count(*)::BIGINT AS cnt
+      FROM m a JOIN m b ON a.url = b.url AND a.uri < b.uri
+      GROUP BY a.uri, b.uri
+    ), sym AS (
+      SELECT uri_a AS uri, uri_b AS related_uri, cnt AS cnt_xy FROM cooc
+      UNION ALL
+      SELECT uri_b AS uri, uri_a AS related_uri, cnt AS cnt_xy FROM cooc
+    ), j AS (
+      SELECT s.uri, s.related_uri, s.cnt_xy, x.cnt AS cnt_x, y.cnt AS cnt_y
+      FROM sym s JOIN cx x ON s.uri = x.uri JOIN cx y ON s.related_uri = y.uri
+    )
+    SELECT uri, related_uri, cnt_xy, cnt_x, cnt_y, rank::INT AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY uri
+        ORDER BY cnt_xy / (cnt_x * cnt_y) DESC, related_uri ASC
+      ) AS rank
+      FROM j
+    ) WHERE rank <= 5
     """
 
     # emb_cosine_topk / emb_srp_lsh_topk / media_features /

@@ -95,6 +95,10 @@ def cjk_bigrams_col(col):
 def tokens_col(col, with_stopwords: bool = True, lang: str = "en"):
     """ARRAY<STRING> token column using JVM-side built-ins only.
 
+    ``with_stopwords=True`` means "apply the stopword step", i.e. the
+    stoplist is FILTERED OUT (Lucene analyzer semantics); ``False``
+    keeps every token — the dedup/window operators use ``False``.
+
     NB: matches :func:`tokenize` for NFC-clean ASCII-ish corpora (our
     synthetic corpus and the driver's ``documents`` table); the pandas
     path exists for full-Unicode parity when needed.

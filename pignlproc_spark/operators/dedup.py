@@ -184,6 +184,94 @@ def jaccard_pairs(
     )
 
 
+def tf_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_cos_pct: int = 60,
+    max_df: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, dot, norm_a, norm_b) — pairs whose *tf-weighted*
+    token-vector cosine is ≥ min_cos_pct/100, in exact integer
+    arithmetic (same cross-multiplied test as
+    :func:`similarity.embedding_near_duplicates`):
+
+        cos ≥ τ  ⟺  dot > 0 ∧ 10⁴·dot² ≥ (100τ)²·‖a‖²·‖b‖²
+
+    where dot = Σ_tok tf_a·tf_b and ‖·‖² = Σ tf². The weighted
+    (multiset) sibling of the set-based :func:`jaccard_pairs` — the
+    classic sparse all-pairs similarity join (Bayardo et al., WWW'07).
+
+    Scale shape: an **inverted-index join** — docs pair up only through
+    shared tokens (a pair sharing none has dot 0 and can never pass
+    τ > 0, so the candidate set is EXACT with ``max_df=None``). The
+    shuffle is (token, doc, tf) postings, never the text. Skew lives in
+    high-df tokens; ``max_df`` caps the posting-list length (the
+    WWW'07 prefix-filter analogue): candidates then come from rare
+    tokens only — a documented recall bound, like LSH — but the
+    verified dot/norms are still computed over the FULL vectors.
+
+    int64 headroom: the test needs 10⁴·‖a‖²·‖b‖² < 2⁶³, i.e. max ‖v‖²
+    < 3.0×10⁷ (a token repeated ~5 500× in one doc); a driver-side
+    guard aggregates the max in DOUBLE (wrap-immune) and raises rather
+    than let the non-ANSI bigint multiply wrap silently.
+    """
+    tf = (
+        df.select(F.col(id_col).cast("bigint").alias("doc_id"), F.explode(_tokens(F.col(text_col))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .localCheckpoint(eager=False)  # consumed by norms + both join sides
+    )
+    max_nrm = (
+        tf.groupBy("doc_id")
+        .agg(F.sum(F.col("tf").cast("double") * F.col("tf")).alias("_n"))
+        .agg(F.max("_n"))
+        .collect()[0][0]
+        or 0.0
+    )
+    if 10000.0 * max_nrm * max_nrm >= float(2**62):
+        raise ValueError(
+            f"tf norm^2 up to {max_nrm:.3g} overflows the int64 cosine test; "
+            "cap token repetition (or pre-filter degenerate docs) first"
+        )
+    norms = tf.groupBy("doc_id").agg(F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("norm2"))
+    ta = tf.select(F.col("doc_id").alias("id_a"), "tok", F.col("tf").alias("tf_a"))
+    tb = tf.select(F.col("doc_id").alias("id_b"), "tok", F.col("tf").alias("tf_b"))
+    if max_df is None:
+        dots = (
+            ta.join(tb, "tok")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.sum(F.col("tf_a") * F.col("tf_b")).cast("bigint").alias("dot"))
+        )
+    else:
+        rare = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("_df")).where(F.col("_df") <= max_df)
+        ca = ta.join(rare.select("tok"), "tok")
+        cb = tb.join(rare.select("tok"), "tok")
+        cands = (
+            ca.join(cb, "tok").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
+        )
+        # full-vector dot for the (small) candidate set only
+        dots = (
+            cands.join(ta, "id_a")
+            .join(tb, ["id_b", "tok"])
+            .groupBy("id_a", "id_b")
+            .agg(F.sum(F.col("tf_a") * F.col("tf_b")).cast("bigint").alias("dot"))
+        )
+    pct2 = min_cos_pct * min_cos_pct
+    na = norms.select(F.col("doc_id").alias("id_a"), F.col("norm2").alias("norm_a"))
+    nb = norms.select(F.col("doc_id").alias("id_b"), F.col("norm2").alias("norm_b"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .where(
+            (F.col("dot") > 0)
+            & (F.lit(10000) * F.col("dot") * F.col("dot") >= F.lit(pct2) * F.col("norm_a") * F.col("norm_b"))
+        )
+        .select("id_a", "id_b", "dot", "norm_a", "norm_b")
+    )
+
+
 def near_duplicates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -565,8 +653,7 @@ def contamination(
     be dropped (or span-stripped) before training.
 
     Frozen spec: windows are ``n`` consecutive engine-tokenizer tokens
-    (stopword-free, like every dedup operator), space-joined,
-    md5-hashed; the eval side
+    (stopwords kept), space-joined, md5-hashed; the eval side
     contributes its DISTINCT window hashes; a corpus doc's
     ``n_hit_windows`` counts its window *positions* whose hash is in
     the eval set, ``n_hit_grams`` the distinct hashes hit;

@@ -306,6 +306,92 @@ def entity_pagerank(
     return ranks
 
 
+def entity_triangles(mentions: DataFrame, cooc: DataFrame | None = None) -> DataFrame:
+    """(uri, n_triangles) — per-entity triangle counts over the
+    co-occurrence graph: the local clustering signal KG-quality checks
+    use (an entity in many closed triads is a well-embedded hub; one
+    in none is likely noise). Beyond the reference (COVERAGE.md).
+
+    Scale shape: **degree-oriented** wedge counting (the standard
+    MapReduce triangle algorithm, Suri & Vassilvitskii WWW'11): each
+    undirected edge is oriented from its lower-(degree, uri) endpoint,
+    so every triangle is enumerated exactly once at its minimum-rank
+    pivot and the wedge fanout at hubs is bounded by their *in*-rank
+    neighbors — the self-join never explodes on a hub the way a naive
+    (uri_a < uri_b) pivot would. Joins carry only uri pairs.
+    """
+    e = (cooc if cooc is not None else entity_cooccurrence(mentions)).select("uri_a", "uri_b")
+    e = e.localCheckpoint(eager=False)  # degrees + wedge sides + closure probe
+    deg = (
+        e.select(F.col("uri_a").alias("uri"))
+        .unionAll(e.select(F.col("uri_b").alias("uri")))
+        .groupBy("uri")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    d = (
+        e.join(deg.select(F.col("uri").alias("uri_a"), F.col("deg").alias("_da")), "uri_a")
+        .join(deg.select(F.col("uri").alias("uri_b"), F.col("deg").alias("_db")), "uri_b")
+    )
+    a_first = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("uri_a") < F.col("uri_b"))
+    )
+    o = d.select(
+        F.when(a_first, F.col("uri_a")).otherwise(F.col("uri_b")).alias("src"),
+        F.when(a_first, F.col("uri_b")).otherwise(F.col("uri_a")).alias("dst"),
+    )
+    wedges = (
+        o.select("src", F.col("dst").alias("d1"))
+        .join(o.select("src", F.col("dst").alias("d2")), "src")
+        .where(F.col("d1") < F.col("d2"))
+    )
+    # close the wedge: the (d1, d2) edge is stored lexicographically
+    tris = wedges.join(e, (F.col("d1") == F.col("uri_a")) & (F.col("d2") == F.col("uri_b")), "left_semi")
+    return (
+        tris.select(F.explode(F.array("src", "d1", "d2")).alias("uri"))
+        .groupBy("uri")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+
+
+def related_entities(mentions: DataFrame, k: int = 5, cooc: DataFrame | None = None) -> DataFrame:
+    """(uri, related_uri, cnt_xy, cnt_x, cnt_y, rank) — top-``k``
+    most-related entities per entity, ranked by the PMI-ordering score
+    cnt_xy / (cnt_x·cnt_y) (log and the constant corpus size N drop
+    out of the ordering). The "see also" / KG-embedding-negative-
+    sampling statistic downstream consumers derive from co-occurrence.
+    Beyond the reference (COVERAGE.md).
+
+    Oracle-safe determinism: every emitted column is an exact integer;
+    the ranking divides exact ints (IEEE division is correctly rounded,
+    so Spark and DuckDB order identically — CLAUDE.md rule) with a
+    (score DESC, related_uri ASC) tie-break.
+
+    Scale shape: symmetrized co-occurrence + two dim joins on uri, then
+    one per-uri top-k window — the window shuffle carries only id/count
+    columns, and skew is the per-entity neighbor count already bounded
+    upstream by entity_cooccurrence's ``max_entities_per_page``.
+    """
+    from pyspark.sql import Window as W
+
+    per_page = mentions.select("url", "uri").distinct()
+    cx = per_page.groupBy("uri").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    c = cooc if cooc is not None else entity_cooccurrence(mentions)
+    sym = c.select(F.col("uri_a").alias("uri"), F.col("uri_b").alias("related_uri"), F.col("cnt").alias("cnt_xy")).unionByName(
+        c.select(F.col("uri_b").alias("uri"), F.col("uri_a").alias("related_uri"), F.col("cnt").alias("cnt_xy"))
+    )
+    j = (
+        sym.join(cx.select(F.col("uri"), F.col("cnt").alias("cnt_x")), "uri")
+        .join(cx.select(F.col("uri").alias("related_uri"), F.col("cnt").alias("cnt_y")), "related_uri")
+    )
+    score = F.col("cnt_xy") / (F.col("cnt_x") * F.col("cnt_y"))
+    w = W.partitionBy("uri").orderBy(score.desc(), F.col("related_uri").asc())
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("uri", "related_uri", F.col("cnt_xy").cast("bigint"), "cnt_x", "cnt_y", F.col("rank").cast("int"))
+    )
+
+
 def nerd_stats(mentions: DataFrame) -> DataFrame:
     """Per-(surface_form, uri) link stats with per-URI totals, ordered —
     the raw P(uri|sf) statistics of examples/nerd-stats/nerd_stats.pig

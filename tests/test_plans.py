@@ -204,3 +204,20 @@ def test_pack_sequences_single_shuffle(spark):
     ex = re.search(r"Exchange hashpartitioning\(shard", plan)
     assert ex is not None
     assert "Window" in plan[: ex.start()]  # window consumes the one shuffle
+
+
+def test_cosine_triangles_related_are_jvm_only(spark):
+    # the new similarity/graph operators must stay whole-stage-codegen
+    # relational: no Python eval anywhere, partial/final aggregation
+    # for the postings/count rollups
+    from pignlproc_spark.operators import dedup
+
+    docs = spark.createDataFrame([(i, "a b c d %d" % (i % 3)) for i in range(12)], "doc_id long, text string")
+    plan = plan_of(dedup.tf_cosine_pairs(docs, min_cos_pct=50), mode="simple")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan or "partial" in plan
+
+    m = spark.createDataFrame([("u%d" % (i % 6), "uri%d" % (i % 4)) for i in range(24)], "url string, uri string")
+    for df in (stats.entity_triangles(m), stats.related_entities(m, k=3)):
+        p = plan_of(df, mode="simple")
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

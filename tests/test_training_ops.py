@@ -610,3 +610,86 @@ def test_contamination_spans_and_strip(spark):
     assert (got[1].n_tokens_kept, got[1].n_tokens_dropped) == (4, 8)
     assert got[2].clean_text == corpus.collect()[1].text  # token-identical passthrough
     assert got[2].n_tokens_dropped == 0
+
+
+def test_tf_cosine_pairs(spark, docs):
+    # identical docs: dot == norm_a == norm_b -> cos exactly 1
+    rows = {(r.id_a, r.id_b): r for r in dedup.tf_cosine_pairs(docs, min_cos_pct=99).collect()}
+    assert (0, 1) in rows
+    r = rows[(0, 1)]
+    assert r.dot == r.norm_a == r.norm_b == 8  # 8 distinct tokens, tf=1 each
+    # tf weighting: repeated tokens raise the weight (multiset, not set)
+    rep = spark.createDataFrame(
+        [(10, "apple apple apple banana"), (11, "apple banana banana banana"), (12, "apple banana")],
+        "doc_id long, text string",
+    )
+    got = {(r.id_a, r.id_b): r for r in dedup.tf_cosine_pairs(rep, min_cos_pct=0).collect()}
+    # vectors (3,1) and (1,3): dot=6, norms 10,10 -> cos=0.6
+    assert got[(10, 11)].dot == 6 and got[(10, 11)].norm_a == got[(10, 11)].norm_b == 10
+    # (3,1)·(1,1)=4, norms 10,2 -> cos=4/sqrt(20)=0.894...
+    assert got[(10, 12)].dot == 4 and got[(10, 12)].norm_b == 2
+    # threshold filters: at 80% only the (10,12)/(11,12) pairs survive
+    hi = {(r.id_a, r.id_b) for r in dedup.tf_cosine_pairs(rep, min_cos_pct=80).collect()}
+    assert hi == {(10, 12), (11, 12)}
+    # max_df candidate pruning is a documented-recall subset, with
+    # dot/norms still computed over the FULL vectors
+    sub = {(r.id_a, r.id_b): r for r in dedup.tf_cosine_pairs(docs, min_cos_pct=99, max_df=3).collect()}
+    assert set(sub) <= set(rows)
+    for k, v in sub.items():
+        assert (v.dot, v.norm_a, v.norm_b) == (rows[k].dot, rows[k].norm_a, rows[k].norm_b)
+    # int64 overflow guard trips on degenerate token repetition
+    degen = spark.createDataFrame([(0, "x " * 6000), (1, "x y")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        dedup.tf_cosine_pairs(degen)
+
+
+def test_entity_triangles(spark):
+    import itertools
+    import random
+
+    from pignlproc_spark.operators import stats
+
+    # p1..p3 close the (A,B,C) triangle; C-D is a dangling edge
+    rows = [("p1", "A"), ("p1", "B"), ("p2", "A"), ("p2", "C"),
+            ("p3", "B"), ("p3", "C"), ("p4", "C"), ("p4", "D")]
+    m = spark.createDataFrame(rows, "url string, uri string")
+    got = {r.uri: r.n_triangles for r in stats.entity_triangles(m).collect()}
+    assert got == {"A": 1, "B": 1, "C": 1}
+
+    # brute-force parity on a random graph fed via the cooc override
+    rng = random.Random(7)
+    nodes = [f"n{i}" for i in range(9)]
+    edges = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(18)})
+    cooc = spark.createDataFrame(
+        [(a, b, 1) for a, b in edges], "uri_a string, uri_b string, cnt long"
+    )
+    got = {r.uri: r.n_triangles for r in stats.entity_triangles(m, cooc=cooc).collect()}
+    es = set(edges)
+    want = {}
+    for t in itertools.combinations(nodes, 3):
+        if all(tuple(sorted(p)) in es for p in itertools.combinations(t, 2)):
+            for u in t:
+                want[u] = want.get(u, 0) + 1
+    assert got == want
+
+
+def test_related_entities(spark):
+    from pignlproc_spark.operators import stats
+
+    rows = [
+        ("p1", "A"), ("p1", "B"),
+        ("p2", "A"), ("p2", "B"),
+        ("p3", "A"), ("p3", "C"),
+        ("p4", "C"), ("p4", "B"),
+    ]
+    m = spark.createDataFrame(rows, "url string, uri string")
+    got = {(r.uri, r.rank): r for r in stats.related_entities(m, k=2).collect()}
+    # A: cnt_x=3; B co-occurs 2x (cnt_y=3) score 2/9; C 1x (cnt_y=2) score 1/6
+    a1 = got[("A", 1)]
+    assert (a1.related_uri, a1.cnt_xy, a1.cnt_x, a1.cnt_y) == ("B", 2, 3, 3)
+    assert got[("A", 2)].related_uri == "C"
+    # symmetric: B sees A at the same counts
+    b = {got[("B", i)].related_uri for i in (1, 2)}
+    assert b == {"A", "C"}
+    # k caps the per-entity fanout
+    assert all(r.rank <= 2 for r in got.values())
