@@ -694,6 +694,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return stats.related_entities(_pipeline(spark, sf_dir).mentions, k=5)
 
+    def kg_entity_kcore(spark, sf_dir):
+        # k-core of the co-occurrence graph (iterative peel; unique
+        # fixpoint so rows are exactly reproducible, but the loop is
+        # not one-SQL-expressible -> rows-only; pytest has the
+        # brute-force parity check)
+        from pignlproc_spark.operators import stats
+
+        return stats.kcore_members(_pipeline(spark, sf_dir).mentions, k=3)
+
+    def events_asof_join(spark, sf_dir):
+        # backward as-of join (each click to the user's latest error at
+        # or before it) via the union-and-window formulation — one hash
+        # shuffle on user_id, no range join; exact-int columns
+        from pignlproc_spark.operators.temporal import asof_join
+
+        e = _read(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            # ts is TIMESTAMP_NTZ; session TZ is pinned UTC so the cast
+            # is identity and matches DuckDB's naive epoch_us
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "event_type",
+        )
+        clicks = e.where(F.col("event_type") == "click").drop("event_type")
+        errors = e.where(F.col("event_type") == "error").drop("event_type")
+        out = asof_join(clicks, errors, on="user_id", ts_col="ts_us", right_cols=["event_id"], suffix="_err")
+        return out.select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            F.col("event_id_err").alias("err_event_id"),
+            F.col("ts_us_err").alias("err_ts_us"),
+            (F.col("ts_us") - F.col("ts_us_err")).alias("lag_us"),
+        )
+
+    def docs_positional_index(spark, sf_dir):
+        # positional inverted index; the driver-checkable projection
+        # keeps exact ints (full positions array covered by pytest)
+        idx = textstats.positional_index(_read(spark, sf_dir, "documents"))
+        return idx.select(
+            "token",
+            "doc_id",
+            "tf",
+            F.element_at("positions", 1).cast("bigint").alias("first_pos"),
+            F.element_at("positions", -1).cast("bigint").alias("last_pos"),
+        )
+
+    def docs_collocations(spark, sf_dir):
+        return textstats.collocations(_read(spark, sf_dir, "documents"), min_count=2, k=100)
+
     q.update(
         docs_decontaminate=docs_decontaminate,
         docs_pack_sequences=docs_pack_sequences,
@@ -703,6 +753,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs_tf_cosine_pairs=docs_tf_cosine_pairs,
         kg_entity_triangles=kg_entity_triangles,
         kg_related_entities=kg_related_entities,
+        kg_entity_kcore=kg_entity_kcore,
+        events_asof_join=events_asof_join,
+        docs_positional_index=docs_positional_index,
+        docs_collocations=docs_collocations,
     )
     return q
 
@@ -1516,6 +1570,70 @@ def oracle_sql() -> dict[str, str]:
     ) WHERE rank <= 5
     """
 
+    o["events_asof_join"] = """
+    WITH c AS (
+      SELECT event_id::BIGINT AS event_id, user_id::BIGINT AS user_id,
+             epoch_us(ts)::BIGINT AS ts_us
+      FROM events WHERE event_type = 'click'
+    ), e AS (
+      SELECT event_id::BIGINT AS event_id, user_id::BIGINT AS user_id,
+             epoch_us(ts)::BIGINT AS ts_us
+      FROM events WHERE event_type = 'error'
+    ), u AS (
+      SELECT user_id, ts_us, 0 AS side, event_id,
+             struct_pack(ts := ts_us, id := event_id) AS ref
+      FROM e
+      UNION ALL
+      SELECT user_id, ts_us, 1 AS side, event_id, NULL AS ref FROM c
+    ), w AS (
+      SELECT *, last_value(ref IGNORE NULLS) OVER (
+        PARTITION BY user_id
+        ORDER BY ts_us, side, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS m
+      FROM u
+    )
+    SELECT event_id, user_id, ts_us,
+           m.id AS err_event_id, m.ts AS err_ts_us,
+           (ts_us - m.ts)::BIGINT AS lag_us
+    FROM w WHERE side = 1
+    """
+    o["docs_positional_index"] = f"""
+    WITH t AS (SELECT doc_id::BIGINT AS doc_id, {_tok_sql('text', stop=False)} AS l FROM documents)
+    SELECT tok AS token, doc_id, count(*)::BIGINT AS tf,
+           min(pos)::BIGINT AS first_pos, max(pos)::BIGINT AS last_pos
+    FROM (
+      SELECT doc_id, unnest(l) AS tok,
+             unnest(list_transform(l, (x, i) -> i - 1)) AS pos
+      FROM t
+    )
+    GROUP BY tok, doc_id
+    """
+    o["docs_collocations"] = f"""
+    WITH t AS (SELECT {_tok_sql('text', stop=False)} AS l FROM documents),
+    uni AS (
+      SELECT tok, count(*)::BIGINT AS cnt
+      FROM (SELECT unnest(l) AS tok FROM t) GROUP BY tok
+    ), bi AS (
+      SELECT bg.a AS tok_a, bg.b AS tok_b, count(*)::BIGINT AS cnt_xy
+      FROM (
+        SELECT unnest(list_filter(
+          list_transform(l, (x, i) -> struct_pack(a := x, b := l[i + 1])),
+          s -> s.b IS NOT NULL)) AS bg
+        FROM t
+      )
+      GROUP BY bg.a, bg.b
+      HAVING count(*) >= 2
+    )
+    SELECT tok_a, tok_b, cnt_xy, x.cnt AS cnt_x, y.cnt AS cnt_y
+    FROM bi JOIN uni x ON bi.tok_a = x.tok JOIN uni y ON bi.tok_b = y.tok
+    ORDER BY cnt_xy / (x.cnt * y.cnt) DESC, tok_a ASC, tok_b ASC
+    LIMIT 100
+    """
+
+    # kg_entity_kcore: intentionally no oracle (iterative fixpoint,
+    # not one-SQL-expressible) — unique-subgraph determinism is
+    # pytest-verified against a brute-force peel.
     # emb_cosine_topk / emb_srp_lsh_topk / media_features /
     # ner_opennlp_sentences: intentionally no oracle (float ordering /
     # format-rendering paths) → driver records rows-only checks.

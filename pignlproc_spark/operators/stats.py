@@ -392,6 +392,67 @@ def related_entities(mentions: DataFrame, k: int = 5, cooc: DataFrame | None = N
     )
 
 
+def kcore_members(
+    mentions: DataFrame,
+    k: int = 3,
+    cooc: DataFrame | None = None,
+    max_rounds: int = 32,
+) -> DataFrame:
+    """(uri, deg_in_core) — the entities in the ``k``-core of the
+    co-occurrence graph (the maximal subgraph where every node keeps
+    degree ≥ k), with each survivor's degree inside that core. The
+    standard graph-density filter for KG quality: hubs and
+    well-connected entities survive; tendrils and noise peel away.
+    Beyond the reference (COVERAGE.md).
+
+    Algorithm: iterative peeling — drop nodes with degree < k, filter
+    edges to surviving endpoints, repeat to fixpoint. Each round is a
+    partial/final degree count plus two broadcast-eligible semi-joins
+    on the (strictly shrinking) survivor set — pure relational, no
+    collected neighborhoods, so hub nodes stay as rows. Rounds are
+    bounded by the longest peel chain (graph-diameter-ish, small for
+    web-like graphs); each round ``localCheckpoint``s the shrinking
+    edge set so lineage stays flat and the fixpoint check reads a
+    driver-side count, like :func:`dedup.connected_components`.
+
+    Deterministic: the k-core is a unique subgraph (order-independent
+    peeling), so output is exactly reproducible — pytest verifies
+    against a brute-force Python peel; no SQL oracle exists because
+    the fixpoint loop is not expressible in one DuckDB query
+    (driver records a rows-only check).
+    """
+    e = (cooc if cooc is not None else entity_cooccurrence(mentions)).select("uri_a", "uri_b")
+    e = e.localCheckpoint(eager=True)
+    n_edges = e.count()
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            break
+        deg = (
+            e.select(F.col("uri_a").alias("uri"))
+            .unionAll(e.select(F.col("uri_b").alias("uri")))
+            .groupBy("uri")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= k).select("uri")
+        e2 = (
+            e.join(keep.select(F.col("uri").alias("uri_a")), "uri_a", "left_semi")
+            .join(keep.select(F.col("uri").alias("uri_b")), "uri_b", "left_semi")
+            .select("uri_a", "uri_b")
+            .localCheckpoint(eager=True)
+        )
+        n2 = e2.count()
+        if n2 == n_edges:
+            break
+        e, n_edges = e2, n2
+    return (
+        e.select(F.col("uri_a").alias("uri"))
+        .unionAll(e.select(F.col("uri_b").alias("uri")))
+        .groupBy("uri")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg_in_core"))
+        .where(F.col("deg_in_core") >= k)
+    )
+
+
 def nerd_stats(mentions: DataFrame) -> DataFrame:
     """Per-(surface_form, uri) link stats with per-URI totals, ordered —
     the raw P(uri|sf) statistics of examples/nerd-stats/nerd_stats.pig

@@ -1,0 +1,88 @@
+"""Temporal operators over event streams: the as-of join.
+
+The as-of join (each left row matched to the latest right row at or
+before its timestamp, per key) is the classic operator relational
+engines bolt on for time-series work (kdb+ ``aj``, DuckDB/pandas
+``ASOF JOIN``). Spark has no built-in; the naive formulations are a
+range-condition theta join (O(n·m) per key) or a per-key sort-merge in
+Python. Neither survives 100 TB.
+
+Scale shape here: the **union-and-window** formulation — tag both
+sides, union them, and run ONE window pass per key ordered by
+(ts, side, tie), carrying the right row's payload forward with
+``last(..., ignorenulls)``. Cost is a single hash shuffle on the key
+plus an in-partition sort — exactly the cost of the group-by both
+sides already need — with no join, no range predicate, and no
+per-key Python. Skew is the per-key event count, the same skew any
+per-key window has; AQE handles moderate cases and upstream
+sessionization caps pathological keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str,
+    right_cols: list[str],
+    suffix: str = "_ref",
+    tolerance: int | None = None,
+) -> DataFrame:
+    """Backward as-of join: every ``left`` row, plus the payload of the
+    latest ``right`` row with the same ``on`` key and ``right.ts <=
+    left.ts`` (ties at equal ts: the right side wins "at or before",
+    and among equal-ts right rows the greatest ``right_cols[0]`` wins —
+    a frozen, engine-reproducible tie-break, so ``right_cols[0]`` must
+    be a unique id). Unmatched left rows keep NULL payloads.
+
+    ``tolerance`` (same units as ``ts_col``) drops matches older than
+    ``left.ts - tolerance`` back to NULL, pandas ``merge_asof``-style.
+
+    Returns all ``left`` columns plus ``<c><suffix>`` for each of
+    ``right_cols`` and ``<ts_col><suffix>`` for the matched timestamp.
+    """
+    lcols = left.columns
+    payload = F.struct(
+        F.col(ts_col).alias("_ts"), *[F.col(c).alias(c) for c in right_cols]
+    )
+    r = right.select(
+        F.col(on).alias(on),
+        F.col(ts_col).alias(ts_col),
+        F.lit(0).alias("_side"),
+        F.col(right_cols[0]).alias("_tie"),
+        payload.alias("_ref"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in (on, ts_col)],
+    )
+    l = left.select(
+        on,
+        ts_col,
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_tie"].dataType).alias("_tie"),
+        F.lit(None).cast(r.schema["_ref"].dataType).alias("_ref"),
+        *[c for c in lcols if c not in (on, ts_col)],
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc(), F.col("_tie").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = (
+        r.unionByName(l)
+        .withColumn("_m", F.last("_ref", ignorenulls=True).over(w))
+        .where(F.col("_side") == 1)
+    )
+    if tolerance is not None:
+        m = m.withColumn(
+            "_m",
+            F.when(F.col(ts_col) - F.col("_m._ts") <= F.lit(tolerance), F.col("_m")),
+        )
+    return m.select(
+        *lcols,
+        F.col("_m._ts").alias(f"{ts_col}{suffix}"),
+        *[F.col(f"_m.{c}").alias(f"{c}{suffix}") for c in right_cols],
+    )

@@ -402,3 +402,81 @@ def top_tokens(df: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("token"))
         .limit(k)
     )
+
+
+def positional_index(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(token, doc_id, tf, positions ARRAY<INT>) — the positional
+    inverted index (postings with in-document positions, ascending):
+    the search-export sibling of :func:`global_token_stats`, and the
+    input a phrase-query or proximity-scoring layer needs.
+
+    Scale shape: one posexplode + one partial/final aggregate keyed on
+    (token, doc_id) — positions ride the same shuffle as the tf count,
+    sorted per posting after collection (bounded by document length,
+    never corpus-sized). Postings stay columnar (array<int>), not
+    rendered strings; a sink can lay them out however the serving
+    index wants. Per-token posting-LIST length (document frequency) is
+    unbounded — but it is never materialized per token here; the
+    (token, doc_id) key keeps hot tokens spread across partitions.
+    """
+    toks = df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.posexplode(tokens_col(F.col(text_col), with_stopwords=False)).alias("pos", "token"),
+    )
+    return toks.groupBy("token", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf"),
+        F.sort_array(F.collect_list(F.col("pos"))).alias("positions"),
+    )
+
+
+def collocations(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+    k: int = 100,
+) -> DataFrame:
+    """(tok_a, tok_b, cnt_xy, cnt_x, cnt_y) — the global top-``k``
+    bigram collocations ranked by the PMI-ordering score
+    cnt_xy/(cnt_x·cnt_y) (log and the constant token total N drop out
+    of the ordering), ties broken on (tok_a, tok_b). The phrase-mining
+    primitive (Church & Hanks 1990) a tokenizer-vocabulary or
+    entity-lexicon pass derives from a corpus.
+
+    Every emitted column is an exact integer; the ranking divides
+    exact ints (IEEE-identical cross-engine). ``min_count`` prunes the
+    hapax tail BEFORE the unigram joins — at web scale the ≥2 filter
+    drops the vast majority of distinct bigrams. The top-k is a
+    TakeOrdered (per-partition heap + driver merge), not a global
+    sort. Bigram construction is the accepted transform+slice →
+    immediate-explode pattern (CLAUDE.md): counting happens after the
+    explode as a relational aggregate.
+    """
+    t = df.select(tokens_col(F.col(text_col), with_stopwords=False).alias("_t"))
+    bi = (
+        t.select(
+            F.explode(
+                F.expr(
+                    "transform(slice(_t, 1, greatest(size(_t)-1, 0)),"
+                    " (x, i) -> struct(x AS a, element_at(_t, i+2) AS b))"
+                )
+            ).alias("bg")
+        )
+        .groupBy(F.col("bg.a").alias("tok_a"), F.col("bg.b").alias("tok_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt_xy"))
+        .where(F.col("cnt_xy") >= min_count)
+    )
+    uni = (
+        t.select(F.explode("_t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    j = bi.join(
+        uni.select(F.col("tok").alias("tok_a"), F.col("cnt").alias("cnt_x")), "tok_a"
+    ).join(uni.select(F.col("tok").alias("tok_b"), F.col("cnt").alias("cnt_y")), "tok_b")
+    score = F.col("cnt_xy") / (F.col("cnt_x") * F.col("cnt_y"))
+    return (
+        j.orderBy(score.desc(), F.col("tok_a").asc(), F.col("tok_b").asc())
+        .limit(k)
+        .select("tok_a", "tok_b", "cnt_xy", "cnt_x", "cnt_y")
+    )

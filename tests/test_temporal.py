@@ -1,0 +1,72 @@
+"""As-of join: backward match semantics, tie-breaks, tolerance, and
+the single-shuffle plan shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pignlproc_spark.operators.temporal import asof_join
+
+
+@pytest.fixture(scope="module")
+def sides(spark):
+    left = spark.createDataFrame(
+        [(1, 1, 100), (2, 1, 200), (3, 2, 150), (4, 3, 50)],
+        "event_id long, user_id long, ts long",
+    )
+    right = spark.createDataFrame(
+        [(10, 1, 100), (11, 1, 100), (12, 1, 180), (13, 2, 160)],
+        "event_id long, user_id long, ts long",
+    )
+    return left, right
+
+
+def test_asof_backward_semantics(spark, sides):
+    left, right = sides
+    got = {r.event_id: r for r in asof_join(left, right, on="user_id", ts_col="ts", right_cols=["event_id"]).collect()}
+    assert len(got) == 4  # every left row survives
+    # equal ts counts as "at or before"; among equal-ts rights the
+    # greatest id wins (frozen tie-break)
+    assert (got[1].event_id_ref, got[1].ts_ref) == (11, 100)
+    # latest at-or-before, not just any earlier
+    assert (got[2].event_id_ref, got[2].ts_ref) == (12, 180)
+    # right row strictly AFTER the left ts never matches
+    assert got[3].event_id_ref is None and got[3].ts_ref is None
+    # key with no right rows at all
+    assert got[4].event_id_ref is None
+
+
+def test_asof_tolerance_and_payload(spark, sides):
+    left, right = sides
+    got = {
+        r.event_id: r
+        for r in asof_join(
+            left, right, on="user_id", ts_col="ts", right_cols=["event_id"], tolerance=10
+        ).collect()
+    }
+    assert got[1].event_id_ref == 11  # lag 0 <= 10
+    assert got[2].event_id_ref is None  # lag 20 > 10 -> dropped to NULL
+    # extra payload columns ride along and left extra columns survive
+    r2 = right.withColumn("sev", F.col("event_id") * 2)
+    l2 = left.withColumn("note", F.lit("n"))
+    row = {
+        r.event_id: r
+        for r in asof_join(l2, r2, on="user_id", ts_col="ts", right_cols=["event_id", "sev"]).collect()
+    }
+    assert row[2].sev_ref == 24 and row[2].note == "n"
+
+
+def test_asof_single_shuffle_no_python(spark, sides):
+    import contextlib
+    import io
+
+    left, right = sides
+    df = asof_join(left, right, on="user_id", ts_col="ts", right_cols=["event_id"])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="simple")
+    plan = buf.getvalue()
+    # union-and-window: exactly one hash exchange (on the key), no
+    # join operator, no Python eval
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

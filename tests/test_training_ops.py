@@ -693,3 +693,72 @@ def test_related_entities(spark):
     assert b == {"A", "C"}
     # k caps the per-entity fanout
     assert all(r.rank <= 2 for r in got.values())
+
+
+def test_positional_index(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha gamma"), (2, "beta beta"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {(r.token, r.doc_id): r for r in textstats.positional_index(df).collect()}
+    assert got[("alpha", 1)].tf == 2 and got[("alpha", 1)].positions == [0, 2]
+    assert got[("beta", 1)].positions == [1]
+    assert got[("gamma", 1)].positions == [3]
+    assert got[("beta", 2)].tf == 2 and got[("beta", 2)].positions == [0, 1]
+    # empty doc contributes no postings
+    assert all(k[1] != 3 for k in got)
+
+
+def test_collocations(spark):
+    df = spark.createDataFrame(
+        [(1, "new york new york city"), (2, "york new york weather"), (3, "one shot")],
+        "doc_id long, text string",
+    )
+    rows = textstats.collocations(df, min_count=2, k=10).collect()
+    got = {(r.tok_a, r.tok_b): r for r in rows}
+    # "new york" appears 3x; unigram counts new=3 (pos 0,2 doc1 + pos1 doc2... ) -> verify exact ints
+    ny = got[("new", "york")]
+    assert (ny.cnt_xy, ny.cnt_x, ny.cnt_y) == (3, 3, 4)
+    # min_count prunes hapax bigrams ("one","shot") and k caps output
+    assert ("one", "shot") not in got
+    # ranking: higher cnt_xy/(cnt_x*cnt_y) first
+    scores = [r.cnt_xy / (r.cnt_x * r.cnt_y) for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_kcore_members(spark):
+    import random
+
+    from pignlproc_spark.operators import stats
+
+    # triangle + pendant: 2-core is exactly the triangle at degree 2
+    cooc = spark.createDataFrame(
+        [("A", "B", 1), ("A", "C", 1), ("B", "C", 1), ("C", "D", 1)],
+        "uri_a string, uri_b string, cnt long",
+    )
+    m = spark.createDataFrame([("p", "A")], "url string, uri string")  # unused with cooc
+    got = {r.uri: r.deg_in_core for r in stats.kcore_members(m, k=2, cooc=cooc).collect()}
+    assert got == {"A": 2, "B": 2, "C": 2}
+    # no 3-core exists in that graph
+    assert stats.kcore_members(m, k=3, cooc=cooc).count() == 0
+
+    # brute-force peel parity on random graphs
+    rng = random.Random(11)
+    for trial in range(3):
+        nodes = [f"n{i}" for i in range(12)]
+        edges = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(26)})
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        k = 3
+        alive = set(adj)
+        while True:
+            drop = {u for u in alive if sum(v in alive for v in adj[u]) < k}
+            if not drop:
+                break
+            alive -= drop
+        want = {u: sum(v in alive for v in adj[u]) for u in alive}
+        c = spark.createDataFrame([(a, b, 1) for a, b in edges], "uri_a string, uri_b string, cnt long")
+        got = {r.uri: r.deg_in_core for r in stats.kcore_members(m, k=k, cooc=c).collect()}
+        assert got == want, (trial, got, want)

@@ -108,6 +108,24 @@ def main():
         textstats.pack_sequences(docs),
     )
     add(
+        "tf-cosine all-pairs (inverted-index join over postings)",
+        "Docs pair only through shared tokens: the join carries (token, doc, tf) "
+        "postings, never text; dot products and norms are partial/final "
+        "HashAggregates; the threshold is a codegen'd integer predicate.",
+        dedup.tf_cosine_pairs(docs, min_cos_pct=50),
+    )
+    add(
+        "As-of join (union-and-window, no range join)",
+        "ONE hash exchange on the key feeds a single window sort; no Join operator "
+        "appears at all — the backward match rides last(ignorenulls) over "
+        "(ts, side, tie) ordering.",
+        __import__("pignlproc_spark.operators.temporal", fromlist=["asof_join"]).asof_join(
+            docs.select(F.col("doc_id").alias("event_id"), (F.col("doc_id") % 5).alias("k"), F.col("n_chars").alias("ts")),
+            docs.select(F.col("doc_id").alias("event_id"), (F.col("doc_id") % 5).alias("k"), F.col("n_chars").alias("ts")),
+            on="k", ts_col="ts", right_cols=["event_id"],
+        ),
+    )
+    add(
         "Salted two-phase text aggregation (holistic agg under skew)",
         "Two exchanges: (uri, salt) then uri — a hub entity's contexts spread over "
         "salt_buckets partial concats before the final merge.",
