@@ -694,6 +694,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return stats.related_entities(_pipeline(spark, sf_dir).mentions, k=5)
 
+    def events_rollup(spark, sf_dir):
+        # ROLLUP grouping sets on (event_type, hour): subtotals + grand
+        # total in ONE pass (Spark expands grouping sets into a single
+        # partial/final aggregate — no N scans). NULL group keys are
+        # coalesced to sentinels so the int column stays NaN-free for
+        # the cross-engine hash; gid disambiguates real vs subtotal.
+        e = _read(spark, sf_dir, "events").select(
+            "event_type",
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).cast("bigint").alias("hour_epoch"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("_v"),
+        )
+        return (
+            e.rollup("event_type", "hour_epoch")
+            .agg(
+                F.grouping_id().cast("bigint").alias("gid"),
+                F.count(F.lit(1)).cast("bigint").alias("cnt"),
+                F.sum("_v").cast("bigint").alias("value_c_sum"),
+            )
+            .select(
+                F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+                F.coalesce("hour_epoch", F.lit(-1)).cast("bigint").alias("hour_epoch"),
+                "gid",
+                "cnt",
+                "value_c_sum",
+            )
+        )
+
+    def events_pivot(spark, sf_dir):
+        # pivot to wide per-user counts; the value list is EXPLICIT
+        # (open-ended pivot needs a distinct-scan planning pass and an
+        # unbounded-width row — never do that on 100 TB)
+        types = ["click", "view", "error", "signup", "purchase"]
+        e = _read(spark, sf_dir, "events")
+        wide = e.groupBy("user_id").pivot("event_type", types).count()
+        return wide.select(
+            "user_id", *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t) for t in types]
+        )
+
+    def events_running_window(spark, sf_dir):
+        # window-frame suite per user ordered by (ts, event_id):
+        # running count, 3-row sliding count, lag with -1 fill — all
+        # over ONE partitioning (one shuffle serves every frame)
+        from pyspark.sql import Window as W
+
+        e = _read(spark, sf_dir, "events").select(
+            "event_id", "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us")
+        )
+        w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+        return e.select(
+            "event_id",
+            "user_id",
+            F.row_number().over(w).cast("bigint").alias("run_cnt"),
+            F.count(F.lit(1)).over(w.rowsBetween(-2, 0)).cast("bigint").alias("w3_cnt"),
+            F.coalesce(F.lag("event_id").over(w), F.lit(-1)).cast("bigint").alias("prev_event_id"),
+        )
+
+    def events_user_mode(spark, sf_dir):
+        # per-group mode with frozen (cnt DESC, type ASC) tie-break
+        from pyspark.sql import Window as W
+
+        e = _read(spark, sf_dir, "events")
+        c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        w = W.partitionBy("user_id").orderBy(F.col("cnt").desc(), F.col("event_type").asc())
+        return (
+            c.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id", F.col("event_type").alias("top_event_type"), "cnt")
+        )
+
     def kg_entity_kcore(spark, sf_dir):
         # k-core of the co-occurrence graph (iterative peel; unique
         # fixpoint so rows are exactly reproducible, but the loop is
@@ -754,6 +823,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kg_entity_triangles=kg_entity_triangles,
         kg_related_entities=kg_related_entities,
         kg_entity_kcore=kg_entity_kcore,
+        events_rollup=events_rollup,
+        events_pivot=events_pivot,
+        events_running_window=events_running_window,
+        events_user_mode=events_user_mode,
         events_asof_join=events_asof_join,
         docs_positional_index=docs_positional_index,
         docs_collocations=docs_collocations,
@@ -1570,6 +1643,42 @@ def oracle_sql() -> dict[str, str]:
     ) WHERE rank <= 5
     """
 
+    o["events_rollup"] = """
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           coalesce(epoch(date_trunc('hour', ts))::BIGINT, -1) AS hour_epoch,
+           (GROUPING(event_type) * 2 + GROUPING(date_trunc('hour', ts)))::BIGINT AS gid,
+           count(*)::BIGINT AS cnt,
+           sum(floor(value * 100))::BIGINT AS value_c_sum
+    FROM events
+    GROUP BY ROLLUP(event_type, date_trunc('hour', ts))
+    """
+    o["events_pivot"] = """
+    SELECT user_id,
+           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
+           sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view,
+           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error,
+           sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase
+    FROM events
+    GROUP BY user_id
+    """
+    o["events_running_window"] = """
+    SELECT event_id, user_id,
+           row_number() OVER w::BIGINT AS run_cnt,
+           count(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)::BIGINT AS w3_cnt,
+           coalesce(lag(event_id) OVER w, -1)::BIGINT AS prev_event_id
+    FROM (SELECT event_id, user_id, epoch_us(ts)::BIGINT AS ts_us FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    """
+    o["events_user_mode"] = """
+    SELECT user_id, event_type AS top_event_type, cnt FROM (
+      SELECT user_id, event_type, count(*)::BIGINT AS cnt,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY count(*) DESC, event_type ASC
+             ) AS rn
+      FROM events GROUP BY user_id, event_type
+    ) WHERE rn = 1
+    """
     o["events_asof_join"] = """
     WITH c AS (
       SELECT event_id::BIGINT AS event_id, user_id::BIGINT AS user_id,
