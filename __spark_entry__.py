@@ -750,6 +750,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.coalesce(F.lag("event_id").over(w), F.lit(-1)).cast("bigint").alias("prev_event_id"),
         )
 
+    def tpch_price_band_join(spark, sf_dir):
+        # interval join via the bucketed equi-join reformulation (no
+        # NestedLoop/cartesian); non-uniform bands, exact cent prices
+        from pignlproc_spark.operators.intervals import interval_join
+
+        bands = [
+            ("t1", 0, 50_000_00),
+            ("t2", 50_000_00, 120_000_00),
+            ("t3", 120_000_00, 210_000_00),
+            ("t4", 210_000_00, 330_000_00),
+            ("t5", 330_000_00, 1_000_000_00),
+        ]
+        iv = spark.createDataFrame(bands, "band string, lo long, hi long")
+        o = _read(spark, sf_dir, "orders").select(
+            F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("price_c")
+        )
+        j = interval_join(o, iv, "price_c", bucket_width=10_000_00)
+        return j.groupBy("band").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("price_c").cast("bigint").alias("sum_price_c"),
+        )
+
+    def events_session_native(spark, sf_dir):
+        # native session_window sessionization; the oracle is the
+        # lag/cumsum formulation (boundary semantics probed + frozen:
+        # exact-gap merges, end = last event + gap)
+        from pignlproc_spark.operators.temporal import session_windows
+
+        e = _read(spark, sf_dir, "events").select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts")
+        )
+        s = session_windows(e, key="user_id", ts_col="ts", gap="30 minutes")
+        return s.select(
+            "user_id",
+            F.unix_micros("session_start").alias("start_us"),
+            F.unix_micros("session_end").alias("end_us"),
+            "n_events",
+        )
+
     def events_user_mode(spark, sf_dir):
         # per-group mode with frozen (cnt DESC, type ASC) tie-break
         from pyspark.sql import Window as W
@@ -823,6 +862,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kg_entity_triangles=kg_entity_triangles,
         kg_related_entities=kg_related_entities,
         kg_entity_kcore=kg_entity_kcore,
+        tpch_price_band_join=tpch_price_band_join,
+        events_session_native=events_session_native,
         events_rollup=events_rollup,
         events_pivot=events_pivot,
         events_running_window=events_running_window,
@@ -1643,6 +1684,34 @@ def oracle_sql() -> dict[str, str]:
     ) WHERE rank <= 5
     """
 
+    o["tpch_price_band_join"] = """
+    WITH iv(band, lo, hi) AS (VALUES
+      ('t1', 0, 5000000), ('t2', 5000000, 12000000),
+      ('t3', 12000000, 21000000), ('t4', 21000000, 33000000),
+      ('t5', 33000000, 100000000)
+    ), o AS (SELECT floor(o_totalprice * 100)::BIGINT AS price_c FROM orders)
+    SELECT band, count(*)::BIGINT AS n_orders, sum(price_c)::BIGINT AS sum_price_c
+    FROM o JOIN iv ON o.price_c >= iv.lo AND o.price_c < iv.hi
+    GROUP BY band
+    """
+    o["events_session_native"] = """
+    WITH e AS (
+      SELECT user_id::BIGINT AS user_id, epoch_us(ts)::BIGINT AS ts_us, event_id
+      FROM events
+    ), w AS (
+      SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+      FROM e
+    ), s AS (
+      SELECT *, sum(CASE WHEN prev IS NULL OR ts_us - prev > 1800000000 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM w
+    )
+    SELECT user_id, min(ts_us)::BIGINT AS start_us,
+           (max(ts_us) + 1800000000)::BIGINT AS end_us,
+           count(*)::BIGINT AS n_events
+    FROM s GROUP BY user_id, sid
+    """
     o["events_rollup"] = """
     SELECT coalesce(event_type, 'ALL') AS event_type,
            coalesce(epoch(date_trunc('hour', ts))::BIGINT, -1) AS hour_epoch,

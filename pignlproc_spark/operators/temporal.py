@@ -86,3 +86,37 @@ def asof_join(
         F.col("_m._ts").alias(f"{ts_col}{suffix}"),
         *[F.col(f"_m.{c}").alias(f"{c}{suffix}") for c in right_cols],
     )
+
+
+def session_windows(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    gap: str = "30 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """(key, session_start, session_end, n_events) — native Spark
+    session windows (``F.session_window``): consecutive events of a
+    key merge while each arrives within ``gap`` of the session's
+    (extending) end; ``session_end`` is last event + gap. Boundary
+    semantics (probed, frozen): a gap of EXACTLY ``gap`` still merges
+    — identical to the lag/cumsum batch formulation's ``diff > gap``
+    new-session rule, which is this operator's oracle.
+
+    Works unchanged on a batch DataFrame or a stream; pass
+    ``watermark`` on streams so state for closed sessions is evicted —
+    without it, session state grows forever. One shuffle on
+    (key, merged window); Catalyst's SessionWindow node does the
+    interval merging, no Python anywhere.
+    """
+    d = df.withWatermark(ts_col, watermark) if watermark else df
+    return (
+        d.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), key)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            key,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -382,3 +382,50 @@ def test_incremental_near_dup_crash_window(spark, tmp_path, monkeypatch):
     sigs = neardup._read_facts(spark, f"{root}/signatures", neardup.SIGS_SCHEMA)
     assert sigs.select("doc_id").distinct().count() == 3  # docs 1, 2, 3
     assert sigs.count() == sigs.distinct().count()  # appended exactly once each
+
+
+def test_session_windows_stream_parity(spark, tmp_path):
+    """Native session windows on a stream (watermark evicts closed
+    sessions): the append-mode emissions equal the batch operator's
+    sessions that closed before the final watermark."""
+    import datetime as dt
+
+    from pignlproc_spark.operators.temporal import session_windows
+
+    base = dt.datetime(2024, 1, 1)
+    s = lambda sec: base + dt.timedelta(seconds=sec)
+    rows = [
+        (1, 1, s(0)), (2, 1, s(600)), (3, 1, s(4000)),
+        (4, 2, s(100)), (5, 2, s(2200)),
+        # sentinel far in the future pushes the watermark past every
+        # other session's end so append mode emits them all
+        (99, 9, s(10**6)),
+    ]
+    src = tmp_path / "events_src"
+    spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp").write.parquet(str(src))
+    stream = spark.readStream.schema("event_id long, user_id long, ts timestamp").parquet(str(src))
+    q = (
+        session_windows(stream, key="user_id", ts_col="ts", gap="30 minutes", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("sessions_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("select * from sessions_stream").collect()
+    }
+    batch = session_windows(
+        spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp"),
+        key="user_id", ts_col="ts", gap="30 minutes",
+    )
+    watermark = s(10**6 - 3600)
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in batch.collect()
+        if r.session_end < watermark
+    }
+    assert want and got == want

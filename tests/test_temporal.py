@@ -70,3 +70,60 @@ def test_asof_single_shuffle_no_python(spark, sides):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_session_windows_batch(spark):
+    import datetime as dt
+
+    from pignlproc_spark.operators.temporal import session_windows
+
+    base = dt.datetime(2024, 1, 1)
+    s = lambda sec: base + dt.timedelta(seconds=sec)
+    rows = [
+        (1, 1, s(0)), (2, 1, s(1800)), (3, 1, s(1800 + 1799)),  # one merged session (exact-gap merges)
+        (4, 1, s(1800 + 1799 + 1801)),  # gap 1801 > 1800 -> new session
+        (5, 2, s(100)),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {
+        (r.user_id, r.session_start): r
+        for r in session_windows(df, key="user_id", ts_col="ts", gap="30 minutes").collect()
+    }
+    a = got[(1, s(0))]
+    assert a.n_events == 3 and a.session_end == s(3599 + 1800)
+    b = got[(1, s(5400))]
+    assert b.n_events == 1 and b.session_end == s(5400 + 1800)
+    assert got[(2, s(100))].n_events == 1
+    assert len(got) == 3
+
+
+def test_interval_join(spark):
+    from pignlproc_spark.operators.intervals import interval_join
+
+    fact = spark.createDataFrame([(1, 5), (2, 10), (3, 25), (4, 99)], "id long, v long")
+    iv = spark.createDataFrame(
+        [("a", 0, 10), ("b", 10, 30), ("ab", 5, 15)], "band string, lo long, hi long"
+    )
+    out = interval_join(fact, iv, "v", bucket_width=8)
+    got = {(r.id, r.band) for r in out.collect()}
+    # half-open [lo, hi): v=10 misses band a, hits b and ab
+    assert got == {(1, "a"), (1, "ab"), (2, "b"), (2, "ab"), (3, "b")}
+    # left join keeps unmatched fact rows
+    left = interval_join(fact, iv, "v", bucket_width=8, how="left")
+    rows = {r.id: r for r in left.collect() if r.band is None}
+    assert set(rows) == {4}
+    # bucketing is width-invariant (same result at any positive width)
+    for w in (1, 3, 100):
+        assert {(r.id, r.band) for r in interval_join(fact, iv, "v", bucket_width=w).collect()} == got
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(mode="simple")
+    plan = buf.getvalue()
+    # the whole point: an equi-join, NOT a nested-loop/cartesian scan
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    with pytest.raises(ValueError):
+        interval_join(fact, iv, "v", bucket_width=0)
