@@ -106,7 +106,7 @@ def main(argv=None):
 
         toks = docs.select(
             F.col("doc_id").cast("bigint").alias("doc_id"),
-            tokens_col(F.col("text"), with_stopwords=False).alias("_toks"),
+            tokens_col(F.col("text"), apply_stoplist=False).alias("_toks"),
         ).localCheckpoint(eager=False)
         spans = dedup.contamination_spans(docs, ev, n=args.contamination_n, toks=toks).persist()
         extra_persists.append(spans)

@@ -92,10 +92,10 @@ def cjk_bigrams_col(col):
     return F.flatten(bigrams)
 
 
-def tokens_col(col, with_stopwords: bool = True, lang: str = "en"):
+def tokens_col(col, apply_stoplist: bool = True, lang: str = "en"):
     """ARRAY<STRING> token column using JVM-side built-ins only.
 
-    ``with_stopwords=True`` means "apply the stopword step", i.e. the
+    ``apply_stoplist=True`` means "apply the stopword step", i.e. the
     stoplist is FILTERED OUT (Lucene analyzer semantics); ``False``
     keeps every token — the dedup/window operators use ``False``.
 
@@ -113,7 +113,7 @@ def tokens_col(col, with_stopwords: bool = True, lang: str = "en"):
     # builtin — non-NFC text routes through functions.tokenize.
     arr = F.regexp_extract_all(F.lower(col), F.lit(r"(?U)[^\W_]+"), 0)
     arr = F.filter(arr, lambda t: F.length(t) <= 64)
-    if with_stopwords:
+    if apply_stoplist:
         # NOT array_except (it dedups — token counting needs the multiset)
         arr = F.filter(arr, lambda t: ~t.isin(list(stopwords_for(lang))))
     return arr

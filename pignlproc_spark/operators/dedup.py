@@ -33,7 +33,7 @@ DEFAULT_BANDS = 4  # lanes carved from one md5 per shingle (see below)
 
 
 def _tokens(text_col):
-    return tokens_col(text_col, with_stopwords=False)
+    return tokens_col(text_col, apply_stoplist=False)
 
 
 def _token_sets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -190,6 +190,7 @@ def tf_cosine_pairs(
     text_col: str = "text",
     min_cos_pct: int = 60,
     max_df: int | None = None,
+    guard_overflow: bool = True,
 ) -> DataFrame:
     """(id_a, id_b, dot, norm_a, norm_b) — pairs whose *tf-weighted*
     token-vector cosine is ≥ min_cos_pct/100, in exact integer
@@ -222,18 +223,22 @@ def tf_cosine_pairs(
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
         .localCheckpoint(eager=False)  # consumed by norms + both join sides
     )
-    max_nrm = (
-        tf.groupBy("doc_id")
-        .agg(F.sum(F.col("tf").cast("double") * F.col("tf")).alias("_n"))
-        .agg(F.max("_n"))
-        .collect()[0][0]
-        or 0.0
-    )
-    if 10000.0 * max_nrm * max_nrm >= float(2**62):
-        raise ValueError(
-            f"tf norm^2 up to {max_nrm:.3g} overflows the int64 cosine test; "
-            "cap token repetition (or pre-filter degenerate docs) first"
+    if guard_overflow:
+        # NB: an eager job at construction time (scan + tokenize +
+        # aggregate); pass guard_overflow=False for plan-only uses
+        # (dump_plans) or when the caller has pre-bounded repetition
+        max_nrm = (
+            tf.groupBy("doc_id")
+            .agg(F.sum(F.col("tf").cast("double") * F.col("tf")).alias("_n"))
+            .agg(F.max("_n"))
+            .collect()[0][0]
+            or 0.0
         )
+        if 10000.0 * max_nrm * max_nrm >= float(2**62):
+            raise ValueError(
+                f"tf norm^2 up to {max_nrm:.3g} overflows the int64 cosine test; "
+                "cap token repetition (or pre-filter degenerate docs) first"
+            )
     norms = tf.groupBy("doc_id").agg(F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("norm2"))
     ta = tf.select(F.col("doc_id").alias("id_a"), "tok", F.col("tf").alias("tf_a"))
     tb = tf.select(F.col("doc_id").alias("id_b"), "tok", F.col("tf").alias("tf_b"))

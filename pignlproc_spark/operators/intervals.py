@@ -43,18 +43,23 @@ def interval_join(
     if bucket_width <= 0:
         raise ValueError("bucket_width must be positive")
     v = F.col(value_col)
+    # bucket key = the bucket's START VALUE (x - pmod(x, w)): pure
+    # int64 subtraction, no division — floor(x / w) through a double
+    # silently misbuckets |x| > 2^53 (e.g. nanosecond epochs)
+    w = F.lit(bucket_width)
+
+    def start(c):
+        return c - F.pmod(c, w)
+
     iv = intervals.withColumn(
         "_b",
         F.explode(
-            F.sequence(
-                F.floor(F.col(lo_col) / bucket_width),
-                F.floor((F.col(hi_col) - 1) / bucket_width),
-            )
+            F.sequence(start(F.col(lo_col)), start(F.col(hi_col) - 1), w)
         ),
     )
     if broadcast_intervals:
         iv = F.broadcast(iv)
-    f = fact.withColumn("_b", F.floor(v / bucket_width))
+    f = fact.withColumn("_b", start(v))
     cond = (
         (f["_b"] == iv["_b"]) & (v >= iv[lo_col]) & (v < iv[hi_col])
     )

@@ -76,7 +76,7 @@ def norm_sf_col(col):
     ASCII, Python's is Unicode + NFC) — the join in sf_total_counts
     uses the exact pandas-UDF path instead; this stays for ASCII-clean
     relational uses."""
-    return F.array_join(tokens_col(col, with_stopwords=False), " ")
+    return F.array_join(tokens_col(col, apply_stoplist=False), " ")
 
 
 def normalize_sf_udf():
@@ -202,7 +202,11 @@ def aggregate_text_salted(
     return phase2
 
 
-def entity_cooccurrence(mentions: DataFrame, max_entities_per_page: int | None = None) -> DataFrame:
+def entity_cooccurrence(
+    mentions: DataFrame,
+    max_entities_per_page: int | None = None,
+    per_page: DataFrame | None = None,
+) -> DataFrame:
     """(uri_a, uri_b, cnt) — number of pages on which both entities are
     mentioned (uri_a < uri_b). The co-occurrence statistic downstream
     KG-embedding / entity-salience training consumes; beyond the
@@ -214,8 +218,12 @@ def entity_cooccurrence(mentions: DataFrame, max_entities_per_page: int | None =
     pass ``max_entities_per_page`` (standard practice: drop list/index
     pages, which contribute noise, not signal) — the filter runs
     before the join fanout. Default None = exact (oracle mode).
+
+    Pass a precomputed ``per_page`` (distinct (url, uri)) to share the
+    scan/distinct with a caller that also needs it (related_entities).
     """
-    per_page = mentions.select("url", "uri").distinct()
+    if per_page is None:
+        per_page = mentions.select("url", "uri").distinct()
     if max_entities_per_page is not None:
         n = per_page.groupBy("url").agg(F.count(F.lit(1)).alias("_n"))
         per_page = per_page.join(
@@ -373,9 +381,10 @@ def related_entities(mentions: DataFrame, k: int = 5, cooc: DataFrame | None = N
     """
     from pyspark.sql import Window as W
 
-    per_page = mentions.select("url", "uri").distinct()
+    per_page = mentions.select("url", "uri").distinct().localCheckpoint(eager=False)
     cx = per_page.groupBy("uri").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-    c = cooc if cooc is not None else entity_cooccurrence(mentions)
+    # share the scan + distinct with the co-occurrence self-join
+    c = cooc if cooc is not None else entity_cooccurrence(mentions, per_page=per_page)
     sym = c.select(F.col("uri_a").alias("uri"), F.col("uri_b").alias("related_uri"), F.col("cnt").alias("cnt_xy")).unionByName(
         c.select(F.col("uri_b").alias("uri"), F.col("uri_a").alias("related_uri"), F.col("cnt").alias("cnt_xy"))
     )
@@ -424,8 +433,10 @@ def kcore_members(
     e = (cooc if cooc is not None else entity_cooccurrence(mentions)).select("uri_a", "uri_b")
     e = e.localCheckpoint(eager=True)
     n_edges = e.count()
+    converged = n_edges == 0
     for _ in range(max_rounds):
         if n_edges == 0:
+            converged = True
             break
         deg = (
             e.select(F.col("uri_a").alias("uri"))
@@ -442,8 +453,17 @@ def kcore_members(
         )
         n2 = e2.count()
         if n2 == n_edges:
+            converged = True
             break
         e, n_edges = e2, n2
+    if not converged:
+        # a silent partial peel would return non-core nodes as if they
+        # were the exact k-core — fail loudly instead (long peel
+        # chains, e.g. paths, need rounds ~ chain length)
+        raise RuntimeError(
+            f"k-core peel did not converge in {max_rounds} rounds "
+            f"({n_edges} edges left); raise max_rounds"
+        )
     return (
         e.select(F.col("uri_a").alias("uri"))
         .unionAll(e.select(F.col("uri_b").alias("uri")))

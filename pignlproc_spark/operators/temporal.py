@@ -47,6 +47,18 @@ def asof_join(
     ``right_cols`` and ``<ts_col><suffix>`` for the matched timestamp.
     """
     lcols = left.columns
+    reserved = {"_side", "_tie", "_ref", "_m"}
+    bad = reserved & (set(lcols) | set(right.columns))
+    if bad:
+        raise ValueError(f"asof_join reserves column names {sorted(bad)}")
+    if ts_col in right_cols:
+        raise ValueError(
+            f"{ts_col!r} in right_cols collides with the emitted "
+            f"'{ts_col}{suffix}' match-timestamp column"
+        )
+    out_names = set(lcols) | {f"{c}{suffix}" for c in [ts_col, *right_cols]}
+    if len(out_names) != len(lcols) + 1 + len(right_cols):
+        raise ValueError("asof_join output column names collide; change suffix")
     payload = F.struct(
         F.col(ts_col).alias("_ts"), *[F.col(c).alias(c) for c in right_cols]
     )

@@ -52,7 +52,7 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     toks = df.select(
         F.col(id_col),
         F.lower(F.col(text_col)).alias("_lower"),
-        F.array_distinct(tokens_col(F.col(text_col), with_stopwords=False)).alias("_t"),
+        F.array_distinct(tokens_col(F.col(text_col), apply_stoplist=False)).alias("_t"),
     )
     scored = toks
     for lang, markers in LANG_MARKERS.items():
@@ -86,8 +86,8 @@ def quality_signals(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
     mean_token_len_x100) — integer quality features; thresholds are a
     downstream policy choice, the engine emits the signals."""
     t = F.col(text_col)
-    toks = tokens_col(t, with_stopwords=False)
-    stop_toks = tokens_col(t, with_stopwords=True)
+    toks = tokens_col(t, apply_stoplist=False)
+    stop_toks = tokens_col(t, apply_stoplist=True)
     return df.select(
         F.col(id_col).cast("bigint"),
         F.length(t).cast("bigint").alias("n_chars"),
@@ -116,7 +116,7 @@ def doc_fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
 
 def token_counts_per_doc(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, n_tokens, n_unique_tokens) — whitespace/word-regex counting."""
-    toks = tokens_col(F.col(text_col), with_stopwords=False)
+    toks = tokens_col(F.col(text_col), apply_stoplist=False)
     return df.select(
         F.col(id_col).cast("bigint"),
         F.size(toks).cast("bigint").alias("n_tokens"),
@@ -161,7 +161,7 @@ def repetition_signals(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     shuffles; the per-doc aggregates then co-join on doc_id. Docs
     with < n tokens survive with zero counts via the left joins.
     """
-    toks = df.select(F.col(id_col).cast("bigint").alias("doc_id"), tokens_col(F.col(text_col), with_stopwords=False).alias("_toks"))
+    toks = df.select(F.col(id_col).cast("bigint").alias("doc_id"), tokens_col(F.col(text_col), apply_stoplist=False).alias("_toks"))
 
     from pignlproc_spark.operators.dedup import window_expr
 
@@ -283,7 +283,7 @@ def global_token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     count(DISTINCT doc) — Catalyst expands it to a two-phase
     aggregate, still map-side-combined on token."""
     toks = df.select(
-        F.col(id_col).alias("_doc"), F.explode(tokens_col(F.col(text_col), with_stopwords=False)).alias("token")
+        F.col(id_col).alias("_doc"), F.explode(tokens_col(F.col(text_col), apply_stoplist=False)).alias("token")
     )
     return toks.groupBy("token").agg(
         F.count_distinct("_doc").cast("bigint").alias("doc_freq"),
@@ -374,7 +374,7 @@ def length_quantiles(
     counts = df.select(
         F.col(strata_col).alias("stratum"),
         F.col(id_col).cast("bigint").alias("_id"),
-        F.size(tokens_col(F.col(text_col), with_stopwords=False)).cast("bigint").alias("n_tokens"),
+        F.size(tokens_col(F.col(text_col), apply_stoplist=False)).cast("bigint").alias("n_tokens"),
     )
     w = W.partitionBy("stratum").orderBy("n_tokens", "_id")
     ranked = counts.select(
@@ -396,7 +396,7 @@ def top_tokens(df: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
     """(token, cnt) global top-k corpus tokens (FLATTEN/explode + count
     + top-k — the P4/P7/P15 composition over free text)."""
     return (
-        df.select(F.explode(tokens_col(F.col(text_col), with_stopwords=False)).alias("token"))
+        df.select(F.explode(tokens_col(F.col(text_col), apply_stoplist=False)).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("token"))
@@ -421,7 +421,7 @@ def positional_index(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     """
     toks = df.select(
         F.col(id_col).cast("bigint").alias("doc_id"),
-        F.posexplode(tokens_col(F.col(text_col), with_stopwords=False)).alias("pos", "token"),
+        F.posexplode(tokens_col(F.col(text_col), apply_stoplist=False)).alias("pos", "token"),
     )
     return toks.groupBy("token", "doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf"),
@@ -452,7 +452,7 @@ def collocations(
     immediate-explode pattern (CLAUDE.md): counting happens after the
     explode as a relational aggregate.
     """
-    t = df.select(tokens_col(F.col(text_col), with_stopwords=False).alias("_t"))
+    t = df.select(tokens_col(F.col(text_col), apply_stoplist=False).alias("_t"))
     bi = (
         t.select(
             F.explode(

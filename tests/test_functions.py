@@ -23,7 +23,7 @@ def test_tokenize_spark_parity(spark):
     df = spark.createDataFrame([(t,) for t in texts], "text string")
     got = [r[0] for r in df.select(tokens_col("text")).collect()]
     assert got == [tokenize(t) for t in texts]
-    got_ns = [r[0] for r in df.select(tokens_col("text", with_stopwords=False)).collect()]
+    got_ns = [r[0] for r in df.select(tokens_col("text", apply_stoplist=False)).collect()]
     assert got_ns == [tokenize(t, stopwords=None) for t in texts]
 
 

@@ -213,7 +213,7 @@ def test_cosine_triangles_related_are_jvm_only(spark):
     from pignlproc_spark.operators import dedup
 
     docs = spark.createDataFrame([(i, "a b c d %d" % (i % 3)) for i in range(12)], "doc_id long, text string")
-    plan = plan_of(dedup.tf_cosine_pairs(docs, min_cos_pct=50), mode="simple")
+    plan = plan_of(dedup.tf_cosine_pairs(docs, min_cos_pct=50, guard_overflow=False), mode="simple")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "partial_count" in plan or "partial" in plan
 

@@ -112,7 +112,7 @@ def main():
         "Docs pair only through shared tokens: the join carries (token, doc, tf) "
         "postings, never text; dot products and norms are partial/final "
         "HashAggregates; the threshold is a codegen'd integer predicate.",
-        dedup.tf_cosine_pairs(docs, min_cos_pct=50),
+        dedup.tf_cosine_pairs(docs, min_cos_pct=50, guard_overflow=False),
     )
     add(
         "As-of join (union-and-window, no range join)",
