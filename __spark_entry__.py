@@ -750,6 +750,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.coalesce(F.lag("event_id").over(w), F.lit(-1)).cast("bigint").alias("prev_event_id"),
         )
 
+    def tpch_customers_no_orders(spark, sf_dir):
+        # anti-join (NOT EXISTS): the null-safe set-difference join
+        # Pig scripts emulate with outer-join + null filter; left_anti
+        # keeps it one shuffle with no null-handling footgun
+        c = _read(spark, sf_dir, "customer")
+        o = (
+            _read(spark, sf_dir, "orders")
+            .where(F.col("o_totalprice") >= 300000)
+            .select(F.col("o_custkey").alias("c_custkey"))
+        )
+        return c.join(o, "c_custkey", "left_anti").select("c_custkey", "c_name")
+
+    def tpch_set_ops(spark, sf_dir):
+        # INTERSECT / EXCEPT (distinct set semantics): custkeys with
+        # both a high- and a low-priced order, tagged, unioned with
+        # those having high- but never low-priced orders
+        o = _read(spark, sf_dir, "orders")
+        hi = o.where(F.col("o_totalprice") >= 200000).select("o_custkey")
+        lo = o.where(F.col("o_totalprice") < 50000).select("o_custkey")
+        both = hi.intersect(lo).select("o_custkey", F.lit("both").alias("tag"))
+        only_hi = hi.subtract(lo).select("o_custkey", F.lit("hi_only").alias("tag"))
+        return both.unionByName(only_hi)
+
     def tpch_price_band_join(spark, sf_dir):
         # interval join via the bucketed equi-join reformulation (no
         # NestedLoop/cartesian); non-uniform bands, exact cent prices
@@ -862,6 +885,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kg_entity_triangles=kg_entity_triangles,
         kg_related_entities=kg_related_entities,
         kg_entity_kcore=kg_entity_kcore,
+        tpch_customers_no_orders=tpch_customers_no_orders,
+        tpch_set_ops=tpch_set_ops,
         tpch_price_band_join=tpch_price_band_join,
         events_session_native=events_session_native,
         events_rollup=events_rollup,
@@ -1684,6 +1709,20 @@ def oracle_sql() -> dict[str, str]:
     ) WHERE rank <= 5
     """
 
+    o["tpch_customers_no_orders"] = """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice >= 300000
+    )
+    """
+    o["tpch_set_ops"] = """
+    WITH hi AS (SELECT o_custkey FROM orders WHERE o_totalprice >= 200000),
+         lo AS (SELECT o_custkey FROM orders WHERE o_totalprice < 50000)
+    SELECT o_custkey, 'both' AS tag FROM (SELECT * FROM hi INTERSECT SELECT * FROM lo)
+    UNION ALL
+    SELECT o_custkey, 'hi_only' AS tag FROM (SELECT * FROM hi EXCEPT SELECT * FROM lo)
+    """
     o["tpch_price_band_join"] = """
     WITH iv(band, lo, hi) AS (VALUES
       ('t1', 0, 5000000), ('t2', 5000000, 12000000),
