@@ -825,6 +825,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("user_id", F.col("event_type").alias("top_event_type"), "cnt")
         )
 
+    def kg_entity_hops(spark, sf_dir):
+        # BFS hop distances from a deterministic seed; the hop cap
+        # makes the iteration exactly SQL-expressible (depth-bounded
+        # recursive CTE + min), so this iterative op is oracle-exact
+        from pignlproc_spark.operators import stats
+
+        return stats.hop_distances(_pipeline(spark, sf_dir).mentions, max_hops=6)
+
     def kg_entity_kcore(spark, sf_dir):
         # k-core of the co-occurrence graph (iterative peel; unique
         # fixpoint so rows are exactly reproducible, but the loop is
@@ -884,6 +892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs_tf_cosine_pairs=docs_tf_cosine_pairs,
         kg_entity_triangles=kg_entity_triangles,
         kg_related_entities=kg_related_entities,
+        kg_entity_hops=kg_entity_hops,
         kg_entity_kcore=kg_entity_kcore,
         tpch_customers_no_orders=tpch_customers_no_orders,
         tpch_set_ops=tpch_set_ops,
@@ -1684,6 +1693,21 @@ def oracle_sql() -> dict[str, str]:
     SELECT uri, count(*)::BIGINT AS n_triangles
     FROM (SELECT unnest([x, y, z]) AS uri FROM tri)
     GROUP BY uri
+    """
+    o["kg_entity_hops"] = f"""
+    WITH RECURSIVE m AS (SELECT DISTINCT url, uri FROM {g('golden_mentions')}),
+    cooc AS (
+      SELECT a.uri AS ua, b.uri AS ub
+      FROM m a JOIN m b ON a.url = b.url AND a.uri < b.uri
+      GROUP BY a.uri, b.uri
+    ),
+    e AS (SELECT ua AS src, ub AS dst FROM cooc UNION ALL SELECT ub, ua FROM cooc),
+    bfs(uri, d) AS (
+      SELECT (SELECT min(src) FROM e), 0
+      UNION
+      SELECT e.dst, bfs.d + 1 FROM bfs JOIN e ON e.src = bfs.uri WHERE bfs.d < 6
+    )
+    SELECT uri, min(d)::BIGINT AS dist FROM bfs GROUP BY uri
     """
     o["kg_related_entities"] = f"""
     WITH m AS (SELECT DISTINCT url, uri FROM {g('golden_mentions')}),

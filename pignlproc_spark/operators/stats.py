@@ -485,3 +485,56 @@ def nerd_stats(mentions: DataFrame) -> DataFrame:
         .select("surface_form", "uri", "cnt", "sf_total")
         .orderBy(F.desc("cnt"), "surface_form", "uri")
     )
+
+def hop_distances(
+    mentions: DataFrame,
+    seed_uri: str | None = None,
+    max_hops: int = 6,
+    cooc: DataFrame | None = None,
+) -> DataFrame:
+    """(uri, dist) — minimum hop distance from ``seed_uri`` over the
+    co-occurrence graph, capped at ``max_hops`` (unreached entities are
+    absent). The neighborhood/reachability probe KG-quality work runs
+    around a hub ("what is within k hops of X"); with the cap it is
+    exactly SQL-expressible (depth-bounded recursive CTE + min), so
+    the driver check is oracle-exact despite the iteration.
+
+    ``seed_uri=None`` picks the lexicographically smallest endpoint —
+    a deterministic, data-derived seed for reproducible checks.
+
+    Scale shape: frontier BFS — each hop is one equi-join of the
+    (shrinking-then-stabilizing) frontier against the edge list plus
+    an anti-join against the visited set; both carry only (uri, dist)
+    pairs. The frontier is ``localCheckpoint``ed per hop (flat
+    lineage, like the peel/fixpoint siblings); hop count bounds the
+    rounds, so no convergence test is needed.
+    """
+    c = (cooc if cooc is not None else entity_cooccurrence(mentions)).select("uri_a", "uri_b")
+    e = (
+        c.select(F.col("uri_a").alias("uri"), F.col("uri_b").alias("nbr"))
+        .unionAll(c.select(F.col("uri_b").alias("uri"), F.col("uri_a").alias("nbr")))
+        .localCheckpoint(eager=True)
+    )
+    if seed_uri is None:
+        row = e.agg(F.min("uri")).collect()[0][0]
+        if row is None:
+            return e.sparkSession.createDataFrame([], "uri string, dist bigint")
+        seed_uri = row
+    spark = e.sparkSession
+    dist = spark.createDataFrame([(seed_uri, 0)], "uri string, dist bigint").localCheckpoint(eager=True)
+    frontier = dist.select("uri")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, "uri")
+            .select(F.col("nbr").alias("uri"))
+            .distinct()
+            .join(dist.select("uri"), "uri", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(
+            nxt.select("uri", F.lit(h).cast("bigint").alias("dist"))
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    return dist

@@ -762,3 +762,36 @@ def test_kcore_members(spark):
         c = spark.createDataFrame([(a, b, 1) for a, b in edges], "uri_a string, uri_b string, cnt long")
         got = {r.uri: r.deg_in_core for r in stats.kcore_members(m, k=k, cooc=c).collect()}
         assert got == want, (trial, got, want)
+
+
+def test_hop_distances(spark):
+    import random
+    from collections import deque
+
+    from pignlproc_spark.operators import stats
+
+    m = spark.createDataFrame([("p", "A")], "url string, uri string")  # unused with cooc
+    rng = random.Random(13)
+    nodes = [f"n{i}" for i in range(14)]
+    edges = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(16)})
+    cooc = spark.createDataFrame([(a, b, 1) for a, b in edges], "uri_a string, uri_b string, cnt long")
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seed = min(adj)
+    want, q = {seed: 0}, deque([seed])
+    while q:
+        u = q.popleft()
+        for v in adj[u]:
+            if v not in want:
+                want[v] = want[u] + 1
+                q.append(v)
+    cap = 3
+    got = {r.uri: r.dist for r in stats.hop_distances(m, max_hops=cap, cooc=cooc).collect()}
+    assert got == {u: d for u, d in want.items() if d <= cap}
+    # explicit seed + empty graph
+    g2 = {r.uri: r.dist for r in stats.hop_distances(m, seed_uri=seed, max_hops=99, cooc=cooc).collect()}
+    assert g2 == want
+    empty = spark.createDataFrame([], "uri_a string, uri_b string, cnt long")
+    assert stats.hop_distances(m, cooc=empty).count() == 0
