@@ -883,6 +883,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def docs_collocations(spark, sf_dir):
         return textstats.collocations(_read(spark, sf_dir, "documents"), min_count=2, k=100)
 
+    def events_tumbling(spark, sf_dir):
+        # native tumbling windows (F.window): 15-minute fixed buckets
+        # per event_type. Epoch-aligned starts are frozen semantics, so
+        # the oracle is pure integer epoch arithmetic; counts + the
+        # quantized value sum ride one partial/final aggregate
+        from pignlproc_spark.operators.temporal import tumbling_windows
+
+        e = _read(spark, sf_dir, "events").select(
+            "event_type",
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("_v"),
+        )
+        t = tumbling_windows(
+            e,
+            "ts",
+            "15 minutes",
+            keys=("event_type",),
+            value_exprs=[F.sum("_v").cast("bigint").alias("value_c_sum")],
+        )
+        return t.select(
+            "event_type",
+            F.unix_micros("window_start").alias("start_us"),
+            F.unix_micros("window_end").alias("end_us"),
+            F.col("n_events").alias("cnt"),
+            "value_c_sum",
+        )
+
+    def events_sliding(spark, sf_dir):
+        # overlapping windows (30 min sliding by 15): each event lands
+        # in exactly duration/slide = 2 windows via Catalyst's Expand
+        # projection — never a self-join or range join
+        from pignlproc_spark.operators.temporal import tumbling_windows
+
+        e = _read(spark, sf_dir, "events").select(
+            "event_type", F.col("ts").cast("timestamp").alias("ts")
+        )
+        t = tumbling_windows(e, "ts", "30 minutes", slide="15 minutes", keys=("event_type",))
+        return t.select(
+            "event_type",
+            F.unix_micros("window_start").alias("start_us"),
+            F.unix_micros("window_end").alias("end_us"),
+            F.col("n_events").alias("cnt"),
+        )
+
+    def events_cube(spark, sf_dir):
+        # CUBE grouping sets on (event_type, day): all four group-by
+        # combinations in ONE Expand pass over the scan (no 4 scans, no
+        # union); sentinel-coalesced keys + grouping_id as in rollup
+        e = _read(spark, sf_dir, "events").select(
+            "event_type",
+            F.unix_timestamp(F.date_trunc("day", F.col("ts"))).cast("bigint").alias("day_epoch"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("_v"),
+        )
+        return (
+            e.cube("event_type", "day_epoch")
+            .agg(
+                F.grouping_id().cast("bigint").alias("gid"),
+                F.count(F.lit(1)).cast("bigint").alias("cnt"),
+                F.sum("_v").cast("bigint").alias("value_c_sum"),
+            )
+            .select(
+                F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+                F.coalesce("day_epoch", F.lit(-1)).cast("bigint").alias("day_epoch"),
+                "gid",
+                "cnt",
+                "value_c_sum",
+            )
+        )
+
+    def docs_bm25_topk(spark, sf_dir):
+        # BM25 ranked retrieval (k1=1.2, b=0.75) for a fixed 4-term
+        # query (one rare + three common tokens of this corpus);
+        # per-term 1e-6 quantization BEFORE the per-doc sum keeps the
+        # hashed score an exact integer sum across engines
+        return textstats.bm25_topk(
+            _read(spark, sf_dir, "documents"), ["dup", "hash", "merge", "spark"], k=20
+        )
+
     q.update(
         docs_decontaminate=docs_decontaminate,
         docs_pack_sequences=docs_pack_sequences,
@@ -905,6 +983,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         events_asof_join=events_asof_join,
         docs_positional_index=docs_positional_index,
         docs_collocations=docs_collocations,
+        events_tumbling=events_tumbling,
+        events_sliding=events_sliding,
+        events_cube=events_cube,
+        docs_bm25_topk=docs_bm25_topk,
     )
     return q
 
@@ -1870,6 +1952,60 @@ def oracle_sql() -> dict[str, str]:
     FROM bi JOIN uni x ON bi.tok_a = x.tok JOIN uni y ON bi.tok_b = y.tok
     ORDER BY cnt_xy / (x.cnt * y.cnt) DESC, tok_a ASC, tok_b ASC
     LIMIT 100
+    """
+
+    o["events_tumbling"] = """
+    SELECT event_type,
+           (epoch_us(ts) // 900000000 * 900000000)::BIGINT AS start_us,
+           (epoch_us(ts) // 900000000 * 900000000 + 900000000)::BIGINT AS end_us,
+           count(*)::BIGINT AS cnt,
+           sum(floor(value * 100))::BIGINT AS value_c_sum
+    FROM events GROUP BY 1, 2, 3
+    """
+    o["events_sliding"] = """
+    SELECT event_type,
+           ((epoch_us(ts) // 900000000 - i) * 900000000)::BIGINT AS start_us,
+           ((epoch_us(ts) // 900000000 - i) * 900000000 + 1800000000)::BIGINT AS end_us,
+           count(*)::BIGINT AS cnt
+    FROM events CROSS JOIN (VALUES (0), (1)) AS off(i)
+    GROUP BY 1, 2, 3
+    """
+    o["events_cube"] = """
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           coalesce(epoch(date_trunc('day', ts))::BIGINT, -1) AS day_epoch,
+           (GROUPING(event_type) * 2 + GROUPING(date_trunc('day', ts)))::BIGINT AS gid,
+           count(*)::BIGINT AS cnt,
+           sum(floor(value * 100))::BIGINT AS value_c_sum
+    FROM events
+    GROUP BY CUBE(event_type, date_trunc('day', ts))
+    """
+    # float literals are ::DOUBLE (DuckDB parses bare decimals as
+    # DECIMAL, whose arithmetic would diverge from Spark's doubles);
+    # the parenthesization mirrors textstats.bm25_topk verbatim
+    o["docs_bm25_topk"] = f"""
+    WITH toks AS (
+      SELECT doc_id::BIGINT AS doc_id, unnest({_tok_sql('text', stop=False)}) AS token
+      FROM documents
+    ), dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+    g AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+                 (SELECT sum(dl) FROM dl)::BIGINT AS sum_dl),
+    tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM toks
+           WHERE token IN ('dup', 'hash', 'merge', 'spark') GROUP BY doc_id, token),
+    dft AS (SELECT token, count(DISTINCT doc_id)::BIGINT AS dft FROM toks
+            WHERE token IN ('dup', 'hash', 'merge', 'spark') GROUP BY token),
+    t AS (
+      SELECT tf.doc_id, dl.dl,
+             floor(1000000.0::DOUBLE
+                   * ln(1.0::DOUBLE + (n - dft + 0.5::DOUBLE) / (dft + 0.5::DOUBLE))
+                   * ((tf * (1.2::DOUBLE + 1.0::DOUBLE))
+                      / (tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+                         + 0.75::DOUBLE * dl / (sum_dl / n)))))::BIGINT AS term_q
+      FROM tf JOIN dft USING (token) JOIN dl USING (doc_id) CROSS JOIN g
+    )
+    SELECT doc_id, count(*)::BIGINT AS matched_terms, min(dl)::BIGINT AS dl,
+           sum(term_q)::BIGINT AS score_q
+    FROM t GROUP BY doc_id
+    ORDER BY score_q DESC, doc_id LIMIT 20
     """
 
     # kg_entity_kcore: intentionally no oracle (iterative fixpoint,

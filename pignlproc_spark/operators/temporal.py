@@ -100,6 +100,42 @@ def asof_join(
     )
 
 
+def tumbling_windows(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str | None = None,
+    keys: tuple[str, ...] = (),
+    watermark: str | None = None,
+    value_exprs: list | None = None,
+) -> DataFrame:
+    """(keys..., window_start, window_end, n_events[, extra aggs]) —
+    native fixed-size time windows (``F.window``): tumbling when
+    ``slide`` is None, overlapping/sliding otherwise (each event lands
+    in ``duration/slide`` windows). Window starts are epoch-aligned
+    (1970-01-01, session TZ pinned UTC), so ``start =
+    floor(ts / duration) * duration`` — frozen, oracle-reproducible.
+
+    ``value_exprs`` appends extra aggregate columns (already aliased)
+    to the per-window count. Works unchanged on batch or stream; pass
+    ``watermark`` on streams so closed windows emit and their state is
+    evicted. One shuffle on (window, keys); the window assignment is a
+    Catalyst projection (Expand for sliding), no Python anywhere.
+    """
+    d = df.withWatermark(ts_col, watermark) if watermark else df
+    w = F.window(F.col(ts_col), duration, slide) if slide else F.window(F.col(ts_col), duration)
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_events")] + list(value_exprs or [])
+    agged = d.groupBy(w.alias("w"), *keys).agg(*aggs)
+    extra = [c for c in agged.columns if c not in ("w", *keys, "n_events")]
+    return agged.select(
+        *keys,
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "n_events",
+        *extra,
+    )
+
+
 def session_windows(
     df: DataFrame,
     key: str,

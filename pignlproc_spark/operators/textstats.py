@@ -429,6 +429,112 @@ def positional_index(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+) -> DataFrame:
+    """(doc_id, matched_terms, dl, score_q) — top-``k`` documents by
+    BM25 (k1=1.2, b=0.75) for a bag-of-words query: the ranked-
+    retrieval layer on top of :func:`global_token_stats` /
+    :func:`positional_index` (idf = ln(1 + (N - df + 0.5)/(df + 0.5)),
+    Robertson-Spärck Jones; N = all docs in ``df``, avgdl over them).
+
+    Cross-engine exactness: each (doc, term) score is quantized to
+    1e-6 (``floor``) BEFORE the per-document sum, so the hashed
+    ``score_q`` column is an exact BIGINT sum — float addition order
+    across engines can never flip it. The only float ops are the
+    per-term idf/tf-norm expression, written with one frozen
+    parenthesization mirrored verbatim in the oracle.
+
+    Repeated query terms are collapsed (``set`` semantics) — a term
+    contributes once no matter how often it appears in the query.
+
+    Scale shape: ONE tokenize pass and ONE corpus-sized shuffle —
+    conditional aggregation computes dl and every query term's tf in
+    the same ``groupBy(doc_id)`` (|query| extra sum columns, fine for
+    bag-of-words queries; ``explode_outer`` + ``count(token)`` keep
+    token-empty docs in N), and the ONLY other aggregate is the 1-row
+    corpus-stats rollup (sum_dl, N, and every term's df = docs with
+    tf>0) — same input columns as the main branch, so the per-doc
+    exchange dedups via ReuseExchange and the stats ride back as a
+    broadcast. No join on token at all; the per-term rows unpivot out
+    of the broadcast product. Top-k is TakeOrderedAndProject (no
+    global sort materialization), deterministic via the
+    (score_q DESC, doc_id ASC) total order.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    qts = sorted(set(query_terms))
+    toks = df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.explode_outer(tokens_col(F.col(text_col), apply_stoplist=False)).alias("token"),
+    )
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count("token").cast("bigint").alias("dl"),
+        *[
+            F.sum(F.when(F.col("token") == F.lit(t), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"_tf{i}")
+            for i, t in enumerate(qts)
+        ],
+    )
+    stats = per_doc.agg(
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("bigint")).cast("bigint").alias(f"_dft{i}")
+            for i in range(len(qts))
+        ],
+    )
+    unpivot = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("token"),
+                    F.col(f"_tf{i}").alias("tf"),
+                    F.col(f"_dft{i}").alias("dft"),
+                )
+                for i, t in enumerate(qts)
+            ]
+        )
+    )
+    j = (
+        per_doc.crossJoin(F.broadcast(stats))
+        .select("doc_id", "dl", "sum_dl", "n", unpivot.alias("p"))
+        .select(
+            "doc_id",
+            "dl",
+            "sum_dl",
+            "n",
+            F.col("p.tf").alias("tf"),
+            F.col("p.dft").alias("dft"),
+        )
+        .where(F.col("tf") > 0)
+    )
+    # frozen parenthesization — mirrored character-for-character in the
+    # oracle SQL; do not "simplify" (float grouping must match)
+    avgdl = F.col("sum_dl") / F.col("n")
+    idf = F.log(F.lit(1.0) + (F.col("n") - F.col("dft") + F.lit(0.5)) / (F.col("dft") + F.lit(0.5)))
+    tfn = (F.col("tf") * (F.lit(1.2) + F.lit(1.0))) / (
+        F.col("tf") + F.lit(1.2) * (F.lit(1.0) - F.lit(0.75) + F.lit(0.75) * F.col("dl") / avgdl)
+    )
+    term_q = F.floor(F.lit(1000000.0) * idf * tfn).cast("bigint")
+    return (
+        j.select("doc_id", "dl", term_q.alias("term_q"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("matched_terms"),
+            F.min("dl").alias("dl"),
+            F.sum("term_q").cast("bigint").alias("score_q"),
+        )
+        .orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
 def collocations(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -384,6 +384,50 @@ def test_incremental_near_dup_crash_window(spark, tmp_path, monkeypatch):
     assert sigs.count() == sigs.distinct().count()  # appended exactly once each
 
 
+def test_tumbling_windows_stream_parity(spark, tmp_path):
+    """Native tumbling windows on a stream: the append-mode emissions
+    equal the batch operator for windows closed before the final
+    watermark (state for emitted windows is evicted)."""
+    import datetime as dt
+
+    from pignlproc_spark.operators.temporal import tumbling_windows
+
+    base = dt.datetime(2024, 1, 1)
+    s = lambda sec: base + dt.timedelta(seconds=sec)
+    rows = [
+        (1, "a", s(0)), (2, "a", s(100)), (3, "b", s(950)), (4, "a", s(1900)),
+        # sentinel far in the future pushes the watermark past every
+        # other window's end so append mode emits them all
+        (99, "z", s(10**6)),
+    ]
+    schema = "event_id long, k string, ts timestamp"
+    src = tmp_path / "ev_src"
+    spark.createDataFrame(rows, schema).write.parquet(str(src))
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        tumbling_windows(stream, "ts", "15 minutes", keys=("k",), watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("tumbling_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_tumb"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.k, r.window_start, r.window_end, r.n_events)
+        for r in spark.sql("select * from tumbling_stream").collect()
+    }
+    batch = tumbling_windows(spark.createDataFrame(rows, schema), "ts", "15 minutes", keys=("k",))
+    watermark = s(10**6 - 3600)
+    want = {
+        (r.k, r.window_start, r.window_end, r.n_events)
+        for r in batch.collect()
+        if r.window_end < watermark
+    }
+    assert want and got == want
+
+
 def test_session_windows_stream_parity(spark, tmp_path):
     """Native session windows on a stream (watermark evicts closed
     sessions): the append-mode emissions equal the batch operator's

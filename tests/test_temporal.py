@@ -97,6 +97,37 @@ def test_session_windows_batch(spark):
     assert len(got) == 3
 
 
+def test_tumbling_and_sliding_windows(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F2
+
+    from pignlproc_spark.operators.temporal import tumbling_windows
+
+    base = dt.datetime(2024, 1, 1)
+    s = lambda sec: base + dt.timedelta(seconds=sec)
+    rows = [(1, "a", s(0)), (2, "a", s(899)), (3, "a", s(900)), (4, "b", s(0))]
+    df = spark.createDataFrame(rows, "event_id long, k string, ts timestamp")
+    got = {
+        (r.k, r.window_start): (r.n_events, r.window_end, r.id_sum)
+        for r in tumbling_windows(
+            df, "ts", "15 minutes", keys=("k",),
+            value_exprs=[F2.sum("event_id").cast("bigint").alias("id_sum")],
+        ).collect()
+    }
+    # half-open epoch-aligned buckets: ts=900 starts the NEXT bucket
+    assert got == {
+        ("a", s(0)): (2, s(900), 3),
+        ("a", s(900)): (1, s(1800), 3),
+        ("b", s(0)): (1, s(900), 4),
+    }
+    # sliding 30m-by-15m: every event lands in exactly 2 windows
+    sl = tumbling_windows(df, "ts", "30 minutes", slide="15 minutes", keys=("k",)).collect()
+    assert sum(r.n_events for r in sl) == 2 * len(rows)
+    a = {r.window_start: r.n_events for r in sl if r.k == "a"}
+    assert a == {s(-900): 2, s(0): 3, s(900): 1}
+
+
 def test_interval_join(spark):
     from pignlproc_spark.operators.intervals import interval_join
 

@@ -726,6 +726,67 @@ def test_collocations(spark):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_bm25_topk_matches_reference(spark):
+    import math
+
+    texts = {
+        1: "apple banana apple cherry",
+        2: "banana banana banana durian durian",
+        3: "cherry",
+        4: "apple cherry cherry cherry banana",
+        5: "fig grape plum",  # matches no query term
+        6: "",  # token-empty doc still counts toward N (explode_outer)
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    q = ["apple", "cherry", "durian"]
+    res = textstats.bm25_topk(df, q, k=3)
+    got = res.collect()
+    # pure-Python replica of the frozen spec (same quantize-then-sum)
+    tokd = {d: t.split() for d, t in texts.items()}
+    n = len(texts)
+    dl = {d: len(t) for d, t in tokd.items()}
+    avgdl = sum(dl.values()) / n
+    dft = {t: sum(1 for toks in tokd.values() if t in toks) for t in q}
+
+    def score(d):
+        matched, sq = 0, 0
+        for t in q:
+            tf = tokd[d].count(t)
+            if not tf:
+                continue
+            matched += 1
+            idf = math.log(1.0 + (n - dft[t] + 0.5) / (dft[t] + 0.5))
+            tfn = (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl[d] / avgdl))
+            sq += math.floor(1000000.0 * idf * tfn)
+        return matched, sq
+
+    want = sorted(
+        ((d, *score(d)) for d in texts if score(d)[0]), key=lambda x: (-x[2], x[0])
+    )[:3]
+    assert [(r.doc_id, r.matched_terms, r.score_q) for r in got] == want
+    assert [r.dl for r in got] == [dl[d] for d, _, _ in want]
+    # ordering is the frozen (score DESC, doc_id ASC) total order
+    assert [r.doc_id for r in got] == [d for d, _, _ in want]
+    # repeated query terms collapse (set semantics)
+    dup = textstats.bm25_topk(df, ["apple", "apple"], k=3).collect()
+    single = textstats.bm25_topk(df, ["apple"], k=3).collect()
+    assert [tuple(r) for r in dup] == [tuple(r) for r in single]
+    # all statistics share ONE tokenize pass + per-doc shuffle (AQE
+    # reuses the per_doc stage; check the executed final plan)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        res.explain(mode="simple")
+    final = buf.getvalue().split("== Initial Plan ==")[0]
+    assert "isFinalPlan=true" in final
+    assert final.count("regexp_extract_all") == 1
+    assert "Reused" in final
+    with pytest.raises(ValueError):
+        textstats.bm25_topk(df, [])
+
+
 def test_kcore_members(spark):
     import random
 
