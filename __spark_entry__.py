@@ -952,6 +952,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def docs_phrase_search(spark, sf_dir):
+        # exact consecutive-token phrase query ("fast batch merge"):
+        # one posexplode + one window pass per doc (lead per offset) —
+        # a single doc_id shuffle, no per-term self-joins
+        return textstats.phrase_search(
+            _read(spark, sf_dir, "documents"), ["fast", "batch", "merge"]
+        )
+
     def docs_bm25_topk(spark, sf_dir):
         # BM25 ranked retrieval (k1=1.2, b=0.75) for a fixed 4-term
         # query (one rare + three common tokens of this corpus);
@@ -986,6 +994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         events_tumbling=events_tumbling,
         events_sliding=events_sliding,
         events_cube=events_cube,
+        docs_phrase_search=docs_phrase_search,
         docs_bm25_topk=docs_bm25_topk,
     )
     return q
@@ -1979,6 +1988,25 @@ def oracle_sql() -> dict[str, str]:
     FROM events
     GROUP BY CUBE(event_type, date_trunc('day', ts))
     """
+    o["docs_phrase_search"] = f"""
+    WITH toks AS (
+      SELECT doc_id::BIGINT AS doc_id, tok AS token, pos
+      FROM (
+        SELECT doc_id, unnest(l) AS tok,
+               unnest(list_transform(l, (x, i) -> i - 1)) AS pos
+        FROM (SELECT doc_id, {_tok_sql('text', stop=False)} AS l FROM documents)
+      )
+    ), w AS (
+      SELECT doc_id, pos,
+             (token = 'fast'
+              AND lead(token, 1) OVER (PARTITION BY doc_id ORDER BY pos) = 'batch'
+              AND lead(token, 2) OVER (PARTITION BY doc_id ORDER BY pos) = 'merge') AS hit
+      FROM toks
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_matches, min(pos)::BIGINT AS first_pos
+    FROM w WHERE hit GROUP BY doc_id
+    """
+
     # float literals are ::DOUBLE (DuckDB parses bare decimals as
     # DECIMAL, whose arithmetic would diverge from Spark's doubles);
     # the parenthesization mirrors textstats.bm25_topk verbatim

@@ -535,6 +535,48 @@ def bm25_topk(
     )
 
 
+def phrase_search(
+    df: DataFrame,
+    phrase_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_matches, first_pos) — documents containing the exact
+    consecutive token phrase, with occurrence count and the first match
+    position: the phrase-query layer the positional index
+    (:func:`positional_index`) exists to serve, here as one relational
+    pass for ad-hoc queries.
+
+    Scale shape: posexplode once, then ONE window pass per doc ordered
+    by position carrying ``lead(token, i)`` for each phrase offset —
+    a single hash shuffle on doc_id, no per-term self-joins (the join
+    formulation costs |phrase|-1 shuffles and collapses on hot terms).
+    The match predicate is a plain conjunction evaluated in-partition;
+    the final per-doc count rides the same partitioning.
+    """
+    from pyspark.sql import Window
+
+    if not phrase_terms:
+        raise ValueError("phrase_terms must be non-empty")
+    toks = df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.posexplode(tokens_col(F.col(text_col), apply_stoplist=False)).alias("pos", "token"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cond = F.col("token") == F.lit(phrase_terms[0])
+    for i, t in enumerate(phrase_terms[1:], start=1):
+        cond = cond & (F.lead("token", i).over(w) == F.lit(t))
+    return (
+        toks.withColumn("_hit", cond)
+        .where(F.col("_hit"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+            F.min("pos").cast("bigint").alias("first_pos"),
+        )
+    )
+
+
 def collocations(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -726,6 +726,34 @@ def test_collocations(spark):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_phrase_search(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b"),  # "a b c" at 0 and 3
+            (2, "b c a"),  # contains all terms but not the phrase
+            (3, "a a a a"),  # overlapping self-phrase
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_matches, r.first_pos)
+        for r in textstats.phrase_search(df, ["a", "b", "c"]).collect()
+    }
+    assert got == {1: (2, 0)}
+    # overlapping matches all count ("a a" in "a a a a" -> 3)
+    ov = {
+        r.doc_id: (r.n_matches, r.first_pos)
+        for r in textstats.phrase_search(df, ["a", "a"]).collect()
+    }
+    assert ov == {3: (3, 0)}
+    # single-term phrase degenerates to per-doc term count
+    single = {r.doc_id: r.n_matches for r in textstats.phrase_search(df, ["b"]).collect()}
+    assert single == {1: 3, 2: 1}
+    with pytest.raises(ValueError):
+        textstats.phrase_search(df, [])
+
+
 def test_bm25_topk_matches_reference(spark):
     import math
 
