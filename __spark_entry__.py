@@ -952,6 +952,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def docs_simhash_pairs(spark, sf_dir):
+        # SimHash near-dup retrieval at hamming <= 3 via pigeonhole
+        # banding (4 bands x 4 bits): equi-join candidates + exact
+        # bit_count(xor) verify; the oracle is the brute-force join
+        return dedup.simhash_hamming_pairs(
+            _read(spark, sf_dir, "documents"), max_hamming=3
+        )
+
     def docs_phrase_search(spark, sf_dir):
         # exact consecutive-token phrase query ("fast batch merge"):
         # one posexplode + one window pass per doc (lead per offset) —
@@ -994,6 +1002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         events_tumbling=events_tumbling,
         events_sliding=events_sliding,
         events_cube=events_cube,
+        docs_simhash_pairs=docs_simhash_pairs,
         docs_phrase_search=docs_phrase_search,
         docs_bm25_topk=docs_bm25_topk,
     )
@@ -1987,6 +1996,13 @@ def oracle_sql() -> dict[str, str]:
            sum(floor(value * 100))::BIGINT AS value_c_sum
     FROM events
     GROUP BY CUBE(event_type, date_trunc('day', ts))
+    """
+    o["docs_simhash_pairs"] = f"""
+    WITH sh AS ({_simhash_sql()})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """
     o["docs_phrase_search"] = f"""
     WITH toks AS (

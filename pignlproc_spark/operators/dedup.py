@@ -728,3 +728,75 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
         bit = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         fp = bit if fp is None else fp + bit
     return sums.select(F.col(id_col).cast("bigint"), fp.cast("bigint").alias("simhash"))
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, hamming) — document pairs whose SimHash
+    fingerprints differ in at most ``max_hamming`` bits: the retrieval
+    step SimHash exists for (Manku et al. WWW'07 near-dup detection).
+
+    Scale shape: pigeonhole banding. Split the 16-bit fingerprint into
+    ``bands`` (default ``max_hamming + 1``) contiguous bit bands — any
+    pair within the radius agrees EXACTLY on at least one band, so
+    candidates come from equi-self-joins on (band_id, band_bits)
+    (hash join; never an all-pairs cross join), then the exact
+    ``bit_count(xor)`` verify prunes false candidates. Candidate
+    volume is governed by band width (16/bands bits); at larger
+    fingerprints widen the type, not the algorithm. Identical-
+    fingerprint clusters collide on every band — the ``distinct``
+    dedups the pair, and upstream exact-dedup keeps such clusters
+    small.
+    """
+    b = bands if bands is not None else max_hamming + 1
+    if b < max_hamming + 1:
+        raise ValueError("bands must be >= max_hamming + 1 for recall=1")
+    if 16 % b != 0:
+        raise ValueError("bands must divide the 16-bit fingerprint")
+    width = 16 // b
+    s = simhash(df, id_col, text_col)
+    banded = s.select(
+        F.col(id_col).alias("doc_id"),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bits"),
+                    )
+                    for i in range(b)
+                ]
+            )
+        ).alias("p"),
+    ).select("doc_id", "simhash", F.col("p.band").alias("band"), F.col("p.bits").alias("bits"))
+    a, c = banded.alias("a"), banded.alias("c")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.band") == F.col("c.band"))
+            & (F.col("a.bits") == F.col("c.bits"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("c.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("c.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("bigint")
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

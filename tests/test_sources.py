@@ -93,3 +93,49 @@ def test_prefix_stripping(spark, tmp_path):
     p.write_text("<http://x/A> <http://p> <http://x/B> .\n")
     rows = ntriples.read_uri_uri(spark, str(p), "http://p", strip_prefix="http://x/").collect()
     assert [(rows[0].subj, rows[0].obj)] == [("A", "B")]
+
+
+def test_warc_replay(spark, tmp_path):
+    import datetime as dt
+
+    from pignlproc_spark.sources import warc as W
+
+    def rec(typ, uri, date, body, status=200, ctype="text/html"):
+        http = (
+            f"HTTP/1.1 {status} OK\r\nContent-Type: {ctype}; charset=utf-8\r\n\r\n{body}"
+        )
+        return (
+            f"WARC/1.0\r\nWARC-Type: {typ}\r\n"
+            + (f"WARC-Target-URI: {uri}\r\n" if uri else "")
+            + f"WARC-Date: {date}\r\nContent-Length: {len(http.encode())}\r\n\r\n"
+            + http
+            + "\r\n\r\n"
+        )
+
+    data = (
+        "WARC/1.0\r\nWARC-Type: warcinfo\r\nWARC-Date: 2024-01-01T00:00:00Z\r\n\r\n"
+        "software: synth\r\n\r\n"
+        + rec("response", "https://example.com/a", "2024-01-01T01:02:03Z",
+              "<html>héllo &amp; wörld</html>")
+        + rec("request", "https://example.com/a", "2024-01-01T01:02:03Z", "GET /a")
+        + rec("response", "https://example.com/b", "2024-02-03T04:05:06Z",
+              "line1\r\nline2", status=404, ctype="text/plain")
+    )
+    p = tmp_path / "sample.warc"
+    p.write_bytes(data.encode("utf-8"))
+    rows = {r.url: r for r in W.read_warc(spark, str(p)).collect()}
+    # warcinfo + request records filtered; both responses survive
+    assert set(rows) == {"https://example.com/a", "https://example.com/b"}
+    a = rows["https://example.com/a"]
+    assert a.html == "<html>héllo &amp; wörld</html>"
+    assert (a.http_status, a.content_type) == (200, "text/html")
+    assert a.warc_ts == dt.datetime(2024, 1, 1, 1, 2, 3)
+    b = rows["https://example.com/b"]
+    assert (b.http_status, b.content_type) == (404, "text/plain")
+    # multi-line body survives; the inter-record separator is stripped
+    assert b.html == "line1\r\nline2"
+    # canonical pages shape, byte-faithful for UTF-8 text payloads
+    pages = W.warc_to_pages(spark, str(p))
+    assert pages.columns == ["url", "warc_ts", "html", "lang"]
+    got = {r.url: bytes(r.html).decode() for r in pages.collect()}
+    assert got["https://example.com/a"] == "<html>héllo &amp; wörld</html>"

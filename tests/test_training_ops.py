@@ -726,6 +726,34 @@ def test_collocations(spark):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_simhash_hamming_pairs_vs_bruteforce(spark, docs):
+    # banding must find EXACTLY the brute-force pairs (recall 1 within
+    # the radius; the bit_count verify kills banding false positives)
+    extra = spark.createDataFrame(
+        [(10 + i, f"alpha beta gamma delta epsilon zeta eta word{i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    df = docs.unionByName(extra)
+    sh = {r.doc_id: r.simhash for r in dedup.simhash(df).collect()}
+    brute = {
+        (a, b, bin(sh[a] ^ sh[b]).count("1"))
+        for a in sh
+        for b in sh
+        if a < b and bin(sh[a] ^ sh[b]).count("1") <= 3
+    }
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.simhash_hamming_pairs(df, max_hamming=3).collect()
+    }
+    assert brute and got == brute
+    # exact duplicates collide on every band but emit one pair
+    assert (0, 1, 0) in got
+    with pytest.raises(ValueError):
+        dedup.simhash_hamming_pairs(df, max_hamming=3, bands=3)
+    with pytest.raises(ValueError):
+        dedup.simhash_hamming_pairs(df, max_hamming=4, bands=5)  # 5 ∤ 16
+
+
 def test_phrase_search(spark):
     df = spark.createDataFrame(
         [
