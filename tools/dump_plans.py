@@ -126,6 +126,29 @@ def main():
         ),
     )
     add(
+        "BM25 ranked retrieval (one tokenize pass, broadcast corpus stats)",
+        "Conditional aggregation folds dl and every query term's tf into ONE "
+        "groupBy(doc_id); the 1-row stats rollup (sum_dl, N, per-term df) comes "
+        "back as a broadcast; top-k is TakeOrderedAndProject, never a global "
+        "sort. At execution AQE reuses the per-doc exchange so the corpus is "
+        "tokenized exactly once (asserted on the executed plan in pytest).",
+        textstats.bm25_topk(docs, ["data", "table"], k=10),
+    )
+    add(
+        "Phrase search (single lead-window pass, no per-term joins)",
+        "One posexplode + one window per doc ordered by position carrying "
+        "lead(token, i) per phrase offset — a single hash exchange on doc_id; "
+        "no Join operator for any phrase length.",
+        textstats.phrase_search(docs, ["data", "table"]),
+    )
+    add(
+        "SimHash hamming pairs (pigeonhole banding, equi-join not cross join)",
+        "Candidates come from an equi-self-join on (band, bits) — no "
+        "NestedLoop/cartesian anywhere; the exact bit_count(xor) verify is a "
+        "codegen'd integer predicate above the join.",
+        dedup.simhash_hamming_pairs(docs),
+    )
+    add(
         "Salted two-phase text aggregation (holistic agg under skew)",
         "Two exchanges: (uri, salt) then uri — a hub entity's contexts spread over "
         "salt_buckets partial concats before the final merge.",
