@@ -367,6 +367,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
         return dedup.jaccard_pairs(d, min_jaccard_pct=10)
 
+    def docs_containment_pairs(spark, sf_dir):
+        d = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+        return dedup.containment_pairs(d, min_containment_pct=90)
+
+    def docs_rarity_score(spark, sf_dir):
+        return textstats.rarity_score(_read(spark, sf_dir, "documents"))
+
     def emb_dot_topk(spark, sf_dir):
         emb = _read(spark, sf_dir, "embeddings")
         return similarity.dot_topk_quantized(emb, emb.where(F.col("vec_id") < 10), k=5)
@@ -626,6 +633,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kg_entity_pagerank=kg_entity_pagerank,
         docs_simhash=docs_simhash,
         docs_jaccard_pairs=docs_jaccard_pairs,
+        docs_containment_pairs=docs_containment_pairs,
+        docs_rarity_score=docs_rarity_score,
         emb_dot_topk=emb_dot_topk,
         emb_near_dups=emb_near_dups,
         docs_lang_id=docs_lang_id,
@@ -1497,6 +1506,29 @@ def oracle_sql() -> dict[str, str]:
     FROM t a JOIN t b ON a.doc_id < b.doc_id
     WHERE len(list_intersect(a.tok, b.tok)) * 100
           >= (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))) * 10
+    """
+    o["docs_containment_pairs"] = f"""
+    WITH t AS (
+      SELECT doc_id, list_distinct({_tok_sql('text', stop=False)}) AS tok
+      FROM documents WHERE doc_id < 150
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.tok, b.tok))::BIGINT AS inter_cnt,
+           len(a.tok)::BIGINT AS size_a, len(b.tok)::BIGINT AS size_b
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+    WHERE len(a.tok) > 0 AND len(b.tok) > 0
+      AND len(list_intersect(a.tok, b.tok)) * 100
+          >= least(len(a.tok), len(b.tok)) * 90
+    """
+    o["docs_rarity_score"] = f"""
+    WITH tf AS (
+      SELECT doc_id, tok, count(*)::BIGINT AS tf FROM (
+        SELECT doc_id, unnest({_tok_sql('text', stop=False)}) AS tok FROM documents
+      ) GROUP BY doc_id, tok
+    ), dfreq AS (SELECT tok, count(*)::BIGINT AS doc_freq FROM tf GROUP BY tok)
+    SELECT doc_id::BIGINT AS doc_id, sum(tf)::BIGINT AS n_tokens,
+           sum(tf * doc_freq)::BIGINT AS sum_doc_freq
+    FROM tf JOIN dfreq USING (tok) GROUP BY doc_id
     """
     o["emb_dot_topk"] = """
     WITH qv AS (

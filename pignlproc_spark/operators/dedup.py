@@ -184,6 +184,59 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_containment_pct: int = 80,
+    max_df: int | None = None,
+    toks: DataFrame | None = None,
+) -> DataFrame:
+    """(id_a, id_b, inter_cnt, size_a, size_b) for pairs whose token-set
+    CONTAINMENT ``|A∩B| / min(|A|,|B|)`` ≥ min_containment_pct/100 —
+    Broder's containment coefficient (SEQUENCES'97), the asymmetric
+    sibling of :func:`jaccard_pairs`. A 100-token doc fully embedded in
+    a 10k-token doc has Jaccard ≈ 1% but containment 100%; this is the
+    near-superset case resemblance-based dedup misses (quote farms,
+    boilerplate wrappers, doc-in-doc scrapes).
+
+    Integer columns only (hash-stable; both directed ratios are
+    derivable from inter/size_a/size_b).
+
+    Scale shape: an **inverted-index join** — postings (token, id)
+    shuffle on token; a pair materializes once per SHARED token and a
+    partial/final count over (id_a, id_b) yields the exact
+    intersection size, so for pct > 0 the candidate set is EXACT (no
+    shared token ⇒ containment 0). The text never shuffles. Skew lives
+    in high-df tokens (a token in n docs contributes n² pair rows);
+    ``max_df`` drops those posting lists before the join — the
+    documented-recall knob (candidates then arise through rarer tokens
+    only), same contract as ``tf_cosine_pairs(max_df=...)``, except
+    here the verified inter_cnt also excludes the dropped tokens, so
+    max_df trades exactness for skew-immunity explicitly."""
+    t = toks if toks is not None else _token_sets(df, id_col, text_col)
+    sizes = t.select(F.col(id_col).alias("_id"), F.size("tok").cast("bigint").alias("_sz"))
+    post = t.select(F.col(id_col).alias("_id"), F.explode("tok").alias("_token"))
+    if max_df is not None:
+        keep = post.groupBy("_token").agg(F.count(F.lit(1)).alias("_df")).where(F.col("_df") <= max_df)
+        post = post.join(keep.select("_token"), "_token")
+    a = post.select(F.col("_id").alias("id_a"), "_token")
+    b = post.select(F.col("_id").alias("id_b"), "_token")
+    inter = (
+        a.join(b, "_token")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter_cnt"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("size_a")), "id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("size_b")), "id_b")
+    )
+    return out.where(
+        F.col("inter_cnt") * 100 >= F.least("size_a", "size_b") * min_containment_pct
+    ).select("id_a", "id_b", "inter_cnt", "size_a", "size_b")
+
+
 def tf_cosine_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

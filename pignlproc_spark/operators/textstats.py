@@ -291,6 +291,46 @@ def global_token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+def rarity_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, sum_doc_freq) — corpus-statistic quality
+    signal in the CCNet spirit (Wenzek et al., LREC'20: score docs
+    against corpus-level statistics): the occurrence-weighted document
+    frequency of a doc's tokens. mean-df = sum_doc_freq / n_tokens is
+    derivable (exact-int division); a LOW mean marks rare-token docs
+    (OCR noise, codes, non-language) and a HIGH mean marks
+    stopword-only boilerplate — both curation targets.
+
+    Docs whose tokenization is empty produce no row (same as the
+    unnest-based oracle).
+
+    Scale shape: ONE tokenize pass and NO self-join — after the
+    per-(doc, token) tf partial/final aggregate (so everything
+    downstream carries (doc, token, tf) rows, never raw occurrences),
+    doc_freq is an unordered count(*) window over the token
+    partitioning: a whole-partition aggregate, no sort, and — unlike
+    a df-rollup-and-rejoin — no second tokenize of the corpus (the
+    pruned rollup branch can't reuse the probe side's exchange). A
+    universal token concentrates its postings in one partition, but
+    the window is linear in partition size (counting, not pairing),
+    so high-df skew costs a scan, never a blow-up."""
+    toks = df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.explode(tokens_col(F.col(text_col), apply_stoplist=False)).alias("token"),
+    )
+    from pyspark.sql import Window
+
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    dfreq = F.count(F.lit(1)).over(Window.partitionBy("token")).cast("bigint")
+    return (
+        tf.withColumn("doc_freq", dfreq)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("doc_freq")).cast("bigint").alias("sum_doc_freq"),
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str = "doc_id",

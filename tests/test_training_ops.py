@@ -143,6 +143,28 @@ def test_jaccard_pairs_counts(spark, docs):
     assert exact and exact[0].inter_cnt == exact[0].union_cnt == 8
 
 
+def test_containment_pairs_superset(spark, docs):
+    # doc 4 = doc 0 plus one extra token: Jaccard 8/9 (< 100%) but
+    # containment 8/8 = 100% — the near-superset case the operator exists for
+    got = {(r.id_a, r.id_b): r for r in dedup.containment_pairs(docs, min_containment_pct=100).collect()}
+    assert set(got) == {(0, 1), (0, 4), (1, 4)}
+    r = got[(0, 4)]
+    assert (r.inter_cnt, r.size_a, r.size_b) == (8, 8, 9)
+    assert got[(0, 1)].inter_cnt == got[(0, 1)].size_a == got[(0, 1)].size_b == 8
+    # max_df drops high-df posting lists; every shared token here lives in
+    # >=2 docs, so max_df=1 leaves only unshared postings -> no candidates
+    assert dedup.containment_pairs(docs, min_containment_pct=1, max_df=1).count() == 0
+
+
+def test_rarity_score_exact(spark, docs):
+    got = {r.doc_id: r for r in textstats.rarity_score(docs).collect()}
+    assert 6 not in got  # empty tokenization -> no row (oracle parity)
+    assert (got[5].n_tokens, got[5].sum_doc_freq) == (1, 1)  # df("short") == 1
+    # doc 0: 8 tokens; alpha..eta each in docs {0,1,2,4} (df 4), theta in
+    # {0,1,4} (df 3) -> sum = 7*4 + 3
+    assert (got[0].n_tokens, got[0].sum_doc_freq) == (8, 31)
+
+
 def test_simhash_similarity_property(spark, docs):
     h = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
     assert h[0] == h[1]  # identical text -> identical fingerprint

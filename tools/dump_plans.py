@@ -115,6 +115,23 @@ def main():
         dedup.tf_cosine_pairs(docs, min_cos_pct=50, guard_overflow=False),
     )
     add(
+        "Containment pairs (posting equi-join, intersection as an aggregate)",
+        "Same inverted-index shape as tf-cosine: candidates arise only through "
+        "shared tokens (SortMergeJoin/ShuffledHashJoin on _token over (token, id) "
+        "postings — never a cartesian), inter_cnt is a partial/final count over "
+        "(id_a, id_b), and the containment threshold is a codegen'd integer "
+        "predicate over broadcast-joined set sizes.",
+        dedup.containment_pairs(docs, min_containment_pct=90),
+    )
+    add(
+        "Rarity score (one tokenize pass, window df — no self-join)",
+        "ONE parquet scan and one explode; doc_freq is an unordered count(*) "
+        "window over the token partitioning (whole-partition aggregate, no "
+        "sort-order column), so there is no df-rollup-and-rejoin and no second "
+        "tokenize; the final agg exchanges only (doc_id, tf, doc_freq).",
+        textstats.rarity_score(docs),
+    )
+    add(
         "As-of join (union-and-window, no range join)",
         "ONE hash exchange on the key feeds a single window sort; no Join operator "
         "appears at all — the backward match rides last(ignorenulls) over "
