@@ -221,3 +221,28 @@ def test_cosine_triangles_related_are_jvm_only(spark):
     for df in (stats.entity_triangles(m), stats.related_entities(m, k=3)):
         p = plan_of(df, mode="simple")
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_containment_join_is_equi_not_cartesian(spark):
+    # candidates must come from the posting equi-join on the shared
+    # token — a cartesian/NestedLoop product would melt at corpus scale
+    from pignlproc_spark.operators import dedup
+
+    docs = spark.createDataFrame([(i, "a b c d %d" % (i % 3)) for i in range(12)], "doc_id long, text string")
+    plan = plan_of(dedup.containment_pairs(docs, min_containment_pct=90))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "partial_count" in plan  # intersection size is a map-side-combined agg
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rarity_score_one_scan_no_join(spark):
+    # doc_freq rides a window over the token partitioning: ONE scan of
+    # the corpus, no df-rollup-and-rejoin (which would tokenize twice)
+    from pignlproc_spark.operators import textstats
+
+    df = spark.createDataFrame([(i, "w%d common" % (i % 4)) for i in range(10)], "doc_id long, text string")
+    plan = plan_of(textstats.rarity_score(df), mode="simple")
+    assert plan.count("Scan ") == 1
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
