@@ -374,6 +374,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def docs_rarity_score(spark, sf_dir):
         return textstats.rarity_score(_read(spark, sf_dir, "documents"))
 
+    def docs_mix_corpus(spark, sf_dir):
+        return textstats.mix_corpus(
+            _read(spark, sf_dir, "documents"),
+            {"src0": 250, "src1": 130, "src2": 0},
+            default_pct=40,
+        )
+
+    def docs_quality_gate(spark, sf_dir):
+        return textstats.quality_gate(_read(spark, sf_dir, "documents"), q=10)
+
     def emb_dot_topk(spark, sf_dir):
         emb = _read(spark, sf_dir, "embeddings")
         return similarity.dot_topk_quantized(emb, emb.where(F.col("vec_id") < 10), k=5)
@@ -635,6 +645,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs_jaccard_pairs=docs_jaccard_pairs,
         docs_containment_pairs=docs_containment_pairs,
         docs_rarity_score=docs_rarity_score,
+        docs_mix_corpus=docs_mix_corpus,
+        docs_quality_gate=docs_quality_gate,
         emb_dot_topk=emb_dot_topk,
         emb_near_dups=emb_near_dups,
         docs_lang_id=docs_lang_id,
@@ -1354,6 +1366,34 @@ def oracle_sql() -> dict[str, str]:
     FROM documents
     """
 
+    o["docs_mix_corpus"] = """
+    WITH b AS (
+      SELECT doc_id::BIGINT AS doc_id, source,
+             (('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100) AS bucket,
+             CASE source WHEN 'src0' THEN 250 WHEN 'src1' THEN 130
+                         WHEN 'src2' THEN 0 ELSE 40 END AS w
+      FROM documents
+    )
+    SELECT doc_id, source,
+           unnest(range(1, w // 100 + CASE WHEN bucket < w % 100 THEN 1 ELSE 0 END + 1))::INT AS epoch
+    FROM b
+    """
+    o["docs_quality_gate"] = f"""
+    WITH t AS (
+      SELECT doc_id::BIGINT AS doc_id,
+             len({_tok_sql('text', stop=False)})::BIGINT AS n_tokens
+      FROM documents
+    ), r AS (
+      SELECT n_tokens,
+             row_number() OVER (ORDER BY n_tokens, doc_id)::BIGINT AS rn,
+             count(*) OVER ()::BIGINT AS n
+      FROM t
+    ), thr AS (
+      SELECT n_tokens AS threshold FROM r WHERE rn = (n * 10 + 99) // 100
+    )
+    SELECT t.doc_id, t.n_tokens, thr.threshold
+    FROM t CROSS JOIN thr WHERE t.n_tokens >= thr.threshold
+    """
     o["docs_global_token_stats"] = f"""
     SELECT token, count(DISTINCT doc_id)::BIGINT AS doc_freq, count(*) AS total_cnt
     FROM (SELECT doc_id, unnest({_tok_sql('text', stop=False)}) AS token FROM documents)

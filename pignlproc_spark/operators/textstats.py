@@ -275,6 +275,87 @@ def stratified_sample(
     )
 
 
+def mix_corpus(
+    df: DataFrame,
+    weights_pct: dict[str, int],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    default_pct: int = 100,
+) -> DataFrame:
+    """(doc_id, source, epoch) — deterministic training-mix
+    materialization: each source's weight is a sampling rate in
+    PERCENT of one epoch (100 = every doc once, 250 = every doc twice
+    plus a deterministic 50% once more, 30 = a 30% subsample, 0 =
+    dropped). The Pile/LLaMA-style "epochs per dataset" knob as a
+    relational operator: doc ``i`` with weight ``w`` is emitted
+    ``w div 100`` times, plus once more iff its frozen md5 bucket
+    (``hash_bucket(i, 100)``, shared with stratified_sample) is
+    ``< w mod 100``. Fully reproducible, growth-consistent (a doc's
+    copy count never changes as the corpus grows), no RNG.
+
+    ``epoch`` numbers the copies 1..n — downstream shuffling/sharding
+    can key on (doc_id, epoch) to interleave epochs.
+
+    Scale shape: a pure projection + per-row ``sequence`` feeding an
+    immediate explode (the accepted array-construction idiom — arrays
+    are at most a few elements); no shuffle at all. Weights arrive as
+    a literal CASE chain, not a join: the mix config is planning-time
+    metadata, never data."""
+    rate = F.lit(default_pct)
+    for s, pct in sorted(weights_pct.items()):
+        rate = F.when(F.col(source_col) == s, F.lit(pct)).otherwise(rate)
+    bucket = hash_bucket(F.col(id_col), 100)
+    n_copies = (F.floor(rate / 100) + (bucket < rate % 100).cast("int")).cast("int")
+    copies = F.when(n_copies >= 1, F.sequence(F.lit(1), n_copies)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.col(source_col).alias("source"),
+        F.explode(copies).alias("epoch"),
+    )
+
+
+def quality_gate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    q: int = 10,
+) -> DataFrame:
+    """(doc_id, n_tokens, threshold) — keep every doc whose token
+    count is ≥ the EXACT q-th percentile of the corpus: the
+    global-statistic-dependent filter ("drop the shortest 10%") every
+    curation pipeline needs, with the same frozen rank convention as
+    length_quantiles (value at row ``ceil(n·q/100)`` of the
+    (n_tokens, id) order).
+
+    Scale shape: the corpus never sorts. A partial/final
+    groupBy(n_tokens) collapses it to a value histogram (cardinality =
+    distinct lengths, thousands at most), the cumulative rank is a
+    window over that tiny single-partition table, and the one
+    threshold row comes back as a broadcast nested-loop join (a 1-row
+    cross join) — the fact side stays embarrassingly parallel. The
+    approximate scale path for pathological value cardinality is
+    ``percentile_approx`` (tests/test_sketches.py contract)."""
+    from pyspark.sql import Window
+
+    counts = df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.size(tokens_col(F.col(text_col), apply_stoplist=False)).cast("bigint").alias("n_tokens"),
+    )
+    hist = counts.groupBy("n_tokens").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    # tiny table: single-partition window is deliberate
+    cum = hist.select(
+        "n_tokens",
+        F.sum("cnt").over(Window.orderBy("n_tokens").rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("total"),
+    )
+    thr = cum.where(F.col("cum") * 100 >= F.col("total") * q).agg(
+        F.min("n_tokens").alias("threshold")
+    )
+    return counts.join(F.broadcast(thr)).where(F.col("n_tokens") >= F.col("threshold"))
+
+
 def global_token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(token, doc_freq, total_cnt) — corpus-global vocabulary with
     document frequency (the IDF numerator/denominator pair as exact

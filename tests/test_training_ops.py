@@ -165,6 +165,39 @@ def test_rarity_score_exact(spark, docs):
     assert (got[0].n_tokens, got[0].sum_doc_freq) == (8, 31)
 
 
+def test_mix_corpus_deterministic_epochs(spark):
+    rows = [(i, "src%d" % (i % 2), "text") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = textstats.mix_corpus(df, {"src0": 200, "src1": 0}, default_pct=100).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r.epoch)
+    # src1 (weight 0) emits nothing; src0 (200%) exactly twice, epochs 1,2
+    assert all(i not in by_doc for i in range(1, 20, 2))
+    assert all(sorted(by_doc[i]) == [1, 2] for i in range(0, 20, 2))
+    # fractional weight: copy count is floor + deterministic md5-bucket
+    # extra — identical across repeated runs
+    frac = textstats.mix_corpus(df, {"src0": 150}, default_pct=0)
+    a = sorted((r.doc_id, r.epoch) for r in frac.collect())
+    b = sorted((r.doc_id, r.epoch) for r in frac.collect())
+    assert a == b
+    n1 = sum(1 for d, e in a if e == 1)
+    n2 = sum(1 for d, e in a if e == 2)
+    assert n1 == 10 and 0 < n2 < 10  # every src0 doc once, ~half twice
+
+
+def test_quality_gate_exact_percentile(spark):
+    # 10 docs with 1..10 tokens; p10 rank = ceil(10*10/100) = 1 -> the
+    # shortest doc IS the threshold doc, nothing is dropped at q=10;
+    # q=30 -> rank 3 -> threshold 3 tokens, drops the two shortest
+    rows = [(i, " ".join("w%d" % j for j in range(i))) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept10 = textstats.quality_gate(df, q=10).collect()
+    assert len(kept10) == 10 and all(r.threshold == 1 for r in kept10)
+    kept30 = {r.doc_id for r in textstats.quality_gate(df, q=30).collect()}
+    assert kept30 == set(range(3, 11))
+
+
 def test_simhash_similarity_property(spark, docs):
     h = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
     assert h[0] == h[1]  # identical text -> identical fingerprint

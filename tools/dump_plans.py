@@ -132,6 +132,22 @@ def main():
         textstats.rarity_score(docs),
     )
     add(
+        "Corpus mixing (pure projection, no shuffle)",
+        "Epochs-per-source weights compile to a literal CASE chain; the copy "
+        "count is floor + md5-bucket and the copies come from a tiny sequence "
+        "feeding an immediate explode — no Exchange anywhere, no RNG.",
+        textstats.mix_corpus(docs, {"src0": 250, "src1": 130}, default_pct=40),
+    )
+    add(
+        "Quality gate (histogram two-phase percentile, corpus never sorts)",
+        "The exact global threshold comes from a partial/final groupBy(n_tokens) "
+        "histogram plus a single-partition window over that tiny table; the "
+        "1-row threshold joins back as BroadcastNestedLoopJoin — the fact side "
+        "keeps its parallelism; the only Sort in the plan is the "
+        "single-partition one over the tiny histogram, never the corpus.",
+        textstats.quality_gate(docs, q=10),
+    )
+    add(
         "As-of join (union-and-window, no range join)",
         "ONE hash exchange on the key feeds a single window sort; no Join operator "
         "appears at all — the backward match rides last(ignorenulls) over "
