@@ -384,6 +384,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def docs_quality_gate(spark, sf_dir):
         return textstats.quality_gate(_read(spark, sf_dir, "documents"), q=10)
 
+    def docs_tfidf_topk(spark, sf_dir):
+        return textstats.tfidf_topk(_read(spark, sf_dir, "documents"), k=3)
+
     def emb_dot_topk(spark, sf_dir):
         emb = _read(spark, sf_dir, "embeddings")
         return similarity.dot_topk_quantized(emb, emb.where(F.col("vec_id") < 10), k=5)
@@ -647,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs_rarity_score=docs_rarity_score,
         docs_mix_corpus=docs_mix_corpus,
         docs_quality_gate=docs_quality_gate,
+        docs_tfidf_topk=docs_tfidf_topk,
         emb_dot_topk=emb_dot_topk,
         emb_near_dups=emb_near_dups,
         docs_lang_id=docs_lang_id,
@@ -1393,6 +1397,24 @@ def oracle_sql() -> dict[str, str]:
     )
     SELECT t.doc_id, t.n_tokens, thr.threshold
     FROM t CROSS JOIN thr WHERE t.n_tokens >= thr.threshold
+    """
+    o["docs_tfidf_topk"] = f"""
+    WITH tf AS (
+      SELECT doc_id::BIGINT AS doc_id, tok, count(*)::BIGINT AS tf
+      FROM (SELECT doc_id, unnest({_tok_sql('text', stop=False)}) AS tok FROM documents)
+      GROUP BY doc_id, tok
+    ), wdf AS (
+      SELECT *, count(*) OVER (PARTITION BY tok)::BIGINT AS doc_freq FROM tf
+    ), n AS (SELECT count(*)::BIGINT AS n FROM documents),
+    scored AS (
+      SELECT doc_id, tok AS token, tf, doc_freq,
+             floor(1000000.0 * tf * ln(n / doc_freq))::BIGINT AS score_q
+      FROM wdf CROSS JOIN n
+    )
+    SELECT doc_id, token, tf, doc_freq, score_q, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_q DESC, token ASC)::INT AS rank
+      FROM scored
+    ) WHERE rank <= 3
     """
     o["docs_global_token_stats"] = f"""
     SELECT token, count(DISTINCT doc_id)::BIGINT AS doc_freq, count(*) AS total_cnt

@@ -513,6 +513,57 @@ def length_quantiles(
     )
 
 
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """(doc_id, token, tf, doc_freq, score_q, rank) — the top-``k``
+    salient terms of every document by tf·idf (idf = ln(N/df), N =
+    all docs in ``df``): per-doc keyword extraction for labeling,
+    faceting, and cluster naming — the document-side sibling of the
+    query-side :func:`bm25_topk`.
+
+    Cross-engine exactness: the score is quantized
+    ``floor(1e6 · tf · ln(N/df))`` per (doc, term) — the same frozen
+    float-expression-then-floor contract as bm25_topk (one
+    parenthesization, mirrored verbatim in the oracle); ranking and
+    tie-break (score_q DESC, token ASC) are then exact-integer.
+
+    Scale shape: ONE tokenize pass, no token self-join — df rides a
+    count window over the token partitioning of the per-(doc, token)
+    tf aggregate (same shape as :func:`rarity_score`), N is a 1-row
+    broadcast, and the top-k is a row_number window over doc_id: three
+    key shuffles total ((doc, token) → token → doc), each carrying
+    only id/count columns, never text."""
+    from pyspark.sql import Window as W
+
+    toks = df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.explode(tokens_col(F.col(text_col), apply_stoplist=False)).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    wdf = tf.withColumn(
+        "doc_freq", F.count(F.lit(1)).over(W.partitionBy("token")).cast("bigint")
+    )
+    n = df.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # frozen parenthesization — mirrored character-for-character in the
+    # oracle SQL; do not "simplify" (float grouping must match)
+    score_q = F.floor(
+        F.lit(1000000.0) * F.col("tf") * F.log(F.col("n") / F.col("doc_freq"))
+    ).cast("bigint")
+    scored = wdf.crossJoin(F.broadcast(n)).select(
+        "doc_id", "token", "tf", "doc_freq", score_q.alias("score_q")
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score_q"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "token", "tf", "doc_freq", "score_q", "rank")
+    )
+
+
 def top_tokens(df: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
     """(token, cnt) global top-k corpus tokens (FLATTEN/explode + count
     + top-k — the P4/P7/P15 composition over free text)."""

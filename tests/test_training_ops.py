@@ -198,6 +198,23 @@ def test_quality_gate_exact_percentile(spark):
     assert kept30 == set(range(3, 11))
 
 
+def test_tfidf_topk_salient_terms(spark):
+    rows = [
+        (0, "apple apple banana common common"),
+        (1, "banana cherry common"),
+        (2, "common common common"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    top1 = {r.doc_id: r for r in textstats.tfidf_topk(df, k=1).collect()}
+    # rarest-and-frequent wins; a token in every doc has idf ln(1) = 0
+    assert top1[0].token == "apple" and top1[0].tf == 2 and top1[0].doc_freq == 1
+    assert top1[1].token == "cherry"
+    assert top1[2].token == "common" and top1[2].score_q == 0
+    import math
+
+    assert top1[0].score_q == math.floor(1e6 * 2 * math.log(3 / 1))
+
+
 def test_simhash_similarity_property(spark, docs):
     h = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
     assert h[0] == h[1]  # identical text -> identical fingerprint

@@ -148,6 +148,15 @@ def main():
         textstats.quality_gate(docs, q=10),
     )
     add(
+        "tf-idf top-k (one tokenize pass, window df, broadcast N)",
+        "Same no-self-join shape as the rarity score: doc_freq is a count "
+        "window over the token partitioning of the per-(doc, token) tf "
+        "aggregate, the corpus size N rides a 1-row broadcast, and the per-doc "
+        "top-k is a row_number window — three key shuffles carrying only "
+        "id/count columns, never text.",
+        textstats.tfidf_topk(docs, k=3),
+    )
+    add(
         "As-of join (union-and-window, no range join)",
         "ONE hash exchange on the key feeds a single window sort; no Join operator "
         "appears at all — the backward match rides last(ignorenulls) over "
