@@ -605,6 +605,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _read(spark, sf_dir, "embeddings")
         return similarity.cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
 
+    def emb_cosine_topk_q(spark, sf_dir):
+        emb = _read(spark, sf_dir, "embeddings")
+        return similarity.cosine_topk_quantized(emb, emb.where(F.col("vec_id") < 10), k=5)
+
     def emb_srp_lsh_topk(spark, sf_dir):
         emb = _read(spark, sf_dir, "embeddings")
         return similarity.srp_lsh_topk(emb, emb.where(F.col("vec_id") < 10), k=5, dim=64)
@@ -660,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs_bpe_pieces=docs_bpe_pieces,
         docs_corpus_filter=docs_corpus_filter,
         emb_cosine_topk=emb_cosine_topk,
+        emb_cosine_topk_q=emb_cosine_topk_q,
         emb_srp_lsh_topk=emb_srp_lsh_topk,
         emb_ivf_topk=emb_ivf_topk,
         media_features=media_features,
@@ -1606,6 +1611,34 @@ def oracle_sql() -> dict[str, str]:
     )
     SELECT query_id::BIGINT AS query_id, neighbor_id::BIGINT AS neighbor_id, dot_q, rank::INT AS rank FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot_q DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """
+    o["emb_cosine_topk_q"] = """
+    WITH qv AS (
+      SELECT vec_id, list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS v
+      FROM embeddings WHERE vec_id < 10
+    ), q AS (
+      SELECT vec_id, v, list_sum(list_transform(v, x -> x * x))::BIGINT AS norm_q2 FROM qv
+      WHERE list_sum(list_transform(v, x -> x * x)) > 0
+    ), tv AS (
+      SELECT vec_id, list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS v
+      FROM embeddings
+    ), t AS (
+      SELECT vec_id, v, list_sum(list_transform(v, x -> x * x))::BIGINT AS norm_n2 FROM tv
+      WHERE list_sum(list_transform(v, x -> x * x)) > 0
+    ), scored AS (
+      SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * t.v[i]))::BIGINT AS dot_q,
+             q.norm_q2, t.norm_n2
+      FROM q CROSS JOIN t WHERE q.vec_id != t.vec_id
+    )
+    SELECT query_id::BIGINT AS query_id, neighbor_id::BIGINT AS neighbor_id,
+           dot_q, norm_q2, norm_n2, rank::INT AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY dot_q / sqrt((norm_q2 * norm_n2)::DOUBLE) DESC, neighbor_id ASC
+      ) AS rank
       FROM scored
     ) WHERE rank <= 5
     """

@@ -11,6 +11,9 @@ Three tiers:
   quantized dot products are not). The correctness-gate variant.
 - :func:`cosine_topk` — true float cosine brute force (built-ins:
   zip_with + aggregate). The quality baseline; rows-only checked.
+- :func:`cosine_topk_quantized` — cosine ranking over the quantized
+  integer vectors (exact dot/norm BIGINTs, IEEE-deterministic sort
+  key) — the cosine semantics WITH the hash-exact oracle contract.
 - :func:`srp_lsh_topk` — sign-random-projection LSH: bucket vectors
   by the sign pattern of dot products with ``n_planes`` deterministic
   pseudo-random hyperplanes (seeded, generated driver-side), then
@@ -71,6 +74,73 @@ def dot_topk_quantized(
             F.col("query_id").cast("bigint"),
             F.col("neighbor_id").cast("bigint"),
             "dot_q",
+            F.col("rank").cast("int"),
+        )
+    )
+
+
+def cosine_topk_quantized(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """(query_id, neighbor_id, dot_q, norm_q2, norm_n2, rank) — top-k
+    by COSINE over ``1/scale``-quantized integer vectors; the
+    norm-corrected upgrade of :func:`dot_topk_quantized` to the same
+    oracle-exact contract (ranking by raw dot favors long vectors;
+    cosine doesn't).
+
+    Exactness argument: dot and squared norms are exact BIGINTs; the
+    ranking key ``dot_q / sqrt(norm_q2 · norm_n2)`` is a three-op IEEE
+    double chain (int→double conversion, multiply inside the exact
+    range, correctly-rounded sqrt and divide), so both engines compute
+    the bit-identical double and row_number order matches; remaining
+    exact-equal scores break on neighbor_id. Every HASHED column is an
+    integer — the float never leaves the sort key. Requires
+    ``norm_q2 · norm_n2 < 2^53`` (unit-ish vectors at scale=1000 up to
+    ~dim 1000 qualify); zero-norm vectors are excluded (cosine
+    undefined, and NaN sort order is engine-specific).
+
+    Scale shape: same as dot_topk_quantized — bounded query set ×
+    corpus cross join (the brute-force baseline; LSH/IVF are the scale
+    tiers), norms projected per side BEFORE the join."""
+    from pyspark.sql import Window
+
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), _quantize(F.col(vec_col), scale).alias("qv"))
+        .withColumn("norm_q2", _dot_int(F.col("qv"), F.col("qv")))
+        .where(F.col("norm_q2") > 0)
+    )
+    t = (
+        embeddings.select(F.col(id_col).alias("neighbor_id"), _quantize(F.col(vec_col), scale).alias("tv"))
+        .withColumn("norm_n2", _dot_int(F.col("tv"), F.col("tv")))
+        .where(F.col("norm_n2") > 0)
+    )
+    scored = (
+        q.crossJoin(t)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _dot_int(F.col("qv"), F.col("tv")).alias("dot_q"),
+            "norm_q2",
+            "norm_n2",
+        )
+    )
+    score = F.col("dot_q") / F.sqrt((F.col("norm_q2") * F.col("norm_n2")).cast("double"))
+    w = Window.partitionBy("query_id").orderBy(F.desc(score), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("bigint"),
+            F.col("neighbor_id").cast("bigint"),
+            "dot_q",
+            "norm_q2",
+            "norm_n2",
             F.col("rank").cast("int"),
         )
     )

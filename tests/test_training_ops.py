@@ -255,6 +255,25 @@ def test_cosine_vs_quantized_agree(spark, vecs):
     assert rows and all(r.query_id == 5 for r in rows)
 
 
+def test_cosine_topk_quantized_corrects_magnitude_bias(spark):
+    # b points almost exactly along q but is short; a is long and off-axis.
+    # Raw dot ranks a first (5.0 vs 1.0); cosine ranks b first (0.995 vs 0.707).
+    rows = [
+        (0, [1.0, 0.0]),  # query
+        (1, [5.0, 5.0]),  # a: big norm, 45 degrees off
+        (2, [1.0, 0.1]),  # b: small norm, nearly parallel
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.where(F.col("vec_id") == 0)
+    by_dot = {r.rank: r.neighbor_id for r in similarity.dot_topk_quantized(emb, q, k=2).collect()}
+    by_cos = {r.rank: r.neighbor_id for r in similarity.cosine_topk_quantized(emb, q, k=2).collect()}
+    assert by_dot[1] == 1 and by_cos[1] == 2
+    # zero-norm vectors are excluded from both sides, not NaN-ranked
+    with_zero = emb.union(spark.createDataFrame([(3, [0.0, 0.0])], emb.schema))
+    out = similarity.cosine_topk_quantized(with_zero, with_zero, k=10).collect()
+    assert all(r.query_id != 3 and r.neighbor_id != 3 for r in out)
+
+
 def test_embedding_near_duplicates(spark):
     # planted cluster: 0/1 identical, 2 a scaled copy (cos=1), 3 close,
     # 4 orthogonal, 5 antiparallel (dot<0 must never pair)
