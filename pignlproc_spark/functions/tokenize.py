@@ -25,6 +25,11 @@ import unicodedata
 
 _TOKEN_RE = re.compile(r"[^\W_]+", re.UNICODE)
 
+#: the same frozen word regex in Java-regex spelling ((?U): Java
+#: defaults \w to ASCII) — the single source for every JVM-side
+#: tokenizer expression (tokens_col, functions/register.py)
+TOKEN_RE_JVM = r"(?U)[^\W_]+"
+
 # Frozen per-language stoplists — parity with the reference's
 # LuceneTokenizer(stoplistPath, stoplistName, lang, analyzer) ctor
 # parameterization (tgalery fork's multilingual additions, SURVEY.md
@@ -111,7 +116,7 @@ def tokens_col(col, apply_stoplist: bool = True, lang: str = "en"):
     # match the Python spec ('café' must tokenize as one word). NFC
     # normalization (the one remaining Python-spec step) has no JVM
     # builtin — non-NFC text routes through functions.tokenize.
-    arr = F.regexp_extract_all(F.lower(col), F.lit(r"(?U)[^\W_]+"), 0)
+    arr = F.regexp_extract_all(F.lower(col), F.lit(TOKEN_RE_JVM), 0)
     arr = F.filter(arr, lambda t: F.length(t) <= 64)
     if apply_stoplist:
         # NOT array_except (it dedups — token counting needs the multiset)

@@ -162,6 +162,25 @@ def write_tsv(df: DataFrame, path: str, header: bool = False) -> str:
     return path
 
 
+def read_tsv(spark: SparkSession, path: str, schema: str, header: bool = False) -> DataFrame:
+    """TSV source — parity with the reference's ``LOAD ... USING
+    PigStorage('\\t') AS (schema)`` (SURVEY.md §2.2 P1) and the exact
+    inverse of :func:`write_tsv` (same sep/escape/emptyValue options,
+    so a write→read round-trip is value-identical, embedded
+    tabs/newlines included). ``schema`` is the usual DDL string
+    (PigStorage's AS clause); typed columns are cast on read like
+    Pig's typed LOAD. The scan is splittable (plain CSV lines), so
+    parallelism follows file splits as with any text source."""
+    return (
+        spark.read.option("sep", "\t")
+        .option("header", str(header).lower())
+        .option("escape", "\\")
+        .option("emptyValue", "")
+        .schema(schema)
+        .csv(path)
+    )
+
+
 def read_table(spark: SparkSession, name: str, root: str | None = None) -> DataFrame:
     cat = _catalog(spark)
     if cat:  # pragma: no cover

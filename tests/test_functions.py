@@ -219,3 +219,42 @@ def test_url_canonical_differential_fuzz(spark):
         canonical_url_col(F.col("variant")).alias("c1"),
     ).collect()
     assert all(r.c1 == r.c2 for r in twice)
+
+
+def test_sql_function_registry_parity(spark):
+    # the Pig-DEFINE analog: SQL scalar functions must compute exactly
+    # what the DataFrame expressions compute (single-sourced regexes)
+    from pyspark.sql import functions as F
+
+    from pignlproc_spark.functions.register import register_sql
+    from pignlproc_spark.functions.tokenize import tokens_col
+    from pignlproc_spark.functions.uri import uri_encode_col
+    from pignlproc_spark.operators.textstats import hash_bucket
+
+    names = register_sql(spark)
+    assert "ccw_tokenize" in names and "ccw_hash_bucket" in names
+
+    df = spark.createDataFrame(
+        [(7, "The café AND the Boat-house, it's 2024!"), (8, ""), (9, "Under_scored the the")],
+        "id long, s string",
+    )
+    df.createOrReplaceTempView("reg_probe")
+    got = spark.sql(
+        "SELECT id, ccw_tokenize(s) AS t, ccw_tokenize_stopped(s) AS ts, "
+        "ccw_bpe_pieces(s) AS np, ccw_hash_bucket(id, 100) AS b, "
+        "ccw_title_from_uri(ccw_uri_encode('main_Page')) AS rt FROM reg_probe"
+    ).collect()
+    exp = df.select(
+        "id",
+        tokens_col(F.col("s"), apply_stoplist=False).alias("t"),
+        tokens_col(F.col("s"), apply_stoplist=True).alias("ts"),
+        F.size(F.regexp_extract_all("s", F.lit(__import__("pignlproc_spark.operators.textstats", fromlist=["BPE_SPLIT_RE"]).BPE_SPLIT_RE), 0)).cast("bigint").alias("np"),
+        hash_bucket(F.col("id"), 100).alias("b"),
+    ).collect()
+    ge = {r.id: r for r in got}
+    for r in exp:
+        assert ge[r.id].t == r.t and ge[r.id].ts == r.ts
+        assert ge[r.id].np == r.np and ge[r.id].b == r.b
+    assert all(r.rt == "Main_Page" for r in got)
+    # registration is idempotent
+    register_sql(spark)

@@ -410,6 +410,9 @@ def test_write_tsv_parity(spark, tmp_path):
     back = spark.read.option("sep", "\t").option("escape", "\\").csv(path)
     rows = sorted(tuple(r) for r in back.collect())
     assert rows == [("alpha beta", "http://x/A", "3"), ("with\ttab", "http://x/B", "1")]
+    # typed LOAD parity: read_tsv is the exact inverse, types included
+    typed = tables.read_tsv(spark, path, "surface_form string, uri string, cnt int")
+    assert sorted(tuple(r) for r in typed.collect()) == sorted(tuple(r) for r in df.collect())
 
 
 def test_bpe_ish_token_counts(spark):
