@@ -360,6 +360,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return stats.entity_pagerank(_pipeline(spark, sf_dir).mentions, iterations=5)
 
+    def kg_entity_pagerank_q(spark, sf_dir):
+        # the fixed-point integer twin: oracle-EXACT vs the same
+        # recurrence unrolled as a DuckDB CTE chain
+        from pignlproc_spark.operators import stats
+
+        return stats.entity_pagerank_q(_pipeline(spark, sf_dir).mentions, iterations=3)
+
     def docs_simhash(spark, sf_dir):
         return dedup.simhash(_read(spark, sf_dir, "documents"))
 
@@ -648,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs_curation_pipeline=docs_curation_pipeline,
         kg_entity_cooccurrence=kg_entity_cooccurrence,
         kg_entity_pagerank=kg_entity_pagerank,
+        kg_entity_pagerank_q=kg_entity_pagerank_q,
         docs_simhash=docs_simhash,
         docs_jaccard_pairs=docs_jaccard_pairs,
         docs_containment_pairs=docs_containment_pairs,
@@ -1148,6 +1156,41 @@ def _minhash_sql(bands: int = 4) -> str:
     """
 
 
+def _pagerank_q_sql(mentions_rel: str, iters: int = 3) -> str:
+    """Fixed-point PageRank oracle: the integer recurrence of
+    stats.entity_pagerank_q unrolled as a CTE chain (DuckDB ``//`` is
+    the same floor-div as Spark ``div`` on the all-positive values)."""
+    from pignlproc_spark.operators.stats import PAGERANK_SCALE
+
+    s = PAGERANK_SCALE
+    parts = [
+        f"WITH m AS (SELECT DISTINCT url, uri FROM {mentions_rel}),",
+        "cooc AS (SELECT a.uri AS uri_a, b.uri AS uri_b, count(*)::BIGINT AS cnt",
+        "         FROM m a JOIN m b ON a.url = b.url AND a.uri < b.uri GROUP BY 1, 2),",
+        "edges AS (SELECT uri_a AS src, uri_b AS dst, cnt AS w FROM cooc",
+        "          UNION ALL SELECT uri_b, uri_a, cnt FROM cooc),",
+        "ws AS (SELECT src, sum(w)::BIGINT AS wsum FROM edges GROUP BY src),",
+        "e AS (SELECT edges.src, edges.dst, edges.w, ws.wsum FROM edges JOIN ws USING (src)),",
+        "nodes AS (SELECT DISTINCT src AS uri FROM edges),",
+        "nn AS (SELECT count(*)::BIGINT AS n FROM nodes),",
+        f"r0 AS (SELECT uri, ({s} // n)::BIGINT AS rank_q FROM nodes CROSS JOIN nn),",
+    ]
+    prev = "r0"
+    for k in range(1, iters + 1):
+        parts.append(
+            f"c{k} AS (SELECT e.dst AS uri, sum((r.rank_q * e.w * 85) // (100 * e.wsum))::BIGINT AS acc"
+            f"  FROM e JOIN {prev} r ON r.uri = e.src GROUP BY e.dst),"
+        )
+        parts.append(
+            f"r{k} AS (SELECT n.uri, (({s}::BIGINT * 15) // (100 * nn.n) + coalesce(c.acc, 0))::BIGINT AS rank_q"
+            f"  FROM nodes n CROSS JOIN nn LEFT JOIN c{k} c ON n.uri = c.uri)"
+            + ("," if k < iters else "")
+        )
+        prev = f"r{k}"
+    parts.append(f"SELECT uri, rank_q FROM {prev}")
+    return "\n".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     syn = {name: _syn_path(name) for name in synth.TABLES}
     g = lambda name: f"read_parquet('{syn[name]}')"  # noqa: E731
@@ -1555,6 +1598,7 @@ def oracle_sql() -> dict[str, str]:
            (cf.keep * nd.neardup_keep)::INT AS keep
     FROM cf JOIN nd ON cf.doc_id = nd.doc_id
     """
+    o["kg_entity_pagerank_q"] = _pagerank_q_sql(g("golden_mentions"), iters=3)
     o["kg_entity_cooccurrence"] = f"""
     WITH m AS (SELECT DISTINCT url, uri FROM {g('golden_mentions')})
     SELECT a.uri AS uri_a, b.uri AS uri_b, count(*) AS cnt

@@ -314,6 +314,79 @@ def entity_pagerank(
     return ranks
 
 
+PAGERANK_SCALE = 10**9
+
+
+def entity_pagerank_q(
+    mentions: DataFrame,
+    iterations: int = 3,
+    num_partitions: int | None = None,
+    checkpoint_every: int = 4,
+    cooc: DataFrame | None = None,
+) -> DataFrame:
+    """(uri, rank_q) — :func:`entity_pagerank` in FIXED-POINT integer
+    arithmetic (scale 1e9, damping 0.85 as the exact ratio 85/100):
+    every per-edge contribution is floored to an integer BEFORE the
+    sum, so the whole 5-relation iteration is exact-BIGINT and the
+    DuckDB oracle (the same recurrence unrolled as a CTE chain)
+    hash-matches — the existence proof that even iterative graph
+    algorithms fit the oracle contract, not just one-pass relational
+    ops. The float variant remains the product scorer (no quantization
+    drift); this one is the auditable twin.
+
+    Recurrence (all integer ops)::
+
+        r⁰(v)   = SCALE div N
+        rᵏ⁺¹(v) = (SCALE·15) div (100·N)
+                  + Σ_{u→v} (rᵏ(u)·w(u,v)·85) div (100·W(u))
+
+    int64 headroom: needs ``rᵏ(u)·w·85 < 2⁶³`` — with ranks ≤ SCALE
+    (mass only leaks downward through the floors) that bounds the edge
+    weight at ~10⁸ shared pages, far beyond any real co-occurrence
+    count; lower ``PAGERANK_SCALE`` if a graph ever approaches it.
+
+    Scale shape: identical to the float variant — the edge table with
+    precomputed (w, wsum) is hash-partitioned on ``src`` once and
+    persisted; each iteration shuffles only the (uri, rank_q) table.
+    """
+    spark = mentions.sparkSession
+    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if cooc is None:
+        cooc = entity_cooccurrence(mentions).localCheckpoint(eager=False)
+    edges = cooc.select(
+        F.col("uri_a").alias("src"), F.col("uri_b").alias("dst"), F.col("cnt").alias("w")
+    ).union(cooc.select(F.col("uri_b").alias("src"), F.col("uri_a").alias("dst"), F.col("cnt").alias("w")))
+    out_w = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("wsum"))
+    e = (
+        edges.join(out_w, "src")
+        .select("src", "dst", F.col("w").cast("bigint").alias("w"), "wsum")
+        .repartition(n_part, "src")
+        .persist()
+    )
+    nodes = e.select(F.col("src").alias("uri")).distinct()
+    n = nodes.count()
+    if n == 0:
+        e.unpersist()
+        return spark.createDataFrame([], "uri string, rank_q bigint")
+    ranks = nodes.select("uri", F.lit(PAGERANK_SCALE // n).cast("bigint").alias("rank_q"))
+    base_q = (PAGERANK_SCALE * 15) // (100 * n)
+    for it in range(iterations):
+        contribs = (
+            e.join(ranks.withColumnRenamed("uri", "src"), "src")
+            .select("dst", F.expr("(rank_q * w * 85) div (100 * wsum)").alias("_c"))
+            .groupBy("dst")
+            .agg(F.sum("_c").cast("bigint").alias("acc"))
+        )
+        ranks = nodes.join(contribs.withColumnRenamed("dst", "uri"), "uri", "left").select(
+            "uri", (F.lit(base_q) + F.coalesce(F.col("acc"), F.lit(0))).cast("bigint").alias("rank_q")
+        )
+        if (it + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    ranks = ranks.localCheckpoint(eager=True)
+    e.unpersist()
+    return ranks
+
+
 def entity_triangles(mentions: DataFrame, cooc: DataFrame | None = None) -> DataFrame:
     """(uri, n_triangles) — per-entity triangle counts over the
     co-occurrence graph: the local clustering signal KG-quality checks

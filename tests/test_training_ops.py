@@ -1006,3 +1006,21 @@ def test_hop_distances(spark):
     assert g2 == want
     empty = spark.createDataFrame([], "uri_a string, uri_b string, cnt long")
     assert stats.hop_distances(m, cooc=empty).count() == 0
+
+
+def test_entity_pagerank_q_exact_fixedpoint(spark):
+    # path graph a-b-c (two pages): hand-computed fixed-point values.
+    # r0 = 10^9 div 3; base = 10^9*15 div 300 = 5e7;
+    # iter1: a,c get floor(r0*85/200)=141666666 from b -> 191666666;
+    # b gets 2*floor(r0*85/100)=2*283333333 -> 616666666
+    from pignlproc_spark.operators import stats
+
+    m = spark.createDataFrame(
+        [("u1", "a"), ("u1", "b"), ("u2", "b"), ("u2", "c")], "url string, uri string"
+    )
+    r1 = {x.uri: x.rank_q for x in stats.entity_pagerank_q(m, iterations=1).collect()}
+    assert r1 == {"a": 191666666, "b": 616666666, "c": 191666666}
+    r3 = {x.uri: x.rank_q for x in stats.entity_pagerank_q(m, iterations=3).collect()}
+    assert r3["b"] > r3["a"] == r3["c"]
+    # floors only ever shave mass: total stays just under SCALE
+    assert 0 < 10**9 - sum(r3.values()) < 100
