@@ -146,9 +146,10 @@ def write_bucketed(
 
 def write_tsv(df: DataFrame, path: str, header: bool = False) -> str:
     """TSV sink — parity with the reference's ``STORE ... USING
-    PigStorage('\\t')`` (SURVEY.md §2.2 P2): tab-separated, no
-    quoting-by-default surprises (tabs/newlines inside values are
-    escaped), one directory per relation. Product output should use
+    PigStorage('\\t')`` (SURVEY.md §2.2 P2): tab-separated, one
+    directory per relation; values containing tabs/newlines are
+    quoted (read back with :func:`read_tsv`; newline-carrying values
+    need its ``multiline=True``). Product output should use
     :func:`write_table` (columnar); this exists for fixture/interop
     parity with downstream consumers of the reference's TSVs."""
     (
@@ -162,20 +163,28 @@ def write_tsv(df: DataFrame, path: str, header: bool = False) -> str:
     return path
 
 
-def read_tsv(spark: SparkSession, path: str, schema: str, header: bool = False) -> DataFrame:
+def read_tsv(
+    spark: SparkSession, path: str, schema: str, header: bool = False, multiline: bool = False
+) -> DataFrame:
     """TSV source — parity with the reference's ``LOAD ... USING
-    PigStorage('\\t') AS (schema)`` (SURVEY.md §2.2 P1) and the exact
-    inverse of :func:`write_tsv` (same sep/escape/emptyValue options,
-    so a write→read round-trip is value-identical, embedded
-    tabs/newlines included). ``schema`` is the usual DDL string
-    (PigStorage's AS clause); typed columns are cast on read like
-    Pig's typed LOAD. The scan is splittable (plain CSV lines), so
-    parallelism follows file splits as with any text source."""
+    PigStorage('\\t') AS (schema)`` (SURVEY.md §2.2 P1) and the
+    inverse of :func:`write_tsv` (same sep/escape/emptyValue options).
+    ``schema`` is the usual DDL string (PigStorage's AS clause); typed
+    columns are cast on read like Pig's typed LOAD.
+
+    Embedded newlines: the writer QUOTES values containing them, and a
+    quoted newline only parses back with ``multiline=True`` — which
+    makes each file a single task (the scan stops being
+    line-splittable), so leave it False unless values really carry
+    newlines. Plain tabs-in-values round-trip fine either way (real
+    PigStorage simply corrupts on embedded newlines; this is the one
+    deliberate divergence)."""
     return (
         spark.read.option("sep", "\t")
         .option("header", str(header).lower())
         .option("escape", "\\")
         .option("emptyValue", "")
+        .option("multiLine", str(multiline).lower())
         .schema(schema)
         .csv(path)
     )

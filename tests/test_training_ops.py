@@ -413,6 +413,12 @@ def test_write_tsv_parity(spark, tmp_path):
     # typed LOAD parity: read_tsv is the exact inverse, types included
     typed = tables.read_tsv(spark, path, "surface_form string, uri string, cnt int")
     assert sorted(tuple(r) for r in typed.collect()) == sorted(tuple(r) for r in df.collect())
+    # embedded newlines are quoted on write and need multiline=True to
+    # parse back (each file then reads as one task — documented trade)
+    nl = spark.createDataFrame([("a\nb", "u", 1), ("plain", "v", 2)], df.schema)
+    nl_path = tables.write_tsv(nl, str(tmp_path / "newlines"))
+    got = tables.read_tsv(spark, nl_path, "surface_form string, uri string, cnt int", multiline=True)
+    assert sorted(tuple(r) for r in got.collect()) == sorted(tuple(r) for r in nl.collect())
 
 
 def test_bpe_ish_token_counts(spark):
