@@ -1173,7 +1173,8 @@ def _pagerank_q_sql(mentions_rel: str, iters: int = 3) -> str:
         "e AS (SELECT edges.src, edges.dst, edges.w, ws.wsum FROM edges JOIN ws USING (src)),",
         "nodes AS (SELECT DISTINCT src AS uri FROM edges),",
         "nn AS (SELECT count(*)::BIGINT AS n FROM nodes),",
-        f"r0 AS (SELECT uri, ({s} // n)::BIGINT AS rank_q FROM nodes CROSS JOIN nn),",
+        f"r0 AS (SELECT uri, ({s} // n)::BIGINT AS rank_q FROM nodes CROSS JOIN nn)"
+        + ("," if iters >= 1 else ""),
     ]
     prev = "r0"
     for k in range(1, iters + 1):

@@ -11,28 +11,44 @@ path and create a second spec copy that can drift. SQL functions
 inline into the calling plan like a view, so Catalyst still prunes /
 pushes through them.
 
-Single-sourced: the regexes and stoplist are imported from the frozen
-modules (functions/tokenize.py, operators/textstats.py) and escaped
-here — never retyped.
+Single-sourced: regexes, stoplist, and the resource-IRI prefix are
+imported from the frozen modules (functions/tokenize.py,
+functions/uri.py, operators/textstats.py) and escaped here — never
+retyped. String literals are escaped for the SESSION's actual
+string-literal mode: ``spark.sql.parser.escapedStringLiterals=true``
+(Hive-compat raw literals) changes what a backslash means, so
+:func:`register_sql` reads the conf and builds matching statements —
+registering with the wrong mode would silently corrupt the regexes.
 """
 
 from __future__ import annotations
 
+import re
+
 from pignlproc_spark.functions.tokenize import STOPWORDS, TOKEN_RE_JVM
+from pignlproc_spark.functions.uri import resource_prefix
 from pignlproc_spark.operators.textstats import BPE_SPLIT_RE
 
 
-def _sql_str(s: str) -> str:
-    """Python string → Spark SQL single-quoted literal (backslash is
-    an escape character in Spark's default string-literal mode)."""
+def _sql_str(s: str, escaped_literals: bool = False) -> str:
+    """Python string → Spark SQL single-quoted literal under the given
+    parser mode (default mode treats backslash as an escape char;
+    escapedStringLiterals=true treats it literally, Hive-style)."""
+    if escaped_literals:
+        return "'" + s.replace("'", "''") + "'"
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
-def statements() -> dict[str, str]:
+def statements(escaped_literals: bool = False) -> dict[str, str]:
     """name → CREATE statement (exposed for inspection/testing)."""
-    tok_re = _sql_str(TOKEN_RE_JVM)
-    bpe_re = _sql_str(BPE_SPLIT_RE)
-    stop = "array(" + ",".join(_sql_str(w) for w in sorted(STOPWORDS)) + ")"
+
+    def lit(s: str) -> str:
+        return _sql_str(s, escaped_literals)
+
+    tok_re = lit(TOKEN_RE_JVM)
+    bpe_re = lit(BPE_SPLIT_RE)
+    prefix = resource_prefix("en")
+    stop = "array(" + ",".join(lit(w) for w in sorted(STOPWORDS)) + ")"
     base_tok = f"filter(regexp_extract_all(lower(s), {tok_re}, 0), t -> length(t) <= 64)"
     return {
         "ccw_tokenize": (
@@ -57,20 +73,22 @@ def statements() -> dict[str, str]:
         "ccw_uri_encode": (
             "CREATE OR REPLACE TEMPORARY FUNCTION ccw_uri_encode(t STRING) "
             "RETURNS STRING RETURN "
-            "concat('http://en.dbpedia.org/resource/', upper(substring(t, 1, 1)), substring(t, 2, 2000000))"
+            f"concat({lit(prefix)}, upper(substring(t, 1, 1)), substring(t, 2, 2000000))"
         ),
         "ccw_title_from_uri": (
             "CREATE OR REPLACE TEMPORARY FUNCTION ccw_title_from_uri(u STRING) "
             "RETURNS STRING RETURN "
-            "regexp_replace(u, '^http://en\\\\.dbpedia\\\\.org/resource/', '')"
+            f"regexp_replace(u, {lit('^' + re.escape(prefix))}, '')"
         ),
     }
 
 
 def register_sql(spark) -> list[str]:
-    """Register every engine SQL function on the session; returns the
+    """Register every engine SQL function on the session, escaping
+    string literals for the session's actual parser mode; returns the
     registered names. Idempotent (CREATE OR REPLACE)."""
-    stmts = statements()
+    mode = str(spark.conf.get("spark.sql.parser.escapedStringLiterals", "false")).lower() == "true"
+    stmts = statements(escaped_literals=mode)
     for sql in stmts.values():
         spark.sql(sql)
     return sorted(stmts)

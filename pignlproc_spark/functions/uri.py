@@ -28,6 +28,12 @@ _SAFE = "/:_()',.&!*;=$@~+-"
 _UNDERSCORE_RUN = re.compile(r"_+")
 
 
+def resource_prefix(lang: str = "en") -> str:
+    """The frozen DBpedia resource-IRI prefix — the single source for
+    the Python, Column, and SQL (functions/register.py) spellings."""
+    return f"http://{lang}.dbpedia.org/resource/"
+
+
 @lru_cache(maxsize=65536)
 def normalize_title(raw: str | None) -> str:
     """Wiki link target → canonical title key.
@@ -52,7 +58,7 @@ def uri_encode(title: str | None, lang: str = "en") -> str:
     t = normalize_title(title)
     if not t:
         return ""
-    return f"http://{lang}.dbpedia.org/resource/" + quote(t, safe=_SAFE)
+    return resource_prefix(lang) + quote(t, safe=_SAFE)
 
 
 def uri_encode_col(col, lang: str = "en"):
@@ -69,7 +75,7 @@ def uri_encode_col(col, lang: str = "en"):
 
     first = F.upper(F.substring(col, 1, 1))
     return F.concat(
-        F.lit(f"http://{lang}.dbpedia.org/resource/"),
+        F.lit(resource_prefix(lang)),
         first,
         F.substring(col, 2, 2_000_000),
     )
@@ -79,4 +85,4 @@ def title_from_uri_col(col, lang: str = "en"):
     """Inverse of uri_encode_col for engine-produced URIs."""
     from pyspark.sql import functions as F
 
-    return F.regexp_replace(col, f"^http://{lang}\\.dbpedia\\.org/resource/", "")
+    return F.regexp_replace(col, "^" + re.escape(resource_prefix(lang)), "")

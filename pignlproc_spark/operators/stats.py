@@ -274,26 +274,13 @@ def entity_pagerank(
     """
     spark = mentions.sparkSession
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    if cooc is None:
-        # the quadratic self-join feeds the edge union (twice), the
-        # node count, and the share build — compute it once
-        cooc = entity_cooccurrence(mentions).localCheckpoint(eager=False)
-    edges = cooc.select(
-        F.col("uri_a").alias("src"), F.col("uri_b").alias("dst"), F.col("cnt").alias("w")
-    ).union(cooc.select(F.col("uri_b").alias("src"), F.col("uri_a").alias("dst"), F.col("cnt").alias("w")))
-    out_w = edges.groupBy("src").agg(F.sum("w").alias("_wsum"))
-    shares = (
-        edges.join(out_w, "src")
-        .select("src", "dst", (F.col("w") / F.col("_wsum")).alias("share"))
-        .repartition(n_part, "src")
-        .persist()
-    )
-    nodes = edges.select("src").distinct()
+    e, nodes = _cooc_graph(mentions, cooc, n_part)
+    shares = e.select("src", "dst", (F.col("w") / F.col("wsum")).alias("share"))
     n = nodes.count()
     if n == 0:
-        shares.unpersist()
+        e.unpersist()
         return spark.createDataFrame([], "uri string, rank double")
-    ranks = nodes.select(F.col("src").alias("uri"), F.lit(1.0 / n).alias("rank"))
+    ranks = nodes.select("uri", F.lit(1.0 / n).alias("rank"))
     for it in range(iterations):
         contribs = (
             shares.join(ranks.withColumnRenamed("uri", "src"), "src")
@@ -306,12 +293,37 @@ def entity_pagerank(
         )
         if (it + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
-    # materialize the final ranks BEFORE releasing the share cache —
+    # materialize the final ranks BEFORE releasing the edge cache —
     # otherwise the caller's action re-executes the quadratic
     # co-occurrence self-join once per post-checkpoint iteration
     ranks = ranks.localCheckpoint(eager=True)
-    shares.unpersist()
+    e.unpersist()
     return ranks
+
+
+def _cooc_graph(mentions: DataFrame, cooc: DataFrame | None, n_part: int):
+    """Shared PageRank prologue (float + fixed-point variants): the
+    symmetric weighted edge table with per-source weight sums
+    (src, dst, w, wsum), hash-partitioned on ``src`` ONCE and
+    persisted, plus the node set. The caller must ``unpersist()`` the
+    edge table after materializing its final result (see the
+    unpersist-ordering note at the tail of entity_pagerank)."""
+    if cooc is None:
+        # the quadratic self-join feeds the edge union (twice), the
+        # node count, and the weight build — compute it once
+        cooc = entity_cooccurrence(mentions).localCheckpoint(eager=False)
+    edges = cooc.select(
+        F.col("uri_a").alias("src"), F.col("uri_b").alias("dst"), F.col("cnt").alias("w")
+    ).union(cooc.select(F.col("uri_b").alias("src"), F.col("uri_a").alias("dst"), F.col("cnt").alias("w")))
+    out_w = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("wsum"))
+    e = (
+        edges.join(out_w, "src")
+        .select("src", "dst", F.col("w").cast("bigint").alias("w"), "wsum")
+        .repartition(n_part, "src")
+        .persist()
+    )
+    nodes = e.select(F.col("src").alias("uri")).distinct()
+    return e, nodes
 
 
 PAGERANK_SCALE = 10**9
@@ -351,19 +363,7 @@ def entity_pagerank_q(
     """
     spark = mentions.sparkSession
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    if cooc is None:
-        cooc = entity_cooccurrence(mentions).localCheckpoint(eager=False)
-    edges = cooc.select(
-        F.col("uri_a").alias("src"), F.col("uri_b").alias("dst"), F.col("cnt").alias("w")
-    ).union(cooc.select(F.col("uri_b").alias("src"), F.col("uri_a").alias("dst"), F.col("cnt").alias("w")))
-    out_w = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("wsum"))
-    e = (
-        edges.join(out_w, "src")
-        .select("src", "dst", F.col("w").cast("bigint").alias("w"), "wsum")
-        .repartition(n_part, "src")
-        .persist()
-    )
-    nodes = e.select(F.col("src").alias("uri")).distinct()
+    e, nodes = _cooc_graph(mentions, cooc, n_part)
     n = nodes.count()
     if n == 0:
         e.unpersist()

@@ -321,6 +321,7 @@ def quality_gate(
     id_col: str = "doc_id",
     text_col: str = "text",
     q: int = 10,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, n_tokens, threshold) — keep every doc whose token
     count is ≥ the EXACT q-th percentile of the corpus: the
@@ -336,13 +337,20 @@ def quality_gate(
     threshold row comes back as a broadcast nested-loop join (a 1-row
     cross join) — the fact side stays embarrassingly parallel. The
     approximate scale path for pathological value cardinality is
-    ``percentile_approx`` (tests/test_sketches.py contract)."""
+    ``percentile_approx`` (tests/test_sketches.py contract).
+
+    The (id, n_tokens) projection feeds BOTH the threshold aggregate
+    and the fact side, so it is persisted here (tiny — two ints per
+    doc; LRU-evictable) to keep the expensive tokenize to ONE pass per
+    action; pass a precomputed/persisted ``counts`` to share it with
+    other consumers instead."""
     from pyspark.sql import Window
 
-    counts = df.select(
-        F.col(id_col).cast("bigint").alias("doc_id"),
-        F.size(tokens_col(F.col(text_col), apply_stoplist=False)).cast("bigint").alias("n_tokens"),
-    )
+    if counts is None:
+        counts = df.select(
+            F.col(id_col).cast("bigint").alias("doc_id"),
+            F.size(tokens_col(F.col(text_col), apply_stoplist=False)).cast("bigint").alias("n_tokens"),
+        ).persist()
     hist = counts.groupBy("n_tokens").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     # tiny table: single-partition window is deliberate
     cum = hist.select(

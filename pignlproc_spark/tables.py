@@ -178,7 +178,13 @@ def read_tsv(
     line-splittable), so leave it False unless values really carry
     newlines. Plain tabs-in-values round-trip fine either way (real
     PigStorage simply corrupts on embedded newlines; this is the one
-    deliberate divergence)."""
+    deliberate divergence).
+
+    Empty strings: the writer emits them as unquoted empty fields
+    (PigStorage byte-format parity), and Spark's CSV reader maps an
+    unquoted empty field to NULL — so ``''`` collapses to NULL on the
+    round trip, exactly as a PigStorage TSV read does in Pig
+    (null and empty are indistinguishable in the bytes)."""
     return (
         spark.read.option("sep", "\t")
         .option("header", str(header).lower())

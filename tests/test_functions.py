@@ -256,5 +256,21 @@ def test_sql_function_registry_parity(spark):
         assert ge[r.id].t == r.t and ge[r.id].ts == r.ts
         assert ge[r.id].np == r.np and ge[r.id].b == r.b
     assert all(r.rt == "Main_Page" for r in got)
+    # SQL-vs-DataFrame parity for the URI pair (single-sourced prefix)
+    uri_pair = df.select(
+        uri_encode_col(F.lit("main_Page")).alias("u"),
+        F.expr("ccw_uri_encode('main_Page')").alias("su"),
+    ).collect()[0]
+    assert uri_pair.u == uri_pair.su == "http://en.dbpedia.org/resource/Main_Page"
     # registration is idempotent
     register_sql(spark)
+    # Hive-compat raw string literals: registration must adapt the
+    # escaping or the regexes silently corrupt
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    try:
+        register_sql(spark)
+        raw = spark.sql("SELECT ccw_tokenize('The cafe AND boat') AS t").collect()[0].t
+        assert raw == ["the", "cafe", "and", "boat"]
+    finally:
+        spark.conf.set("spark.sql.parser.escapedStringLiterals", "false")
+        register_sql(spark)

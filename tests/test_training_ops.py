@@ -419,6 +419,11 @@ def test_write_tsv_parity(spark, tmp_path):
     nl_path = tables.write_tsv(nl, str(tmp_path / "newlines"))
     got = tables.read_tsv(spark, nl_path, "surface_form string, uri string, cnt int", multiline=True)
     assert sorted(tuple(r) for r in got.collect()) == sorted(tuple(r) for r in nl.collect())
+    # '' collapses to NULL on the round trip (unquoted empty field —
+    # PigStorage byte-format parity; documented contract)
+    emp = spark.createDataFrame([("", "u", 1)], df.schema)
+    emp_path = tables.write_tsv(emp, str(tmp_path / "empties"))
+    assert tables.read_tsv(spark, emp_path, "a string, b string, c int").collect()[0].a is None
 
 
 def test_bpe_ish_token_counts(spark):

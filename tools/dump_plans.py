@@ -140,7 +140,9 @@ def main():
     )
     add(
         "Quality gate (histogram two-phase percentile, corpus never sorts)",
-        "The exact global threshold comes from a partial/final groupBy(n_tokens) "
+        "The (id, n_tokens) projection is persisted (InMemoryRelation) so the "
+        "expensive tokenize runs ONCE for both consumers; the exact global "
+        "threshold comes from a partial/final groupBy(n_tokens) "
         "histogram plus a single-partition window over that tiny table; the "
         "1-row threshold joins back as BroadcastNestedLoopJoin — the fact side "
         "keeps its parallelism; the only Sort in the plan is the "
