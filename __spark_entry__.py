@@ -880,6 +880,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return stats.kcore_members(_pipeline(spark, sf_dir).mentions, k=3)
 
+    def events_attribution_join(spark, sf_dir):
+        # attribution/funnel join: every purchase paired with the same
+        # user's clicks in the preceding 30 minutes (the many-match
+        # sibling of the as-of join; streaming parity in pytest)
+        from pignlproc_spark.operators.temporal import attribution_join
+
+        e = _read(spark, sf_dir, "events")
+        j = attribution_join(
+            e.where(F.col("event_type") == "purchase"),
+            e.where(F.col("event_type") == "click"),
+            lookback="30 minutes",
+        )
+        return j.select(
+            F.col("k").cast("bigint").alias("user_id"),
+            F.col("l_event_id").cast("bigint").alias("purchase_id"),
+            F.unix_micros(F.col("l_ts").cast("timestamp")).alias("purchase_ts_us"),
+            F.col("r_event_id").cast("bigint").alias("click_id"),
+            F.unix_micros(F.col("r_ts").cast("timestamp")).alias("click_ts_us"),
+        )
+
     def events_asof_join(spark, sf_dir):
         # backward as-of join (each click to the user's latest error at
         # or before it) via the union-and-window formulation — one hash
@@ -1035,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         events_running_window=events_running_window,
         events_user_mode=events_user_mode,
         events_asof_join=events_asof_join,
+        events_attribution_join=events_attribution_join,
         docs_positional_index=docs_positional_index,
         docs_collocations=docs_collocations,
         events_tumbling=events_tumbling,
@@ -2082,6 +2103,15 @@ def oracle_sql() -> dict[str, str]:
              ) AS rn
       FROM events GROUP BY user_id, event_type
     ) WHERE rn = 1
+    """
+    o["events_attribution_join"] = """
+    SELECT l.user_id::BIGINT AS user_id, l.event_id::BIGINT AS purchase_id,
+           epoch_us(l.ts)::BIGINT AS purchase_ts_us,
+           r.event_id::BIGINT AS click_id, epoch_us(r.ts)::BIGINT AS click_ts_us
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND l.event_type = 'purchase' AND r.event_type = 'click'
+     AND r.ts <= l.ts AND r.ts >= l.ts - INTERVAL 30 MINUTE
     """
     o["events_asof_join"] = """
     WITH c AS (

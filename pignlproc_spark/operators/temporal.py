@@ -168,3 +168,57 @@ def session_windows(
             "n_events",
         )
     )
+
+
+def attribution_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lookback: str = "30 minutes",
+    watermark: str = "1 hour",
+    left_cols: tuple = ("event_id",),
+    right_cols: tuple = ("event_id",),
+) -> DataFrame:
+    """(k, l_ts, l_*, r_ts, r_*) — every (left, right) event pair with
+    the same key where the right event PRECEDES the left within
+    ``lookback``: the attribution / funnel join (purchase ← the clicks
+    that led to it). The many-match sibling of :func:`asof_join`
+    (which keeps only the latest single match).
+
+    Works unchanged on batch AND streaming inputs. Streaming: this is
+    the canonical Spark *stream-stream inner join* — both sides get
+    event-time watermarks, and the time-bound condition
+    ``l_ts - lookback ≤ r_ts ≤ l_ts`` is what lets the state store
+    evict: a buffered right row older than ``watermark + lookback``
+    can never match a future left row, so state is bounded without any
+    custom operator. Without the bound Spark would have to buffer both
+    streams forever — the bound is a correctness-of-resource contract,
+    not an optimization.
+
+    Scale shape (batch): one equi-shuffle on the key; the range bound
+    is a codegen'd post-join predicate. Per-key fanout is
+    |left per key| × |right per key in window| — bounded by the
+    lookback, the same knob that bounds streaming state.
+    """
+    l = left.select(
+        F.col(on).alias("k"),
+        F.col(left_ts).alias("l_ts"),
+        *[F.col(c).alias(f"l_{c}") for c in left_cols],
+    )
+    r = right.select(
+        F.col(on).alias("_rk"),
+        F.col(right_ts).alias("r_ts"),
+        *[F.col(c).alias(f"r_{c}") for c in right_cols],
+    )
+    if left.isStreaming:
+        l = l.withWatermark("l_ts", watermark)
+    if right.isStreaming:
+        r = r.withWatermark("r_ts", watermark)
+    cond = (
+        (F.col("k") == F.col("_rk"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {lookback}"))
+    )
+    return l.join(r, cond).drop("_rk")

@@ -473,3 +473,50 @@ def test_session_windows_stream_parity(spark, tmp_path):
         if r.session_end < watermark
     }
     assert want and got == want
+
+
+def test_attribution_join_stream_parity(spark, tmp_path):
+    """Stream-stream inner join: with the watermark pushed past every
+    event, the streamed emissions equal the batch attribution join."""
+    import datetime as dt
+
+    from pignlproc_spark.operators.temporal import attribution_join
+
+    base = dt.datetime(2024, 1, 1)
+    s = lambda sec: base + dt.timedelta(seconds=sec)
+    # user 1: two clicks inside the 10-minute lookback of purchase 100,
+    # one click outside it; user 2: click AFTER the purchase (no match)
+    left_rows = [(100, 1, s(1200)), (200, 2, s(600)), (999, 9, s(10**6))]
+    right_rows = [(10, 1, s(700)), (11, 1, s(1100)), (12, 1, s(100)),
+                  (20, 2, s(700)), (998, 9, s(10**6))]
+    lsch = "event_id long, user_id long, ts timestamp"
+    lsrc, rsrc = tmp_path / "attr_l", tmp_path / "attr_r"
+    spark.createDataFrame(left_rows, lsch).write.parquet(str(lsrc))
+    spark.createDataFrame(right_rows, lsch).write.parquet(str(rsrc))
+
+    batch = attribution_join(
+        spark.read.parquet(str(lsrc)), spark.read.parquet(str(rsrc)), lookback="10 minutes"
+    )
+    want = sorted((r.k, r.l_event_id, r.r_event_id) for r in batch.collect())
+    assert want == [(1, 100, 10), (1, 100, 11), (9, 999, 998)]  # click 12 too old, user 2 none
+
+    q = (
+        attribution_join(
+            spark.readStream.schema(lsch).parquet(str(lsrc)),
+            spark.readStream.schema(lsch).parquet(str(rsrc)),
+            lookback="10 minutes",
+            watermark="1 hour",
+        )
+        .writeStream.format("memory")
+        .queryName("attr_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_attr"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.k, r.l_event_id, r.r_event_id)
+        for r in spark.sql("SELECT * FROM attr_stream").collect()
+    )
+    assert got == want
