@@ -180,6 +180,7 @@ def attribution_join(
     watermark: str = "1 hour",
     left_cols: tuple = ("event_id",),
     right_cols: tuple = ("event_id",),
+    how: str = "inner",
 ) -> DataFrame:
     """(k, l_ts, l_*, r_ts, r_*) — every (left, right) event pair with
     the same key where the right event PRECEDES the left within
@@ -221,4 +222,9 @@ def attribution_join(
         & (F.col("r_ts") <= F.col("l_ts"))
         & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {lookback}"))
     )
-    return l.join(r, cond).drop("_rk")
+    if how not in ("inner", "left_outer"):
+        raise ValueError("how must be 'inner' or 'left_outer'")
+    # left_outer: unmatched left rows emit with NULL right columns —
+    # in streaming only once the watermark proves no match can still
+    # arrive (Spark requires the watermark + time bound for this)
+    return l.join(r, cond, how).drop("_rk")

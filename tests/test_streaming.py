@@ -520,3 +520,49 @@ def test_attribution_join_stream_parity(spark, tmp_path):
         for r in spark.sql("SELECT * FROM attr_stream").collect()
     )
     assert got == want
+
+
+def test_attribution_join_left_outer_stream(spark, tmp_path):
+    """left_outer stream-stream join: unmatched purchases emit with
+    NULL click columns once the watermark passes their window."""
+    import datetime as dt
+
+    from pignlproc_spark.operators.temporal import attribution_join
+
+    base = dt.datetime(2024, 1, 1)
+    s = lambda sec: base + dt.timedelta(seconds=sec)
+    left_rows = [(100, 1, s(1200)), (200, 2, s(600)), (999, 9, s(10**6))]
+    right_rows = [(10, 1, s(1100)), (998, 9, s(10**6))]
+    sch = "event_id long, user_id long, ts timestamp"
+    lsrc, rsrc = tmp_path / "attro_l", tmp_path / "attro_r"
+    spark.createDataFrame(left_rows, sch).write.parquet(str(lsrc))
+    spark.createDataFrame(right_rows, sch).write.parquet(str(rsrc))
+
+    q = (
+        attribution_join(
+            spark.readStream.schema(sch).parquet(str(lsrc)),
+            spark.readStream.schema(sch).parquet(str(rsrc)),
+            lookback="10 minutes",
+            watermark="10 minutes",
+            how="left_outer",
+        )
+        .writeStream.format("memory")
+        .queryName("attro_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_attro"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.k, r.l_event_id): r.r_event_id
+        for r in spark.sql("SELECT * FROM attro_stream").collect()
+    }
+    assert got[(1, 100)] == 10  # matched pair
+    # purchase 200 had no click: emitted with NULL right side after the
+    # watermark (pushed far past it by the sentinel events)
+    assert (2, 200) in got and got[(2, 200)] is None
+    with __import__("pytest").raises(ValueError):
+        attribution_join(
+            spark.read.parquet(str(lsrc)), spark.read.parquet(str(rsrc)), how="full"
+        )
