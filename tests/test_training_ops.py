@@ -1035,3 +1035,63 @@ def test_entity_pagerank_q_exact_fixedpoint(spark):
     assert r3["b"] > r3["a"] == r3["c"]
     # floors only ever shave mass: total stays just under SCALE
     assert 0 < 10**9 - sum(r3.values()) < 100
+
+
+def test_containment_pairs_random_bruteforce(spark):
+    import random
+
+    for seed in (3, 77):
+        rng = random.Random(seed)
+        vocab = ["w%d" % i for i in range(12)]
+        rows = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 15)))) for i in range(25)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r.id_a, r.id_b): (r.inter_cnt, r.size_a, r.size_b)
+            for r in dedup.containment_pairs(df, min_containment_pct=70).collect()
+        }
+        sets = {i: set(t.split()) for i, t in rows}
+        want = {}
+        for a in range(25):
+            for b in range(a + 1, 25):
+                inter = len(sets[a] & sets[b])
+                if inter * 100 >= min(len(sets[a]), len(sets[b])) * 70:
+                    want[(a, b)] = (inter, len(sets[a]), len(sets[b]))
+        assert got == want, f"seed {seed}"
+
+
+def test_quality_gate_random_bruteforce(spark):
+    import random
+
+    for seed in (11, 99):
+        rng = random.Random(seed)
+        rows = [(i, " ".join("t%d" % j for j in range(rng.randrange(0, 30)))) for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        q = 25
+        counts = {i: len(t.split()) for i, t in rows}
+        ordered = sorted(counts.items(), key=lambda kv: (kv[1], kv[0]))
+        thr = ordered[(len(ordered) * q + 99) // 100 - 1][1]
+        want = {i for i, n in counts.items() if n >= thr}
+        got = {r.doc_id for r in textstats.quality_gate(df, q=q).collect()}
+        assert got == want, f"seed {seed}"
+
+
+def test_mix_corpus_random_bruteforce(spark):
+    import hashlib
+    import random
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % 100
+
+    for seed in (5, 31):
+        rng = random.Random(seed)
+        weights = {"s0": rng.randrange(0, 300), "s1": rng.randrange(0, 300)}
+        rows = [(i, "s%d" % (i % 3), "x") for i in range(30)]  # s2 hits the default
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        out = textstats.mix_corpus(df, weights, default_pct=60).collect()
+        got = {}
+        for r in out:
+            got[r.doc_id] = got.get(r.doc_id, 0) + 1
+        for i, src, _ in rows:
+            w = weights.get(src, 60)
+            expect = w // 100 + (1 if bucket(i) < w % 100 else 0)
+            assert got.get(i, 0) == expect, f"seed {seed} doc {i}"
