@@ -445,6 +445,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             host_col(F.col("variant")).alias("host"),
         )
 
+    def web_url_dedup(spark, sf_dir):
+        # crawl re-fetch dedup: every variant of the same canonical URL
+        # collapses to one keeper (frozen: lexicographically-first
+        # variant; a real crawl keys the same agg on min warc_ts)
+        from pignlproc_spark.functions.urls import canonical_url_col
+
+        pages = synth.pages_for(spark, sf_dir)
+        v = pages.select(
+            F.explode(
+                F.array(
+                    F.col("url"),
+                    F.concat(F.col("url"), F.lit("#frag")),
+                    F.upper(F.col("url")),
+                )
+            ).alias("variant")
+        )
+        return (
+            v.select("variant", canonical_url_col(F.col("variant")).alias("canonical_url"))
+            .groupBy("canonical_url")
+            .agg(
+                F.min("variant").alias("keep_variant"),
+                F.count(F.lit(1)).cast("bigint").alias("n_variants"),
+            )
+        )
+
     def web_domain_stats(spark, sf_dir):
         from pignlproc_spark.functions.urls import host_col
 
@@ -512,6 +537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(
         web_canonical_urls=web_canonical_urls,
         web_domain_stats=web_domain_stats,
+        web_url_dedup=web_url_dedup,
         events_hourly_rollup=events_hourly_rollup,
         events_sessionize=events_sessionize,
         docs_stratified_sample=docs_stratified_sample,
@@ -1402,6 +1428,14 @@ def oracle_sql() -> dict[str, str]:
       SELECT unnest([url, url || '#section', upper(url), url || '/']) AS variant
       FROM {g('pages')}
     ) {url_canonical_sql('v')}
+    """
+    o["web_url_dedup"] = f"""
+    WITH v AS (
+      SELECT unnest([url, url || '#frag', upper(url)]) AS variant
+      FROM {g('pages')}
+    ), c AS ({url_canonical_sql('v')})
+    SELECT canonical_url, min(variant) AS keep_variant, count(*)::BIGINT AS n_variants
+    FROM c GROUP BY canonical_url
     """
     o["web_domain_stats"] = f"""
     SELECT lower(regexp_extract(trim(url), '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host,

@@ -159,6 +159,20 @@ def main():
         textstats.tfidf_topk(docs, k=3),
     )
     add(
+        "Attribution join (equi-shuffle + codegen'd range predicate)",
+        "The batch plan of the stream-stream attribution join: one hash "
+        "exchange per side on the key, the lookback bound as a post-join "
+        "filter predicate — no NestedLoop/cartesian; in streaming the same "
+        "bound becomes the state-eviction contract.",
+        __import__("pignlproc_spark.operators.temporal", fromlist=["attribution_join"]).attribution_join(
+            docs.select(F.col("doc_id").alias("event_id"), (F.col("doc_id") % 5).alias("user_id"),
+                        F.to_timestamp(F.lit("2024-01-01")).alias("ts")),
+            docs.select(F.col("doc_id").alias("event_id"), (F.col("doc_id") % 5).alias("user_id"),
+                        F.to_timestamp(F.lit("2024-01-01")).alias("ts")),
+            on="user_id",
+        ),
+    )
+    add(
         "As-of join (union-and-window, no range join)",
         "ONE hash exchange on the key feeds a single window sort; no Join operator "
         "appears at all — the backward match rides last(ignorenulls) over "
