@@ -837,6 +837,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         only_hi = hi.subtract(lo).select("o_custkey", F.lit("hi_only").alias("tag"))
         return both.unionByName(only_hi)
 
+    def tpch_customers_with_big_orders(spark, sf_dir):
+        # semi-join (EXISTS): one shuffle, no duplicate blow-up — the
+        # probe side never multiplies however many orders match
+        c = _read(spark, sf_dir, "customer")
+        o = (
+            _read(spark, sf_dir, "orders")
+            .where(F.col("o_totalprice") >= 300000)
+            .select(F.col("o_custkey").alias("c_custkey"))
+        )
+        return c.join(o, "c_custkey", "left_semi").select("c_custkey", "c_name")
+
+    def tpch_set_ops_all(spark, sf_dir):
+        # INTERSECT ALL / EXCEPT ALL (multiset semantics — occurrence
+        # counts matter): order-priority bags per price band
+        o = _read(spark, sf_dir, "orders")
+        hi = o.where(F.col("o_totalprice") >= 200000).select("o_orderpriority")
+        lo = o.where(F.col("o_totalprice") < 50000).select("o_orderpriority")
+        inter = hi.intersectAll(lo).select("o_orderpriority", F.lit("inter_all").alias("tag"))
+        exc = hi.exceptAll(lo).select("o_orderpriority", F.lit("except_all").alias("tag"))
+        return inter.unionByName(exc)
+
     def tpch_price_band_join(spark, sf_dir):
         # interval join via the bucketed equi-join reformulation (no
         # NestedLoop/cartesian); non-uniform bands, exact cent prices
@@ -1074,6 +1095,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kg_entity_kcore=kg_entity_kcore,
         tpch_customers_no_orders=tpch_customers_no_orders,
         tpch_set_ops=tpch_set_ops,
+        tpch_set_ops_all=tpch_set_ops_all,
+        tpch_customers_with_big_orders=tpch_customers_with_big_orders,
         tpch_price_band_join=tpch_price_band_join,
         events_session_native=events_session_native,
         events_rollup=events_rollup,
@@ -2073,6 +2096,20 @@ def oracle_sql() -> dict[str, str]:
     SELECT o_custkey, 'both' AS tag FROM (SELECT * FROM hi INTERSECT SELECT * FROM lo)
     UNION ALL
     SELECT o_custkey, 'hi_only' AS tag FROM (SELECT * FROM hi EXCEPT SELECT * FROM lo)
+    """
+    o["tpch_customers_with_big_orders"] = """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice >= 300000)
+    """
+    o["tpch_set_ops_all"] = """
+    WITH hi AS (SELECT o_orderpriority FROM orders WHERE o_totalprice >= 200000),
+         lo AS (SELECT o_orderpriority FROM orders WHERE o_totalprice < 50000)
+    SELECT o_orderpriority, 'inter_all' AS tag
+    FROM (SELECT * FROM hi INTERSECT ALL SELECT * FROM lo)
+    UNION ALL
+    SELECT o_orderpriority, 'except_all' AS tag
+    FROM (SELECT * FROM hi EXCEPT ALL SELECT * FROM lo)
     """
     o["tpch_price_band_join"] = """
     WITH iv(band, lo, hi) AS (VALUES
