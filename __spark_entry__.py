@@ -1032,6 +1032,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_events").alias("cnt"),
         )
 
+    def events_grouping_sets(spark, sf_dir):
+        # explicit GROUPING SETS ((event_type), (day), ()) — the two
+        # marginals + grand total WITHOUT the (type, day) cells a CUBE
+        # would also produce; still ONE Expand pass over the scan
+        e = _read(spark, sf_dir, "events").select(
+            "event_type",
+            F.unix_timestamp(F.date_trunc("day", F.col("ts"))).cast("bigint").alias("day_epoch"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("_v"),
+        )
+        return (
+            e.groupingSets([["event_type"], ["day_epoch"], []], "event_type", "day_epoch")
+            .agg(
+                F.grouping_id().cast("bigint").alias("gid"),
+                F.count(F.lit(1)).cast("bigint").alias("cnt"),
+                F.sum("_v").cast("bigint").alias("value_c_sum"),
+            )
+            .select(
+                F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+                F.coalesce("day_epoch", F.lit(-1)).cast("bigint").alias("day_epoch"),
+                "gid",
+                "cnt",
+                "value_c_sum",
+            )
+        )
+
     def events_cube(spark, sf_dir):
         # CUBE grouping sets on (event_type, day): all four group-by
         # combinations in ONE Expand pass over the scan (no 4 scans, no
@@ -1110,6 +1135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         events_tumbling=events_tumbling,
         events_sliding=events_sliding,
         events_cube=events_cube,
+        events_grouping_sets=events_grouping_sets,
         docs_simhash_pairs=docs_simhash_pairs,
         docs_phrase_search=docs_phrase_search,
         docs_bm25_topk=docs_bm25_topk,
@@ -2260,6 +2286,15 @@ def oracle_sql() -> dict[str, str]:
            count(*)::BIGINT AS cnt
     FROM events CROSS JOIN (VALUES (0), (1)) AS off(i)
     GROUP BY 1, 2, 3
+    """
+    o["events_grouping_sets"] = """
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           coalesce(epoch(date_trunc('day', ts))::BIGINT, -1) AS day_epoch,
+           (GROUPING(event_type) * 2 + GROUPING(date_trunc('day', ts)))::BIGINT AS gid,
+           count(*)::BIGINT AS cnt,
+           sum(floor(value * 100))::BIGINT AS value_c_sum
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (date_trunc('day', ts)), ())
     """
     o["events_cube"] = """
     SELECT coalesce(event_type, 'ALL') AS event_type,
