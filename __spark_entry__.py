@@ -814,6 +814,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.coalesce(F.lag("event_id").over(w), F.lit(-1)).cast("bigint").alias("prev_event_id"),
         )
 
+    def events_value_ntile(spark, sf_dir):
+        # equi-height binning (data-quartile assignment within each
+        # event type) — ntile over the same one-shuffle window
+        # discipline; deterministic via the (value_c, event_id) total
+        # order, exact-int output
+        from pyspark.sql import Window as W
+
+        e = _read(spark, sf_dir, "events").select(
+            "event_id",
+            "event_type",
+            F.floor(F.col("value") * 100).cast("bigint").alias("value_c"),
+        )
+        w = W.partitionBy("event_type").orderBy("value_c", "event_id")
+        return e.select(
+            "event_id",
+            "event_type",
+            "value_c",
+            F.ntile(4).over(w).cast("int").alias("quartile"),
+        )
+
     def tpch_customers_no_orders(spark, sf_dir):
         # anti-join (NOT EXISTS): the null-safe set-difference join
         # Pig scripts emulate with outer-join + null filter; left_anti
@@ -1127,6 +1147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         events_rollup=events_rollup,
         events_pivot=events_pivot,
         events_running_window=events_running_window,
+        events_value_ntile=events_value_ntile,
         events_user_mode=events_user_mode,
         events_asof_join=events_asof_join,
         events_attribution_join=events_attribution_join,
@@ -2295,6 +2316,13 @@ def oracle_sql() -> dict[str, str]:
            sum(floor(value * 100))::BIGINT AS value_c_sum
     FROM events
     GROUP BY GROUPING SETS ((event_type), (date_trunc('day', ts)), ())
+    """
+    o["events_value_ntile"] = """
+    SELECT event_id::BIGINT AS event_id, event_type,
+           floor(value * 100)::BIGINT AS value_c,
+           ntile(4) OVER (PARTITION BY event_type
+                          ORDER BY floor(value * 100), event_id)::INT AS quartile
+    FROM events
     """
     o["events_cube"] = """
     SELECT coalesce(event_type, 'ALL') AS event_type,
