@@ -246,3 +246,29 @@ def test_rarity_score_one_scan_no_join(spark):
     assert "Join" not in plan
     assert "Window" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_attribution_join_no_cartesian(spark):
+    # the lookback bound must ride the equi-join as a predicate, never
+    # force a NestedLoop/cartesian plan
+    import datetime as dt
+
+    from pignlproc_spark.operators.temporal import attribution_join
+
+    rows = [(i, i % 3, dt.datetime(2024, 1, 1, 0, i)) for i in range(12)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    plan = plan_of(attribution_join(df, df, on="user_id"))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_grouping_sets_single_expand(spark):
+    # rollup/cube/grouping-sets must each be ONE Expand pass over one
+    # scan — not a union of per-set aggregations
+    rows = [(i, "t%d" % (i % 2), i * 10) for i in range(12)]
+    df = spark.createDataFrame(rows, "id long, k string, v long")
+    gs = df.groupingSets([["k"], []], "k").agg(F.sum("v").alias("s"))
+    plan = plan_of(gs, mode="simple")
+    assert plan.count("Expand") == 1
+    assert plan.count("Scan") == 1 or plan.count("LocalTableScan") == 1
+    assert "Union" not in plan
