@@ -448,7 +448,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def web_url_dedup(spark, sf_dir):
         # crawl re-fetch dedup: every variant of the same canonical URL
         # collapses to one keeper (frozen: lexicographically-first
-        # variant; a real crawl keys the same agg on min warc_ts)
+        # variant; a real crawl keys the same agg on min warc_ts).
+        # Variants chosen to ACTUALLY collapse under CCUrl v1 (which
+        # lowercases scheme+host but never path): fragment, trailing
+        # slash, cased scheme+host (synth hosts have no path chars)
         from pignlproc_spark.functions.urls import canonical_url_col
 
         pages = synth.pages_for(spark, sf_dir)
@@ -457,7 +460,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.array(
                     F.col("url"),
                     F.concat(F.col("url"), F.lit("#frag")),
-                    F.upper(F.col("url")),
+                    F.concat(F.col("url"), F.lit("/")),
+                    # HTTPS://CC0.EXAMPLE/p/000… — cases only scheme+host
+                    F.concat(
+                        F.upper(F.substring_index(F.col("url"), "/p/", 1)),
+                        F.lit("/p/"),
+                        F.substring_index(F.col("url"), "/p/", -1),
+                    ),
                 )
             ).alias("variant")
         )
@@ -1501,7 +1510,8 @@ def oracle_sql() -> dict[str, str]:
     """
     o["web_url_dedup"] = f"""
     WITH v AS (
-      SELECT unnest([url, url || '#frag', upper(url)]) AS variant
+      SELECT unnest([url, url || '#frag', url || '/',
+                     upper(split_part(url, '/p/', 1)) || '/p/' || split_part(url, '/p/', 2)]) AS variant
       FROM {g('pages')}
     ), c AS ({url_canonical_sql('v')})
     SELECT canonical_url, min(variant) AS keep_variant, count(*)::BIGINT AS n_variants

@@ -158,17 +158,21 @@ def main():
         "id/count columns, never text.",
         textstats.tfidf_topk(docs, k=3),
     )
+    from pignlproc_spark.operators.temporal import attribution_join
+
     add(
         "Attribution join (equi-shuffle + codegen'd range predicate)",
-        "The batch plan of the stream-stream attribution join: one hash "
-        "exchange per side on the key, the lookback bound as a post-join "
-        "filter predicate — no NestedLoop/cartesian; in streaming the same "
-        "bound becomes the state-eviction contract.",
-        __import__("pignlproc_spark.operators.temporal", fromlist=["attribution_join"]).attribution_join(
+        "The batch plan of the stream-stream attribution join: an equi-join "
+        "on the key (broadcast at this toy size; a hash exchange per side at "
+        "scale) carrying the lookback bound as a join-condition range "
+        "predicate — no NestedLoop/cartesian; in streaming the same bound "
+        "becomes the state-eviction contract. (ts varies per row so Catalyst "
+        "cannot constant-fold the bound away.)",
+        attribution_join(
             docs.select(F.col("doc_id").alias("event_id"), (F.col("doc_id") % 5).alias("user_id"),
-                        F.to_timestamp(F.lit("2024-01-01")).alias("ts")),
+                        F.timestamp_seconds(F.col("doc_id") * 60).alias("ts")),
             docs.select(F.col("doc_id").alias("event_id"), (F.col("doc_id") % 5).alias("user_id"),
-                        F.to_timestamp(F.lit("2024-01-01")).alias("ts")),
+                        F.timestamp_seconds(F.col("doc_id") * 37).alias("ts")),
             on="user_id",
         ),
     )
