@@ -274,3 +274,18 @@ def test_grouping_sets_single_expand(spark):
     # parquet/local scan pushes this count past 1)
     assert plan.count("Scan") == 1
     assert "Union" not in plan
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    # the storage layout contract at 100 TB: a filter on the partition
+    # column must become a PartitionFilter (directory pruning), not a
+    # post-scan predicate over every file
+    df = spark.createDataFrame(
+        [(i, "lang%d" % (i % 4), "t") for i in range(40)], "id long, lang string, text string"
+    )
+    path = str(tmp_path / "part_tbl")
+    df.write.partitionBy("lang").parquet(path)
+    back = spark.read.parquet(path).where(F.col("lang") == "lang1")
+    plan = plan_of(back)
+    assert "PartitionFilters" in plan and "lang1" in plan
+    assert back.count() == 10
