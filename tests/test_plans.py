@@ -289,3 +289,32 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     plan = plan_of(back)
     assert "PartitionFilters" in plan and "lang1" in plan
     assert back.count() == 10
+
+
+def test_runtime_bloom_filter_injects_for_selective_dim(spark, tmp_path):
+    # the 100 TB mechanism behind "filter the fact scan by the dim
+    # BEFORE the shuffle": a selective (filtered) build side injects a
+    # runtime bloom filter (might_contain) into the fact side's scan
+    # stage, row-filtering ahead of the exchange
+    fact_p, dim_p = str(tmp_path / "bf_fact"), str(tmp_path / "bf_dim")
+    spark.range(0, 200000).select(
+        (F.col("id") % 1000).alias("k"), F.col("id").alias("v")
+    ).write.parquet(fact_p)
+    spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("attr")
+    ).where(F.col("id") % 97 == 0).write.parquet(dim_p)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try:
+        j = spark.read.parquet(fact_p).join(
+            spark.read.parquet(dim_p).where(F.col("attr") > 0), "k"
+        )
+        p = plan_of(j)
+        assert "might_contain" in p.lower()
+        assert j.count() == 2000  # 10 surviving keys (k=0 fails attr>0) x 200 fact rows
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+        spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
