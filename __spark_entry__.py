@@ -805,6 +805,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "user_id", *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t) for t in types]
         )
 
+    def events_unpivot(spark, sf_dir):
+        # unpivot/melt — the inverse of events_pivot: wide per-user
+        # type counts back to long (user_id, event_type, cnt). A pure
+        # Expand-style projection fanout, no shuffle beyond the
+        # upstream pivot aggregation; zero cells dropped to keep the
+        # long form sparse (melt convention for count matrices)
+        types = ["click", "view", "error", "signup", "purchase"]
+        e = _read(spark, sf_dir, "events")
+        wide = e.groupBy("user_id").pivot("event_type", types).count()
+        wide = wide.select(
+            "user_id", *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t) for t in types]
+        )
+        return wide.unpivot("user_id", types, "event_type", "cnt").where(F.col("cnt") > 0)
+
+    def kg_sf_fuzzy_pairs(spark, sf_dir):
+        # fuzzy surface-form matching with BLOCKING: candidate pairs
+        # come from an equi-join on (first char, length bucket) — never
+        # a cartesian — then exact levenshtein <= 2 verifies. The
+        # classic fuzzy-dedup shape (typo'd aliases of the same name)
+        sf = synth.side_table(spark, sf_dir, "surface_forms").select("surface_form").distinct()
+        b = sf.select(
+            "surface_form",
+            F.substring("surface_form", 1, 1).alias("_blk"),
+            (F.length("surface_form") / 4).cast("int").alias("_lb"),
+        )
+        a2 = b.select(F.col("surface_form").alias("sf_a"), "_blk", "_lb")
+        b2 = b.select(F.col("surface_form").alias("sf_b"), "_blk", "_lb")
+        return (
+            a2.join(b2, ["_blk", "_lb"])
+            .where(F.col("sf_a") < F.col("sf_b"))
+            .select(
+                "sf_a",
+                "sf_b",
+                F.levenshtein("sf_a", "sf_b").cast("bigint").alias("edit_dist"),
+            )
+            .where(F.col("edit_dist") <= 2)
+        )
+
     def events_running_window(spark, sf_dir):
         # window-frame suite per user ordered by (ts, event_id):
         # running count, 3-row sliding count, lag with -1 fill — all
@@ -1156,6 +1194,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         events_rollup=events_rollup,
         events_pivot=events_pivot,
         events_running_window=events_running_window,
+        events_unpivot=events_unpivot,
+        kg_sf_fuzzy_pairs=kg_sf_fuzzy_pairs,
         events_value_ntile=events_value_ntile,
         events_user_mode=events_user_mode,
         events_asof_join=events_asof_join,
@@ -2333,6 +2373,25 @@ def oracle_sql() -> dict[str, str]:
            ntile(4) OVER (PARTITION BY event_type
                           ORDER BY floor(value * 100), event_id)::INT AS quartile
     FROM events
+    """
+    o["kg_sf_fuzzy_pairs"] = f"""
+    WITH s AS (SELECT DISTINCT surface_form FROM {g('surface_forms')}),
+    b AS (SELECT surface_form, substr(surface_form, 1, 1) AS blk,
+                 (length(surface_form) // 4) AS lb FROM s)
+    SELECT a.surface_form AS sf_a, c.surface_form AS sf_b,
+           levenshtein(a.surface_form, c.surface_form)::BIGINT AS edit_dist
+    FROM b a JOIN b c ON a.blk = c.blk AND a.lb = c.lb
+                      AND a.surface_form < c.surface_form
+    WHERE levenshtein(a.surface_form, c.surface_form) <= 2
+    """
+    o["events_unpivot"] = """
+    WITH w AS (
+      SELECT user_id::BIGINT AS user_id, event_type, count(*)::BIGINT AS cnt
+      FROM events
+      WHERE event_type IN ('click','view','error','signup','purchase')
+      GROUP BY 1, 2
+    )
+    SELECT user_id, event_type, cnt FROM w WHERE cnt > 0
     """
     o["events_cube"] = """
     SELECT coalesce(event_type, 'ALL') AS event_type,
