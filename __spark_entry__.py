@@ -806,17 +806,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def events_unpivot(spark, sf_dir):
-        # unpivot/melt — the inverse of events_pivot: wide per-user
-        # type counts back to long (user_id, event_type, cnt). A pure
-        # Expand-style projection fanout, no shuffle beyond the
-        # upstream pivot aggregation; zero cells dropped to keep the
-        # long form sparse (melt convention for count matrices)
+        # unpivot/melt — the inverse of events_pivot: the SAME wide
+        # matrix (reused so the two queries cannot drift apart) back to
+        # long (user_id, event_type, cnt). A pure Expand-style
+        # projection fanout, no shuffle beyond the upstream pivot
+        # aggregation; zero cells dropped to keep the long form sparse
         types = ["click", "view", "error", "signup", "purchase"]
-        e = _read(spark, sf_dir, "events")
-        wide = e.groupBy("user_id").pivot("event_type", types).count()
-        wide = wide.select(
-            "user_id", *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t) for t in types]
-        )
+        wide = events_pivot(spark, sf_dir)
         return wide.unpivot("user_id", types, "event_type", "cnt").where(F.col("cnt") > 0)
 
     def kg_sf_fuzzy_pairs(spark, sf_dir):

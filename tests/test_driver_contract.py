@@ -38,3 +38,7 @@ def test_documented_counts_match():
         rf"\*\*{n_q}/{n_q} driver checks — {n_o} oracle-exact \+ {n_q - n_o} rows-only",
         baseline,
     ), f"BASELINE.md header count != {n_q}/{n_o}"
+    readme = open("README.md").read()
+    assert f"`queries()` ({n_q} operators) and `oracle_sql()` ({n_o} DuckDB oracles;" in readme, (
+        f"README.md driver-contract counts != {n_q}/{n_o}"
+    )

@@ -316,5 +316,6 @@ def test_runtime_bloom_filter_injects_for_selective_dim(spark, tmp_path):
         assert j.count() == 2000  # 10 surviving keys (k=0 fails attr>0) x 200 fact rows
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
         spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
         spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
