@@ -1010,6 +1010,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.unix_micros(F.col("r_ts").cast("timestamp")).alias("click_ts_us"),
         )
 
+    def events_user_ewma(spark, sf_dir):
+        # rows-only: float smoothing (exact pytest vs the recurrence);
+        # the engine's one stateless grouped-map applyInPandas — the
+        # per-group-sequential case the escape hatch exists for
+        from pignlproc_spark.operators.temporal import user_ewma
+
+        return user_ewma(_read(spark, sf_dir, "events"), alpha=0.3)
+
     def events_asof_join(spark, sf_dir):
         # backward as-of join (each click to the user's latest error at
         # or before it) via the union-and-window formulation — one hash
@@ -1195,6 +1203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         events_value_ntile=events_value_ntile,
         events_user_mode=events_user_mode,
         events_asof_join=events_asof_join,
+        events_user_ewma=events_user_ewma,
         events_attribution_join=events_attribution_join,
         docs_positional_index=docs_positional_index,
         docs_collocations=docs_collocations,

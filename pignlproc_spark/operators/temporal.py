@@ -228,3 +228,45 @@ def attribution_join(
     # in streaming only once the watermark proves no match can still
     # arrive (Spark requires the watermark + time bound for this)
     return l.join(r, cond, how).drop("_rk")
+
+
+def user_ewma(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    alpha: float = 0.3,
+) -> DataFrame:
+    """(user_id, event_id, ewma) — exponentially weighted moving
+    average of each key's value sequence in (ts, id) order:
+    ``s_i = α·v_i + (1−α)·s_{i−1}`` (pandas ``ewm(adjust=False)``
+    semantics, seeded with the first value).
+
+    This is the engine's one STATELESS grouped-map
+    ``applyInPandas`` operator — kept deliberately narrow: the
+    recursion is inherently sequential per group, and the relational
+    closed form (pow-weighted prefix sums) underflows/overflows at
+    real sequence lengths, so this is the case where the grouped-map
+    escape hatch is the right tool rather than a missed relational
+    rewrite (CLAUDE.md's no-Python-in-hot-path rule governs
+    *relational* pipelines; per-group sequential state is exactly what
+    the hatch exists for).
+
+    Scale shape: ONE shuffle on the group key; each group arrives as a
+    single Arrow-batched pandas frame, so memory is bounded by the
+    largest single key's history — the same per-key bound any
+    sessionization already holds. Float output ⇒ rows-only driver
+    check + exact pytest vs an independent recurrence.
+    """
+    import pandas as pd  # noqa: F401 (documents the dependency)
+
+    def fn(pdf):
+        pdf = pdf.sort_values([ts_col, id_col])
+        out = pdf[[key_col, id_col]].copy()
+        out["ewma"] = pdf[val_col].ewm(alpha=alpha, adjust=False).mean()
+        return out
+
+    return df.groupBy(key_col).applyInPandas(
+        fn, schema=f"{key_col} bigint, {id_col} bigint, ewma double"
+    )

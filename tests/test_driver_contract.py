@@ -15,6 +15,7 @@ EXPECTED_ROWS_ONLY = {
     "ner_opennlp_sentences",
     "kg_entity_pagerank",
     "kg_entity_kcore",
+    "events_user_ewma",
 }
 
 

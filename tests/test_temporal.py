@@ -158,3 +158,31 @@ def test_interval_join(spark):
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     with pytest.raises(ValueError):
         interval_join(fact, iv, "v", bucket_width=0)
+
+
+def test_user_ewma_matches_recurrence(spark):
+    """The grouped-map applyInPandas EWMA equals the plain-Python
+    recurrence s_i = a*v_i + (1-a)*s_{i-1} seeded with v_0."""
+    import datetime as dt
+
+    from pignlproc_spark.operators.temporal import user_ewma
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    vals = {1: [10.0, 20.0, 30.0, 0.0], 2: [5.0], 3: [1.0, 1.0, 100.0]}
+    eid = 0
+    for u, vs in vals.items():
+        for i, v in enumerate(vs):
+            rows.append((eid, u, base + dt.timedelta(seconds=i), v))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, value double")
+    got = {r.event_id: r.ewma for r in user_ewma(df, alpha=0.3).collect()}
+
+    eid = 0
+    for u, vs in vals.items():
+        s = None
+        for v in vs:
+            s = v if s is None else 0.3 * v + 0.7 * s
+            assert got[eid] == pytest.approx(s, rel=1e-12), f"event {eid}"
+            eid += 1
+    assert len(got) == len(rows)
