@@ -158,8 +158,19 @@ def main():
         "id/count columns, never text.",
         textstats.tfidf_topk(docs, k=3),
     )
-    from pignlproc_spark.operators.temporal import attribution_join
+    from pignlproc_spark.operators.temporal import attribution_join, user_ewma
 
+    add(
+        "Per-key EWMA (the one stateless grouped-map Python stage)",
+        "FlatMapGroupsInPandas directly above a single hashpartitioning "
+        "exchange on the key — the deliberate escape hatch for per-group "
+        "sequential recursion; everything else in the engine stays JVM-side.",
+        user_ewma(
+            docs.select(F.col("doc_id").alias("event_id"), (F.col("doc_id") % 5).alias("user_id"),
+                        F.timestamp_seconds(F.col("doc_id")).alias("ts"),
+                        F.col("n_chars").cast("double").alias("value"))
+        ),
+    )
     add(
         "Attribution join (equi-shuffle + codegen'd range predicate)",
         "The batch plan of the stream-stream attribution join: an equi-join "
