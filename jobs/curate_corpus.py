@@ -14,8 +14,16 @@ pipeline over ``documents(doc_id, text, lang, ...)``:
                          windows with the eval set and excise the
                          leaked spans (GPT-3-style; dedup.contamination
                          + strip_contaminated_spans)
-  4. packing layout    — concat-and-chunk sequence assignment for the
+  4. length gate       — with --min-length-pct Q > 0: drop keepers
+                         below the corpus's EXACT Q-th percentile of
+                         token count (textstats.quality_gate — the
+                         global-statistic-dependent filter)
+  5. packing layout    — concat-and-chunk sequence assignment for the
                          surviving docs (textstats.pack_sequences)
+  6. training mix      — with --mix "src0=250,src1=0": materialize
+                         epochs-per-source copies of the keepers
+                         (textstats.mix_corpus; deterministic, no RNG)
+                         as a ``mix`` output table
 
 Cluster usage:
 
@@ -23,7 +31,8 @@ Cluster usage:
       jobs/curate_corpus.py \\
       --docs /data/documents --out /warehouse/curated \\
       [--eval-docs /data/benchmarks --contamination-n 13] \\
-      [--min-jaccard-pct 80 --capacity 2048 --shards 64]
+      [--min-jaccard-pct 80 --capacity 2048 --shards 64] \\
+      [--min-length-pct 10] [--mix "web=250,books=130" --mix-default-pct 100]
 
 Local smoke:
 
@@ -63,6 +72,12 @@ def main(argv=None):
         help="drop excised docs whose surviving token stream falls below this "
              "(the corpus_filter min_tokens recheck after decontamination)",
     )
+    ap.add_argument(
+        "--min-length-pct", type=int, default=0,
+        help="drop keepers below this exact global token-count percentile (0 = off)",
+    )
+    ap.add_argument("--mix", help="epochs-per-source weights, e.g. 'web=250,books=0' (percent)")
+    ap.add_argument("--mix-default-pct", type=int, default=100, help="weight for unlisted sources")
     ap.add_argument("--capacity", type=int, default=2048, help="training-sequence token capacity")
     ap.add_argument("--shards", type=int, default=8, help="packing shards (≈ output files)")
     args = ap.parse_args(argv)
@@ -159,9 +174,24 @@ def main(argv=None):
         )
         curated_text = docs.select("doc_id", F.col("text").alias("_clean"))
 
+    # 4. optional global-percentile length gate (exact threshold via
+    # the value-histogram two-phase; the corpus never sorts)
+    if args.min_length_pct > 0:
+        gated = textstats.quality_gate(docs, q=args.min_length_pct).select(
+            "doc_id", F.lit(1).alias("length_gate_keep")
+        )
+        report = report.join(gated, "doc_id", "left").withColumn(
+            "length_gate_keep", F.coalesce("length_gate_keep", F.lit(0)).cast("int")
+        )
+    else:
+        report = report.withColumn("length_gate_keep", F.lit(1))
+
     report = report.withColumn(
         "keep",
-        (F.col("quality_keep") * F.col("neardup_keep") * F.col("decon_keep")).cast("int"),
+        (
+            F.col("quality_keep") * F.col("neardup_keep") * F.col("decon_keep")
+            * F.col("length_gate_keep")
+        ).cast("int"),
     )
     report_path = tables.write_table(report, "report", root=args.out)
     report_w = tables.read_path_or_table(spark, report_path)
@@ -177,6 +207,18 @@ def main(argv=None):
         curated_w, capacity=args.capacity, shards=args.shards
     )
     packing_path = tables.write_table(packing, "packing", root=args.out)
+
+    # 6. optional training-mix materialization over the keepers
+    outputs_extra = {}
+    if args.mix:
+        weights = {}
+        for part in args.mix.split(","):
+            k, _, v = part.partition("=")
+            weights[k.strip()] = int(v)
+        mix = textstats.mix_corpus(
+            docs.join(keepers, "doc_id"), weights, default_pct=args.mix_default_pct
+        )
+        outputs_extra["mix"] = tables.write_table(mix, "mix", root=args.out)
 
     n_in = docs.count()
     n_keep = curated_w.count()
@@ -201,7 +243,8 @@ def main(argv=None):
                 "docs_kept": n_keep,
                 "sequences": int(n_seqs or 0),
                 "wall_s": round(wall, 1),
-                "outputs": {"report": report_path, "curated": curated_path, "packing": packing_path},
+                "outputs": {"report": report_path, "curated": curated_path,
+                            "packing": packing_path, **outputs_extra},
             }
         )
     )

@@ -162,3 +162,38 @@ def test_curate_corpus_job_end_to_end(spark, tmp_path):
     )
     assert per_shard.where(F.col("n_seqs") != F.col("expect")).count() == 0
     assert per_shard.count() > 0
+
+
+def test_curate_corpus_job_length_gate_and_mix(spark, tmp_path):
+    """--min-length-pct adds the exact-percentile gate to the keep
+    conjunction; --mix materializes deterministic epochs-per-source."""
+    from jobs.curate_corpus import main as curate_main
+    from pignlproc_spark.operators import textstats
+
+    corpus_p = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "curated_gm")
+    rc = curate_main(
+        ["--docs", corpus_p, "--out", out, "--min-length-pct", "20",
+         "--mix", "src0=200,src1=0", "--mix-default-pct", "100"]
+    )
+    assert rc == 0
+    report = spark.read.parquet(f"{out}/report")
+    docs = spark.read.parquet(corpus_p)
+    # the gate column equals the operator's verdict exactly
+    gate_ids = {r.doc_id for r in textstats.quality_gate(docs, q=20).collect()}
+    assert {r.doc_id for r in report.where(F.col("length_gate_keep") == 1).collect()} == gate_ids
+    assert report.where(
+        (F.col("keep") == 1)
+        & ~(
+            (F.col("quality_keep") == 1)
+            & (F.col("neardup_keep") == 1)
+            & (F.col("length_gate_keep") == 1)
+        )
+    ).count() == 0
+    # mix: only keepers appear; src1 weight 0 -> absent; src0 twice
+    mix = spark.read.parquet(f"{out}/mix")
+    keepers = {r.doc_id for r in report.where(F.col("keep") == 1).collect()}
+    assert {r.doc_id for r in mix.collect()} <= keepers
+    assert mix.where(F.col("source") == "src1").count() == 0
+    src0 = mix.where(F.col("source") == "src0").groupBy("doc_id").count().collect()
+    assert src0 and all(r["count"] == 2 for r in src0)
