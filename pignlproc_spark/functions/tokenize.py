@@ -25,10 +25,16 @@ import unicodedata
 
 _TOKEN_RE = re.compile(r"[^\W_]+", re.UNICODE)
 
-#: the same frozen word regex in Java-regex spelling ((?U): Java
-#: defaults \w to ASCII) — the single source for every JVM-side
-#: tokenizer expression (tokens_col, functions/register.py)
-TOKEN_RE_JVM = r"(?U)[^\W_]+"
+#: the same frozen word regex in Java-regex spelling — the single
+#: source for every JVM-side tokenizer expression (tokens_col,
+#: functions/register.py). (?U): Java defaults \w to ASCII. The
+#: &&[^\p{M}] intersection excludes combining marks: Java's Unicode \w
+#: INCLUDES Mn/Mc/Me but Python's does not (marks are not isalnum), so
+#: without it the two paths diverge on NFC text that keeps a combining
+#: mark — e.g. lower('İstanbul') = 'i' + U+0307 + 'stanbul' tokenizes
+#: as ['i', 'stanbul'] under the Python spec (found by the seeded
+#: random differential test).
+TOKEN_RE_JVM = r"(?U)[[^\W_]&&[^\p{M}]]+"
 
 # Frozen per-language stoplists — parity with the reference's
 # LuceneTokenizer(stoplistPath, stoplistName, lang, analyzer) ctor
@@ -112,8 +118,8 @@ def tokens_col(col, apply_stoplist: bool = True, lang: str = "en"):
 
     if isinstance(col, str):
         col = F.col(col)
-    # (?U): Java regex defaults \w to ASCII; the Unicode flag makes it
-    # match the Python spec ('café' must tokenize as one word). NFC
+    # TOKEN_RE_JVM carries the (?U) Unicode flag ('café' one word) and
+    # the mark-exclusion intersection (see its definition). NFC
     # normalization (the one remaining Python-spec step) has no JVM
     # builtin — non-NFC text routes through functions.tokenize.
     arr = F.regexp_extract_all(F.lower(col), F.lit(TOKEN_RE_JVM), 0)

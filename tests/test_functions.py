@@ -274,3 +274,31 @@ def test_sql_function_registry_parity(spark):
     finally:
         spark.conf.set("spark.sql.parser.escapedStringLiterals", "false")
         register_sql(spark)
+
+
+def test_tokenize_spark_parity_random_batch(spark):
+    """Seeded-random differential check of the frozen tokenizer spec:
+    the JVM expression path must equal the Python path on a batch of
+    adversarial NFC-clean strings (mixed scripts, underscores, >64-char
+    runs, digits, punctuation soup) — one Spark job for all cases."""
+    import random
+    import unicodedata
+
+    from pignlproc_spark.functions.tokenize import tokenize, tokens_col
+
+    rng = random.Random(20260817)
+    pieces = [
+        "the", "Fox", "naïve", "café", "Zürich", "中文字符", "x_y", "_", "__",
+        "A" * 70, "b" * 64, "１２３", "r&d", "don't", "e.g.", "--", "𝔘ni",
+        "tab\tsep", "new\nline", "", " ", "ß", "İstanbul", "ΣΙΓΜΑ",
+    ]
+    texts = []
+    for _ in range(300):
+        n = rng.randrange(0, 12)
+        s = "".join(rng.choice(pieces) + rng.choice([" ", "", ".", ", ", "!"]) for _ in range(n))
+        texts.append(unicodedata.normalize("NFC", s))
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    for stop in (True, False):
+        got = [r[0] for r in df.select(tokens_col("text", apply_stoplist=stop)).collect()]
+        want = [tokenize(t) if stop else tokenize(t, stopwords=None) for t in texts]
+        assert got == want, f"JVM/Python tokenizer divergence (stop={stop})"
