@@ -302,3 +302,18 @@ def test_tokenize_spark_parity_random_batch(spark):
         got = [r[0] for r in df.select(tokens_col("text", apply_stoplist=stop)).collect()]
         want = [tokenize(t) if stop else tokenize(t, stopwords=None) for t in texts]
         assert got == want, f"JVM/Python tokenizer divergence (stop={stop})"
+
+
+def test_cjk_bigrams_parity_random_batch(spark):
+    """Seeded-random differential check of the CJK bigram spec: JVM
+    expression vs pure Python on mixed Han/ASCII/punctuation soup."""
+    import random
+
+    from pignlproc_spark.functions.tokenize import cjk_bigrams, cjk_bigrams_col
+
+    rng = random.Random(20260817)
+    alphabet = list("中文分词测试汉字一二三 abZ.,!х𝔘") + ["", "中", "　"]
+    texts = ["".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 30))) for _ in range(300)]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r[0] for r in df.select(cjk_bigrams_col("text")).collect()]
+    assert got == [cjk_bigrams(t) for t in texts]
