@@ -25,16 +25,22 @@ import unicodedata
 
 _TOKEN_RE = re.compile(r"[^\W_]+", re.UNICODE)
 
-#: the same frozen word regex in Java-regex spelling — the single
+#: the same frozen word rule in Java-regex spelling — the single
 #: source for every JVM-side tokenizer expression (tokens_col,
-#: functions/register.py). (?U): Java defaults \w to ASCII. The
-#: &&[^\p{M}] intersection excludes combining marks: Java's Unicode \w
-#: INCLUDES Mn/Mc/Me but Python's does not (marks are not isalnum), so
-#: without it the two paths diverge on NFC text that keeps a combining
-#: mark — e.g. lower('İstanbul') = 'i' + U+0307 + 'stanbul' tokenizes
-#: as ['i', 'stanbul'] under the Python spec (found by the seeded
-#: random differential test).
-TOKEN_RE_JVM = r"(?U)[[^\W_]&&[^\p{M}]]+"
+#: functions/register.py). NOT a translation of ``\w``: Java's Unicode
+#: \w includes combining marks (Mn/Mc/Me), connector punctuation
+#: beyond '_' (U+203F, U+FF3F), and Join_Control (ZWNJ/ZWJ), while
+#: excluding the No numerics (², ½) Python's isnumeric admits — every
+#: one a silent tokenization divergence. The positive class
+#: [L, Nd, Nl, No] is exactly CPython's ``isalnum()`` (= the frozen
+#: Python spec ``[^\W_]``), verified by an exhaustive BMP differential
+#: test (test_functions.py::test_tokenize_parity_exhaustive_bmp). The
+#: only residual divergence is Unicode DATABASE VERSION skew: Java 17
+#: carries Unicode 13.0, CPython 3.11 carries 14.0, so the 53 BMP
+#: codepoints assigned in 14.0 (Arabic Extended-B, Tagalog RA, …) are
+#: letters to Python and unassigned to the JVM — pinned as an explicit
+#: allowlist in that test.
+TOKEN_RE_JVM = r"[\p{L}\p{Nd}\p{Nl}\p{No}]+"
 
 # Frozen per-language stoplists — parity with the reference's
 # LuceneTokenizer(stoplistPath, stoplistName, lang, analyzer) ctor

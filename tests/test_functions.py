@@ -291,6 +291,7 @@ def test_tokenize_spark_parity_random_batch(spark):
         "the", "Fox", "naïve", "café", "Zürich", "中文字符", "x_y", "_", "__",
         "A" * 70, "b" * 64, "１２３", "r&d", "don't", "e.g.", "--", "𝔘ni",
         "tab\tsep", "new\nline", "", " ", "ß", "İstanbul", "ΣΙΓΜΑ",
+        "mi\u200ckhaham", "x\u00b2y", "half\u00bdx", "a\uff3fb", "a\u203fb",
     ]
     texts = []
     for _ in range(300):
@@ -317,3 +318,46 @@ def test_cjk_bigrams_parity_random_batch(spark):
     df = spark.createDataFrame([(t,) for t in texts], "text string")
     got = [r[0] for r in df.select(cjk_bigrams_col("text")).collect()]
     assert got == [cjk_bigrams(t) for t in texts]
+
+
+# Unicode DATABASE version skew between the two frozen tokenizer paths
+# (Java 17 = Unicode 13.0, CPython 3.11 = 14.0): BMP codepoints
+# assigned in 14.0 are letters to Python and unassigned to the JVM.
+# Regenerate by rerunning the exhaustive test body with an empty set.
+TOKENIZER_DB_SKEW = {
+    0x019B, 0x0264, 0x0870, 0x0871, 0x0872, 0x0873, 0x0874, 0x0875,
+    0x0876, 0x0877, 0x0878, 0x0879, 0x087A, 0x087B, 0x087C, 0x087D,
+    0x087E, 0x087F, 0x0880, 0x0881, 0x0882, 0x0883, 0x0884, 0x0885,
+    0x0886, 0x0887, 0x0889, 0x088A, 0x088B, 0x088C, 0x088D, 0x088E,
+    0x08B5, 0x08C8, 0x08C9, 0x0C5D, 0x0CDD, 0x170D, 0x171F, 0x1B4C,
+    0x2C5F, 0x9FFD, 0x9FFE, 0x9FFF, 0xA7C1, 0xA7D1, 0xA7D3, 0xA7D5,
+    0xA7D7, 0xA7D9, 0xA7F2, 0xA7F3, 0xA7F4,
+}
+
+
+def test_tokenize_parity_exhaustive_bmp(spark):
+    """EXHAUSTIVE differential over the whole BMP (space-flanked
+    codepoints, NFC domain): the JVM and Python tokenizer paths may
+    differ ONLY on the pinned Unicode-version-skew codepoints — any
+    structural divergence (a character class one engine's word rule
+    includes and the other's excludes) fails here."""
+    import unicodedata
+
+    from pignlproc_spark.functions.tokenize import tokenize, tokens_col
+
+    cps = [c for c in range(0x20, 0x10000) if not (0xD800 <= c <= 0xDFFF)]
+    texts = []
+    for a in range(0, len(cps), 2000):
+        texts.append(unicodedata.normalize("NFC", " ".join(chr(c) for c in cps[a : a + 2000])))
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    got = {
+        r.i: r.t
+        for r in df.select("i", tokens_col("text", apply_stoplist=False).alias("t")).collect()
+    }
+    div = set()
+    for i, t in enumerate(texts):
+        div |= set("".join(tokenize(t, stopwords=None))) ^ set("".join(got[i]))
+    assert {ord(c) for c in div} <= TOKENIZER_DB_SKEW, (
+        "structural JVM/Python tokenizer divergence beyond pinned DB skew: "
+        + ", ".join(sorted(f"U+{ord(c):04X}" for c in div if ord(c) not in TOKENIZER_DB_SKEW)[:20])
+    )
