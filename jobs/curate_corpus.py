@@ -81,6 +81,21 @@ def main(argv=None):
     ap.add_argument("--capacity", type=int, default=2048, help="training-sequence token capacity")
     ap.add_argument("--shards", type=int, default=8, help="packing shards (≈ output files)")
     args = ap.parse_args(argv)
+    mix_weights = None
+    if args.mix:
+        mix_weights = {}
+        for part in args.mix.split(","):
+            part = part.strip()
+            if not part:
+                continue
+            k, sep, v = part.partition("=")
+            if not sep or not k.strip() or not v.strip().lstrip("-").isdigit() or int(v) < 0:
+                ap.error(f"--mix entry {part!r} must be 'source=NONNEG_PERCENT'")
+            mix_weights[k.strip()] = int(v)
+        if not mix_weights:
+            ap.error("--mix given but no 'source=percent' entries parsed")
+    if args.mix_default_pct < 0:
+        ap.error("--mix-default-pct must be >= 0")
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -115,6 +130,7 @@ def main(argv=None):
     # span table alone feeds the report columns (span lengths = tokens
     # dropped; the spans are disjoint maximal merges), and the
     # expensive excision explode runs ONLY over the contaminated docs
+    toks = None
     if args.eval_docs:
         ev = tables.read_path_or_table(spark, args.eval_docs)
         from pignlproc_spark.functions.tokenize import tokens_col
@@ -175,9 +191,24 @@ def main(argv=None):
         curated_text = docs.select("doc_id", F.col("text").alias("_clean"))
 
     # 4. optional global-percentile length gate (exact threshold via
-    # the value-histogram two-phase; the corpus never sorts)
+    # the value-histogram two-phase; the corpus never sorts). Shares
+    # the decontamination branch's token arrays when they exist (no
+    # second tokenize pass); otherwise persists its own tiny
+    # (id, n_tokens) projection and releases it with the others
     if args.min_length_pct > 0:
-        gated = textstats.quality_gate(docs, q=args.min_length_pct).select(
+        if toks is not None:
+            counts = toks.select(
+                "doc_id", F.size("_toks").cast("bigint").alias("n_tokens")
+            )
+        else:
+            from pignlproc_spark.functions.tokenize import tokens_col
+
+            counts = docs.select(
+                F.col("doc_id").cast("bigint").alias("doc_id"),
+                F.size(tokens_col(F.col("text"), apply_stoplist=False)).cast("bigint").alias("n_tokens"),
+            ).persist()
+            extra_persists.append(counts)
+        gated = textstats.quality_gate(docs, q=args.min_length_pct, counts=counts).select(
             "doc_id", F.lit(1).alias("length_gate_keep")
         )
         report = report.join(gated, "doc_id", "left").withColumn(
@@ -210,13 +241,9 @@ def main(argv=None):
 
     # 6. optional training-mix materialization over the keepers
     outputs_extra = {}
-    if args.mix:
-        weights = {}
-        for part in args.mix.split(","):
-            k, _, v = part.partition("=")
-            weights[k.strip()] = int(v)
+    if mix_weights:
         mix = textstats.mix_corpus(
-            docs.join(keepers, "doc_id"), weights, default_pct=args.mix_default_pct
+            docs.join(keepers, "doc_id"), mix_weights, default_pct=args.mix_default_pct
         )
         outputs_extra["mix"] = tables.write_table(mix, "mix", root=args.out)
 

@@ -267,6 +267,10 @@ def user_ewma(
         out["ewma"] = pdf[val_col].ewm(alpha=alpha, adjust=False).mean()
         return out
 
+    # derive key/id types from the input so string keys etc. fail at
+    # plan time (or just work), never as an opaque Arrow worker error
+    key_t = df.schema[key_col].dataType.simpleString()
+    id_t = df.schema[id_col].dataType.simpleString()
     return df.groupBy(key_col).applyInPandas(
-        fn, schema=f"{key_col} bigint, {id_col} bigint, ewma double"
+        fn, schema=f"{key_col} {key_t}, {id_col} {id_t}, ewma double"
     )

@@ -301,6 +301,9 @@ def mix_corpus(
     are at most a few elements); no shuffle at all. Weights arrive as
     a literal CASE chain, not a join: the mix config is planning-time
     metadata, never data."""
+    bad = {s: p for s, p in weights_pct.items() if p < 0}
+    if bad or default_pct < 0:
+        raise ValueError(f"mix weights must be >= 0 percent; got {bad or default_pct}")
     rate = F.lit(default_pct)
     for s, pct in sorted(weights_pct.items()):
         rate = F.when(F.col(source_col) == s, F.lit(pct)).otherwise(rate)
