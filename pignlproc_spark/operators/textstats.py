@@ -25,10 +25,14 @@ LANG_MARKERS: dict[str, list[str]] = {
 SUBSTRING_LANGS = {"zh"}  # unsegmented scripts: the word regex yields no
 # tokens for CJK, so markers are counted by substring presence instead
 
-#: FROZEN GPT-2-style pre-tokenizer split (lookahead-free: runs
-#: identically under Java regex and DuckDB RE2) — shared by
+#: FROZEN GPT-2-style pre-tokenizer split (lookahead-free) — shared by
 #: bpe_ish_token_counts and pack_sequences and mirrored verbatim in
-#: their oracles; never edit one copy alone.
+#: their oracles; never edit one copy alone. Cross-engine contract
+#: domain (measured, test_bpe_split_engine_parity_latin1): Java regex
+#: and DuckDB RE2 agree exactly on ASCII + Latin-1; beyond that their
+#: \p{L}/\p{N} Unicode tables skew (5/32 BMP chunks diverge), so
+#: non-Latin corpora keep Spark-side determinism but the DuckDB oracle
+#: only binds where the driver corpus lives (ASCII).
 BPE_SPLIT_RE = r"'(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+"
 
 

@@ -361,3 +361,36 @@ def test_tokenize_parity_exhaustive_bmp(spark):
         "structural JVM/Python tokenizer divergence beyond pinned DB skew: "
         + ", ".join(sorted(f"U+{ord(c):04X}" for c in div if ord(c) not in TOKENIZER_DB_SKEW)[:20])
     )
+
+
+def test_bpe_split_engine_parity_latin1(spark):
+    """The BPE splitter's oracle contract domain: Java regex and DuckDB
+    RE2 must agree EXACTLY on ASCII + Latin-1 (where the driver corpus
+    lives); beyond Latin-1 their Unicode property tables skew, which
+    the BPE_SPLIT_RE docstring documents."""
+    import random
+    import unicodedata
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from pignlproc_spark.operators.textstats import BPE_SPLIT_RE
+
+    rng = random.Random(20260817)
+    alpha = [chr(c) for c in range(0x20, 0x7F)] + [chr(c) for c in range(0xA0, 0x100)]
+    texts = ["it's the 2024, folks!", "don't we'll i've you're", "a'b'c", "'s'd'm't"]
+    texts += [
+        unicodedata.normalize("NFC", "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 120))))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    got = {
+        r.i: r.n
+        for r in df.select(
+            "i", F.size(F.regexp_extract_all("text", F.lit(BPE_SPLIT_RE), 0)).alias("n")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        n = con.execute("select len(regexp_extract_all(?, ?))", [t, BPE_SPLIT_RE]).fetchone()[0]
+        assert n == got[i], f"BPE engine divergence on {t!r}: spark {got[i]} duckdb {n}"
