@@ -182,11 +182,27 @@ def main(argv=None):
             .select("doc_id", F.coalesce("_clean", F.col("text")).alias("_clean"))
         )
     else:
+        # no decontamination — but the report schema must be IDENTICAL
+        # in both branches (downstream consumers read one shape):
+        # n_tokens_kept = n_tokens, zeros/ones elsewhere. The (doc_id,
+        # n_tokens) projection is persisted and shared with the
+        # length-gate below, so this costs one tokenize pass total —
+        # the same count the gate would have computed anyway.
+        from pignlproc_spark.functions.tokenize import tokens_col
+
+        counts_shared = docs.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.size(tokens_col(F.col("text"), apply_stoplist=False)).cast("bigint").alias("n_tokens"),
+        ).persist()
+        extra_persists.append(counts_shared)
         report = (
-            report.withColumn("n_hit_windows", F.lit(0).cast("bigint"))
-            .withColumn("contaminated", F.lit(0))
+            report.join(counts_shared, "doc_id")
+            .withColumn("n_hit_windows", F.lit(0).cast("bigint"))
             .withColumn("n_tokens_dropped", F.lit(0).cast("bigint"))
+            .withColumn("contaminated", F.lit(0))
+            .withColumn("n_tokens_kept", F.col("n_tokens"))
             .withColumn("decon_keep", F.lit(1))
+            .drop("n_tokens")
         )
         curated_text = docs.select("doc_id", F.col("text").alias("_clean"))
 
@@ -201,13 +217,8 @@ def main(argv=None):
                 "doc_id", F.size("_toks").cast("bigint").alias("n_tokens")
             )
         else:
-            from pignlproc_spark.functions.tokenize import tokens_col
-
-            counts = docs.select(
-                F.col("doc_id").cast("bigint").alias("doc_id"),
-                F.size(tokens_col(F.col("text"), apply_stoplist=False)).cast("bigint").alias("n_tokens"),
-            ).persist()
-            extra_persists.append(counts)
+            # reuse the persisted projection built for the report above
+            counts = counts_shared
         gated = textstats.quality_gate(docs, q=args.min_length_pct, counts=counts).select(
             "doc_id", F.lit(1).alias("length_gate_keep")
         )

@@ -124,10 +124,12 @@ def tokens_col(col, apply_stoplist: bool = True, lang: str = "en"):
 
     if isinstance(col, str):
         col = F.col(col)
-    # TOKEN_RE_JVM carries the (?U) Unicode flag ('café' one word) and
-    # the mark-exclusion intersection (see its definition). NFC
-    # normalization (the one remaining Python-spec step) has no JVM
-    # builtin — non-NFC text routes through functions.tokenize.
+    # TOKEN_RE_JVM is the plain positive class
+    # [\p{L}\p{Nd}\p{Nl}\p{No}]+ (see its definition block — Java
+    # property classes are Unicode-aware without any flag, so 'café'
+    # is one word). NFC normalization (the one remaining Python-spec
+    # step) has no JVM builtin — non-NFC text routes through
+    # functions.tokenize.
     arr = F.regexp_extract_all(F.lower(col), F.lit(TOKEN_RE_JVM), 0)
     arr = F.filter(arr, lambda t: F.length(t) <= 64)
     if apply_stoplist:

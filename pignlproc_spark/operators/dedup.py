@@ -266,9 +266,12 @@ def tf_cosine_pairs(
     verified dot/norms are still computed over the FULL vectors.
 
     int64 headroom: the test needs 10⁴·‖a‖²·‖b‖² < 2⁶³, i.e. max ‖v‖²
-    < 3.0×10⁷ (a token repeated ~5 500× in one doc); a driver-side
-    guard aggregates the max in DOUBLE (wrap-immune) and raises rather
-    than let the non-ANSI bigint multiply wrap silently.
+    < 3.0×10⁷ (a token repeated ~5 500× in one doc); the guard
+    recomputes each norm in DOUBLE (wrap-immune) and folds a
+    ``raise_error`` branch into the norm column, so a degenerate doc
+    fails the job with a clear message at EXECUTION time rather than
+    letting the non-ANSI bigint multiply wrap silently. Construction
+    stays fully lazy — the corpus is tokenized exactly once.
     """
     tf = (
         df.select(F.col(id_col).cast("bigint").alias("doc_id"), F.explode(_tokens(F.col(text_col))).alias("tok"))
@@ -276,23 +279,28 @@ def tf_cosine_pairs(
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
         .localCheckpoint(eager=False)  # consumed by norms + both join sides
     )
+    norms = tf.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("norm2"),
+        F.sum(F.col("tf").cast("double") * F.col("tf")).alias("_n2d"),
+    )
     if guard_overflow:
-        # NB: an eager job at construction time (scan + tokenize +
-        # aggregate); pass guard_overflow=False for plan-only uses
-        # (dump_plans) or when the caller has pre-bounded repetition
-        max_nrm = (
-            tf.groupBy("doc_id")
-            .agg(F.sum(F.col("tf").cast("double") * F.col("tf")).alias("_n"))
-            .agg(F.max("_n"))
-            .collect()[0][0]
-            or 0.0
+        norms = norms.withColumn(
+            "norm2",
+            F.when(
+                F.lit(10000.0) * F.col("_n2d") * F.col("_n2d") >= F.lit(float(2**62)),
+                F.raise_error(
+                    F.concat(
+                        F.lit("tf norm^2 "),
+                        F.col("_n2d").cast("string"),
+                        F.lit(
+                            " overflows the int64 cosine test; cap token "
+                            "repetition (or pre-filter degenerate docs) first"
+                        ),
+                    )
+                ).cast("bigint"),
+            ).otherwise(F.col("norm2")),
         )
-        if 10000.0 * max_nrm * max_nrm >= float(2**62):
-            raise ValueError(
-                f"tf norm^2 up to {max_nrm:.3g} overflows the int64 cosine test; "
-                "cap token repetition (or pre-filter degenerate docs) first"
-            )
-    norms = tf.groupBy("doc_id").agg(F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("norm2"))
+    norms = norms.drop("_n2d")
     ta = tf.select(F.col("doc_id").alias("id_a"), "tok", F.col("tf").alias("tf_a"))
     tb = tf.select(F.col("doc_id").alias("id_b"), "tok", F.col("tf").alias("tf_b"))
     if max_df is None:

@@ -39,6 +39,12 @@ def interval_join(
     ``how='inner'`` drops unmatched fact rows; ``'left'`` keeps them
     with NULL interval columns (the re-check predicate is folded into
     the join condition so left semantics survive).
+
+    Empty/inverted intervals (``hi <= lo``) match nothing under the
+    half-open semantics and are filtered out before the bucket
+    expansion — ``F.sequence`` with stop < start and a positive step
+    would otherwise throw an "illegal sequence boundaries" runtime
+    error mid-job instead of yielding zero matches.
     """
     if bucket_width <= 0:
         raise ValueError("bucket_width must be positive")
@@ -51,7 +57,7 @@ def interval_join(
     def start(c):
         return c - F.pmod(c, w)
 
-    iv = intervals.withColumn(
+    iv = intervals.where(F.col(hi_col) > F.col(lo_col)).withColumn(
         "_b",
         F.explode(
             F.sequence(start(F.col(lo_col)), start(F.col(hi_col) - 1), w)

@@ -94,20 +94,64 @@ def normalize_sf_udf():
     return _norm
 
 
+#: Hard cap on the broadcast surface-form dictionary. The reference's
+#: side-file dict is ~10^7 entries (SURVEY.md §2.1 J12); a Python set
+#: of 10M short strings is ~1-2 GB — the practical per-executor
+#: broadcast ceiling. This is an explicit contract, not a tuning knob:
+#: the driver NEVER materializes more rows than this.
+SF_DICT_MAX_SIZE = 10_000_000
+
+
+def capped_surface_forms(
+    annotated: DataFrame,
+    max_dict_size: int = SF_DICT_MAX_SIZE,
+    min_annotated: int = 1,
+) -> list[str]:
+    """Bounded dictionary build: the top ``max_dict_size`` surface
+    forms by ``annotated_cnt`` (ties broken by surface_form for
+    determinism), computed DISTRIBUTED.
+
+    ``orderBy(...).limit(n)`` compiles to TakeOrderedAndProject —
+    each partition keeps its local top-n and only those heaps merge on
+    the driver, so driver memory is O(max_dict_size) regardless of how
+    many distinct anchors a 100-TB crawl has (10^8–10^9). Forms cut by
+    the cap or the ``min_annotated`` frequency floor simply never
+    enter the matcher and surface as ``total_cnt = -1`` downstream —
+    the same degrade as a form longer than the n-gram bound.
+    """
+    capped = (
+        annotated.where(F.col("annotated_cnt") >= min_annotated)
+        .orderBy(F.col("annotated_cnt").desc(), F.col("surface_form"))
+        .limit(max_dict_size)
+    )
+    return [r[0] for r in capped.select("surface_form").collect()]
+
+
 def sf_total_counts(
-    mentions: DataFrame, pages_text: DataFrame, max_n: int = 4
+    mentions: DataFrame,
+    pages_text: DataFrame,
+    max_n: int = 4,
+    max_dict_size: int = SF_DICT_MAX_SIZE,
+    min_annotated: int = 1,
 ) -> DataFrame:
     """(surface_form, annotated_cnt, total_cnt) with total_cnt = -1 for
-    forms never seen as free text (or longer than the n-gram bound).
+    forms never seen as free text (or longer than the n-gram bound, or
+    cut by the dictionary cap / frequency floor).
 
     Parity: names_and_entities.pig sfAndTotalCounts — LEFT OUTER JOIN
     annotated counts with occurrence totals, miss ⇒ -1 (SURVEY.md §2.2
-    P10). The driver-side ``collect`` of distinct surface forms *is*
-    the broadcast-dictionary build; at full scale this is the same
-    ~10^7-entry dict the reference loads from a side file per task.
+    P10). The broadcast-dictionary build is BOUNDED: a distributed
+    top-``max_dict_size``-by-frequency aggregate (TakeOrderedAndProject,
+    see :func:`capped_surface_forms`) feeds the driver at most
+    ``max_dict_size`` forms — never the unbounded distinct-anchor set
+    of the corpus. At Wikipedia scale the default cap (10M) holds every
+    form; on a 100-TB crawl the long tail of one-off anchors degrades
+    to ``total_cnt = -1`` instead of OOMing the driver.
     """
     annotated = annotated_sf_counts(mentions)
-    forms = [r[0] for r in annotated.select("surface_form").distinct().collect()]
+    forms = capped_surface_forms(
+        annotated, max_dict_size=max_dict_size, min_annotated=min_annotated
+    )
     totals = sf_occurrence_totals(pages_text, forms, max_n=max_n)
     # exact (Unicode/NFC) normalization so the join key equals the
     # matcher's dictionary key for every surface form, not just ASCII

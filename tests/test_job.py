@@ -94,6 +94,17 @@ def test_dedup_stream_job_end_to_end(spark, tmp_path):
     assert pairs.where(F.col("id_a") >= F.col("id_b")).count() == 0
 
 
+# the report table's schema is a STABLE contract: identical columns
+# whether or not --eval-docs / --min-length-pct are given (downstream
+# consumers read one shape)
+REPORT_COLUMNS = {
+    "doc_id", "ok_len", "ok_token_len", "ok_lang", "is_canonical",
+    "quality_keep", "component_id", "neardup_keep", "n_hit_windows",
+    "n_tokens_dropped", "contaminated", "n_tokens_kept", "decon_keep",
+    "length_gate_keep", "keep",
+}
+
+
 def test_curate_corpus_job_end_to_end(spark, tmp_path):
     from jobs.curate_corpus import main as curate_main
 
@@ -115,10 +126,7 @@ def test_curate_corpus_job_end_to_end(spark, tmp_path):
     report = spark.read.parquet(f"{out}/report")
     n_in = docs.where(F.col("doc_id") % 5 != 0).count()
     assert report.count() == n_in  # one verdict row per input doc
-    assert set(report.columns) >= {
-        "doc_id", "quality_keep", "neardup_keep", "contaminated", "n_hit_windows",
-        "n_tokens_dropped", "decon_keep", "keep",
-    }
+    assert set(report.columns) == REPORT_COLUMNS
     # keep is exactly the conjunction (incl. the post-excision recheck)
     assert report.where(
         (F.col("keep") == 1)
@@ -178,6 +186,11 @@ def test_curate_corpus_job_length_gate_and_mix(spark, tmp_path):
     )
     assert rc == 0
     report = spark.read.parquet(f"{out}/report")
+    assert set(report.columns) == REPORT_COLUMNS  # branch-independent shape
+    # without --eval-docs: n_tokens_kept = full token count, zero drops
+    assert report.where(
+        (F.col("n_tokens_dropped") != 0) | (F.col("n_tokens_kept") < 0)
+    ).count() == 0
     docs = spark.read.parquet(corpus_p)
     # the gate column equals the operator's verdict exactly
     gate_ids = {r.doc_id for r in textstats.quality_gate(docs, q=20).collect()}

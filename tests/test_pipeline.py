@@ -42,6 +42,50 @@ def test_sf_total_counts_exact(spark, sf_dir, result):
     assert g.where(F.col("total_cnt") == -1).count() > 0
 
 
+def test_sf_dict_cap_bounds_driver_materialization(spark, sf_dir, result):
+    """The broadcast-dictionary build must be bounded: the driver sees at
+    most max_dict_size forms (TakeOrderedAndProject, not a full collect),
+    and forms cut by the cap degrade to total_cnt = -1 — never an OOM."""
+    from pignlproc_spark.operators import stats
+
+    annotated = stats.annotated_sf_counts(result.mentions)
+    n_distinct = annotated.count()
+    cap = 5
+    assert n_distinct > cap  # the cap must actually bite at this sf
+
+    forms = stats.capped_surface_forms(annotated, max_dict_size=cap)
+    assert len(forms) <= cap
+
+    # plan shape: orderBy().limit(n) compiles to TakeOrderedAndProject —
+    # per-partition top-n heaps merge on the driver, O(cap) driver memory
+    capped_plan = (
+        annotated.orderBy(F.col("annotated_cnt").desc(), F.col("surface_form"))
+        .limit(cap)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in capped_plan
+
+    # semantic degrade: every surface form still appears in the output;
+    # rows that differ from the uncapped run differ ONLY by falling to -1
+    pages_text = result.parsed.where(F.col("redirect").isNull()).select("text")
+    capped = stats.sf_total_counts(result.mentions, pages_text, max_dict_size=cap)
+    full = result.sf_total_counts
+    assert capped.count() == full.count() == n_distinct
+    diff = (
+        capped.withColumnRenamed("total_cnt", "capped_cnt")
+        .join(full.select("surface_form", "total_cnt"), "surface_form")
+        .where(F.col("capped_cnt") != F.col("total_cnt"))
+    )
+    assert diff.where(F.col("capped_cnt") != -1).count() == 0
+    # and the cap must have actually dropped at least one previously-seen form
+    assert diff.count() > 0
+
+    # default cap exceeds this corpus's distinct forms → oracle-identical
+    assert stats.SF_DICT_MAX_SIZE > n_distinct
+
+
 def test_token_counts_exact(spark, sf_dir, result):
     _assert_equal(result.token_counts, _golden(spark, sf_dir, "golden_token_counts"), ["uri", "token", "cnt"])
 

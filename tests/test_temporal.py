@@ -146,6 +146,14 @@ def test_interval_join(spark):
     # bucketing is width-invariant (same result at any positive width)
     for w in (1, 3, 100):
         assert {(r.id, r.band) for r in interval_join(fact, iv, "v", bucket_width=w).collect()} == got
+    # empty / inverted intervals (hi <= lo) match nothing — they must
+    # not blow up F.sequence with 'illegal sequence boundaries'
+    iv_degen = spark.createDataFrame(
+        [("empty", 5, 5), ("inverted", 30, 10), ("a", 0, 10)],
+        "band string, lo long, hi long",
+    )
+    got_degen = {(r.id, r.band) for r in interval_join(fact, iv_degen, "v", bucket_width=8).collect()}
+    assert got_degen == {(1, "a")}
     import contextlib
     import io
 

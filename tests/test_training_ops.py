@@ -742,10 +742,13 @@ def test_tf_cosine_pairs(spark, docs):
     assert set(sub) <= set(rows)
     for k, v in sub.items():
         assert (v.dot, v.norm_a, v.norm_b) == (rows[k].dot, rows[k].norm_a, rows[k].norm_b)
-    # int64 overflow guard trips on degenerate token repetition
+    # int64 overflow guard trips on degenerate token repetition — at
+    # EXECUTION time (construction is lazy; the guard is a raise_error
+    # branch folded into the norm column)
     degen = spark.createDataFrame([(0, "x " * 6000), (1, "x y")], "doc_id long, text string")
-    with pytest.raises(ValueError):
-        dedup.tf_cosine_pairs(degen)
+    lazy_plan = dedup.tf_cosine_pairs(degen)  # must NOT raise or run a job
+    with pytest.raises(Exception, match="overflows the int64 cosine test"):
+        lazy_plan.collect()
 
 
 def test_entity_triangles(spark):
