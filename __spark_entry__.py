@@ -572,6 +572,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         p = synth.generate(synth.sf_of_dir(sf_dir))
         return read_uri_literal(spark, str(p / "nt" / "abstracts.nt"), "http://dbpedia.org/ontology/abstract")
 
+    def _warc_compare_cols(d):
+        # byte-faithfulness projected to hashable exact columns
+        return d.select(
+            "url",
+            F.unix_timestamp("warc_ts").cast("bigint").alias("ts_epoch"),
+            F.col("http_status").cast("bigint").alias("http_status"),
+            "content_type",
+            F.octet_length("payload").cast("bigint").alias("payload_bytes"),
+            F.md5("payload").alias("payload_md5"),
+        )
+
+    def src_warc_pages(spark, sf_dir):
+        # binary .warc.gz replay (per-record gzip members, the CC
+        # layout) — J1's splittable-archive role for the web-crawl
+        # input model (SURVEY.md §1.3); parallelism is per file
+        from pignlproc_spark.sources.warc import read_warc_gz
+
+        p = synth.generate(synth.sf_of_dir(sf_dir))
+        return _warc_compare_cols(read_warc_gz(spark, str(p / "warc")))
+
+    def src_warc_cdx_replay(spark, sf_dir):
+        # CDX-driven random access: each task seeks + inflates only its
+        # own gzip members — the record-granular 100-TB path
+        from pignlproc_spark.sources.warc import read_warc_gz_indexed
+
+        p = synth.generate(synth.sf_of_dir(sf_dir))
+        idx = spark.read.parquet(str(p / "golden_warc_cdx.parquet"))
+        return _warc_compare_cols(
+            read_warc_gz_indexed(spark, idx.select("path", "offset", "length"))
+        )
+
     # ---- ner-corpus / topic-corpus analogues (SURVEY.md §2.3) ----
     def ner_typed_mention_counts(spark, sf_dir):
         from pignlproc_spark.operators.corpus import typed_mentions
@@ -633,6 +664,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         src_wikidump_index=src_wikidump_index,
         src_ntriples_redirects=src_ntriples_redirects,
         src_ntriples_abstracts=src_ntriples_abstracts,
+        src_warc_pages=src_warc_pages,
+        src_warc_cdx_replay=src_warc_cdx_replay,
         ner_typed_mention_counts=ner_typed_mention_counts,
         topic_grounded=topic_grounded,
         topic_broader_closure=topic_broader_closure,
@@ -1946,6 +1979,9 @@ def oracle_sql() -> dict[str, str]:
     )
     o["src_ntriples_redirects"] = f"SELECT src_uri AS subj, dst_uri AS obj FROM {g('redirects')}"
     o["src_ntriples_abstracts"] = f"SELECT uri AS subj, abstract AS lit FROM {g('abstracts')}"
+    _warc_cols = "url, ts_epoch, http_status, content_type, payload_bytes, payload_md5"
+    o["src_warc_pages"] = f"SELECT {_warc_cols} FROM {g('golden_warc_pages')}"
+    o["src_warc_cdx_replay"] = f"SELECT {_warc_cols} FROM {g('golden_warc_pages')}"
 
     # ---- ner/topic corpus ----
     o["ner_typed_mention_counts"] = f"""

@@ -40,7 +40,7 @@ from pignlproc_spark.functions.tokenize import tokenize
 from pignlproc_spark.functions.uri import uri_encode
 
 SEED = 42
-GEN_VERSION = "6"  # bump → cached .synthdata regenerates
+GEN_VERSION = "7"  # bump → cached .synthdata regenerates
 MAX_HOPS = 8  # frozen redirect-resolution bound (matches canonicalize)
 URI_LANG = "en"  # URI base is a per-run constant, like the reference's lang param
 
@@ -483,6 +483,8 @@ TABLES = [
     "article_categories",
     "skos_broader",
     "golden_dump_index",
+    "golden_warc_pages",
+    "golden_warc_cdx",
 ]
 
 
@@ -640,6 +642,93 @@ def generate(sf: float, root: str | Path = None, force: bool = False) -> Path:
         for _, row in frames["abstracts"].iterrows():
             lit = row["abstract"].replace("\\", "\\\\").replace('"', '\\"')
             f.write(f'<{row["uri"]}> <{abs_prop}> "{lit}"@en .\n')
+
+    # --- Common-Crawl-style .warc.gz replay fixture (J1 parity for the
+    #     web-crawl input model, SURVEY.md §1.3): every record its own
+    #     gzip member (the CC layout), two shard files, warcinfo +
+    #     request members interleaved so the reader's response filter is
+    #     exercised. Goldens (golden_warc_pages / golden_warc_cdx) are
+    #     computed HERE from the page plan — an independent code path
+    #     from sources/warc.py's parser, same byte-identity discipline
+    #     as golden_dump_index.
+    import gzip as _gzip
+    import hashlib as _hashlib
+
+    warc_dir = out / "warc"
+    warc_dir.mkdir(exist_ok=True)
+
+    def _warc_member(headers: list[tuple[str, str]], body: bytes) -> bytes:
+        head = "".join(f"{k}: {v}\r\n" for k, v in headers)
+        rec = (
+            b"WARC/1.0\r\n"
+            + head.encode("utf-8")
+            + f"Content-Length: {len(body)}\r\n\r\n".encode()
+            + body
+            + b"\r\n\r\n"
+        )
+        return _gzip.compress(rec, mtime=0)  # fixed mtime → deterministic bytes
+
+    shard_paths = [warc_dir / f"part-{si}.warc.gz" for si in range(2)]
+    shard_bufs: list[list[bytes]] = [[], []]
+    shard_offsets = [0, 0]
+    warc_golden = []
+    cdx_rows = []
+    for si in range(2):
+        info = _warc_member(
+            [
+                ("WARC-Type", "warcinfo"),
+                ("WARC-Date", "2024-01-01T00:00:00Z"),
+                ("Content-Type", "application/warc-fields"),
+            ],
+            b"software: pignlproc_spark synth\r\n",
+        )
+        shard_bufs[si].append(info)
+        shard_offsets[si] += len(info)
+    for idx, p in enumerate(c.pages):
+        si = idx % 2
+        ts = c.base_ts + timedelta(seconds=7 * idx)
+        date = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+        if idx % 7 == 3:  # interleave a request record (readers must skip it)
+            req = _warc_member(
+                [
+                    ("WARC-Type", "request"),
+                    ("WARC-Target-URI", p.url),
+                    ("WARC-Date", date),
+                ],
+                f"GET {p.url} HTTP/1.1\r\nHost: synth\r\n\r\n".encode(),
+            )
+            shard_bufs[si].append(req)
+            shard_offsets[si] += len(req)
+        status, ctype = (404, "text/plain") if idx % 97 == 3 else (200, "text/html")
+        http = (
+            f"HTTP/1.1 {status} {'OK' if status == 200 else 'Not Found'}\r\n"
+            f"Content-Type: {ctype}; charset=utf-8\r\n"
+            f"Content-Length: {len(p.html)}\r\n\r\n"
+        ).encode() + p.html
+        resp = _warc_member(
+            [
+                ("WARC-Type", "response"),
+                ("WARC-Target-URI", p.url),
+                ("WARC-Date", date),
+            ],
+            http,
+        )
+        cdx_rows.append((str(shard_paths[si]), shard_offsets[si], len(resp), p.url))
+        shard_bufs[si].append(resp)
+        shard_offsets[si] += len(resp)
+        epoch = int((ts - datetime(1970, 1, 1)).total_seconds())
+        warc_golden.append(
+            (p.url, epoch, status, ctype, len(p.html), _hashlib.md5(p.html).hexdigest())
+        )
+    for si, wpath in enumerate(shard_paths):
+        wpath.write_bytes(b"".join(shard_bufs[si]))
+    frames["golden_warc_pages"] = pd.DataFrame(
+        warc_golden,
+        columns=["url", "ts_epoch", "http_status", "content_type", "payload_bytes", "payload_md5"],
+    )
+    frames["golden_warc_cdx"] = pd.DataFrame(
+        cdx_rows, columns=["path", "offset", "length", "url"]
+    )
 
     import pyarrow as pa
     import pyarrow.parquet as pq

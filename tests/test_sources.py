@@ -139,3 +139,108 @@ def test_warc_replay(spark, tmp_path):
     assert pages.columns == ["url", "warc_ts", "html", "lang"]
     got = {r.url: bytes(r.html).decode() for r in pages.collect()}
     assert got["https://example.com/a"] == "<html>héllo &amp; wörld</html>"
+
+
+def _warc_record(typ, uri, date, body: bytes) -> bytes:
+    head = (
+        f"WARC/1.0\r\nWARC-Type: {typ}\r\n"
+        + (f"WARC-Target-URI: {uri}\r\n" if uri else "")
+        + f"WARC-Date: {date}\r\nContent-Length: {len(body)}\r\n\r\n"
+    )
+    return head.encode() + body + b"\r\n\r\n"
+
+
+def test_warc_gz_replay_byte_faithful(spark, tmp_path):
+    """Per-record gzip members (the CC layout): binary payloads replay
+    byte-exactly, non-response records are filtered, and the CDX-indexed
+    random-access path returns the identical rows."""
+    import datetime as dt
+    import gzip
+
+    from pignlproc_spark.sources import warc as W
+
+    binary_payload = b"\x89PNG\r\n\x1a\n" + bytes(range(256))  # NOT valid UTF-8
+    http_a = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+        b"<html>h\xc3\xa9llo</html>"
+    )
+    http_png = b"HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n\r\n" + binary_payload
+    members = [
+        ("skip", gzip.compress(_warc_record("warcinfo", None, "2024-01-01T00:00:00Z", b"software: t\r\n"), mtime=0)),
+        ("https://e.com/a", gzip.compress(_warc_record("response", "https://e.com/a", "2024-01-01T01:02:03Z", http_a), mtime=0)),
+        ("skip", gzip.compress(_warc_record("request", "https://e.com/a", "2024-01-01T01:02:03Z", b"GET /a HTTP/1.1\r\n\r\n"), mtime=0)),
+        ("https://e.com/png", gzip.compress(_warc_record("response", "https://e.com/png", "2024-02-03T04:05:06Z", http_png), mtime=0)),
+    ]
+    p = tmp_path / "f.warc.gz"
+    p.write_bytes(b"".join(m for _, m in members))
+
+    rows = {r.url: r for r in W.read_warc_gz(spark, str(p)).collect()}
+    assert set(rows) == {"https://e.com/a", "https://e.com/png"}
+    png = rows["https://e.com/png"]
+    assert bytes(png.payload) == binary_payload  # byte-faithful through gzip+Arrow
+    assert (png.http_status, png.content_type) == (200, "image/png")
+    a = rows["https://e.com/a"]
+    assert bytes(a.payload).decode() == "<html>héllo</html>"
+    assert a.warc_ts == dt.datetime(2024, 1, 1, 1, 2, 3)
+
+    # CDX-indexed random access: offsets recorded at write time
+    off = 0
+    idx_rows = []
+    for url, m in members:
+        if url != "skip":
+            idx_rows.append((str(p), off, len(m), url))
+        off += len(m)
+    idx = spark.createDataFrame(idx_rows, "path string, offset long, length long, url string")
+    via_idx = {r.url: r for r in W.read_warc_gz_indexed(spark, idx).collect()}
+    assert set(via_idx) == set(rows)
+    for url in rows:
+        assert bytes(via_idx[url].payload) == bytes(rows[url].payload)
+        assert via_idx[url].http_status == rows[url].http_status
+
+    # pages shape is byte-faithful binary html
+    pages = W.warc_gz_to_pages(spark, str(p))
+    assert pages.columns == ["url", "warc_ts", "html", "lang"]
+    got = {r.url: bytes(r.html) for r in pages.collect()}
+    assert got["https://e.com/png"] == binary_payload
+
+
+def test_warc_gz_multirecord_member(spark, tmp_path):
+    """Framing is Content-Length-driven, so several records inside ONE
+    gzip member (non-CC layouts) parse identically."""
+    import gzip
+
+    from pignlproc_spark.sources import warc as W
+
+    recs = b"".join(
+        _warc_record(
+            "response",
+            f"https://m.com/{i}",
+            "2024-01-01T00:00:00Z",
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" + f"body-{i}".encode(),
+        )
+        for i in range(5)
+    )
+    p = tmp_path / "multi.warc.gz"
+    p.write_bytes(gzip.compress(recs, mtime=0))
+    rows = {r.url: r for r in W.read_warc_gz(spark, str(p)).collect()}
+    assert set(rows) == {f"https://m.com/{i}" for i in range(5)}
+    assert all(bytes(rows[f"https://m.com/{i}"].payload) == f"body-{i}".encode() for i in range(5))
+
+
+def test_warc_gz_synth_fixture_matches_golden(spark, synth_dir):
+    """The synth .warc.gz fixture replays to exactly the plan-derived
+    golden (url, epoch, status, content_type, byte length, md5)."""
+    from pignlproc_spark.sources import warc as W
+
+    got = W.read_warc_gz(spark, str(synth_dir / "warc")).select(
+        "url",
+        F.unix_timestamp("warc_ts").cast("bigint").alias("ts_epoch"),
+        F.col("http_status").cast("bigint").alias("http_status"),
+        "content_type",
+        F.octet_length("payload").cast("bigint").alias("payload_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )
+    gold = spark.read.parquet(str(synth_dir / "golden_warc_pages.parquet"))
+    assert got.count() == gold.count()
+    assert got.exceptAll(gold.select(got.columns)).count() == 0
+    assert gold.select(got.columns).exceptAll(got).count() == 0
