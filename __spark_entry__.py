@@ -695,6 +695,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def media_features(spark, sf_dir):
         return multimodal.extract_media_features(multimodal.fake_media_df(spark, 64)).drop("feature")
 
+    def media_stats_real(spark, sf_dir):
+        # REAL dependency-free BMP/WAV decode → integer-exact stats;
+        # undecodable payloads (the video rows) degrade to decoded=0
+        # with -1 fills instead of killing the job
+        p = synth.generate(synth.sf_of_dir(sf_dir))
+        m = spark.read.parquet(str(p / "media.parquet"))
+        s = multimodal.media_stats(m.select("url", "kind", "payload"))
+        ints = ["n_bytes", "decoded", "width", "height", "n_pixels", "sum_r", "sum_g",
+                "sum_b", "sample_rate", "n_samples", "sum_abs", "zero_crossings"]
+        return s.select(
+            "url", "kind",
+            *[F.coalesce(F.col(c), F.lit(-1)).cast("bigint").alias(c) for c in ints],
+        )
+
     def ner_opennlp_sentences(spark, sf_dir):
         from pignlproc_spark.operators.corpus import ner_training_sentences
 
@@ -744,6 +758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb_srp_lsh_topk=emb_srp_lsh_topk,
         emb_ivf_topk=emb_ivf_topk,
         media_features=media_features,
+        media_stats_real=media_stats_real,
         ner_opennlp_sentences=ner_opennlp_sentences,
         kg_paragraph_contexts=kg_paragraph_contexts,
     )
@@ -1982,6 +1997,14 @@ def oracle_sql() -> dict[str, str]:
     _warc_cols = "url, ts_epoch, http_status, content_type, payload_bytes, payload_md5"
     o["src_warc_pages"] = f"SELECT {_warc_cols} FROM {g('golden_warc_pages')}"
     o["src_warc_cdx_replay"] = f"SELECT {_warc_cols} FROM {g('golden_warc_pages')}"
+    o["media_stats_real"] = (
+        "SELECT url, kind, n_bytes::BIGINT AS n_bytes, decoded::BIGINT AS decoded, "
+        "width::BIGINT AS width, height::BIGINT AS height, n_pixels::BIGINT AS n_pixels, "
+        "sum_r::BIGINT AS sum_r, sum_g::BIGINT AS sum_g, sum_b::BIGINT AS sum_b, "
+        "sample_rate::BIGINT AS sample_rate, n_samples::BIGINT AS n_samples, "
+        "sum_abs::BIGINT AS sum_abs, zero_crossings::BIGINT AS zero_crossings "
+        f"FROM {g('golden_media_stats')}"
+    )
 
     # ---- ner/topic corpus ----
     o["ner_typed_mention_counts"] = f"""

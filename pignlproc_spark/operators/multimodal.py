@@ -2,12 +2,23 @@
 
 Training-data-pipeline requirement: treat image/audio/video as opaque
 ``binary`` columns; decode / feature-extract / resize / frame-sample
-run as Arrow-batched ``mapInPandas`` stages. The image/audio codec
-libraries are NOT in this container, so the decode step is STUBBED
-(clearly marked) behind :func:`decode_payload`: tests exercise the
-real Spark plumbing — schema, partitioning, UDF signature, batch
-shape — against :func:`fake_decode` (deterministic md5-derived
-pseudo-features).
+run as Arrow-batched ``mapInPandas`` stages.
+
+Two decode tiers:
+
+- **Real, dependency-free codecs** for the formats a header+payload
+  parse can handle with stdlib + numpy: 24-bpp uncompressed **BMP**
+  (:func:`decode_bmp`, :func:`encode_bmp`, nearest-neighbor
+  :func:`resize_bmp`) and **PCM WAV** (:func:`decode_wav`). These feed
+  :func:`media_stats`, whose integer-exact output (pixel channel sums,
+  sample abs-sums, zero crossings) is oracle-checkable — corrupt or
+  foreign payloads degrade to NULL stats instead of killing the job,
+  which is the behavior you want on a 100-TB crawl.
+- **Stubbed codecs** for everything else (JPEG/PNG/MP4/...): the
+  libraries are NOT in this container, so :func:`decode_payload`
+  raises for those formats and tests exercise the Spark plumbing —
+  schema, partitioning, UDF signature, batch shape — against
+  :func:`fake_decode` (deterministic md5-derived pseudo-features).
 
 Scale notes: payload bytes stay columnar end-to-end (Parquet binary →
 Arrow buffer → pandas bytes); featurization is embarrassingly
@@ -18,8 +29,10 @@ granularity when payloads are large and row counts small.
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
@@ -32,14 +45,169 @@ FEATURE_SCHEMA = (
 FEATURE_DIM = 8
 
 
+# ---------------------------------------------------------------------------
+# real dependency-free codecs: 24-bpp BMP + PCM WAV
+# ---------------------------------------------------------------------------
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Uncompressed 24-bpp BITMAPINFOHEADER BMP → (width, height,
+    pixels[h, w, 3] uint8 in RGB order, row 0 = top). Raises ValueError
+    on anything that is not that exact format (strictness belongs to
+    the caller; :func:`media_stats` converts it to NULL stats)."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    pixel_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError("unsupported BMP variant (need 24-bpp uncompressed)")
+    if w <= 0 or h == 0:
+        raise ValueError("degenerate BMP dimensions")
+    bottom_up = h > 0
+    h = abs(h)
+    row_size = (3 * w + 3) & ~3  # rows padded to 4 bytes
+    need = pixel_off + row_size * h
+    if len(payload) < need:
+        raise ValueError("truncated BMP pixel data")
+    raw = np.frombuffer(payload, dtype=np.uint8, count=row_size * h, offset=pixel_off)
+    rows = raw.reshape(h, row_size)[:, : 3 * w].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return w, h, rows[:, :, ::-1].copy()  # BGR → RGB
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """pixels[h, w, 3] uint8 RGB → uncompressed 24-bpp bottom-up BMP
+    bytes (the exact dialect :func:`decode_bmp` reads)."""
+    h, w = pixels.shape[:2]
+    row_size = (3 * w + 3) & ~3
+    img_size = row_size * h
+    header = b"BM" + struct.pack("<IHHI", 54 + img_size, 0, 0, 54)
+    header += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    body = np.zeros((h, row_size), dtype=np.uint8)
+    body[:, : 3 * w] = pixels[::-1, :, ::-1].reshape(h, 3 * w)  # RGB → BGR, top → bottom-up
+    return header + body.tobytes()
+
+
+def resize_bmp(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """REAL image resize for BMP payloads: decode → nearest-neighbor
+    resample → re-encode. Deterministic (pure index arithmetic)."""
+    w, h, px = decode_bmp(payload)
+    xs = (np.arange(target_w) * w) // target_w
+    ys = (np.arange(target_h) * h) // target_h
+    return encode_bmp(px[ys][:, xs])
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE PCM (8- or 16-bit, any channel count) → (sample_rate,
+    samples[n, channels] int32). Walks the chunk list so extra chunks
+    (LIST, fact, ...) don't break the parse. Raises ValueError on
+    non-PCM or malformed input."""
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body_at = pos + 8
+        if cid == b"fmt " and size >= 16:
+            fmt = struct.unpack_from("<HHIIHH", payload, body_at)
+        elif cid == b"data":
+            data = payload[body_at : body_at + size]
+        pos = body_at + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or channels < 1 or bits not in (8, 16):
+        raise ValueError("unsupported WAV variant (need 8/16-bit PCM)")
+    if bits == 16:
+        samples = np.frombuffer(data[: len(data) & ~1], dtype="<i2").astype(np.int32)
+    else:  # 8-bit WAV is unsigned, centered at 128
+        samples = np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128
+    n = (len(samples) // channels) * channels
+    return sample_rate, samples[:n].reshape(-1, channels)
+
+
 def decode_payload(payload: bytes, kind: str):
-    """REAL media decode — NOT AVAILABLE in this container (no PIL /
-    ffmpeg / torchaudio). On a production cluster, swap this for the
-    actual decoder; everything downstream is format-agnostic."""
+    """Format dispatch on magic bytes. BMP and WAV decode for REAL
+    (dependency-free parsers above); every other codec (JPEG/PNG/MP4/
+    ...) needs libraries NOT present in this container, so those raise
+    — on a production cluster, swap in the actual decoder; everything
+    downstream is format-agnostic."""
+    if payload is not None and payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload is not None and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
     raise NotImplementedError(
-        "media decoding requires image/audio libs not present in this environment; "
-        "use fake_decode for plumbing tests"
+        "only BMP/WAV decode without codec libs (none present in this environment); "
+        "use fake_decode for plumbing tests of other formats"
     )
+
+
+MEDIA_STATS_SCHEMA = (
+    "url string, kind string, n_bytes bigint, decoded int, "
+    "width int, height int, n_pixels bigint, sum_r bigint, sum_g bigint, sum_b bigint, "
+    "sample_rate int, n_samples bigint, sum_abs bigint, zero_crossings bigint"
+)
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """REAL decode → integer-exact per-item stats (oracle-checkable):
+    images get pixel channel sums, audio gets abs-sum / zero-crossing
+    counts over channel-0; payloads the dependency-free codecs cannot
+    read (other formats, corrupt bytes) degrade to ``decoded = 0`` with
+    NULL stats — a bad record must never kill a 100-TB decode job.
+
+    Plan shape: one embarrassingly-parallel mapInPandas, no shuffle;
+    numpy does the per-payload math, so the Python cost is per-item,
+    not per-pixel."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "url", "kind", "n_bytes", "decoded", "width", "height", "n_pixels",
+                "sum_r", "sum_g", "sum_b", "sample_rate", "n_samples", "sum_abs",
+                "zero_crossings",
+            )}
+            for url, kind, payload in zip(pdf["url"], pdf["kind"], pdf["payload"]):
+                row = dict.fromkeys(out, None)
+                row["url"], row["kind"] = url, kind
+                row["n_bytes"] = len(payload or b"")
+                row["decoded"] = 0
+                try:
+                    if payload and payload[:2] == b"BM":
+                        w, h, px = decode_bmp(payload)
+                        sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                        row.update(
+                            decoded=1, width=w, height=h, n_pixels=w * h,
+                            sum_r=int(sums[0]), sum_g=int(sums[1]), sum_b=int(sums[2]),
+                        )
+                    elif payload and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+                        rate, samples = decode_wav(payload)
+                        ch0 = samples[:, 0]
+                        neg = ch0 < 0
+                        row.update(
+                            decoded=1, sample_rate=rate, n_samples=len(ch0),
+                            sum_abs=int(np.abs(ch0, dtype=np.int64).sum()),
+                            zero_crossings=int((neg[1:] != neg[:-1]).sum()),
+                        )
+                except (ValueError, NotImplementedError):
+                    pass  # decoded stays 0, stats stay NULL
+                for k, v in row.items():
+                    out[k].append(v)
+            pdf_out = pd.DataFrame(out)
+            for c, dt in (
+                ("n_bytes", "int64"), ("decoded", "Int32"), ("width", "Int32"),
+                ("height", "Int32"), ("n_pixels", "Int64"), ("sum_r", "Int64"),
+                ("sum_g", "Int64"), ("sum_b", "Int64"), ("sample_rate", "Int32"),
+                ("n_samples", "Int64"), ("sum_abs", "Int64"), ("zero_crossings", "Int64"),
+            ):
+                pdf_out[c] = pdf_out[c].astype(dt)
+            yield pdf_out
+
+    return media.mapInPandas(gen, schema=MEDIA_STATS_SCHEMA)
 
 
 def fake_decode(payload: bytes, kind: str) -> tuple[list[float], int]:

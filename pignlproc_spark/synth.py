@@ -40,7 +40,7 @@ from pignlproc_spark.functions.tokenize import tokenize
 from pignlproc_spark.functions.uri import uri_encode
 
 SEED = 42
-GEN_VERSION = "7"  # bump → cached .synthdata regenerates
+GEN_VERSION = "8"  # bump → cached .synthdata regenerates
 MAX_HOPS = 8  # frozen redirect-resolution bound (matches canonicalize)
 URI_LANG = "en"  # URI base is a per-run constant, like the reference's lang param
 
@@ -485,6 +485,8 @@ TABLES = [
     "golden_dump_index",
     "golden_warc_pages",
     "golden_warc_cdx",
+    "media",
+    "golden_media_stats",
 ]
 
 
@@ -728,6 +730,91 @@ def generate(sf: float, root: str | Path = None, force: bool = False) -> Path:
     )
     frames["golden_warc_cdx"] = pd.DataFrame(
         cdx_rows, columns=["path", "offset", "length", "url"]
+    )
+
+    # --- multimodal media fixture: REAL 24-bpp BMP + PCM WAV payloads
+    #     and a plan-derived integer-stats golden. The encoders here are
+    #     deliberately independent of operators/multimodal.py (pure
+    #     struct-packing BMP writer + the stdlib `wave` module), so an
+    #     encode/decode bug pair cannot cancel out. -1 = not-applicable
+    #     (the engine's established left-outer fill convention).
+    import io as _io
+    import struct as _struct
+    import wave as _wave
+
+    def _bmp_bytes(px_rows):  # px_rows: list[list[(r, g, b)]], row 0 = top
+        bh, bw = len(px_rows), len(px_rows[0])
+        row_size = (3 * bw + 3) // 4 * 4
+        pad = b"\x00" * (row_size - 3 * bw)
+        body = b"".join(
+            b"".join(bytes((b_, g_, r_)) for r_, g_, b_ in row) + pad
+            for row in reversed(px_rows)  # BMP stores bottom-up, BGR
+        )
+        hdr = b"BM" + _struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        hdr += _struct.pack("<IiiHHIIiiII", 40, bw, bh, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+        return hdr + body
+
+    n_media = max(48, int(1200 * sf))
+    media_rows, media_stats_rows = [], []
+    for i in range(n_media):
+        mrng = random.Random(f"{SEED}:media:{i}")
+        murl = f"https://media.example/{i}"
+        if i % 3 == 0:  # image: 24-bpp BMP, varying dims incl. row padding
+            bw = 4 + mrng.randrange(12)
+            bh = 3 + mrng.randrange(10)
+            px = [
+                [(mrng.randrange(256), mrng.randrange(256), mrng.randrange(256)) for _ in range(bw)]
+                for _ in range(bh)
+            ]
+            payload = _bmp_bytes(px)
+            flat = [c for row in px for c in row]
+            media_rows.append((murl, "image", payload, bw, bh, None))
+            media_stats_rows.append(
+                (murl, "image", len(payload), 1, bw, bh, bw * bh,
+                 sum(c[0] for c in flat), sum(c[1] for c in flat), sum(c[2] for c in flat),
+                 -1, -1, -1, -1)
+            )
+        elif i % 3 == 1:  # audio: PCM WAV (8-bit mono / 16-bit mono or stereo)
+            rate = (8000, 16000, 22050)[(i // 3) % 3]
+            n_s = 40 + mrng.randrange(160)
+            eight_bit = i % 9 == 4
+            stereo = (not eight_bit) and i % 15 == 1
+            if eight_bit:
+                vals = [mrng.randrange(256) for _ in range(n_s)]
+                nch, sampwidth, payload_frames = 1, 1, bytes(vals)
+                ch0 = [v - 128 for v in vals]
+            else:
+                nch, sampwidth = (2 if stereo else 1), 2
+                vals = [mrng.randrange(-3000, 3000) for _ in range(n_s * nch)]
+                payload_frames = b"".join(_struct.pack("<h", v) for v in vals)
+                ch0 = vals[::nch]
+            bio = _io.BytesIO()
+            with _wave.open(bio, "wb") as wv:
+                wv.setnchannels(nch)
+                wv.setsampwidth(sampwidth)
+                wv.setframerate(rate)
+                wv.writeframes(payload_frames)
+            payload = bio.getvalue()
+            zc = sum(1 for a, b_ in zip(ch0, ch0[1:]) if (a < 0) != (b_ < 0))
+            media_rows.append((murl, "audio", payload, None, None, int(1000 * n_s / rate)))
+            media_stats_rows.append(
+                (murl, "audio", len(payload), 1, -1, -1, -1, -1, -1, -1,
+                 rate, n_s, sum(abs(v) for v in ch0), zc)
+            )
+        else:  # video: opaque payload no dependency-free codec can read
+            payload = _hashlib.md5(f"video:{i}".encode()).digest() * (3 + i % 5)
+            media_rows.append((murl, "video", payload, None, None, 1000 * (1 + i % 20)))
+            media_stats_rows.append(
+                (murl, "video", len(payload), 0, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1)
+            )
+    frames["media"] = pd.DataFrame(
+        media_rows, columns=["url", "kind", "payload", "width", "height", "duration_ms"]
+    )
+    frames["golden_media_stats"] = pd.DataFrame(
+        media_stats_rows,
+        columns=["url", "kind", "n_bytes", "decoded", "width", "height", "n_pixels",
+                 "sum_r", "sum_g", "sum_b", "sample_rate", "n_samples", "sum_abs",
+                 "zero_crossings"],
     )
 
     import pyarrow as pa

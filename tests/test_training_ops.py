@@ -382,6 +382,97 @@ def test_multimodal_resize_and_frames(spark):
     )
 
 
+def test_bmp_codec_roundtrip_and_resize():
+    import numpy as np
+
+    px = np.arange(5 * 3 * 3, dtype=np.uint8).reshape(3, 5, 3)  # w=5 exercises row padding
+    payload = multimodal.encode_bmp(px)
+    w, h, back = multimodal.decode_bmp(payload)
+    assert (w, h) == (5, 3)
+    assert np.array_equal(back, px)
+    # nearest-neighbor downscale: exact index arithmetic, no float
+    small = multimodal.resize_bmp(payload, 2, 2)
+    w2, h2, px2 = multimodal.decode_bmp(small)
+    assert (w2, h2) == (2, 2)
+    xs = (np.arange(2) * 5) // 2
+    ys = (np.arange(2) * 3) // 2
+    assert np.array_equal(px2, px[ys][:, xs])
+    # strictness: wrong magic / truncated pixel data raise
+    with pytest.raises(ValueError):
+        multimodal.decode_bmp(b"PNG garbage")
+    with pytest.raises(ValueError):
+        multimodal.decode_bmp(payload[:60])
+
+
+def test_wav_codec_variants():
+    import io
+    import struct
+    import wave
+
+    def make(nch, sampwidth, rate, frames):
+        bio = io.BytesIO()
+        with wave.open(bio, "wb") as wv:
+            wv.setnchannels(nch)
+            wv.setsampwidth(sampwidth)
+            wv.setframerate(rate)
+            wv.writeframes(frames)
+        return bio.getvalue()
+
+    # 16-bit stereo: channel de-interleave
+    vals = [100, -200, 300, -400, 500, -600]
+    rate, samples = multimodal.decode_wav(
+        make(2, 2, 16000, b"".join(struct.pack("<h", v) for v in vals))
+    )
+    assert rate == 16000 and samples.shape == (3, 2)
+    assert samples[:, 0].tolist() == [100, 300, 500]
+    # 8-bit mono: unsigned, centered at 128
+    rate8, s8 = multimodal.decode_wav(make(1, 1, 8000, bytes([0, 128, 255])))
+    assert rate8 == 8000 and s8[:, 0].tolist() == [-128, 0, 127]
+    with pytest.raises(ValueError):
+        multimodal.decode_wav(b"RIFFxxxxNOPE")
+
+
+def test_media_stats_real_decode(spark, synth_dir):
+    """media_stats over the synth media table hash-matches the
+    plan-derived golden (independent encoder), and corrupt payloads
+    degrade to decoded=0 instead of failing the job."""
+    media = spark.read.parquet(str(synth_dir / "media.parquet"))
+    got = {r.url: r for r in multimodal.media_stats(media.select("url", "kind", "payload")).collect()}
+    gold = spark.read.parquet(str(synth_dir / "golden_media_stats.parquet")).collect()
+    assert len(got) == len(gold)
+    for grow in gold:
+        r = got[grow.url]
+        assert r.decoded == grow.decoded, grow.url
+        if grow.kind == "image" and grow.decoded:
+            assert (r.width, r.height, r.n_pixels) == (grow.width, grow.height, grow.n_pixels)
+            assert (r.sum_r, r.sum_g, r.sum_b) == (grow.sum_r, grow.sum_g, grow.sum_b)
+        if grow.kind == "audio" and grow.decoded:
+            assert (r.sample_rate, r.n_samples) == (grow.sample_rate, grow.n_samples)
+            assert (r.sum_abs, r.zero_crossings) == (grow.sum_abs, grow.zero_crossings)
+        if grow.kind == "video":
+            assert r.decoded == 0 and r.width is None and r.sum_abs is None
+    # corrupt BMP/WAV headers degrade, never raise
+    bad = spark.createDataFrame(
+        [("u1", "image", bytearray(b"BM" + b"\x00" * 20)),
+         ("u2", "audio", bytearray(b"RIFF\x00\x00\x00\x00WAVEjunk")),
+         ("u3", "image", None)],
+        "url string, kind string, payload binary",
+    )
+    rows = {r.url: r for r in multimodal.media_stats(bad).collect()}
+    assert all(rows[u].decoded == 0 for u in ("u1", "u2", "u3"))
+
+
+def test_resize_images_real_bmp(spark, synth_dir):
+    media = spark.read.parquet(str(synth_dir / "media.parquet"))
+    out = multimodal.resize_images(
+        media.where("kind = 'image'"), 4, 3, resizer=multimodal.resize_bmp
+    ).collect()
+    assert out
+    for r in out:
+        w, h, _ = multimodal.decode_bmp(bytes(r.payload))
+        assert (w, h) == (4, 3)
+
+
 def test_salted_text_agg_multiset_equivalent(spark):
     from pignlproc_spark.operators import stats
 
