@@ -4,8 +4,11 @@ SURVEY.md §1.3/§7.1: BASELINE.json mandates Iceberg graph tables, but
 this sandbox ships no Iceberg runtime jar and has no network, so the
 writer is an abstraction: Parquet directories under a root locally,
 ``writeTo(...)`` against a configured Iceberg catalog when
-``spark.sql.catalog.<name>`` is set (config-gated, typed, untested
-locally — see README for the spark-submit --packages line).
+``spark.pignlproc.catalog`` is set (see README for the spark-submit
+--packages line). The catalog branch is pinned by contract tests
+(``tests/test_tables_catalog.py``): the exact DataFrameWriterV2 call
+sequence is asserted against a recording double, and the read branch
+executes for real against a V2-created ``spark_catalog`` table.
 
 Skew-aware layout (BASELINE.json:6 "salted, skew-aware partitioned"):
 :func:`repartition_by_hash` places rows by ``hash(subject) % n`` with
