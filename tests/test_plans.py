@@ -319,3 +319,24 @@ def test_runtime_bloom_filter_injects_for_selective_dim(spark, tmp_path):
         spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
         spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
         spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+
+
+def test_warc_gz_listing_prunes_content(spark, tmp_path):
+    # the .warc.gz reader's binaryFile listing must NOT read file bytes
+    # into the scan — decompression happens inside each task; at CC
+    # scale (60k+ ~1 GB files) an unpruned content column would move
+    # the whole crawl through the listing exchange
+    import gzip
+
+    from pignlproc_spark.sources import warc as W
+
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: u\r\n"
+        b"WARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: 10\r\n\r\n"
+        b"HTTP/1.1 2\r\n\r\n"
+    )
+    p = tmp_path / "t.warc.gz"
+    p.write_bytes(gzip.compress(rec))
+    plan = plan_of(W.read_warc_gz(spark, str(p)), mode="simple")
+    scan = next(line for line in plan.splitlines() if "FileScan binaryFile" in line)
+    assert "ReadSchema: struct<path:string>" in scan  # content pruned

@@ -77,8 +77,17 @@ def main():
     hw = cpu_envelope(n, n4)
     r_n = run_once(sf_dir, n, repeat)
     r_n4 = run_once(sf_dir, n4, repeat)
-    t_n = r_n["queries"]["kg_pipeline_triples"]
-    t_n4 = r_n4["queries"]["kg_pipeline_triples"]
+
+    def t_pipeline(r):
+        # true cost ≈ min over in-session runs (host-noise methodology,
+        # BASELINE.md): bench emits cold in `queries` and min-of-rest
+        # in `queries_warm` — take the overall minimum
+        cold = r["queries"]["kg_pipeline_triples"]
+        warm = r.get("queries_warm", {}).get("kg_pipeline_triples")
+        return min(cold, warm) if warm is not None else cold
+
+    t_n = t_pipeline(r_n)
+    t_n4 = t_pipeline(r_n4)
     eff = (t_n / t_n4) / (n4 / n)
     report = {
         "sf_dir": sf_dir,
@@ -87,8 +96,8 @@ def main():
         "pipeline_sec_N": t_n,
         "pipeline_sec_4N": t_n4,
         "triples": r_n4["rows"]["kg_pipeline_triples"],
-        "triples_per_sec_N": r_n["triples_per_sec"],
-        "triples_per_sec_4N": r_n4["triples_per_sec"],
+        "triples_per_sec_N": round(r_n["rows"]["kg_pipeline_triples"] / t_n, 1),
+        "triples_per_sec_4N": round(r_n4["rows"]["kg_pipeline_triples"] / t_n4, 1),
         "speedup": round(t_n / t_n4, 3),
         "scaling_efficiency": round(eff, 3),
         "hardware_envelope": hw,
