@@ -38,6 +38,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", help="pages parquet path or catalog table")
+    ap.add_argument(
+        "--warc",
+        help="replay canonical pages straight from .warc.gz archive(s) "
+        "(per-record gzip members, the Common Crawl layout) at this "
+        "path/glob instead of --pages",
+    )
     ap.add_argument("--redirects", help="redirects dimension parquet path/table")
     ap.add_argument("--synth-sf", type=float, help="use the synthetic corpus at this scale factor instead")
     ap.add_argument("--out", required=True, help="output warehouse root (or catalog prefix)")
@@ -76,12 +82,17 @@ def main(argv=None):
     if args.synth_sf is not None:
         res = pipeline.run_synth(spark, f"sf{args.synth_sf}", ckpt=ckpt)
     else:
-        if not args.pages or not args.redirects:
-            ap.error("--pages and --redirects required without --synth-sf")
-        pages = tables.read_path_or_table(spark, args.pages)
+        if not (args.pages or args.warc) or not args.redirects:
+            ap.error("--pages (or --warc) and --redirects required without --synth-sf")
+        if args.warc:
+            from pignlproc_spark.sources.warc import warc_gz_to_pages
+
+            pages, src = warc_gz_to_pages(spark, args.warc), args.warc
+        else:
+            pages, src = tables.read_path_or_table(spark, args.pages), args.pages
         red = tables.read_path_or_table(spark, args.redirects)
         res = pipeline.run(
-            spark, pages, red, ckpt=ckpt, source_id=f"{args.pages}@{args.snapshot_id}"
+            spark, pages, red, ckpt=ckpt, source_id=f"{src}@{args.snapshot_id}"
         )
 
     graph_path = T.write_graph(

@@ -670,6 +670,14 @@ def generate(sf: float, root: str | Path = None, force: bool = False) -> Path:
         )
         return _gzip.compress(rec, mtime=0)  # fixed mtime → deterministic bytes
 
+    # fixture value saturates well below full corpus size: cap the
+    # member count so large-sf generation (sf4.0 = 2M pages for the
+    # scaling runs) doesn't spend minutes gzipping a per-page archive
+    # nobody replays at that scale. Small sf (≤ 0.2) is unaffected, so
+    # the driver-oracle goldens at sf0.01 are identical with/without
+    # the cap.
+    WARC_FIXTURE_CAP = 100_000
+    warc_pages = c.pages[:WARC_FIXTURE_CAP]
     shard_paths = [warc_dir / f"part-{si}.warc.gz" for si in range(2)]
     shard_bufs: list[list[bytes]] = [[], []]
     shard_offsets = [0, 0]
@@ -686,7 +694,7 @@ def generate(sf: float, root: str | Path = None, force: bool = False) -> Path:
         )
         shard_bufs[si].append(info)
         shard_offsets[si] += len(info)
-    for idx, p in enumerate(c.pages):
+    for idx, p in enumerate(warc_pages):
         si = idx % 2
         ts = c.base_ts + timedelta(seconds=7 * idx)
         date = ts.strftime("%Y-%m-%dT%H:%M:%SZ")

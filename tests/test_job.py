@@ -210,3 +210,26 @@ def test_curate_corpus_job_length_gate_and_mix(spark, tmp_path):
     assert mix.where(F.col("source") == "src1").count() == 0
     src0 = mix.where(F.col("source") == "src0").groupBy("doc_id").count().collect()
     assert src0 and all(r["count"] == 2 for r in src0)
+
+
+def test_build_kg_job_from_warc(spark, synth_dir, tmp_path):
+    """spark-submit surface over a raw .warc.gz crawl: --warc replays
+    the archive into canonical pages and the pipeline's triples match
+    the plan-derived golden exactly (P=R=1.0) — the full
+    crawl-to-graph path in one job invocation."""
+    out = str(tmp_path / "kg_warc")
+    rc = main(
+        [
+            "--warc",
+            str(synth_dir / "warc"),
+            "--redirects",
+            str(synth_dir / "redirects.parquet"),
+            "--out",
+            out,
+        ]
+    )
+    assert rc == 0
+    got = spark.read.parquet(f"{out}/graph/triples").select("subj", "pred", "obj", "weight")
+    gold = spark.read.parquet(str(synth_dir / "golden_triples.parquet"))
+    assert got.count() == gold.count()
+    assert got.exceptAll(gold).count() == 0 and gold.exceptAll(got).count() == 0

@@ -244,3 +244,21 @@ def test_warc_gz_synth_fixture_matches_golden(spark, synth_dir):
     assert got.count() == gold.count()
     assert got.exceptAll(gold.select(got.columns)).count() == 0
     assert gold.select(got.columns).exceptAll(got).count() == 0
+
+
+def test_warc_gz_end_to_end_extraction(spark, synth_dir):
+    """Crawl-archive ingestion meets the byte-identity gate: pages
+    replayed from the .warc.gz fixture, run through the frozen
+    extractor, must reproduce golden_text exactly (BASELINE.json
+    input_hint: the engine's canonical input IS a CC-style crawl)."""
+    from pignlproc_spark.functions.extract import parse_pages
+    from pignlproc_spark.sources import warc as W
+
+    pages = W.warc_gz_to_pages(spark, str(synth_dir / "warc"))
+    parsed = parse_pages(pages).select("url", "text")
+    gold = spark.read.parquet(str(synth_dir / "golden_text.parquet")).withColumnRenamed(
+        "text", "expected"
+    )
+    j = parsed.join(gold, "url")
+    assert j.count() == gold.count()
+    assert j.where(F.col("text") != F.col("expected")).count() == 0
