@@ -240,8 +240,6 @@ def read_warc_gz(spark: SparkSession, path: str) -> DataFrame:
     members cannot be split by byte range; for sub-file parallelism
     use :func:`read_warc_gz_indexed` with a CDX index.
     """
-    import pandas as pd
-
     files = (
         spark.read.format("binaryFile")
         .load(path)
@@ -249,22 +247,23 @@ def read_warc_gz(spark: SparkSession, path: str) -> DataFrame:
     )
     # one task per file: the listing is tiny, the work is per-file
     files = files.repartition(max(files.count(), 1), "path")
+    return files.mapInPandas(_files_to_records, WARC_GZ_SCHEMA)
 
-    def _read_files(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in batches:
-            rows = []
-            for p in pdf["path"]:
-                local = p[5:] if p.startswith("file:") and "://" not in p else p
-                with _open_input(local) as f:
-                    for headers, body in _parse_warc_records(
-                        _gunzip_members(f.read)
-                    ):
-                        row = _response_row(p, headers, body)
-                        if row is not None:
-                            rows.append(row)
-            yield _rows_to_pdf(rows)
 
-    return files.mapInPandas(_read_files, WARC_GZ_SCHEMA)
+def _files_to_records(batches) -> Iterator["pd.DataFrame"]:
+    """mapInPandas kernel shared by the batch reader and
+    ``streaming/ingest.py::read_warc_stream``: path rows in, parsed
+    response records out; one streaming decompression pass per file."""
+    for pdf in batches:
+        rows = []
+        for p in pdf["path"]:
+            local = p[5:] if p.startswith("file:") and "://" not in p else p
+            with _open_input(local) as f:
+                for headers, body in _parse_warc_records(_gunzip_members(f.read)):
+                    row = _response_row(p, headers, body)
+                    if row is not None:
+                        rows.append(row)
+        yield _rows_to_pdf(rows)
 
 
 def _rows_to_pdf(rows: list[dict]):

@@ -48,6 +48,42 @@ def read_page_stream(
     )
 
 
+def read_warc_stream(
+    spark: SparkSession,
+    input_dir: str,
+    lang: str = "en",
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """Continuous crawl ingestion from RAW archives: ``.warc.gz`` files
+    landing in ``input_dir`` (a Common-Crawl drop directory) become a
+    canonical pages stream (url, warc_ts, html BINARY, lang).
+
+    Same per-file decompression as the batch reader
+    (``sources/warc.py::read_warc_gz``): the streaming ``binaryFile``
+    listing is pruned to paths only (no archive bytes in the exchange),
+    each micro-batch task stream-inflates its own files, and the file
+    source's processed-files log gives exactly-once per archive across
+    restarts. ``maxFilesPerTrigger`` bounds micro-batch size — the
+    natural unit is the archive file, exactly as in batch."""
+    from pignlproc_spark.sources.warc import WARC_GZ_SCHEMA, _files_to_records
+
+    files = (
+        spark.readStream.format("binaryFile")
+        # binaryFile's fixed schema, stated explicitly (streaming
+        # sources cannot infer); `content` is pruned right below so no
+        # archive bytes enter the plan
+        .schema("path string, modificationTime timestamp, length long, content binary")
+        .option("pathGlobFilter", "*.warc.gz")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(input_dir)
+        .select("path")
+    )
+    recs = files.mapInPandas(_files_to_records, WARC_GZ_SCHEMA)
+    return recs.select(
+        "url", "warc_ts", F.col("payload").alias("html"), F.lit(lang).alias("lang")
+    )
+
+
 def mention_stream(pages_stream: DataFrame) -> DataFrame:
     """Streaming mentions: identical per-row semantics to the batch
     pipeline's fused path (same pandas UDF)."""
