@@ -1226,7 +1226,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(spark, sf_dir, "documents"), ["dup", "hash", "merge", "spark"], k=20
         )
 
+    def docs_pii_scrub(spark, sf_dir):
+        # PII redaction (CCPii v1: emails, IPv4, SSN-shaped ids,
+        # +international phones) — the documents table carries no PII,
+        # so plant one of each deterministically from doc_id; the
+        # oracle plants identically and must scrub identically
+        d = _read(spark, sf_dir, "documents")
+        planted = d.withColumn(
+            "text",
+            F.concat(
+                F.col("text"),
+                F.lit(" Contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.com or +1 555-0"),
+                F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                F.lit(" from 192.168."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".1 id 123-45-6789."),
+            ),
+        )
+        return textstats.pii_scrub(planted)
+
     q.update(
+        docs_pii_scrub=docs_pii_scrub,
         docs_decontaminate=docs_decontaminate,
         docs_pack_sequences=docs_pack_sequences,
         docs_length_quantiles=docs_length_quantiles,
@@ -1981,6 +2003,23 @@ def oracle_sql() -> dict[str, str]:
             AND (q.mean_token_len_x100 BETWEEN 300 AND 800)
             AND l.lang_pred = 'en' AND c.is_canonical = 1)::INT AS keep
     FROM q JOIN l USING (doc_id) JOIN c USING (doc_id)
+    """
+    from pignlproc_spark.operators.textstats import pii_scrub_sql
+
+    _pii_clean, _pii_counts = pii_scrub_sql("text")
+    o["docs_pii_scrub"] = f"""
+    WITH p AS (
+      SELECT doc_id,
+             text || ' Contact user' || doc_id::VARCHAR
+                  || '@mail.example.com or +1 555-0'
+                  || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+                  || ' from 192.168.' || (doc_id % 256)::VARCHAR
+                  || '.1 id 123-45-6789.' AS text
+      FROM documents
+    )
+    SELECT doc_id::BIGINT AS doc_id, {_pii_clean} AS clean_text,
+           {', '.join(_pii_counts)}
+    FROM p
     """
     # the curation-pipeline oracle composes the corpus-filter SQL
     # (defined just above) into its quality CTE

@@ -815,3 +815,74 @@ def collocations(
         .limit(k)
         .select("tok_a", "tok_b", "cnt_xy", "cnt_x", "cnt_y")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing ("CCPii v1" — frozen pattern spec)
+#
+# The four patterns below are the single source of truth for both the
+# Spark path (Java regex) and the DuckDB oracle (RE2): they use only
+# character classes, non-capturing groups, bounded quantifiers and \b,
+# which behave identically under Java's backtracking-greedy and RE2's
+# leftmost-first semantics (no alternation-order or lookaround
+# divergence is possible). Replacement tokens are letter-only so a
+# later pattern can never re-match inside an earlier replacement.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    # (name, regex, replacement) — applied IN ORDER, each step counting
+    # matches in the text as already scrubbed by the previous steps
+    ("emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ips", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("ids", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<IDNUM>"),
+    # international-format phones only (leading +): unanchored local
+    # formats false-positive on ordinary numbers; a web-scale scrub
+    # errs conservative
+    ("phones", r"\+[0-9](?:[ -]?[0-9]){6,13}", "<PHONE>"),
+]
+
+
+def pii_scrub(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Scrub common PII from a document corpus —
+
+        (id, clean_text, n_emails, n_ips, n_ids, n_phones)
+
+    Emails, IPv4 addresses, SSN-shaped ids, and international-format
+    phone numbers are replaced by typed placeholder tokens; per-category
+    counts (BIGINT) are taken sequentially (each category counted in
+    the text as scrubbed by the previous categories, so an email's
+    digits are never double-counted as a phone). This is the standard
+    redaction pass a training-data pipeline runs before packing
+    (reference analogue: none — the Pig-era engine predates PII
+    policy; spec'd from public C4/CCNet-style curation practice).
+
+    Scale shape: one projection, all ``regexp_replace``/
+    ``regexp_extract_all`` built-ins — fully codegen'd, no shuffle, no
+    Python. At 100 TB this runs at scan speed.
+    """
+    t = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(F.size(F.regexp_extract_all(t, F.lit(pat), 0)).cast("bigint").alias(f"n_{name}"))
+        t = F.regexp_replace(t, pat, repl)
+    return df.select(
+        F.col(id_col).cast("bigint").alias(id_col),
+        t.alias("clean_text"),
+        *counts,
+    )
+
+
+def pii_scrub_sql(text_expr: str = "text") -> tuple[str, list[str]]:
+    """The DuckDB rendering of the same CCPii v1 spec: returns
+    ``(clean_text_expr, [count_exprs])`` built from :data:`PII_PATTERNS`
+    so the oracle can never drift from the Spark path. DuckDB's
+    ``regexp_replace`` needs the explicit ``'g'`` flag (Spark is global
+    by default)."""
+    t = text_expr
+    count_exprs = []
+    for name, pat, repl in PII_PATTERNS:
+        count_exprs.append(
+            f"len(regexp_extract_all({t}, '{pat}'))::BIGINT AS n_{name}"
+        )
+        t = f"regexp_replace({t}, '{pat}', '{repl}', 'g')"
+    return t, count_exprs

@@ -1189,3 +1189,38 @@ def test_mix_corpus_random_bruteforce(spark):
             w = weights.get(src, 60)
             expect = w // 100 + (1 if bucket(i) < w % 100 else 0)
             assert got.get(i, 0) == expect, f"seed {seed} doc {i}"
+
+
+def test_pii_scrub_ccpii_v1(spark):
+    """CCPii v1 semantics: each category replaced by its typed token,
+    counts taken SEQUENTIALLY (an email's digits never re-counted as a
+    phone/ip), replacements never re-match later patterns, and
+    PII-free text passes through byte-identical with zero counts."""
+    rows = [
+        # one of each, messy formats
+        (1, "mail bob.smith+x@sub.example.co.uk, srv 10.0.255.3, "
+            "ssn 123-45-6789, call +44 20 7946 0958 now"),
+        # email whose local part could phone/ip-match if counted naively
+        (2, "reach 555-12-3456.99@ex.org today"),
+        # two of one kind; ip at string end (\b at EOS)
+        (3, "a@b.co c@d.io 192.168.0.1"),
+        # clean doc: byte-identity passthrough
+        (4, "no personal data here, just 42 plain words."),
+        # phone too short to match (spec minimum is 7 digits total)
+        (5, "+1 23 45 6"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in textstats.pii_scrub(df).collect()}
+    assert got[1].clean_text == (
+        "mail <EMAIL>, srv <IP>, ssn <IDNUM>, call <PHONE> now"
+    )
+    assert (got[1].n_emails, got[1].n_ips, got[1].n_ids, got[1].n_phones) == (1, 1, 1, 1)
+    # the ssn-shaped run sits INSIDE the email -> scrubbed as email,
+    # counted once, no residual id/ip/phone hits
+    assert got[2].clean_text == "reach <EMAIL> today"
+    assert (got[2].n_emails, got[2].n_ids, got[2].n_ips, got[2].n_phones) == (1, 0, 0, 0)
+    assert got[3].clean_text == "<EMAIL> <EMAIL> <IP>"
+    assert got[3].n_emails == 2 and got[3].n_ips == 1
+    assert got[4].clean_text == rows[3][1]
+    assert (got[4].n_emails, got[4].n_ips, got[4].n_ids, got[4].n_phones) == (0, 0, 0, 0)
+    assert got[5].clean_text == rows[4][1] and got[5].n_phones == 0
