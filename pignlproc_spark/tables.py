@@ -147,6 +147,36 @@ def write_bucketed(
     return table_name
 
 
+def write_range_sorted(
+    df: DataFrame,
+    name: str,
+    sort_cols: list[str],
+    num_files: int | None = None,
+    root: str | None = None,
+) -> str:
+    """Range-partitioned, sorted write — the data-skipping layout:
+    ``repartitionByRange`` + ``sortWithinPartitions`` lands files whose
+    key ranges are pairwise DISJOINT, so parquet footer min/max stats
+    let a later filtered scan skip whole files and row groups. At
+    100 TB this is the poor-man's clustered index: a point or range
+    lookup on the sort key touches O(matching files), not the corpus.
+    (Iceberg's ``sortedBy`` table order is this same layout declared in
+    the catalog; the parquet path produces it directly.)
+
+    The range boundaries come from Spark's reservoir sampling of the
+    sort key; a skewed key still lands contiguously (ties go to one
+    partition), which preserves disjointness — the property the skip
+    relies on.
+    """
+    n = num_files or max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    out = df.repartitionByRange(n, *[F.col(c) for c in sort_cols]).sortWithinPartitions(
+        *[F.col(c) for c in sort_cols]
+    )
+    path = table_path(name, root)
+    out.write.mode("overwrite").parquet(path)
+    return path
+
+
 def write_tsv(df: DataFrame, path: str, header: bool = False) -> str:
     """TSV sink — parity with the reference's ``STORE ... USING
     PigStorage('\\t')`` (SURVEY.md §2.2 P2): tab-separated, one

@@ -1224,3 +1224,32 @@ def test_pii_scrub_ccpii_v1(spark):
     assert got[4].clean_text == rows[3][1]
     assert (got[4].n_emails, got[4].n_ips, got[4].n_ids, got[4].n_phones) == (0, 0, 0, 0)
     assert got[5].clean_text == rows[4][1] and got[5].n_phones == 0
+
+
+def test_write_range_sorted_disjoint_files(spark, tmp_path):
+    """The data-skipping layout contract: write_range_sorted must land
+    files whose sort-key ranges are pairwise DISJOINT (that is what
+    lets parquet footer min/max stats skip whole files on a filtered
+    scan), and a key-range read back must be exact."""
+    import pyarrow.parquet as pq
+
+    from pignlproc_spark import tables
+
+    df = spark.range(0, 20000).select(
+        (F.col("id") * 7919 % 20011).alias("k"), F.col("id").alias("v")
+    )
+    path = tables.write_range_sorted(df, "range_sorted_t", ["k"], num_files=8, root=str(tmp_path))
+    spans = []
+    for f in sorted(p for p in __import__("os").listdir(path) if p.endswith(".parquet")):
+        md = pq.read_metadata(f"{path}/{f}")
+        los = [md.row_group(i).column(0).statistics.min for i in range(md.num_row_groups)]
+        his = [md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups)]
+        if los:
+            spans.append((min(los), max(his)))
+    assert len(spans) >= 4  # range partitioner actually fanned out
+    spans.sort()
+    for (_, hi_a), (lo_b, _) in zip(spans, spans[1:]):
+        assert hi_a < lo_b, f"overlapping file ranges: {spans}"
+    # exactness of a range read on the layout
+    got = spark.read.parquet(path).where((F.col("k") >= 5000) & (F.col("k") < 6000))
+    assert got.count() == df.where((F.col("k") >= 5000) & (F.col("k") < 6000)).count()
