@@ -1030,10 +1030,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return stats.hop_distances(_pipeline(spark, sf_dir).mentions, max_hops=6)
 
     def kg_entity_kcore(spark, sf_dir):
-        # k-core of the co-occurrence graph (iterative peel; unique
-        # fixpoint so rows are exactly reproducible, but the loop is
-        # not one-SQL-expressible -> rows-only; pytest has the
-        # brute-force parity check)
+        # k-core of the co-occurrence graph (iterative peel to the
+        # unique fixpoint; oracle-exact vs an 8-round unrolled
+        # materialized-CTE peel + brute-force pytest parity)
         from pignlproc_spark.operators import stats
 
         return stats.kcore_members(_pipeline(spark, sf_dir).mentions, k=3)
@@ -2560,9 +2559,36 @@ def oracle_sql() -> dict[str, str]:
     ORDER BY score_q DESC, doc_id LIMIT 20
     """
 
-    # kg_entity_kcore: intentionally no oracle (iterative fixpoint,
-    # not one-SQL-expressible) — unique-subgraph determinism is
-    # pytest-verified against a brute-force peel.
+    # kg_entity_kcore: the peel fixpoint unrolled as 8 chained CTE
+    # rounds (same trick as the PageRank oracle). Peeling is idempotent
+    # at the fixpoint, so unrolling MORE rounds than the graph needs is
+    # exact — this corpus converges in 2 (measured); 8 is the margin.
+    # The Spark side raises if ITS fixpoint exceeds max_rounds=32, so a
+    # future corpus needing >8 rounds shows up as a hash MISMATCH here,
+    # never a silent partial peel.
+    _kc_rounds, _kc_k = 8, 3
+    _kc = [
+        f"m AS MATERIALIZED (SELECT DISTINCT url, uri FROM {g('golden_mentions')})",
+        "e0 AS MATERIALIZED (SELECT a.uri AS ua, b.uri AS ub FROM m a"
+        " JOIN m b ON a.url = b.url AND a.uri < b.uri GROUP BY 1, 2)",
+    ]
+    for i in range(_kc_rounds):
+        _kc.append(
+            f"d{i} AS MATERIALIZED (SELECT uri, count(*) AS deg FROM"
+            f" (SELECT ua AS uri FROM e{i} UNION ALL SELECT ub FROM e{i}) GROUP BY uri)"
+        )
+        _kc.append(f"k{i} AS (SELECT uri FROM d{i} WHERE deg >= {_kc_k})")
+        _kc.append(
+            f"e{i + 1} AS MATERIALIZED (SELECT ua, ub FROM e{i}"
+            f" WHERE ua IN (SELECT uri FROM k{i}) AND ub IN (SELECT uri FROM k{i}))"
+        )
+    o["kg_entity_kcore"] = f"""
+    WITH {', '.join(_kc)}
+    SELECT uri, count(*)::BIGINT AS deg_in_core
+    FROM (SELECT ua AS uri FROM e{_kc_rounds} UNION ALL SELECT ub FROM e{_kc_rounds})
+    GROUP BY uri HAVING count(*) >= {_kc_k}
+    """
+
     # emb_cosine_topk / emb_srp_lsh_topk / media_features /
     # ner_opennlp_sentences: intentionally no oracle (float ordering /
     # format-rendering paths) → driver records rows-only checks.

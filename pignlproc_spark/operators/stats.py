@@ -543,9 +543,10 @@ def kcore_members(
 
     Deterministic: the k-core is a unique subgraph (order-independent
     peeling), so output is exactly reproducible — pytest verifies
-    against a brute-force Python peel; no SQL oracle exists because
-    the fixpoint loop is not expressible in one DuckDB query
-    (driver records a rows-only check).
+    against a brute-force Python peel, and the driver oracle unrolls
+    the peel as chained materialized CTE rounds (peeling is idempotent
+    at the fixpoint, so unrolling more rounds than the graph needs is
+    exact; `kg_entity_kcore` is hash-exact vs DuckDB).
     """
     e = (cooc if cooc is not None else entity_cooccurrence(mentions)).select("uri_a", "uri_b")
     e = e.localCheckpoint(eager=True)

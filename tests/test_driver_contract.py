@@ -14,7 +14,6 @@ EXPECTED_ROWS_ONLY = {
     "media_features",
     "ner_opennlp_sentences",
     "kg_entity_pagerank",
-    "kg_entity_kcore",
     "events_user_ewma",
 }
 
