@@ -80,6 +80,11 @@ def main(argv=None):
     ap.add_argument("--mix-default-pct", type=int, default=100, help="weight for unlisted sources")
     ap.add_argument("--capacity", type=int, default=2048, help="training-sequence token capacity")
     ap.add_argument("--shards", type=int, default=8, help="packing shards (≈ output files)")
+    ap.add_argument(
+        "--pii-scrub",
+        action="store_true",
+        help="redact emails/IPv4/SSN-ids/+international phones (CCPii v1) from the curated text",
+    )
     args = ap.parse_args(argv)
     mix_weights = None
     if args.mix:
@@ -243,6 +248,19 @@ def main(argv=None):
     curated = keepers.join(curated_text, "doc_id").select(
         "doc_id", F.col("_clean").alias("text")
     )
+    # 5. optional PII redaction — LAST text transform before shipping,
+    # so placeholders are what lands in packing/mix too. Runs over the
+    # keepers only (the dropped docs never pay the regex pass); totals
+    # come from one aggregate over the persisted scrub, not a rescan.
+    pii_totals = {name: 0 for name, _, _ in textstats.PII_PATTERNS}
+    if args.pii_scrub:
+        scrubbed = textstats.pii_scrub(curated).persist()
+        extra_persists.append(scrubbed)
+        row = scrubbed.agg(
+            *[F.sum(f"n_{name}").alias(name) for name in pii_totals]
+        ).collect()[0]
+        pii_totals = {name: int(row[name] or 0) for name in pii_totals}
+        curated = scrubbed.select("doc_id", F.col("clean_text").alias("text"))
     curated_path = tables.write_table(curated, "curated", root=args.out)
     curated_w = tables.read_path_or_table(spark, curated_path)
     packing = textstats.pack_sequences(
@@ -280,6 +298,7 @@ def main(argv=None):
                 "docs_in": n_in,
                 "docs_kept": n_keep,
                 "sequences": int(n_seqs or 0),
+                "pii_redactions": pii_totals,
                 "wall_s": round(wall, 1),
                 "outputs": {"report": report_path, "curated": curated_path,
                             "packing": packing_path, **outputs_extra},

@@ -233,3 +233,40 @@ def test_build_kg_job_from_warc(spark, synth_dir, tmp_path):
     gold = spark.read.parquet(str(synth_dir / "golden_triples.parquet"))
     assert got.count() == gold.count()
     assert got.exceptAll(gold).count() == 0 and gold.exceptAll(got).count() == 0
+
+
+def test_curate_corpus_job_pii_scrub(spark, tmp_path, capsys):
+    """--pii-scrub redacts CCPii v1 categories from the SHIPPED text
+    (curated table) and reports per-category totals; without the flag
+    text passes through untouched (zero totals)."""
+    import json as _json
+
+    from jobs.curate_corpus import main as curate_main
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # plant PII on every doc so keepers necessarily carry some
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" mail me: u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@ex.org from 10.0.0."),
+            (F.col("doc_id") % 200).cast("string"),
+        ),
+    )
+    corpus_p = str(tmp_path / "pii_corpus.parquet")
+    planted.write.parquet(corpus_p)
+    out = str(tmp_path / "curated_pii")
+    rc = curate_main(["--docs", corpus_p, "--out", out, "--pii-scrub"])
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    n_keep = summary["docs_kept"]
+    assert n_keep > 0
+    # every keeper had exactly one planted email + one planted ip
+    assert summary["pii_redactions"]["emails"] >= n_keep
+    assert summary["pii_redactions"]["ips"] >= n_keep
+    curated = spark.read.parquet(f"{out}/curated")
+    assert curated.where(F.col("text").rlike("@ex\\.org")).count() == 0
+    assert curated.where(~F.col("text").contains("<EMAIL>")).count() == 0
+    assert curated.where(~F.col("text").contains("<IP>")).count() == 0

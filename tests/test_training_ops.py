@@ -1253,3 +1253,39 @@ def test_write_range_sorted_disjoint_files(spark, tmp_path):
     # exactness of a range read on the layout
     got = spark.read.parquet(path).where((F.col("k") >= 5000) & (F.col("k") < 6000))
     assert got.count() == df.where((F.col("k") >= 5000) & (F.col("k") < 6000)).count()
+
+
+def test_pii_scrub_cross_engine_differential(spark):
+    """The CCPii v1 claim is that its patterns behave IDENTICALLY under
+    Java regex (Spark) and RE2 (DuckDB). Evidence it adversarially:
+    seeded random strings dense in the patterns' trigger characters
+    (@ . - + digits, word/non-word boundaries) must scrub to the same
+    clean_text and the same sequential counts in both engines."""
+    import random
+
+    import duckdb
+
+    from pignlproc_spark.operators.textstats import pii_scrub, pii_scrub_sql
+
+    rng = random.Random(0xCC911)
+    alphabet = list("ab9@.-+ 01x%_Z()") + ["@ex.org", "123-45-6789", "+1 555 010", "10.0.0.7"]
+    rows = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 60))))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_emails, r.n_ips, r.n_ids, r.n_phones)
+        for r in pii_scrub(df).collect()
+    }
+    clean, counts = pii_scrub_sql("text")
+    con = duckdb.connect()
+    con.execute("CREATE TEMP TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = {
+        r[0]: tuple(r[1:])
+        for r in con.sql(
+            f"SELECT doc_id, {clean}, {', '.join(counts)} FROM t"
+        ).fetchall()
+    }
+    assert got == want
