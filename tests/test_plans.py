@@ -340,3 +340,14 @@ def test_warc_gz_listing_prunes_content(spark, tmp_path):
     plan = plan_of(W.read_warc_gz(spark, str(p)), mode="simple")
     scan = next(line for line in plan.splitlines() if "FileScan binaryFile" in line)
     assert "ReadSchema: struct<path:string>" in scan  # content pruned
+
+
+def test_pii_scrub_is_single_jvm_projection(spark):
+    """CCPii scrub must stay one codegen'd projection over the scan —
+    no Python eval, no shuffle, no extra scan per category."""
+    from pignlproc_spark.operators import textstats
+
+    df = spark.createDataFrame([(1, "a@b.co")], "doc_id long, text string")
+    plan = plan_of(textstats.pii_scrub(df))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan  # pure per-row transform: zero shuffle

@@ -227,6 +227,13 @@ def main():
         "salt_buckets partial concats before the final merge.",
         stats.aggregate_text_salted(res.mentions, "uri", "context"),
     )
+    add(
+        "PII scrub (pure codegen projection)",
+        "CCPii v1 redaction is ONE Project over the scan — all four "
+        "regexp_replace/regexp_extract_all chains are JVM built-ins, zero "
+        "exchanges, no Python stage; at 100 TB this runs at scan speed.",
+        textstats.pii_scrub(docs),
+    )
 
     out = ["# PLANS — physical plans of the key operators\n"]
     out.append(
