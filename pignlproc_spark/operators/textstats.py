@@ -824,10 +824,22 @@ def collocations(
 # Spark path (Java regex) and the DuckDB oracle (RE2): they use only
 # character classes, non-capturing groups, bounded quantifiers and \b,
 # which behave identically under Java's backtracking-greedy and RE2's
-# leftmost-first semantics (no alternation-order or lookaround
-# divergence is possible). Replacement tokens are letter-only so a
-# later pattern can never re-match inside an earlier replacement.
+# leftmost-first semantics (no alternation-order divergence is
+# possible). Replacement tokens are letter-only so a later pattern can
+# never re-match inside an earlier replacement.
+#
+# The ONE documented dialect gap is \b: RE2's is ASCII-word-boundary,
+# Java's is Unicode-aware (é/汉 count as word chars, so Java sees no
+# boundary in "é10.0.0.7" and silently skips the IP — found by the
+# cross-engine fuzz). The spec freezes the ASCII semantics; the Java
+# rendering therefore replaces \b with the explicit ASCII-boundary
+# lookaround below (RE2 has no lookaround, but RE2's plain \b already
+# IS the spec'd behavior).
 # ---------------------------------------------------------------------------
+
+# position-independent ASCII \b for Java regex: a word/non-word edge
+# measured against [0-9A-Za-z_] only
+_ASCII_B = r"(?:(?<![0-9A-Za-z_])(?=[0-9A-Za-z_])|(?<=[0-9A-Za-z_])(?![0-9A-Za-z_]))"
 
 PII_PATTERNS: list[tuple[str, str, str]] = [
     # (name, regex, replacement) — applied IN ORDER, each step counting
@@ -863,8 +875,9 @@ def pii_scrub(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     t = F.col(text_col)
     counts = []
     for name, pat, repl in PII_PATTERNS:
-        counts.append(F.size(F.regexp_extract_all(t, F.lit(pat), 0)).cast("bigint").alias(f"n_{name}"))
-        t = F.regexp_replace(t, pat, repl)
+        jpat = pat.replace(r"\b", _ASCII_B)  # spec'd ASCII boundary
+        counts.append(F.size(F.regexp_extract_all(t, F.lit(jpat), 0)).cast("bigint").alias(f"n_{name}"))
+        t = F.regexp_replace(t, jpat, repl)
     return df.select(
         F.col(id_col).cast("bigint").alias(id_col),
         t.alias("clean_text"),

@@ -1268,7 +1268,12 @@ def test_pii_scrub_cross_engine_differential(spark):
     from pignlproc_spark.operators.textstats import pii_scrub, pii_scrub_sql
 
     rng = random.Random(0xCC911)
-    alphabet = list("ab9@.-+ 01x%_Z()") + ["@ex.org", "123-45-6789", "+1 555 010", "10.0.0.7"]
+    # é/汉/😀 adjacent to digits probe \b parity: Java and RE2 both
+    # define \b over ASCII word chars by default, so a non-ASCII letter
+    # next to a digit is a boundary in BOTH — the fuzz evidences it
+    alphabet = list("ab9@.-+ 01x%_Z()é汉😀") + [
+        "@ex.org", "123-45-6789", "+1 555 010", "10.0.0.7", "é10.0.0.7é",
+    ]
     rows = [
         (i, "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 60))))
         for i in range(400)
