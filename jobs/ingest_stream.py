@@ -17,6 +17,11 @@ Default is an availableNow drain (backfill / cron mode: process
 everything present, then exit); ``--continuous`` leaves the query
 running until killed (the checkpoint makes either mode resumable,
 micro-batch replay is idempotent — streaming/ingest.py).
+
+``--source warc`` points ``--pages`` at a raw-crawl drop directory of
+``.warc.gz`` archives instead of pages parquet: the incremental KG
+path then runs straight off the crawl (archive → extraction →
+mentions → counts → link decisions) with no parquet landing step.
 """
 
 from __future__ import annotations
@@ -31,7 +36,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pages", required=True, help="directory the pages parquet files arrive in")
+    ap.add_argument("--pages", required=True, help="directory the input files arrive in")
+    ap.add_argument(
+        "--source",
+        choices=["pages", "warc"],
+        default="pages",
+        help="input kind: 'pages' parquet drops, or 'warc' raw .warc.gz crawl archives",
+    )
     ap.add_argument("--redirects", help="redirects dimension parquet path/table")
     ap.add_argument("--out", required=True, help="mention-fact output root")
     ap.add_argument("--checkpoint", required=True, help="streaming checkpoint location")
@@ -61,6 +72,7 @@ def main(argv=None):
         stats_root=args.stats,
         compact_every=args.compact_every,
         link_decisions=args.link_decisions,
+        source=args.source,
     )
     q.awaitTermination()
     import glob

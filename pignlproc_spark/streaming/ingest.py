@@ -122,6 +122,7 @@ def run_incremental(
     link_decisions: bool = False,
     lang: str = "en",
     analysis: str = "word",
+    source: str = "pages",
 ):
     """Micro-batch driver: stream pages → mentions (+ optional redirect
     resolution against the broadcast dimension) → append parquet.
@@ -147,7 +148,19 @@ def run_incremental(
 
     if link_decisions and stats_root is None:
         raise ValueError("link_decisions=True requires stats_root (the merged dictionaries)")
-    stream = mention_stream(read_page_stream(spark, input_dir))
+    if source not in ("pages", "warc"):
+        raise ValueError(f"source must be 'pages' or 'warc', got {source!r}")
+    # `warc`: the drop directory receives RAW .warc.gz crawl archives;
+    # the canonical pages shape comes straight out of the archive
+    # stream, so the whole incremental KG path (extraction → mentions →
+    # counts → link decisions) runs off the crawl with no intermediate
+    # parquet landing step
+    pages = (
+        read_warc_stream(spark, input_dir, lang=lang)
+        if source == "warc"
+        else read_page_stream(spark, input_dir)
+    )
+    stream = mention_stream(pages)
 
     def handle_batch(batch_df: DataFrame, batch_id: int):
         out = batch_df

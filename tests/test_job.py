@@ -270,3 +270,47 @@ def test_curate_corpus_job_pii_scrub(spark, tmp_path, capsys):
     assert curated.where(F.col("text").rlike("@ex\\.org")).count() == 0
     assert curated.where(~F.col("text").contains("<EMAIL>")).count() == 0
     assert curated.where(~F.col("text").contains("<IP>")).count() == 0
+
+
+def test_ingest_stream_job_from_warc(spark, synth_dir, tmp_path):
+    """--source warc: the incremental KG job runs straight off raw
+    .warc.gz crawl archives — mentions from the drained stream must
+    equal the batch fused path over the same archives, and the
+    incremental stats must be live."""
+    import shutil
+
+    from pignlproc_spark.sources.warc import warc_gz_to_pages
+    from pignlproc_spark.streaming.counts import read_counts
+    from pignlproc_spark.streaming.ingest import mention_stream
+
+    drop = tmp_path / "crawl"
+    drop.mkdir()
+    for p in (synth_dir / "warc").glob("*.warc.gz"):
+        shutil.copy(p, drop / p.name)
+    out = str(tmp_path / "facts")
+    stats = str(tmp_path / "stats")
+    rc = stream_main(
+        [
+            "--pages", str(drop),
+            "--source", "warc",
+            "--redirects", str(synth_dir / "redirects.parquet"),
+            "--out", out,
+            "--checkpoint", str(tmp_path / "ck"),
+            "--stats", stats,
+        ]
+    )
+    assert rc == 0
+    got = spark.read.parquet(f"{out}/batch=*")
+    # batch twin over the same archives (same fused extraction, then
+    # the same redirect resolution the job applied)
+    from pignlproc_spark.operators.canonicalize import apply_redirects
+
+    want = apply_redirects(
+        mention_stream(warc_gz_to_pages(spark, str(synth_dir / "warc"))),
+        spark.read.parquet(str(synth_dir / "redirects.parquet")),
+        "uri",
+    )
+    assert got.count() == want.count() > 0
+    key = ["url", "ctx_idx", "begin", "end", "uri"]
+    assert got.select(key).exceptAll(want.select(key)).count() == 0
+    assert read_counts(spark, f"{stats}/pair_counts", ["surface_form", "uri"]).count() > 0
