@@ -265,7 +265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def events_props_extract(spark, sf_dir):
         e = _read(spark, sf_dir, "events")
-        k = F.regexp_extract(F.col("props"), r'"k":\s*([0-9]+)', 1).cast("bigint")
+        k = F.regexp_extract(F.col("props"), r'"k":[ \t\n\x0B\f\r]*([0-9]+)', 1).cast("bigint")
         return (
             e.withColumn("_k", k)
             .groupBy("event_type")
@@ -1605,7 +1605,7 @@ def oracle_sql() -> dict[str, str]:
     o["events_props_extract"] = """
     SELECT event_type, count(*) AS cnt,
            sum(k)::BIGINT AS sum_k, min(k)::BIGINT AS min_k, max(k)::BIGINT AS max_k
-    FROM (SELECT event_type, regexp_extract(props, '"k":\\s*([0-9]+)', 1)::BIGINT AS k FROM events)
+    FROM (SELECT event_type, regexp_extract(props, '"k":[ \\t\\n\\x0B\\f\\r]*([0-9]+)', 1)::BIGINT AS k FROM events)
     GROUP BY event_type
     """
     o["docs_explode_tokens"] = f"""
@@ -1972,7 +1972,7 @@ def oracle_sql() -> dict[str, str]:
     """
     o["docs_fingerprint"] = """
     SELECT doc_id::BIGINT AS doc_id,
-           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+           md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS fingerprint
     FROM documents
     """
     o["docs_token_counts"] = f"""
@@ -2094,7 +2094,7 @@ def oracle_sql() -> dict[str, str]:
     """
     o["events_json_native"] = """
     SELECT event_type,
-           sum(regexp_extract(props, '"k":\\s*([0-9]+)', 1)::BIGINT)::BIGINT AS sum_k,
+           sum(regexp_extract(props, '"k":[ \\t\\n\\x0B\\f\\r]*([0-9]+)', 1)::BIGINT)::BIGINT AS sum_k,
            count(*) AS cnt
     FROM events GROUP BY event_type
     """

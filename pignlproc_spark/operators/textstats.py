@@ -111,8 +111,13 @@ def quality_signals(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
 
 def doc_fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, fingerprint): md5 of casefolded, whitespace-normalized text
-    — the cheap content-identity key for incremental dedup."""
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    — the cheap content-identity key for incremental dedup.
+
+    The whitespace class is spelled out ([ \\t\\n\\x0B\\f\\r]+) instead of
+    \\s because Java's \\s includes \\x0B and RE2's does not — a \\s here
+    would diverge from the DuckDB oracle on any document containing a
+    vertical tab (found by cross-engine probing)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[ \t\n\x0B\f\r]+", " "))
     return df.select(
         F.col(id_col).cast("bigint"), F.md5(norm.cast("binary")).alias("fingerprint")
     )

@@ -1294,3 +1294,25 @@ def test_pii_scrub_cross_engine_differential(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_fingerprint_vertical_tab_cross_engine(spark):
+    """Java's \\s includes \\x0B, RE2's does not — the fingerprint spec
+    therefore spells its whitespace class explicitly. A document with a
+    vertical tab must fingerprint identically in both engines."""
+    import duckdb
+
+    rows = [(1, "a\x0bb  c"), (2, "a b c"), (3, "\x0b\x0b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.fingerprint for r in textstats.doc_fingerprint(df).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TEMP TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = dict(
+        con.sql(
+            r"SELECT doc_id, md5(trim(regexp_replace(lower(text),"
+            r" '[ \t\n\x0B\f\r]+', ' ', 'g'))) FROM t"
+        ).fetchall()
+    )
+    assert got == want
+    assert got[1] == got[2]  # \x0B normalizes like any whitespace
