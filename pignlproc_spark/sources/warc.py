@@ -124,14 +124,32 @@ def _gunzip_members(read_chunk, chunk_size: int = 1 << 20) -> Iterator[bytes]:
     """Stream-decompress concatenated gzip members (and plain
     single-member gzip) from a ``read_chunk(n) -> bytes`` callable,
     yielding decompressed chunks. Constant memory: one compressed chunk
-    + one inflate window live at a time."""
+    + one inflate window live at a time.
+
+    Corruption tolerance (a 100-TB crawl WILL contain damaged
+    archives): a member whose deflate stream is invalid must not kill
+    the task — on ``zlib.error`` the scan resyncs at the next gzip
+    magic (``1f 8b 08``; per-record members mean that is the next
+    record) and continues, salvaging everything after the damage.
+    Best-effort: a magic split across chunk boundaries or a truncated
+    final member loses at most that member; the WARC parser above this
+    layer independently resyncs on the ``WARC/`` version line, so
+    partially-inflated garbage cannot corrupt neighboring records."""
     d = zlib.decompressobj(wbits=31)  # 31 = gzip framing
     while True:
         chunk = read_chunk(chunk_size)
         if not chunk:
             break
         while chunk:
-            out = d.decompress(chunk)
+            try:
+                out = d.decompress(chunk)
+            except zlib.error:
+                # resync: next member magic in the unconsumed bytes
+                # (offset 1 guarantees progress on a false positive)
+                nxt = chunk.find(b"\x1f\x8b\x08", 1)
+                d = zlib.decompressobj(wbits=31)
+                chunk = chunk[nxt:] if nxt >= 0 else b""
+                continue
             if out:
                 yield out
             if d.eof:  # member boundary — restart on the leftover bytes
@@ -139,7 +157,10 @@ def _gunzip_members(read_chunk, chunk_size: int = 1 << 20) -> Iterator[bytes]:
                 d = zlib.decompressobj(wbits=31)
             else:
                 chunk = b""
-    tail = d.flush()
+    try:
+        tail = d.flush()
+    except zlib.error:  # truncated/damaged final member
+        tail = b""
     if tail:
         yield tail
 

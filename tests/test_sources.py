@@ -262,3 +262,41 @@ def test_warc_gz_end_to_end_extraction(spark, synth_dir):
     j = parsed.join(gold, "url")
     assert j.count() == gold.count()
     assert j.where(F.col("text") != F.col("expected")).count() == 0
+
+
+def test_warc_gz_corrupt_member_resync(spark, tmp_path):
+    """A damaged gzip member must not kill the scan: the reader resyncs
+    at the next member magic and salvages every record after (and
+    before) the damage; a truncated final member is dropped silently."""
+    import gzip
+
+    def member(url, body):
+        rec = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            + f"WARC-Target-URI: {url}\r\n".encode()
+            + b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+            + f"Content-Length: {len(body)}\r\n\r\n".encode()
+            + body
+            + b"\r\n\r\n"
+        )
+        return gzip.compress(rec, mtime=0)
+
+    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\npayload-%d"
+    good = [member(f"http://ex.org/{i}", http % i) for i in range(5)]
+    bad = bytearray(member("http://ex.org/corrupt", http % 99))
+    bad[20:40] = b"\x00" * 20  # wreck the deflate stream, keep the magic
+    archive = good[0] + good[1] + bytes(bad) + good[2] + good[3] + good[4][:25]
+    p = tmp_path / "damaged.warc.gz"
+    p.write_bytes(archive)
+
+    from pignlproc_spark.sources.warc import read_warc_gz
+
+    rows = read_warc_gz(spark, str(p)).collect()
+    got = sorted(r.url for r in rows)
+    # members 0-3 survive; the corrupt member and the truncated tail drop
+    assert got == [f"http://ex.org/{i}" for i in range(4)]
+    assert all(
+        r.payload == b"payload-%d" % i
+        for i, r in enumerate(sorted(rows, key=lambda r: r.url))
+    )
