@@ -1225,6 +1225,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(spark, sf_dir, "documents"), ["dup", "hash", "merge", "spark"], k=20
         )
 
+    def docs_novelty(spark, sf_dir):
+        # corpus-order 3-gram novelty: distinct grams first seen in
+        # this doc (min doc_id over the corpus) — the diversity signal
+        # dedup can't express (remixed docs score low while passing
+        # near-dup); exact integers, gram-level two-phase aggregate
+        return textstats.novelty_score(_read(spark, sf_dir, "documents"), n=3)
+
     def docs_pii_scrub(spark, sf_dir):
         # PII redaction (CCPii v1: emails, IPv4, SSN-shaped ids,
         # +international phones) — the documents table carries no PII,
@@ -1247,6 +1254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return textstats.pii_scrub(planted)
 
     q.update(
+        docs_novelty=docs_novelty,
         docs_pii_scrub=docs_pii_scrub,
         docs_decontaminate=docs_decontaminate,
         docs_pack_sequences=docs_pack_sequences,
@@ -2003,6 +2011,28 @@ def oracle_sql() -> dict[str, str]:
             AND l.lang_pred = 'en' AND c.is_canonical = 1)::INT AS keep
     FROM q JOIN l USING (doc_id) JOIN c USING (doc_id)
     """
+    o["docs_novelty"] = f"""
+    WITH toks AS (
+      SELECT doc_id, {_tok_sql('text', stop=False)} AS t FROM documents
+    ), raw AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+                            j -> t[j] || ' ' || t[j+1] || ' ' || t[j+2])) AS g
+      FROM toks WHERE len(t) >= 3
+    ), d AS (
+      SELECT DISTINCT doc_id, g FROM raw
+    ), f AS (
+      SELECT g, min(doc_id) AS first_doc FROM d GROUP BY g
+    ), a AS (
+      SELECT d.doc_id, count(*) AS nd,
+             sum(CASE WHEN d.doc_id = f.first_doc THEN 1 ELSE 0 END) AS nn
+      FROM d JOIN f USING (g) GROUP BY d.doc_id
+    )
+    SELECT t.doc_id::BIGINT AS doc_id,
+           coalesce(nd, 0)::BIGINT AS n_distinct_grams,
+           coalesce(nn, 0)::BIGINT AS n_novel_grams
+    FROM toks t LEFT JOIN a ON t.doc_id = a.doc_id
+    """
+
     from pignlproc_spark.operators.textstats import pii_scrub_sql
 
     _pii_clean, _pii_counts = pii_scrub_sql("text")

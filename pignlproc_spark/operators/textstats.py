@@ -904,3 +904,46 @@ def pii_scrub_sql(text_expr: str = "text") -> tuple[str, list[str]]:
         )
         t = f"regexp_replace({t}, '{pat}', '{repl}', 'g')"
     return t, count_exprs
+
+
+def novelty_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """(id, n_distinct_grams, n_novel_grams) — corpus-order n-gram
+    novelty: a document's distinct token ``n``-gram is *novel* iff this
+    document has the minimum id among all documents containing it.
+    ``n_novel/n_distinct`` is the novelty ratio used for dataset
+    diversity/curriculum curation (a doc of entirely already-seen
+    n-grams adds nothing; dedup's blind spot — remixes — shows up
+    here). Exact integers; docs with < n tokens emit zeros.
+
+    Scale shape: one tokenize pass → distinct (doc, gram) aggregate
+    (map-side combine absorbs the window fanout) → gram-level min-doc
+    aggregate → equi-join back on gram → per-doc count. Nothing wider
+    than (doc_id, gram) ever shuffles, and the gram join is
+    co-partitioned with the min-doc aggregate's output partitioning.
+    Shares the frozen :func:`~pignlproc_spark.operators.dedup.window_expr`
+    shingle spec with every other window operator.
+    """
+    from pignlproc_spark.operators.dedup import window_expr
+
+    toks = df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        tokens_col(F.col(text_col), apply_stoplist=False).alias("_toks"),
+    )
+    d = (
+        toks.select("doc_id", F.explode(F.expr(window_expr(n))).alias("g"))
+        .distinct()
+    )
+    first = d.groupBy("g").agg(F.min("doc_id").alias("_first"))
+    agg = (
+        d.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_grams"),
+            F.sum((F.col("doc_id") == F.col("_first")).cast("int")).cast("bigint").alias("n_novel_grams"),
+        )
+    )
+    base = toks.select("doc_id")
+    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)  # noqa: E731
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id", z("n_distinct_grams"), z("n_novel_grams")
+    )

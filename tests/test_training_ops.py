@@ -1316,3 +1316,31 @@ def test_fingerprint_vertical_tab_cross_engine(spark):
     )
     assert got == want
     assert got[1] == got[2]  # \x0B normalizes like any whitespace
+
+
+def test_novelty_score_bruteforce(spark):
+    """novelty = distinct n-grams whose minimum containing doc_id is
+    this doc; brute-force python parity on a corpus with exact dups,
+    partial remixes, and a short (< n tokens) doc."""
+    rows = [
+        (1, "a b c d e"),
+        (2, "a b c d e"),          # exact dup: zero novel
+        (3, "c d e f g"),          # remix: novel only where it leaves doc 1
+        (4, "x y"),                # < 3 tokens: zeros
+        (5, "x y z a b c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_distinct_grams, r.n_novel_grams) for r in textstats.novelty_score(df, n=3).collect()}
+
+    def grams(t):
+        w = t.split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    first = {}
+    for i, t in rows:
+        for g in grams(t):
+            first.setdefault(g, i)
+    for i, t in rows:
+        gs = grams(t)
+        assert got[i] == (len(gs), sum(1 for g in gs if first[g] == i)), i
+    assert got[2][1] == 0 and got[4] == (0, 0)
