@@ -492,6 +492,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def web_domain_quota(spark, sf_dir):
+        # per-host page cap (crawl curation: stop megasites dominating
+        # a training mix) — at most 40 pages per host, deterministic
+        # keep by url order; one host shuffle, no global sort
+        from pignlproc_spark.functions.urls import domain_quota
+
+        return domain_quota(synth.pages_for(spark, sf_dir), k=40)
+
     def events_hourly_rollup(spark, sf_dir):
         # temporal rollup on the crawl/event timestamp: hour bucket as
         # epoch seconds (TZ pinned UTC both engines), exact-int value
@@ -546,6 +554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(
         web_canonical_urls=web_canonical_urls,
         web_domain_stats=web_domain_stats,
+        web_domain_quota=web_domain_quota,
         web_url_dedup=web_url_dedup,
         events_hourly_rollup=events_hourly_rollup,
         events_sessionize=events_sessionize,
@@ -1643,6 +1652,17 @@ def oracle_sql() -> dict[str, str]:
     SELECT lower(regexp_extract(trim(url), '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host,
            count(*) AS n_pages, sum(length(text))::BIGINT AS text_chars
     FROM {g('pages')} GROUP BY 1
+    """
+    o["web_domain_quota"] = f"""
+    SELECT host, url, rank FROM (
+      SELECT lower(regexp_extract(trim(url), '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host,
+             url,
+             row_number() OVER (
+               PARTITION BY lower(regexp_extract(trim(url), '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1))
+               ORDER BY url ASC
+             )::INT AS rank
+      FROM {g('pages')}
+    ) WHERE rank <= 40
     """
     o["events_hourly_rollup"] = """
     SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch, event_type,

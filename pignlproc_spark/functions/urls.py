@@ -57,3 +57,25 @@ def canonical_url_col(url: Column) -> Column:
     return F.when((scheme == "") | (raw_host == ""), u).otherwise(
         F.concat(scheme, F.lit("://"), host, path, query)
     )
+
+
+def domain_quota(pages, k: int, url_col: str = "url"):
+    """At most ``k`` pages per host, deterministically (url ascending) —
+    the standard crawl-curation cap that stops megasites from dominating
+    a training mix. Returns (host, url, rank) for the keepers.
+
+    Scale shape: ONE shuffle on host, then a within-partition sort +
+    running row_number — no global sort, no self-join; a skewed
+    megahost is one partition's sort (AQE splits it if it dominates).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    u = F.col(url_col)
+    w = Window.partitionBy(host_col(u)).orderBy(u.asc())
+    return (
+        pages.select(host_col(u).alias("host"), u.alias("url"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("host", "url", F.col("rank").cast("int").alias("rank"))
+    )

@@ -1344,3 +1344,21 @@ def test_novelty_score_bruteforce(spark):
         gs = grams(t)
         assert got[i] == (len(gs), sum(1 for g in gs if first[g] == i)), i
     assert got[2][1] == 0 and got[4] == (0, 0)
+
+
+def test_domain_quota(spark):
+    """Per-host cap: k keeps the first k urls per host (url asc),
+    hosts under the cap keep everything, rank is 1..k dense."""
+    from pignlproc_spark.functions.urls import domain_quota
+
+    rows = [(f"http://h{i % 3}.ex/p{j:02d}",) for i in range(3) for j in range(5 if i % 3 else 2)]
+    df = spark.createDataFrame(rows, "url string")
+    out = domain_quota(df, k=3).collect()
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r.host, []).append((r.rank, r.url))
+    assert len(by_host["h0.ex"]) == 2  # under cap: all kept
+    for h in ("h1.ex", "h2.ex"):
+        kept = sorted(by_host[h])
+        assert [r for r, _ in kept] == [1, 2, 3]
+        assert [u for _, u in kept] == sorted(u for (u,) in rows if h in u)[:3]
