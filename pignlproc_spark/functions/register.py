@@ -27,7 +27,7 @@ import re
 
 from pignlproc_spark.functions.tokenize import STOPWORDS, TOKEN_RE_JVM
 from pignlproc_spark.functions.uri import resource_prefix
-from pignlproc_spark.operators.textstats import BPE_SPLIT_RE
+from pignlproc_spark.operators.textstats import _ASCII_B, BPE_SPLIT_RE, PII_PATTERNS
 
 
 def _sql_str(s: str, escaped_literals: bool = False) -> str:
@@ -80,7 +80,22 @@ def statements(escaped_literals: bool = False) -> dict[str, str]:
             "RETURNS STRING RETURN "
             f"regexp_replace(u, {lit('^' + re.escape(prefix))}, '')"
         ),
+        "ccw_pii_clean": (
+            "CREATE OR REPLACE TEMPORARY FUNCTION ccw_pii_clean(s STRING) "
+            f"RETURNS STRING RETURN {_pii_clean_expr('s', lit)}"
+        ),
     }
+
+
+def _pii_clean_expr(col: str, lit) -> str:
+    """The CCPii v1 scrub as one nested SQL expression, built from the
+    frozen PII_PATTERNS with the same Java-side ASCII-\\b translation
+    the DataFrame operator applies (textstats.pii_scrub)."""
+    expr = col
+    for _, pat, repl in PII_PATTERNS:
+        jpat = pat.replace(r"\b", _ASCII_B)
+        expr = f"regexp_replace({expr}, {lit(jpat)}, {lit(repl)})"
+    return expr
 
 
 def register_sql(spark) -> list[str]:

@@ -262,6 +262,19 @@ def test_sql_function_registry_parity(spark):
         F.expr("ccw_uri_encode('main_Page')").alias("su"),
     ).collect()[0]
     assert uri_pair.u == uri_pair.su == "http://en.dbpedia.org/resource/Main_Page"
+    # CCPii scrub: SQL function == DataFrame operator (incl. the
+    # ASCII-\b translation on the non-ASCII neighbor case)
+    from pignlproc_spark.operators.textstats import pii_scrub
+
+    pdf = spark.createDataFrame(
+        [(1, "mail a@b.co at é10.0.0.7é or +1 555 0199, ssn 123-45-6789")],
+        "doc_id long, text string",
+    )
+    pdf.createOrReplaceTempView("pii_probe")
+    sql_clean = spark.sql("SELECT ccw_pii_clean(text) AS c FROM pii_probe").collect()[0].c
+    df_clean = pii_scrub(pdf).collect()[0].clean_text
+    assert sql_clean == df_clean
+    assert "<EMAIL>" in sql_clean and "<IP>" in sql_clean and "<IDNUM>" in sql_clean and "<PHONE>" in sql_clean
     # registration is idempotent
     register_sql(spark)
     # Hive-compat raw string literals: registration must adapt the
