@@ -1241,6 +1241,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # near-dup); exact integers, gram-level two-phase aggregate
         return textstats.novelty_score(_read(spark, sf_dir, "documents"), n=3)
 
+    def docs_line_dedup(spark, sf_dir):
+        # CCNet-style corpus-wide line dedup: the documents table is
+        # single-line, so plant the classic repeat-offenders — two
+        # boilerplate lines identical on EVERY page (cookie banner,
+        # footer); only the minimum doc keeps them, every body line
+        # survives untouched
+        d = _read(spark, sf_dir, "documents")
+        planted = d.withColumn(
+            "text",
+            F.concat(
+                F.col("text"),
+                F.lit("\ncookie banner accept all cookies\nfooter nav copyright 2024"),
+            ),
+        )
+        return textstats.line_dedup(planted)
+
     def docs_pii_scrub(spark, sf_dir):
         # PII redaction (CCPii v1: emails, IPv4, SSN-shaped ids,
         # +international phones) — the documents table carries no PII,
@@ -1264,6 +1280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q.update(
         docs_novelty=docs_novelty,
+        docs_line_dedup=docs_line_dedup,
         docs_pii_scrub=docs_pii_scrub,
         docs_decontaminate=docs_decontaminate,
         docs_pack_sequences=docs_pack_sequences,
@@ -2030,6 +2047,34 @@ def oracle_sql() -> dict[str, str]:
             AND (q.mean_token_len_x100 BETWEEN 300 AND 800)
             AND l.lang_pred = 'en' AND c.is_canonical = 1)::INT AS keep
     FROM q JOIN l USING (doc_id) JOIN c USING (doc_id)
+    """
+    o["docs_line_dedup"] = f"""
+    WITH p AS (
+      SELECT doc_id,
+             text || chr(10) || 'cookie banner accept all cookies'
+                  || chr(10) || 'footer nav copyright 2024' AS text
+      FROM documents
+    ), raw AS (
+      SELECT doc_id,
+             unnest(string_split(text, chr(10))) AS line,
+             unnest(range(1, len(string_split(text, chr(10))) + 1)) AS idx
+      FROM p
+    ), l AS (
+      SELECT doc_id, idx, line, md5(line) AS h,
+             row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, idx) AS rn
+      FROM raw WHERE line <> ''
+    ), n_all AS (
+      SELECT doc_id, count(*) AS n_lines FROM l GROUP BY doc_id
+    ), kept AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(line, chr(10) ORDER BY idx) AS clean_text
+      FROM l WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT d.doc_id::BIGINT AS doc_id,
+           coalesce(n_lines, 0)::BIGINT AS n_lines,
+           coalesce(n_kept, 0)::BIGINT AS n_kept,
+           coalesce(clean_text, '') AS clean_text
+    FROM documents d LEFT JOIN n_all USING (doc_id) LEFT JOIN kept USING (doc_id)
     """
     o["docs_novelty"] = f"""
     WITH toks AS (

@@ -947,3 +947,60 @@ def novelty_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     return base.join(agg, "doc_id", "left").select(
         "doc_id", z("n_distinct_grams"), z("n_novel_grams")
     )
+
+
+def line_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Corpus-wide line deduplication (the CCNet/RefinedWeb boilerplate
+    pass: navigation bars, cookie banners and footers repeat VERBATIM
+    across a site's pages at line granularity) —
+
+        (id, n_lines, n_kept, clean_text)
+
+    A line survives iff it is the corpus-FIRST occurrence of its
+    content: minimum (doc_id, line_idx) over all identical lines.
+    Later copies anywhere (other docs or the same doc) drop. Empty
+    lines never survive. ``clean_text`` rejoins the survivors in
+    original order with ``\\n``.
+
+    Scale shape: posexplode lines → one aggregate keyed on the line
+    HASH (md5 — the exchange carries 32-byte keys, not line bodies) →
+    equi-join back → per-doc sorted re-assembly. Nothing wider than
+    (hash, doc, idx) shuffles twice; no self-join, no window over the
+    corpus. Determinism: (doc_id, idx) is a total order, so the kept
+    set is unique.
+    """
+    lines = (
+        df.select(
+            F.col(id_col).cast("bigint").alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "line"),
+        )
+        .where(F.col("line") != "")
+        .select("doc_id", "idx", "line", F.md5(F.col("line").cast("binary")).alias("_h"))
+    )
+    first = lines.groupBy("_h").agg(
+        F.min(F.struct("doc_id", "idx")).alias("_first")
+    )
+    kept = (
+        lines.join(first, "_h")
+        .where((F.col("doc_id") == F.col("_first.doc_id")) & (F.col("idx") == F.col("_first.idx")))
+        .select("doc_id", "idx", "line")
+    )
+    n_all = lines.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_lines"))
+    reassembled = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("idx", "line"))), lambda s: s["line"]),
+            "\n",
+        ).alias("clean_text"),
+    )
+    base = df.select(F.col(id_col).cast("bigint").alias("doc_id"))
+    return (
+        base.join(n_all, "doc_id", "left")
+        .join(reassembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_lines", F.lit(0)).cast("bigint").alias("n_lines"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

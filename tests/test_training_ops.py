@@ -1362,3 +1362,21 @@ def test_domain_quota(spark):
         kept = sorted(by_host[h])
         assert [r for r, _ in kept] == [1, 2, 3]
         assert [u for _, u in kept] == sorted(u for (u,) in rows if h in u)[:3]
+
+
+def test_line_dedup_semantics(spark):
+    """Line dedup keeps only the corpus-first occurrence of each line
+    (min doc_id, then min idx WITHIN that doc), drops empty lines, and
+    reassembles survivors in original order."""
+    rows = [
+        (1, "alpha\nboiler\nbeta\nboiler"),   # within-doc repeat: 2nd boiler drops
+        (2, "boiler\ngamma\n\ngamma"),        # cross-doc repeat + empty + self-repeat
+        (3, "\n\n"),                          # only empties
+        (4, "alpha"),                         # pure repeat of doc 1's first line
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in textstats.line_dedup(df).collect()}
+    assert (got[1].n_lines, got[1].n_kept, got[1].clean_text) == (4, 3, "alpha\nboiler\nbeta")
+    assert (got[2].n_lines, got[2].n_kept, got[2].clean_text) == (3, 1, "gamma")
+    assert (got[3].n_lines, got[3].n_kept, got[3].clean_text) == (0, 0, "")
+    assert (got[4].n_lines, got[4].n_kept, got[4].clean_text) == (1, 0, "")
