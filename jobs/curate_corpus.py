@@ -85,6 +85,11 @@ def main(argv=None):
         action="store_true",
         help="redact emails/IPv4/SSN-ids/+international phones (CCPii v1) from the curated text",
     )
+    ap.add_argument(
+        "--line-dedup",
+        action="store_true",
+        help="CCNet-style pre-pass: drop every repeated line except its corpus-first occurrence BEFORE quality/dedup/decontamination",
+    )
     args = ap.parse_args(argv)
     mix_weights = None
     if args.mix:
@@ -113,9 +118,19 @@ def main(argv=None):
     t0 = time.time()
 
     docs = tables.read_path_or_table(spark, args.docs)
+    extra_persists = []
+    if args.line_dedup:
+        # boilerplate pre-pass: every later stage (quality signals,
+        # near-dup, decontamination, packing) sees the line-deduped
+        # text — matching CCNet's order, where line dedup runs first
+        # so repeated banners/footers don't dominate n-gram stats
+        ld = textstats.line_dedup(docs)
+        docs = (
+            docs.drop("text")
+            .join(ld.select("doc_id", F.col("clean_text").alias("text")), "doc_id")
+        )
     # the corpus feeds 4+ downstream consumers — share the scan
     docs = docs.persist()
-    extra_persists = []
 
     # 1. quality / language / exact-canonicality
     quality = textstats.corpus_filter(docs, lang=args.lang).select(

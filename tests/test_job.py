@@ -314,3 +314,29 @@ def test_ingest_stream_job_from_warc(spark, synth_dir, tmp_path):
     key = ["url", "ctx_idx", "begin", "end", "uri"]
     assert got.select(key).exceptAll(want.select(key)).count() == 0
     assert read_counts(spark, f"{stats}/pair_counts", ["surface_form", "uri"]).count() > 0
+
+
+def test_curate_corpus_job_line_dedup(spark, tmp_path):
+    """--line-dedup strips corpus-repeated lines before every other
+    stage: a boilerplate line planted on every doc survives in exactly
+    one kept document's text."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    planted = docs.withColumn(
+        "text", F.concat(F.col("text"), F.lit("\ncookie banner accept all"))
+    )
+    corpus_p = str(tmp_path / "ld_corpus.parquet")
+    planted.write.parquet(corpus_p)
+    out = str(tmp_path / "curated_ld")
+    from jobs.curate_corpus import main as curate_main
+
+    rc = curate_main(["--docs", corpus_p, "--out", out, "--line-dedup"])
+    assert rc == 0
+    curated = spark.read.parquet(f"{out}/curated")
+    n_with_banner = curated.where(F.col("text").contains("cookie banner accept all")).count()
+    assert n_with_banner <= 1  # at most the corpus-first doc (it may have been dropped by other gates)
+    # and no kept text carries the banner twice
+    assert curated.where(
+        F.size(F.split(F.col("text"), "cookie banner accept all")) > 2
+    ).count() == 0
+    report = spark.read.parquet(f"{out}/report")
+    assert set(report.columns) == REPORT_COLUMNS  # schema contract holds
