@@ -1257,6 +1257,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return textstats.line_dedup(planted)
 
+    def docs_surprisal(spark, sf_dir):
+        # CCNet perplexity surrogate: mean self-information under the
+        # corpus's own unigram model (quantize-per-term-then-int-sum,
+        # the BM25 float contract); high = noise tail, low =
+        # boilerplate tail
+        return textstats.unigram_surprisal(_read(spark, sf_dir, "documents"))
+
     def docs_pii_scrub(spark, sf_dir):
         # PII redaction (CCPii v1: emails, IPv4, SSN-shaped ids,
         # +international phones) — the documents table carries no PII,
@@ -1280,6 +1287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q.update(
         docs_novelty=docs_novelty,
+        docs_surprisal=docs_surprisal,
         docs_line_dedup=docs_line_dedup,
         docs_pii_scrub=docs_pii_scrub,
         docs_decontaminate=docs_decontaminate,
@@ -2047,6 +2055,19 @@ def oracle_sql() -> dict[str, str]:
             AND (q.mean_token_len_x100 BETWEEN 300 AND 800)
             AND l.lang_pred = 'en' AND c.is_canonical = 1)::INT AS keep
     FROM q JOIN l USING (doc_id) JOIN c USING (doc_id)
+    """
+    o["docs_surprisal"] = f"""
+    WITH tf AS (
+      SELECT doc_id, tok, count(*)::BIGINT AS tf FROM (
+        SELECT doc_id, unnest({_tok_sql('text', stop=False)}) AS tok FROM documents
+      ) GROUP BY doc_id, tok
+    ), cf AS (SELECT tok, sum(tf)::BIGINT AS cf FROM tf GROUP BY tok),
+    n AS (SELECT sum(cf)::DOUBLE AS n FROM cf),
+    nll AS (SELECT tok, floor(1000000.0 * ln(n / cf::DOUBLE))::BIGINT AS nll_q
+            FROM cf CROSS JOIN n)
+    SELECT doc_id::BIGINT AS doc_id, sum(tf)::BIGINT AS n_tokens,
+           floor(sum(tf * nll_q)::DOUBLE / sum(tf))::BIGINT AS surprisal_q
+    FROM tf JOIN nll USING (tok) GROUP BY doc_id
     """
     o["docs_line_dedup"] = f"""
     WITH p AS (

@@ -1004,3 +1004,44 @@ def line_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def unigram_surprisal(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, n_tokens, surprisal_q) — per-document mean self-information
+    under the corpus's own unigram model, the CCNet perplexity
+    surrogate (Wenzek et al., LREC'20 score documents against an LM;
+    the unigram model needs no external artifact):
+
+        nll_q(t)    = floor(1e6 · ln(N / c(t)))      per vocab term
+        surprisal_q = floor(Σ_t c(t,d) · nll_q(t) / n_tokens(d))
+
+    HIGH = rare-token-dense (OCR noise, codes, non-language); LOW =
+    boilerplate/stopword soup — the two tails a perplexity gate trims.
+    Same float-then-floor contract as BM25/tf-idf (quantize per term
+    BEFORE the integer sum → DuckDB hash-exact); exact-int division
+    last. Empty-tokenization docs produce no row (unnest parity).
+
+    Scale shape: ONE tokenize pass — (doc, tok) counts, a tok-level
+    corpus-count aggregate joined back on tok (co-partitioned with the
+    aggregate's own output), a 1-row N broadcast; no self-join, no
+    window over the corpus.
+    """
+    tf = (
+        df.select(F.col(id_col).cast("bigint").alias("doc_id"), F.explode(tokens_col(F.col(text_col), apply_stoplist=False)).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    cf = tf.groupBy("tok").agg(F.sum("tf").cast("bigint").alias("cf"))
+    n_total = cf.agg(F.sum("cf").cast("double").alias("n"))
+    nll = cf.crossJoin(F.broadcast(n_total)).select(
+        "tok",
+        F.floor(F.lit(1000000.0) * F.log(F.col("n") / F.col("cf").cast("double"))).cast("bigint").alias("nll_q"),
+    )
+    return (
+        tf.join(nll, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.floor(F.sum(F.col("tf") * F.col("nll_q")) / F.sum("tf")).cast("bigint").alias("surprisal_q"),
+        )
+    )

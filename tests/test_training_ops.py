@@ -1380,3 +1380,25 @@ def test_line_dedup_semantics(spark):
     assert (got[2].n_lines, got[2].n_kept, got[2].clean_text) == (3, 1, "gamma")
     assert (got[3].n_lines, got[3].n_kept, got[3].clean_text) == (0, 0, "")
     assert (got[4].n_lines, got[4].n_kept, got[4].clean_text) == (1, 0, "")
+
+
+def test_unigram_surprisal_bruteforce(spark):
+    """surprisal_q = floor(sum(tf * floor(1e6*ln(N/cf))) / n_tokens) —
+    python float parity; rare-token doc scores above the common-token
+    doc."""
+    import math
+
+    rows = [(1, "a a a a b"), (2, "a a a a a"), (3, "z q a a a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.surprisal_q) for r in textstats.unigram_surprisal(df).collect()}
+    toks = {i: t.split() for i, t in rows}
+    cf = {}
+    for ts in toks.values():
+        for t in ts:
+            cf[t] = cf.get(t, 0) + 1
+    N = sum(cf.values())
+    nll = {t: math.floor(1e6 * math.log(N / c)) for t, c in cf.items()}
+    for i, ts in toks.items():
+        want = (len(ts), math.floor(sum(nll[t] for t in ts) / len(ts)))
+        assert got[i] == want, i
+    assert got[3][1] > got[2][1]  # rare-token doc scores higher
