@@ -500,6 +500,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return domain_quota(synth.pages_for(spark, sf_dir), k=40)
 
+    def events_cohort_retention(spark, sf_dir):
+        # retention triangle: cohort = user's first active day; count
+        # distinct users per (cohort, day offset) — one (user, day)
+        # distinct pass, min-day aggregate, co-partitioned join back
+        from pignlproc_spark.operators import temporal
+
+        return temporal.cohort_retention(_read(spark, sf_dir, "events"))
+
     def events_hourly_rollup(spark, sf_dir):
         # temporal rollup on the crawl/event timestamp: hour bucket as
         # epoch seconds (TZ pinned UTC both engines), exact-int value
@@ -555,6 +563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         web_canonical_urls=web_canonical_urls,
         web_domain_stats=web_domain_stats,
         web_domain_quota=web_domain_quota,
+        events_cohort_retention=events_cohort_retention,
         web_url_dedup=web_url_dedup,
         events_hourly_rollup=events_hourly_rollup,
         events_sessionize=events_sessionize,
@@ -1688,6 +1697,16 @@ def oracle_sql() -> dict[str, str]:
              )::INT AS rank
       FROM {g('pages')}
     ) WHERE rank <= 40
+    """
+    o["events_cohort_retention"] = """
+    WITH ud AS (
+      SELECT DISTINCT user_id AS u, epoch(date_trunc('day', ts))::BIGINT AS d FROM events
+    ), firsts AS (
+      SELECT u, min(d) AS cohort_epoch FROM ud GROUP BY u
+    )
+    SELECT cohort_epoch, ((d - cohort_epoch) // 86400)::BIGINT AS day_offset,
+           count(*)::BIGINT AS n_users
+    FROM ud JOIN firsts USING (u) GROUP BY 1, 2
     """
     o["events_hourly_rollup"] = """
     SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch, event_type,

@@ -274,3 +274,29 @@ def user_ewma(
     return df.groupBy(key_col).applyInPandas(
         fn, schema=f"{key_col} {key_t}, {id_col} {id_t}, ewma double"
     )
+
+
+def cohort_retention(events: DataFrame, user_col: str = "user_id", ts_col: str = "ts") -> DataFrame:
+    """(cohort_epoch, day_offset, n_users) — the classic retention
+    triangle: users grouped by their FIRST active day (the cohort),
+    counted on each later day they return (offset in days from the
+    cohort day; offset 0 is the cohort's size). Exact integers (epoch
+    seconds of the day bucket, day offsets, distinct-user counts).
+
+    Scale shape: distinct (user, day) first (map-side combine absorbs
+    the event fanout — nothing heavier than one row per user-day ever
+    shuffles again), a per-user min-day aggregate, an equi-join back
+    on user (co-partitioned), one final count aggregate. No windows
+    over the corpus, no self-join of raw events.
+    """
+    day = F.unix_timestamp(F.date_trunc("day", F.col(ts_col))).cast("bigint")
+    ud = events.select(F.col(user_col).alias("u"), day.alias("d")).distinct()
+    firsts = ud.groupBy("u").agg(F.min("d").alias("cohort_epoch"))
+    return (
+        ud.join(firsts, "u")
+        .groupBy(
+            "cohort_epoch",
+            ((F.col("d") - F.col("cohort_epoch")) / 86400).cast("bigint").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )

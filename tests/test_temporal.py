@@ -194,3 +194,27 @@ def test_user_ewma_matches_recurrence(spark):
             assert got[eid] == pytest.approx(s, rel=1e-12), f"event {eid}"
             eid += 1
     assert len(got) == len(rows)
+
+
+def test_cohort_retention(spark):
+    """Retention semantics: cohort = first active day; a user counts
+    once per returned day; offset 0 row is the cohort size."""
+    from datetime import datetime
+
+    from pignlproc_spark.operators.temporal import cohort_retention
+
+    day = lambda d, h=0: datetime(2024, 1, d, h)  # noqa: E731
+    rows = [
+        (1, day(1)), (1, day(1, 5)), (1, day(3)),   # u1: cohort d1, returns d3
+        (2, day(1)), (2, day(2)),                   # u2: cohort d1, returns d2
+        (3, day(2)),                                # u3: cohort d2 only
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    e = lambda d: int(datetime(2024, 1, d).timestamp())  # noqa: E731 (session TZ = UTC)
+    got = {(r.cohort_epoch, r.day_offset): r.n_users for r in cohort_retention(df).collect()}
+    assert got == {
+        (e(1), 0): 2,  # u1+u2 on their cohort day (dup events collapse)
+        (e(1), 1): 1,  # u2 returns next day
+        (e(1), 2): 1,  # u1 returns two days later
+        (e(2), 0): 1,  # u3's own cohort
+    }
