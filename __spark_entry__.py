@@ -508,6 +508,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return temporal.cohort_retention(_read(spark, sf_dir, "events"))
 
+    def events_funnel(spark, sf_dir):
+        # ordered view -> click -> purchase funnel (earliest-completion
+        # chain; per-user aggregates joined stepwise, no event-level
+        # self-join)
+        from pignlproc_spark.operators import temporal
+
+        return temporal.funnel(
+            _read(spark, sf_dir, "events"), ["view", "click", "purchase"]
+        )
+
     def events_hourly_rollup(spark, sf_dir):
         # temporal rollup on the crawl/event timestamp: hour bucket as
         # epoch seconds (TZ pinned UTC both engines), exact-int value
@@ -564,6 +574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         web_domain_stats=web_domain_stats,
         web_domain_quota=web_domain_quota,
         events_cohort_retention=events_cohort_retention,
+        events_funnel=events_funnel,
         web_url_dedup=web_url_dedup,
         events_hourly_rollup=events_hourly_rollup,
         events_sessionize=events_sessionize,
@@ -1697,6 +1708,22 @@ def oracle_sql() -> dict[str, str]:
              )::INT AS rank
       FROM {g('pages')}
     ) WHERE rank <= 40
+    """
+    o["events_funnel"] = """
+    WITH s1 AS (
+      SELECT user_id AS u, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1
+    ), s2 AS (
+      SELECT e.user_id AS u, min(e.ts) AS t FROM events e JOIN s1 ON e.user_id = s1.u
+      WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1
+    ), s3 AS (
+      SELECT e.user_id AS u, min(e.ts) AS t FROM events e JOIN s2 ON e.user_id = s2.u
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1
+    )
+    SELECT 1::INT AS step_idx, 'view' AS step, count(*)::BIGINT AS n_users FROM s1
+    UNION ALL
+    SELECT 2::INT, 'click', count(*)::BIGINT FROM s2
+    UNION ALL
+    SELECT 3::INT, 'purchase', count(*)::BIGINT FROM s3
     """
     o["events_cohort_retention"] = """
     WITH ud AS (

@@ -300,3 +300,47 @@ def cohort_retention(events: DataFrame, user_col: str = "user_id", ts_col: str =
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(step_idx, step, n_users) — ordered funnel: how many users
+    performed the steps IN ORDER (each step strictly after the
+    earliest valid occurrence of the previous one; the standard
+    earliest-completion funnel, which is deterministic and maximizes
+    conversion counts — if any ordering of a user's events completes
+    the funnel, the greedy earliest chain does too).
+
+    Scale shape: one filtered scan per step (the ``type_col`` filter
+    pushes to parquet), each reduced to one row per user BEFORE the
+    next equi-join on user — k-1 co-partitioned joins of per-user
+    aggregates, never an event-level self-join. ``step_idx`` is
+    1-based.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    out = None
+    cur = None  # (u, _t): earliest completion time of the prefix
+    for i, s in enumerate(steps):
+        ev = events.where(F.col(type_col) == s).select(
+            F.col(user_col).alias("u"), F.col(ts_col).alias("_ts")
+        )
+        if cur is None:
+            cur = ev.groupBy("u").agg(F.min("_ts").alias("_t"))
+        else:
+            cur = (
+                ev.join(cur, "u")
+                .where(F.col("_ts") > F.col("_t"))
+                .groupBy("u")
+                .agg(F.min("_ts").alias("_t"))
+            )
+        row = cur.agg(F.count(F.lit(1)).cast("bigint").alias("n_users")).select(
+            F.lit(i + 1).cast("int").alias("step_idx"), F.lit(s).alias("step"), "n_users"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -218,3 +218,27 @@ def test_cohort_retention(spark):
         (e(1), 2): 1,  # u1 returns two days later
         (e(2), 0): 1,  # u3's own cohort
     }
+
+
+def test_funnel_ordering_semantics(spark):
+    """Funnel counts users whose steps happen strictly in order from
+    the earliest-completion chain; out-of-order users drop at the
+    step they failed."""
+    from datetime import datetime
+
+    from pignlproc_spark.operators.temporal import funnel
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # u1 completes in order
+        (1, "view", t(0)), (1, "click", t(1)), (1, "purchase", t(2)),
+        # u2 clicked BEFORE viewing; never clicks after -> stops at view
+        (2, "click", t(0)), (2, "view", t(1)), (2, "purchase", t(2)),
+        # u3 views + clicks only
+        (3, "view", t(0)), (3, "click", t(5)),
+        # u4 purchase only -> never enters
+        (4, "purchase", t(0)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {r.step_idx: (r.step, r.n_users) for r in funnel(df, ["view", "click", "purchase"]).collect()}
+    assert got == {1: ("view", 3), 2: ("click", 2), 3: ("purchase", 1)}
