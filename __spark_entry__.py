@@ -1305,7 +1305,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return textstats.pii_scrub(planted)
 
+    def docs_chunk_windows(spark, sf_dir):
+        # overlapping token-window chunking (RAG / fine-tuning cut):
+        # 128-token chunks every 96 tokens, md5 chunk ids
+        return textstats.chunk_token_windows(
+            _read(spark, sf_dir, "documents"), window=128, stride=96
+        )
+
+    def kg_incremental_merge(spark, sf_dir):
+        # CDC latest-wins merge: a deterministic md5-bucketed change
+        # log (20% upserts at version 1, 20% deletes at version 2)
+        # applied to the standing triples via triples.merge_snapshot;
+        # the oracle computes the closed-form merged snapshot
+        from pignlproc_spark.operators.triples import merge_snapshot
+
+        base = _pipeline(spark, sf_dir).triples
+        h = (
+            F.conv(
+                F.substring(F.md5(F.concat_ws("|", "subj", "pred", "obj").cast("binary")), 1, 4),
+                16,
+                10,
+            ).cast("bigint")
+            % 10
+        )
+        t = base.withColumn("h", h)
+        ups = t.where(F.col("h") < 2).select(
+            "subj",
+            "pred",
+            "obj",
+            (F.col("weight") + 1000).cast("long").alias("weight"),
+            F.lit(1).cast("bigint").alias("version"),
+            F.lit("U").alias("op"),
+        )
+        dels = t.where(F.col("h").isin(2, 3)).select(
+            "subj",
+            "pred",
+            "obj",
+            F.lit(0).cast("long").alias("weight"),
+            F.lit(2).cast("bigint").alias("version"),
+            F.lit("D").alias("op"),
+        )
+        return merge_snapshot(base, ups.unionByName(dels), keys=["subj", "pred", "obj"])
+
+    def kg_label_propagation(spark, sf_dir):
+        # synchronous LPA communities, 4 frozen rounds (LPA v1);
+        # oracle-exact vs a 4-round unrolled materialized-CTE replay
+        from pignlproc_spark.operators import stats
+
+        return stats.label_propagation(_pipeline(spark, sf_dir).mentions, rounds=4)
+
     q.update(
+        docs_chunk_windows=docs_chunk_windows,
+        kg_incremental_merge=kg_incremental_merge,
+        kg_label_propagation=kg_label_propagation,
         docs_novelty=docs_novelty,
         docs_surprisal=docs_surprisal,
         docs_line_dedup=docs_line_dedup,
@@ -2749,6 +2801,69 @@ def oracle_sql() -> dict[str, str]:
     SELECT uri, count(*)::BIGINT AS deg_in_core
     FROM (SELECT ua AS uri FROM e{_kc_rounds} UNION ALL SELECT ub FROM e{_kc_rounds})
     GROUP BY uri HAVING count(*) >= {_kc_k}
+    """
+
+    # docs_chunk_windows: overlapping token windows — starts are
+    # range(0, n, stride) on both sides; DuckDB list_slice is 1-based
+    # inclusive = Spark slice(arr, start, length) clipped at list end
+    o["docs_chunk_windows"] = f"""
+    WITH t AS (
+      SELECT doc_id::BIGINT AS doc_id, {_tok_sql('text', stop=False)} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, toks, len(toks)::BIGINT AS n FROM t WHERE len(toks) > 0
+    ), e AS (
+      SELECT doc_id, toks, n, unnest(range(0, n, 96)) AS st FROM s
+    )
+    SELECT doc_id, (st // 96)::BIGINT AS chunk_idx, st::BIGINT AS chunk_start,
+           least(128, n - st)::BIGINT AS chunk_len,
+           md5(array_to_string(list_slice(toks, st + 1, st + 128), ' ')) AS chunk_md5
+    FROM e
+    """
+
+    # kg_incremental_merge: the Spark side replays the change log
+    # through merge_snapshot's rank window; the oracle computes the
+    # closed-form merged snapshot from the same md5 buckets
+    o["kg_incremental_merge"] = f"""
+    WITH t AS (
+      SELECT subj, pred, obj, weight,
+             ('0x' || substr(md5(subj || '|' || pred || '|' || obj), 1, 4))::BIGINT % 10 AS h
+      FROM {g('golden_triples')}
+    )
+    SELECT subj, pred, obj,
+           (CASE WHEN h < 2 THEN weight + 1000 ELSE weight END)::BIGINT AS weight
+    FROM t WHERE h NOT IN (2, 3)
+    """
+
+    # kg_label_propagation: the 4 synchronous LPA rounds (LPA v1,
+    # stats.label_propagation) unrolled as materialized CTE rounds —
+    # same trick as the k-core/PageRank oracles; a fixed round count
+    # (not a fixpoint) is what keeps both sides bit-identical even on
+    # structures where synchronous LPA oscillates
+    _lp_rounds = 4
+    _lp = [
+        f"m AS MATERIALIZED (SELECT DISTINCT url, uri FROM {g('golden_mentions')})",
+        "p AS MATERIALIZED (SELECT a.uri AS ua, b.uri AS ub FROM m a"
+        " JOIN m b ON a.url = b.url AND a.uri < b.uri GROUP BY 1, 2)",
+        "e AS MATERIALIZED (SELECT ua AS v, ub AS u FROM p UNION ALL SELECT ub, ua FROM p)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT uri, uri AS lbl FROM m)",
+    ]
+    for i in range(_lp_rounds):
+        _lp.append(
+            f"n{i} AS MATERIALIZED (SELECT e.v, l.lbl, count(*) AS cnt"
+            f" FROM e JOIN l{i} l ON e.u = l.uri GROUP BY 1, 2)"
+        )
+        _lp.append(
+            f"w{i} AS (SELECT v, lbl FROM (SELECT v, lbl,"
+            f" row_number() OVER (PARTITION BY v ORDER BY cnt DESC, lbl ASC) AS rn"
+            f" FROM n{i}) WHERE rn = 1)"
+        )
+        _lp.append(
+            f"l{i + 1} AS MATERIALIZED (SELECT l.uri, coalesce(w.lbl, l.lbl) AS lbl"
+            f" FROM l{i} l LEFT JOIN w{i} w ON l.uri = w.v)"
+        )
+    o["kg_label_propagation"] = f"""
+    WITH {', '.join(_lp)}
+    SELECT uri, lbl AS community FROM l{_lp_rounds}
     """
 
     # emb_cosine_topk / emb_srp_lsh_topk / media_features /

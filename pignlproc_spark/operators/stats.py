@@ -591,6 +591,67 @@ def kcore_members(
     )
 
 
+def label_propagation(
+    mentions: DataFrame,
+    rounds: int = 4,
+    cooc: DataFrame | None = None,
+) -> DataFrame:
+    """(uri, community) — community detection on the co-occurrence
+    graph by synchronous label propagation (Raghavan et al. 2007), the
+    cheap communities pass a KG pipeline runs between cooccurrence and
+    PageRank: related-entity neighbourhoods without a modularity
+    solver. Beyond the reference (COVERAGE.md).
+
+    FROZEN semantics (LPA v1, shared verbatim with the driver oracle):
+    every vertex starts labelled with its own uri; each round, every
+    vertex simultaneously adopts the most frequent label among its
+    neighbours (each neighbouring VERTEX votes once — unweighted),
+    ties broken by the lexicographically smallest label; vertices with
+    no neighbours keep their label. Exactly ``rounds`` synchronous
+    rounds, NO convergence test — synchronous LPA can 2-cycle on
+    bipartite structures, so a fixed round count (not a fixpoint) is
+    what makes the result deterministic and lets the oracle unroll the
+    identical rounds as chained materialized CTEs (hash-exact,
+    `kg_label_propagation`).
+
+    Scale shape: the bidirected edge list is checkpointed once; each
+    round is one join keyed on the neighbour column, a partial/final
+    (vertex, label) count, and a per-vertex top-1 window — label state
+    is two narrow string columns, never an adjacency list, so hub
+    vertices stay as rows. Per-round lineage is truncated
+    (localCheckpoint) exactly like the k-core peel.
+    """
+    from pyspark.sql import Window
+
+    if rounds < 0:
+        raise ValueError("rounds must be >= 0")
+    e = (cooc if cooc is not None else entity_cooccurrence(mentions)).select("uri_a", "uri_b")
+    edges = (
+        e.select(F.col("uri_a").alias("v"), F.col("uri_b").alias("u"))
+        .unionAll(e.select(F.col("uri_b").alias("v"), F.col("uri_a").alias("u")))
+        .localCheckpoint(eager=True)
+    )
+    labels = mentions.select("uri").distinct().select("uri", F.col("uri").alias("lbl"))
+    for _ in range(rounds):
+        votes = (
+            edges.join(labels.select(F.col("uri").alias("u"), "lbl"), "u")
+            .groupBy("v", "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = Window.partitionBy("v").orderBy(F.col("cnt").desc(), F.col("lbl").asc())
+        new = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("v").alias("uri"), F.col("lbl").alias("new_lbl"))
+        )
+        labels = (
+            labels.join(new, "uri", "left")
+            .select("uri", F.coalesce("new_lbl", "lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("uri", F.col("lbl").alias("community"))
+
+
 def nerd_stats(mentions: DataFrame) -> DataFrame:
     """Per-(surface_form, uri) link stats with per-URI totals, ordered —
     the raw P(uri|sf) statistics of examples/nerd-stats/nerd_stats.pig

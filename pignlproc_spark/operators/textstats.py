@@ -489,6 +489,62 @@ def pack_sequences(
     )
 
 
+def chunk_token_windows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """(doc_id, chunk_idx, chunk_start, chunk_len, chunk_md5) —
+    overlapping token-window chunking, the per-document counterpart of
+    :func:`pack_sequences`: RAG / fine-tuning corpora cut each document
+    into fixed-``window`` token chunks every ``stride`` tokens
+    (``window - stride`` tokens of overlap so no boundary context is
+    lost). Chunk starts are ``0, stride, 2·stride, …`` while the start
+    lands inside the document, so every token is covered and the last
+    chunk may be short (``chunk_len < window``). Token-less documents
+    emit no chunks (P4 empty-bag-drop semantics). ``chunk_md5`` is the
+    md5 of the space-joined chunk tokens — the dedup/id handle — so the
+    output stays narrow and DuckDB-hash-exact (text itself never leaves
+    the stage).
+
+    Scale shape: tokenize → explode the start positions (a generator in
+    the same codegen stage — the token array is built once per document
+    and sliced per chunk WITHOUT shuffling; only the narrow
+    (id, idx, start, len, md5) rows leave the scan stage). No joins, no
+    aggregation, no window functions — embarrassingly parallel, so it
+    survives any scale-up as long as single documents fit a task (the
+    same bound every per-document op here has). The ``slice`` +
+    ``array_join`` ride after the explode as relational projections
+    (the accepted transform-feeding-explode plan shape; the lambda-free
+    hot path does md5 post-explode).
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    toks = tokens_col(F.col(text_col), apply_stoplist=False)
+    base = df.select(F.col(id_col).cast("bigint").alias("doc_id"), toks.alias("toks")).withColumn(
+        "n", F.size("toks").cast("bigint")
+    )
+    starts = base.where(F.col("n") > 0).select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("n") - 1, F.lit(stride).cast("bigint"))).alias(
+            "chunk_start"
+        ),
+    )
+    return starts.select(
+        "doc_id",
+        F.expr(f"chunk_start div {stride}").cast("bigint").alias("chunk_idx"),
+        F.col("chunk_start").cast("bigint"),
+        F.least(F.lit(window).cast("bigint"), F.col("n") - F.col("chunk_start")).alias("chunk_len"),
+        F.md5(
+            F.array_join(F.slice(F.col("toks"), F.col("chunk_start") + 1, F.lit(window)), " ").cast("binary")
+        ).alias("chunk_md5"),
+    )
+
+
 def length_quantiles(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -60,6 +60,52 @@ def build_triples(
     return out
 
 
+def merge_snapshot(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    version_col: str = "version",
+    op_col: str = "op",
+) -> DataFrame:
+    """Latest-wins CDC merge of a change log into a snapshot — the
+    incremental-maintenance half of KG construction (a nightly dump
+    re-extract or a crawl delta lands as upserts/deletes against the
+    standing graph; re-running the whole pipeline is the 100-TB
+    anti-pattern this replaces). Output schema = ``base`` schema.
+
+    Contract: ``base`` rows are implicit ``version 0`` upserts;
+    ``changes`` carries the key columns, the full payload, a BIGINT
+    ``version_col`` (> 0, and unique per key — the upstream log's
+    ordering guarantee, not re-checked here), and ``op_col`` ∈
+    {'U','D'}. Per key the highest version wins; a winning 'D' drops
+    the key from the snapshot.
+
+    Scale shape: one hash shuffle on ``keys`` (the rank window) and
+    nothing else — no driver materialization, no join back to the
+    base. At production scale the standing snapshot is stored
+    hash-partitioned on the same keys (write_graph), so AQE keeps the
+    exchange one-sided: only the (small) change log moves. The window
+    per key holds exactly the change fan-in for that key — bounded by
+    the log, never by the corpus.
+    """
+    payload = [c for c in base.columns if c not in keys]
+    from pyspark.sql import Window as W
+
+    b = base.select(
+        *keys, *payload, F.lit(0).cast("bigint").alias(version_col), F.lit("U").alias(op_col)
+    )
+    ch = changes.select(
+        *keys, *payload, F.col(version_col).cast("bigint").alias(version_col), F.col(op_col)
+    )
+    w = W.partitionBy(*keys).orderBy(F.col(version_col).desc())
+    return (
+        b.unionByName(ch)
+        .withColumn("__rn", F.row_number().over(w))
+        .where((F.col("__rn") == 1) & (F.col(op_col) == "U"))
+        .select(*base.columns)
+    )
+
+
 def mention_counts(mentions: DataFrame) -> DataFrame:
     """(url, uri, cnt) — document-mentions-entity edges."""
     return mentions.groupBy("url", "uri").agg(F.count(F.lit(1)).alias("cnt"))

@@ -1113,6 +1113,129 @@ def test_hop_distances(spark):
     assert stats.hop_distances(m, cooc=empty).count() == 0
 
 
+def test_label_propagation(spark):
+    import random
+    from collections import Counter
+
+    from pignlproc_spark.operators import stats
+
+    def brute(nodes, edges, rounds):
+        adj = {u: set() for u in nodes}
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        lbl = {u: u for u in nodes}
+        for _ in range(rounds):
+            new = {}
+            for u in nodes:
+                if not adj[u]:
+                    new[u] = lbl[u]
+                    continue
+                cnt = Counter(lbl[v] for v in adj[u])
+                best = max(cnt.values())
+                new[u] = min(l for l, c in cnt.items() if c == best)
+            lbl = new
+        return lbl
+
+    # two disconnected triangles + an isolated vertex: each triangle
+    # converges to its min label; the isolate keeps its own
+    edges = [("A", "B"), ("A", "C"), ("B", "C"), ("D", "E"), ("D", "F"), ("E", "F")]
+    nodes = ["A", "B", "C", "D", "E", "F", "Z"]
+    m = spark.createDataFrame([("p", n) for n in nodes], "url string, uri string")
+    cooc = spark.createDataFrame([(a, b, 1) for a, b in edges], "uri_a string, uri_b string, cnt long")
+    got = {r.uri: r.community for r in stats.label_propagation(m, rounds=4, cooc=cooc).collect()}
+    assert got == {"A": "A", "B": "A", "C": "A", "D": "D", "E": "D", "F": "D", "Z": "Z"}
+
+    # rounds=0 is the identity labelling
+    got0 = {r.uri: r.community for r in stats.label_propagation(m, rounds=0, cooc=cooc).collect()}
+    assert got0 == {n: n for n in nodes}
+
+    # synchronous-update parity vs a brute-force replay on random
+    # graphs (catches any accidental asynchronous/in-place update)
+    rng = random.Random(7)
+    for trial in range(3):
+        ns = [f"n{i}" for i in range(10)]
+        es = sorted({tuple(sorted(rng.sample(ns, 2))) for _ in range(14)})
+        want = brute(ns, es, rounds=3)
+        m2 = spark.createDataFrame([("p", n) for n in ns], "url string, uri string")
+        c2 = spark.createDataFrame([(a, b, 1) for a, b in es], "uri_a string, uri_b string, cnt long")
+        got = {r.uri: r.community for r in stats.label_propagation(m2, rounds=3, cooc=c2).collect()}
+        assert got == want, (trial, got, want)
+
+
+def test_merge_snapshot(spark):
+    base = spark.createDataFrame(
+        [("a", "p", "x", 1), ("b", "p", "y", 2), ("c", "p", "z", 3)],
+        "subj string, pred string, obj string, weight long",
+    )
+    changes = spark.createDataFrame(
+        [
+            # two upserts on the same key: version 2 must win
+            ("a", "p", "x", 10, 1, "U"),
+            ("a", "p", "x", 20, 2, "U"),
+            # delete an existing key
+            ("b", "p", "y", 0, 1, "D"),
+            # insert a brand-new key
+            ("d", "p", "w", 7, 1, "U"),
+            # upsert then delete: the later delete wins
+            ("c", "p", "z", 99, 1, "U"),
+            ("c", "p", "z", 0, 2, "D"),
+        ],
+        "subj string, pred string, obj string, weight long, version long, op string",
+    )
+    got = {
+        (r.subj, r.pred, r.obj): r.weight
+        for r in triples.merge_snapshot(base, changes, keys=["subj", "pred", "obj"]).collect()
+    }
+    assert got == {("a", "p", "x"): 20, ("d", "p", "w"): 7}
+    # output schema is exactly the base schema
+    out = triples.merge_snapshot(base, changes, keys=["subj", "pred", "obj"])
+    assert out.columns == base.columns
+    # empty change log is the identity
+    empty = changes.limit(0)
+    same = {
+        (r.subj, r.obj): r.weight
+        for r in triples.merge_snapshot(base, empty, keys=["subj", "pred", "obj"]).collect()
+    }
+    assert same == {("a", "x"): 1, ("b", "y"): 2, ("c", "z"): 3}
+
+
+def test_chunk_token_windows(spark):
+    import hashlib
+
+    d = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h"),  # 8 tokens, window 4 stride 3
+            (1, "x y"),  # shorter than one window
+            (2, ""),  # token-less: no chunks
+        ],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        textstats.chunk_token_windows(d, window=4, stride=3).collect(),
+        key=lambda r: (r.doc_id, r.chunk_idx),
+    )
+    got = [(r.doc_id, r.chunk_idx, r.chunk_start, r.chunk_len, r.chunk_md5) for r in rows]
+
+    def h(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert got == [
+        (0, 0, 0, 4, h("a b c d")),
+        (0, 1, 3, 4, h("d e f g")),
+        (0, 2, 6, 2, h("g h")),
+        (1, 0, 0, 2, h("x y")),
+    ]
+    # every token index is covered and consecutive chunks overlap by
+    # window - stride (except the tail)
+    cover = set()
+    for _, _, start, length, _ in got[:3]:
+        cover |= set(range(start, start + length))
+    assert cover == set(range(8))
+    with pytest.raises(ValueError):
+        textstats.chunk_token_windows(d, window=4, stride=0)
+
+
 def test_entity_pagerank_q_exact_fixedpoint(spark):
     # path graph a-b-c (two pages): hand-computed fixed-point values.
     # r0 = 10^9 div 3; base = 10^9*15 div 300 = 5e7;
