@@ -1354,7 +1354,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return stats.label_propagation(_pipeline(spark, sf_dir).mentions, rounds=4)
 
+    def docs_bpe_vocab(spark, sf_dir):
+        # distributed BPE tokenizer induction (CCBpe v1): 10 learned
+        # merges over the corpus word-frequency table; oracle = 10-round
+        # unrolled materialized-CTE replay with list_reduce merge-apply
+        from pignlproc_spark.operators import bpe
+
+        return bpe.learn_bpe(_read(spark, sf_dir, "documents"), n_merges=10).merges
+
+    def docs_bpe_encode(spark, sf_dir):
+        # per-doc CCBpe encoding as a relational join against the
+        # learned word→pieces dictionary (broadcast); corpus stays JVM-side
+        from pignlproc_spark.operators import bpe
+
+        d = _read(spark, sf_dir, "documents")
+        return bpe.encode_corpus(d, bpe.learn_bpe(d, n_merges=10))
+
     q.update(
+        docs_bpe_vocab=docs_bpe_vocab,
+        docs_bpe_encode=docs_bpe_encode,
         docs_chunk_windows=docs_chunk_windows,
         kg_incremental_merge=kg_incremental_merge,
         kg_label_propagation=kg_label_propagation,
@@ -2864,6 +2882,61 @@ def oracle_sql() -> dict[str, str]:
     o["kg_label_propagation"] = f"""
     WITH {', '.join(_lp)}
     SELECT uri, lbl AS community FROM l{_lp_rounds}
+    """
+
+    # docs_bpe_vocab / docs_bpe_encode: CCBpe v1 learning unrolled as
+    # materialized CTE rounds (the k-core/PageRank/LPA trick). Each
+    # round: freq-weighted adjacent-pair counts → 1-row argmax →
+    # greedy left-to-right merge-apply via a list_reduce string fold
+    # (chr(31) separators; symbols are tokenizer output, letters and
+    # digits only, so the separator can never occur inside one — the
+    # same accumulator spec as operators/bpe._apply_merge).
+    _bpe_rounds = 10
+    _bpe = [
+        f"w AS MATERIALIZED (SELECT tok AS word, count(*)::BIGINT AS freq FROM"
+        f" (SELECT unnest({_tok_sql('text', stop=False)}) AS tok FROM documents) GROUP BY tok)",
+        "s0 AS MATERIALIZED (SELECT word, freq, string_split(word, '') AS syms FROM w)",
+    ]
+    for i in range(_bpe_rounds):
+        _bpe.append(
+            f"p{i} AS MATERIALIZED (SELECT string_split(pr, chr(31))[1] AS l,"
+            f" string_split(pr, chr(31))[2] AS r, sum(freq)::BIGINT AS cnt FROM"
+            f" (SELECT freq, unnest(list_transform(range(1, len(syms)),"
+            f" j -> syms[j] || chr(31) || syms[j+1])) AS pr FROM s{i}) GROUP BY 1, 2)"
+        )
+        _bpe.append(
+            f"b{i} AS MATERIALIZED (SELECT l, r, cnt FROM p{i}"
+            f" ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)"
+        )
+        _bpe.append(
+            f"s{i + 1} AS MATERIALIZED (SELECT word, freq,"
+            f" string_split(list_reduce(list_prepend('', s.syms),"
+            f" (acc, x) -> CASE WHEN ends_with(acc, chr(31) || b.l) AND x = b.r"
+            f" THEN acc || x ELSE acc || chr(31) || x END), chr(31))[2:] AS syms"
+            f" FROM s{i} s CROSS JOIN b{i} b)"
+        )
+    _bpe_merges = " UNION ALL ".join(
+        f"SELECT {i + 1}::INT AS rank, l AS lhs, r AS rhs, cnt AS pair_freq FROM b{i}"
+        for i in range(_bpe_rounds)
+    )
+    o["docs_bpe_vocab"] = f"""
+    WITH {', '.join(_bpe)}
+    {_bpe_merges}
+    """
+    o["docs_bpe_encode"] = f"""
+    WITH {', '.join(_bpe)},
+    tok AS (
+      SELECT doc_id, unnest(toks) AS tok, unnest(range(1, len(toks) + 1)) AS ord
+      FROM (SELECT doc_id, {_tok_sql('text', stop=False)} AS toks FROM documents)
+    ),
+    j AS (
+      SELECT t.doc_id, t.ord, len(s.syms)::BIGINT AS n,
+             array_to_string(s.syms, ' ') AS enc
+      FROM tok t JOIN s{_bpe_rounds} s ON t.tok = s.word
+    )
+    SELECT doc_id::BIGINT AS doc_id, sum(n)::BIGINT AS n_pieces,
+           md5(string_agg(enc, ' ' ORDER BY ord)) AS pieces_md5
+    FROM j GROUP BY doc_id
     """
 
     # emb_cosine_topk / emb_srp_lsh_topk / media_features /
