@@ -404,6 +404,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _read(spark, sf_dir, "embeddings")
         return similarity.embedding_near_duplicates(emb, min_cos_pct=40)
 
+    def emb_semantic_keep(spark, sf_dir):
+        # SemDeDup-style end-to-end verdict: integer-exact cosine pairs
+        # -> transitive clusters -> min-id survivor per cluster
+        # (all-pairs oracle mode; the SRP-bucketed path is pytest-pinned)
+        emb = _read(spark, sf_dir, "embeddings")
+        return similarity.semantic_dedup_keep(emb, min_cos_pct=40)
+
     def docs_lang_id(spark, sf_dir):
         return textstats.lang_id(_read(spark, sf_dir, "documents"))
 
@@ -776,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs_tfidf_topk=docs_tfidf_topk,
         emb_dot_topk=emb_dot_topk,
         emb_near_dups=emb_near_dups,
+        emb_semantic_keep=emb_semantic_keep,
         docs_lang_id=docs_lang_id,
         docs_quality=docs_quality,
         docs_fingerprint=docs_fingerprint,
@@ -2120,6 +2128,36 @@ def oracle_sql() -> dict[str, str]:
     SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, dot_q, norm_a, norm_b
     FROM p WHERE dot_q > 0 AND 10000 * dot_q * dot_q >= 1600 * norm_a * norm_b
     """
+    # emb_semantic_keep: the emb_near_dups pair predicate + recursive-
+    # CTE transitive closure + min-id keep (the docs_dedup_keep shape
+    # over the integer-exact cosine graph)
+    o["emb_semantic_keep"] = """
+    WITH RECURSIVE qv AS (
+      SELECT vec_id, list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS v
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, list_sum(list_transform(v, x -> x * x))::BIGINT AS nrm FROM qv
+    ), p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+      WHERE list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) > 0
+        AND 10000 * list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+                  * list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+            >= 1600 * a.nrm * b.nrm
+    ), sym AS (
+      SELECT id_a AS u, id_b AS v FROM p
+      UNION SELECT id_b, id_a FROM p
+    ), reach(u, l) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+      UNION
+      SELECT s.v, r.l FROM reach r JOIN sym s ON s.u = r.u
+    ), comp AS (SELECT u AS did, min(l) AS component_id FROM reach GROUP BY u)
+    SELECT e.vec_id::BIGINT AS vec_id,
+           coalesce(c.component_id, e.vec_id)::BIGINT AS component_id,
+           (coalesce(c.component_id, e.vec_id) = e.vec_id)::INT AS keep
+    FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.did
+    """
+
     o["docs_lang_id"] = _langid_sql()
     o["docs_quality"] = f"""
     WITH t AS (

@@ -393,6 +393,42 @@ def embedding_near_duplicates(
     )
 
 
+def semantic_dedup_keep(
+    embeddings: DataFrame,
+    min_cos_pct: int = 90,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    n_planes: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """(vec_id, component_id, keep INT) — the SemDeDup-style verdict
+    (Abbas et al., 2023): embedding-cosine near-duplicate pairs →
+    transitive clusters → one survivor (min id) per cluster, every
+    unpaired vector kept.
+
+    Pure composition of already-proven stages:
+    :func:`embedding_near_duplicates` (exact integer cosine test; SRP
+    bucketed when ``n_planes`` is set — the 100 TB path where the
+    shuffle carries bucket-join candidates, not the cross product) →
+    ``dedup.connected_components`` (large-star/small-star, relational)
+    → ``dedup.dedup_keep_decision`` (components broadcast onto the
+    corpus). Transitivity is the point: A≈B, B≈C must collapse
+    {A,B,C} to one kept vector even when A–C was never a candidate
+    pair — per-pair filtering alone over-deletes (kills both sides)
+    or under-deletes (keeps chains).
+    """
+    from pignlproc_spark.operators import dedup
+
+    pairs = embedding_near_duplicates(
+        embeddings, min_cos_pct, id_col, vec_col, scale, n_planes, seed
+    )
+    out = dedup.dedup_keep_decision(embeddings, pairs, id_col=id_col)
+    return out.select(
+        F.col(id_col).cast("bigint").alias(id_col), "component_id", "keep"
+    )
+
+
 def srp_lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,

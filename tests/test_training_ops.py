@@ -311,6 +311,33 @@ def test_embedding_near_duplicates(spark):
         similarity.embedding_near_duplicates(big, min_cos_pct=90)
 
 
+def test_semantic_dedup_keep(spark):
+    # chain 0≈1≈2 must collapse transitively to ONE survivor (min id),
+    # even though 0–2 also pairs here; 3 and 4 are a second cluster;
+    # 5 is unpaired and must be kept as its own component
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0]),
+        (2, [2.0, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.99, 0.01]),
+        (5, [0.5, 0.5, 0.70710678]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: (r.component_id, r.keep) for r in similarity.semantic_dedup_keep(emb, min_cos_pct=95).collect()}
+    assert out == {
+        0: (0, 1), 1: (0, 0), 2: (0, 0),
+        3: (3, 1), 4: (3, 0),
+        5: (5, 1),
+    }
+    # SRP-bucketed path: identical-direction vectors share every bucket,
+    # so the planted cluster still collapses; keeps can only GROW
+    # (missed candidate pairs split clusters, never merge them)
+    srp = {r.vec_id: r.keep for r in similarity.semantic_dedup_keep(emb, min_cos_pct=95, n_planes=4).collect()}
+    assert srp[0] == 1 and srp[1] == 0 and srp[2] == 0
+    assert sum(srp.values()) >= sum(k for _, k in out.values())
+
+
 def test_ivf_topk_recall(spark):
     import pyspark.sql.functions as F
 
