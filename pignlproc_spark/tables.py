@@ -196,6 +196,101 @@ def write_tsv(df: DataFrame, path: str, header: bool = False) -> str:
     return path
 
 
+def write_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    shard_key: str = "doc_id",
+) -> dict:
+    """JSONL training-data export: the hand-off format every LLM data
+    pipeline ends in. Rows land as JSON Lines under ``shard=K/``
+    directories with DETERMINISTIC membership — shard = frozen md5
+    bucket of ``shard_key`` (``textstats.hash_bucket`` spec), so a
+    re-export after a retry places every row in the same shard and
+    downstream loaders can address shards stably.
+
+    A ``_MANIFEST.json`` records per shard: row count, byte size of the
+    serialized lines, and an order-independent content checksum (sum of
+    the first-8-hex-chars of each line's md5, as int — pure aggregation,
+    no per-shard sort or collect, so the manifest costs one pass at any
+    scale; driver holds only n_shards rows). :func:`verify_jsonl_shards`
+    recomputes all three from a read-back and raises on mismatch —
+    the integrity check for resumable multi-job exports.
+
+    The checksum is defined over ``to_json(struct(columns sorted by
+    name))`` — the same canonical serialization the verifier uses, so
+    verification is representation-stable (JSON null-field dropping and
+    key order cancel out).
+    """
+    import json as _json
+    import os
+
+    from pignlproc_spark.operators.textstats import hash_bucket
+
+    cols = sorted(df.columns)
+    jdf = df.withColumn("shard", hash_bucket(F.col(shard_key), n_shards))
+    jdf.repartition(n_shards, F.col("shard")).write.partitionBy("shard").mode(
+        "overwrite"
+    ).json(path)
+    manifest = _jsonl_manifest(jdf, cols)
+    payload = {
+        "n_shards": n_shards,
+        "shard_key": shard_key,
+        "columns": cols,
+        "shards": manifest,
+    }
+    with open(os.path.join(path, "_MANIFEST.json"), "w") as f:
+        _json.dump(payload, f, sort_keys=True, indent=1)
+    return payload
+
+
+def _jsonl_manifest(jdf: DataFrame, cols: list[str]) -> dict:
+    """{shard: {rows, bytes, checksum}} from a DataFrame carrying a
+    ``shard`` column — one aggregation pass, n_shards result rows."""
+    line = F.to_json(F.struct(*[F.col(c) for c in cols]))
+    agg = (
+        jdf.select(F.col("shard"), line.alias("line"))
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("bigint").alias("rows"),
+            F.sum(F.length("line")).cast("bigint").alias("bytes"),
+            F.sum(F.conv(F.substring(F.md5(F.col("line").cast("binary")), 1, 8), 16, 10).cast("bigint"))
+            .cast("bigint")
+            .alias("checksum"),
+        )
+    )
+    return {
+        str(r["shard"]): {"rows": r["rows"], "bytes": r["bytes"], "checksum": r["checksum"]}
+        for r in agg.collect()
+    }
+
+
+def read_jsonl_shards(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Read back a :func:`write_jsonl_shards` export; the ``shard``
+    partition directory key is recovered as a column."""
+    return spark.read.schema(schema + ", shard int").json(path)
+
+
+def verify_jsonl_shards(spark: SparkSession, path: str, schema: str) -> dict:
+    """Re-derive the manifest from the files and compare; returns the
+    manifest on success, raises ValueError naming the first bad shard
+    otherwise. The loader-side half of the export integrity contract."""
+    import json as _json
+    import os
+
+    with open(os.path.join(path, "_MANIFEST.json")) as f:
+        expected = _json.load(f)
+    got = _jsonl_manifest(read_jsonl_shards(spark, path, schema), expected["columns"])
+    for shard, want in expected["shards"].items():
+        have = got.get(shard)
+        if have != want:
+            raise ValueError(f"shard {shard} mismatch: manifest {want}, files {have}")
+    extra = set(got) - set(expected["shards"])
+    if extra:
+        raise ValueError(f"shards on disk but not in manifest: {sorted(extra)}")
+    return expected
+
+
 def read_tsv(
     spark: SparkSession, path: str, schema: str, header: bool = False, multiline: bool = False
 ) -> DataFrame:

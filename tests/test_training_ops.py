@@ -311,6 +311,43 @@ def test_embedding_near_duplicates(spark):
         similarity.embedding_near_duplicates(big, min_cos_pct=90)
 
 
+def test_jsonl_shard_export_roundtrip(spark, tmp_path):
+    from pignlproc_spark import tables
+    from pignlproc_spark.operators.textstats import hash_bucket
+
+    rows = [
+        (0, "plain text", 3),
+        (1, "uni¢ode €", None),  # null field drops from JSON both sides
+        (2, "tab\tand\nnewline", 7),
+        (3, "", 0),
+        (4, "x" * 500, 1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    path = str(tmp_path / "export")
+    man = tables.write_jsonl_shards(df, path, n_shards=3)
+    assert sum(s["rows"] for s in man["shards"].values()) == 5
+    back = tables.read_jsonl_shards(spark, path, "doc_id long, text string, label int")
+    # content round-trips exactly and shard membership is the frozen bucket
+    got = {r.doc_id: (r.text, r.label, r.shard) for r in back.collect()}
+    want_shard = {
+        r.doc_id: r.s
+        for r in df.select("doc_id", hash_bucket(F.col("doc_id"), 3).alias("s")).collect()
+    }
+    assert {k: (t, l) for k, (t, l, _) in got.items()} == {r[0]: (r[1], r[2]) for r in rows}
+    assert {k: s for k, (_, _, s) in got.items()} == want_shard
+    # verifier accepts the export and a re-export is manifest-identical
+    assert tables.verify_jsonl_shards(spark, path, "doc_id long, text string, label int") == man
+    man2 = tables.write_jsonl_shards(df, str(tmp_path / "export2"), n_shards=3)
+    assert man2["shards"] == man["shards"]
+    # tampering (a dropped shard directory) must be caught
+    import shutil
+
+    some_shard = next(iter(man["shards"]))
+    shutil.rmtree(f"{path}/shard={some_shard}")
+    with pytest.raises(ValueError, match="mismatch|manifest"):
+        tables.verify_jsonl_shards(spark, path, "doc_id long, text string, label int")
+
+
 def test_semantic_dedup_keep(spark):
     # chain 0≈1≈2 must collapse transitively to ONE survivor (min id),
     # even though 0–2 also pairs here; 3 and 4 are a second cluster;
