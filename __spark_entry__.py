@@ -404,6 +404,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _read(spark, sf_dir, "embeddings")
         return similarity.embedding_near_duplicates(emb, min_cos_pct=40)
 
+    def docs_quality_classifier(spark, sf_dir):
+        # CCLogReg v1: bit-deterministic distributed training of a
+        # hashed bag-of-words quality classifier (hard-sigmoid GD,
+        # integer weights, dim=64, 3 rounds); the TRAINING LOOP itself
+        # is the oracle-checked artifact (unrolled-CTE replay)
+        from pignlproc_spark.functions.tokenize import tokens_col
+        from pignlproc_spark.operators import classifier
+
+        d = _read(spark, sf_dir, "documents")
+        labeled = d.select(
+            "doc_id",
+            "text",
+            (F.size(tokens_col(F.col("text"), apply_stoplist=False)) >= 56)
+            .cast("int")
+            .alias("y"),
+        )
+        model = classifier.train_hashed_logreg(labeled, dim=64, rounds=3)
+        return classifier.score_docs(d, model).join(
+            labeled.select(
+                F.col("doc_id").cast("bigint").alias("doc_id"), F.col("y").alias("label")
+            ),
+            "doc_id",
+        )
+
     def emb_semantic_keep(spark, sf_dir):
         # SemDeDup-style end-to-end verdict: integer-exact cosine pairs
         # -> transitive clusters -> min-id survivor per cluster
@@ -784,6 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb_dot_topk=emb_dot_topk,
         emb_near_dups=emb_near_dups,
         emb_semantic_keep=emb_semantic_keep,
+        docs_quality_classifier=docs_quality_classifier,
         docs_lang_id=docs_lang_id,
         docs_quality=docs_quality,
         docs_fingerprint=docs_fingerprint,
@@ -2128,6 +2153,56 @@ def oracle_sql() -> dict[str, str]:
     SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, dot_q, norm_a, norm_b
     FROM p WHERE dot_q > 0 AND 10000 * dot_q * dot_q >= 1600 * norm_a * norm_b
     """
+    # docs_quality_classifier: CCLogReg v1 training replayed as
+    # unrolled materialized-CTE rounds. Cross-engine exactness rests
+    # on: integer weight/gradient state, integer sums only across
+    # rows, and per-row IEEE doubles restricted to correctly-rounded
+    # ops (+ - * / floor clamp; hard sigmoid instead of exp) — see
+    # operators/classifier.py
+    _lr_rounds, _lr_dim = 3, 64
+    _lr = [
+        f"lab AS MATERIALIZED (SELECT doc_id::BIGINT AS doc_id,"
+        f" (len({_tok_sql('text', stop=False)}) >= 56)::INT AS y FROM documents)",
+        f"tf AS MATERIALIZED (SELECT doc_id::BIGINT AS doc_id,"
+        f" ('0x' || substr(md5(tok), 1, 4))::BIGINT % {_lr_dim} AS bucket,"
+        f" count(*)::BIGINT AS cnt FROM (SELECT doc_id,"
+        f" unnest({_tok_sql('text', stop=False)}) AS tok FROM documents) GROUP BY 1, 2)",
+        "fb AS MATERIALIZED (SELECT * FROM tf"
+        " UNION ALL SELECT doc_id, -1::BIGINT, 1::BIGINT FROM lab)",
+        "nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM lab)",
+        f"w0 AS MATERIALIZED (SELECT unnest(range(-1, {_lr_dim}))::BIGINT AS bucket,"
+        f" 0::BIGINT AS w_q)",
+    ]
+    for i in range(_lr_rounds):
+        _lr.append(
+            f"d{i} AS MATERIALIZED (SELECT f.doc_id, sum(f.cnt * w.w_q)::BIGINT AS dot_q"
+            f" FROM fb f JOIN w{i} w USING (bucket) GROUP BY 1)"
+        )
+        _lr.append(
+            f"e{i} AS MATERIALIZED (SELECT l.doc_id,"
+            f" least(1.0, greatest(0.0, 0.5 + CAST(d.dot_q AS DOUBLE) / 4000000.0))"
+            f" - CAST(l.y AS DOUBLE) AS err FROM lab l JOIN d{i} d USING (doc_id))"
+        )
+        _lr.append(
+            f"g{i} AS MATERIALIZED (SELECT f.bucket,"
+            f" sum(CAST(floor(e.err * CAST(f.cnt AS DOUBLE) * 1000000.0) AS BIGINT))::BIGINT AS g"
+            f" FROM fb f JOIN e{i} e USING (doc_id) GROUP BY 1)"
+        )
+        _lr.append(
+            f"w{i + 1} AS MATERIALIZED (SELECT w.bucket,"
+            f" (w.w_q - CAST(floor((0.5 * CAST(coalesce(g.g, 0) AS DOUBLE))"
+            f" / CAST(nn.n AS DOUBLE)) AS BIGINT))::BIGINT AS w_q"
+            f" FROM w{i} w LEFT JOIN g{i} g USING (bucket) CROSS JOIN nn)"
+        )
+    o["docs_quality_classifier"] = f"""
+    WITH {', '.join(_lr)}
+    SELECT s.doc_id, s.score_q, (s.score_q > 0)::INT AS pred, l.y AS label
+    FROM (
+      SELECT f.doc_id, sum(f.cnt * w.w_q)::BIGINT AS score_q
+      FROM fb f JOIN w{_lr_rounds} w USING (bucket) GROUP BY 1
+    ) s JOIN lab l USING (doc_id)
+    """
+
     # emb_semantic_keep: the emb_near_dups pair predicate + recursive-
     # CTE transitive closure + min-id keep (the docs_dedup_keep shape
     # over the integer-exact cosine graph)
