@@ -24,6 +24,14 @@ pipeline over ``documents(doc_id, text, lang, ...)``:
                          epochs-per-source copies of the keepers
                          (textstats.mix_corpus; deterministic, no RNG)
                          as a ``mix`` output table
+  7. JSONL hand-off    — with --export-jsonl N: the curated corpus as
+                         N deterministic shards + verifiable manifest
+                         (tables.write_jsonl_shards)
+  8. gate distillation — with --train-classifier: CCLogReg v1 linear
+                         scorer trained on the composed keep labels
+                         (operators/classifier.py), weights as a
+                         ``classifier`` table + agreement in the
+                         summary — the cheap pre-filter for new crawls
 
 Cluster usage:
 
@@ -89,6 +97,19 @@ def main(argv=None):
         "--line-dedup",
         action="store_true",
         help="CCNet-style pre-pass: drop every repeated line except its corpus-first occurrence BEFORE quality/dedup/decontamination",
+    )
+    ap.add_argument(
+        "--export-jsonl", type=int, default=0, metavar="N_SHARDS",
+        help="also export the curated corpus as N deterministic JSONL shards "
+             "with a verifiable _MANIFEST.json (tables.write_jsonl_shards)",
+    )
+    ap.add_argument(
+        "--train-classifier",
+        action="store_true",
+        help="distill the composed keep decision into a CCLogReg v1 linear "
+             "scorer (weights land as a 'classifier' table; training-set "
+             "agreement reported) — the deployable cheap pre-filter for the "
+             "next crawl",
     )
     args = ap.parse_args(argv)
     mix_weights = None
@@ -291,6 +312,50 @@ def main(argv=None):
         )
         outputs_extra["mix"] = tables.write_table(mix, "mix", root=args.out)
 
+    # 7. optional JSONL hand-off of the curated corpus (deterministic
+    # shard membership + per-shard checksums — the loader-facing sink)
+    if args.export_jsonl > 0:
+        jsonl_path = os.path.join(args.out, "jsonl")
+        tables.write_jsonl_shards(curated_w, jsonl_path, n_shards=args.export_jsonl)
+        outputs_extra["jsonl"] = jsonl_path
+
+    # 8. optional distillation: train the CCLogReg linear scorer on the
+    # CONTENT-derived gate components (quality × decontamination ×
+    # length), so the NEXT crawl can be pre-filtered for the price of a
+    # broadcast join before any heavy stage runs. The near-dup verdict
+    # is deliberately excluded from the label: it is not a function of
+    # a doc's own content (identical texts get different verdicts), so
+    # no per-doc model can — or should — learn it.
+    clf_agreement = None
+    if args.train_classifier:
+        from pignlproc_spark.operators import classifier as _clf
+
+        content_y = (
+            F.col("quality_keep") * F.col("decon_keep") * F.col("length_gate_keep")
+        ).cast("int")
+        labeled = docs.select("doc_id", "text").join(
+            report_w.select("doc_id", content_y.alias("y")), "doc_id"
+        )
+        pos = labeled.where(F.col("y") == 1).count()
+        model = _clf.train_hashed_logreg(
+            labeled,
+            dim=256,
+            rounds=24,
+            eta=8.0,
+            # reweighting needs both classes; a homogeneous corpus
+            # still trains (bias-only model) without it
+            class_balance=0 < pos < labeled.count(),
+        )
+        outputs_extra["classifier"] = tables.write_table(
+            model.weights, "classifier", root=args.out
+        )
+        clf_agreement = (
+            _clf.score_docs(docs, model)
+            .join(labeled.select("doc_id", "y"), "doc_id")
+            .select(F.avg((F.col("pred") == F.col("y")).cast("int")).alias("a"))
+            .collect()[0]["a"]
+        )
+
     n_in = docs.count()
     n_keep = curated_w.count()
     # sequences actually containing pieces: empty docs occupy none, so
@@ -314,6 +379,9 @@ def main(argv=None):
                 "docs_kept": n_keep,
                 "sequences": int(n_seqs or 0),
                 "pii_redactions": pii_totals,
+                "classifier_agreement": (
+                    round(float(clf_agreement), 4) if clf_agreement is not None else None
+                ),
                 "wall_s": round(wall, 1),
                 "outputs": {"report": report_path, "curated": curated_path,
                             "packing": packing_path, **outputs_extra},

@@ -118,10 +118,18 @@ def train_hashed_logreg(
     id_col: str = "doc_id",
     text_col: str = "text",
     label_col: str = "y",
+    class_balance: bool = False,
 ) -> LogRegModel:
     """Full-batch gradient descent on the hard-sigmoid linear model,
     ``rounds`` rounds, bit-deterministic (module docstring).
-    ``labeled`` must carry ``label_col`` ∈ {0, 1}."""
+    ``labeled`` must carry ``label_col`` ∈ {0, 1}.
+
+    ``class_balance=True`` scales each row's error by n/(2·n_class) —
+    the standard imbalance reweighting, needed when the positive class
+    carries most of the token mass (a length-correlated majority class
+    otherwise drags every weight its way and the model collapses to
+    majority vote). The two factors are exact driver scalars from one
+    count, so determinism is unchanged."""
     spark = labeled.sparkSession
     parallelism = spark.sparkContext.defaultParallelism
     feats = (
@@ -135,6 +143,13 @@ def train_hashed_logreg(
     n = labels.count()
     if n == 0:
         raise ValueError("cannot train on an empty corpus")
+    if class_balance:
+        n1 = labels.where(F.col("y") == 1).count()
+        if n1 == 0 or n1 == n:
+            raise ValueError("class_balance needs both classes present")
+        fac1, fac0 = float(n) / (2.0 * n1), float(n) / (2.0 * (n - n1))
+    else:
+        fac1 = fac0 = 1.0
     w = spark.range(-1, dim).select(
         F.col("id").cast("bigint").alias("bucket"), F.lit(0).cast("bigint").alias("w_q")
     )
@@ -147,7 +162,11 @@ def train_hashed_logreg(
             .agg(F.sum(F.col("cnt") * F.col("w_q")).cast("bigint").alias("dot_q"))
         )
         err = labels.join(dot, "doc_id").select(
-            "doc_id", (_p_hat(F.col("dot_q")) - F.col("y").cast("double")).alias("err")
+            "doc_id",
+            (
+                (_p_hat(F.col("dot_q")) - F.col("y").cast("double"))
+                * F.when(F.col("y") == 1, F.lit(fac1)).otherwise(F.lit(fac0))
+            ).alias("err"),
         )
         grads = (
             feats.join(err, "doc_id")
@@ -200,7 +219,11 @@ def score_docs(
 
 
 def train_reference(
-    docs: list[tuple[int, list[str], int]], dim: int, rounds: int, eta: float
+    docs: list[tuple[int, list[str], int]],
+    dim: int,
+    rounds: int,
+    eta: float,
+    class_balance: bool = False,
 ) -> dict[int, int]:
     """Pure-Python CCLogReg v1 reference (NO Spark): same integer
     state, same flooring, same hard sigmoid — the independent second
@@ -219,6 +242,11 @@ def train_reference(
             counts[b] = counts.get(b, 0) + 1
         feats.append((counts, y))
     n = len(docs)
+    if class_balance:
+        n1 = sum(y for _, y in feats)
+        fac1, fac0 = float(n) / (2.0 * n1), float(n) / (2.0 * (n - n1))
+    else:
+        fac1 = fac0 = 1.0
     w = {b: 0 for b in range(-1, dim)}
     import math
 
@@ -227,7 +255,7 @@ def train_reference(
         for counts, y in feats:
             dot_q = sum(c * w[b] for b, c in counts.items())
             p = min(1.0, max(0.0, 0.5 + dot_q / (4.0 * W_SCALE)))
-            err = p - float(y)
+            err = (p - float(y)) * (fac1 if y == 1 else fac0)
             for b, c in counts.items():
                 g[b] += math.floor(err * float(c) * float(G_SCALE))
         for b in w:

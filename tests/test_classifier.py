@@ -35,6 +35,35 @@ def test_weights_match_reference_bitwise(spark, labeled):
     assert any(v != 0 for v in got.values())
 
 
+def test_class_balance_bitwise_and_learns_imbalanced(spark):
+    # 1:4 imbalance with the minority carrying little token mass —
+    # unbalanced GD collapses to majority; balanced must separate
+    rows = []
+    for i in range(8):
+        rows.append((i, " ".join(f"big{j}x" for j in range(20)), 1))
+    for i in range(32):
+        rows.append((100 + i, f"tiny{i % 3}y", 0))
+    df = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    model = C.train_hashed_logreg(df, dim=32, rounds=24, eta=8.0, class_balance=True)
+    got = {r.bucket: r.w_q for r in model.weights.collect()}
+    ref = C.train_reference(
+        [(i, tokenize(t, stopwords=None), y) for i, t, y in rows],
+        dim=32, rounds=24, eta=8.0, class_balance=True,
+    )
+    assert got == ref
+    acc = (
+        C.score_docs(df, model)
+        .join(df.select("doc_id", "y"), "doc_id")
+        .agg(F.avg((F.col("pred") == F.col("y")).cast("int")))
+        .collect()[0][0]
+    )
+    assert acc >= 0.9
+    with pytest.raises(ValueError, match="both classes"):
+        C.train_hashed_logreg(
+            df.withColumn("y", F.lit(1)), dim=8, rounds=1, class_balance=True
+        )
+
+
 def test_partitioning_invariance(spark, labeled):
     # the whole point of integer-sum gradient state: core count and
     # row placement must not change a single weight bit

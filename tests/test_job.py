@@ -172,6 +172,37 @@ def test_curate_corpus_job_end_to_end(spark, tmp_path):
     assert per_shard.count() > 0
 
 
+def test_curate_corpus_job_jsonl_and_classifier(spark, tmp_path, capsys):
+    """--export-jsonl writes a verifiable sharded hand-off of exactly
+    the curated corpus; --train-classifier distills the keep labels
+    into CCLogReg weights and reports agreement."""
+    import json as _json
+
+    from jobs.curate_corpus import main as curate_main
+    from pignlproc_spark import tables
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus_p = str(tmp_path / "corpus.parquet")
+    docs.write.parquet(corpus_p)
+    out = str(tmp_path / "curated")
+    rc = curate_main(
+        ["--docs", corpus_p, "--out", out, "--export-jsonl", "4", "--train-classifier"]
+    )
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["outputs"]["jsonl"] == f"{out}/jsonl"
+    # manifest verifies and covers exactly the curated rows
+    man = tables.verify_jsonl_shards(spark, f"{out}/jsonl", "doc_id long, text string")
+    curated = spark.read.parquet(f"{out}/curated")
+    assert sum(s["rows"] for s in man["shards"].values()) == curated.count()
+    back = tables.read_jsonl_shards(spark, f"{out}/jsonl", "doc_id long, text string")
+    assert back.select("doc_id", "text").exceptAll(curated).count() == 0
+    # distilled scorer: weights table written, agreement is a sane rate
+    w = spark.read.parquet(f"{out}/classifier")
+    assert w.count() == 257 and set(w.columns) == {"bucket", "w_q"}
+    assert 0.5 <= summary["classifier_agreement"] <= 1.0
+
+
 def test_curate_corpus_job_length_gate_and_mix(spark, tmp_path):
     """--min-length-pct adds the exact-percentile gate to the keep
     conjunction; --mix materializes deterministic epochs-per-source."""
