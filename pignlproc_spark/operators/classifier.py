@@ -30,7 +30,8 @@ oracle-exact (stats.entity_pagerank_q).
 Scale shape (100 TB): the corpus is tokenized ONCE into a
 (doc_id, bucket, cnt) feature table (explode → md5 feature-hash →
 groupBy; the frozen ``textstats.hash_bucket`` spec), repartitioned by
-doc_id and localCheckpointed. Each round is then
+doc_id at the session shuffle-partition count and PERSISTED (the cache
+preserves the hash layout; a checkpoint would not). Each round is then
 
     broadcast-join the (dim+1)-row weight table onto the features
     → exchange-free per-doc integer dot (layout reused every round)
@@ -131,12 +132,20 @@ def train_hashed_logreg(
     majority vote). The two factors are exact driver scalars from one
     count, so determinism is unchanged."""
     spark = labeled.sparkSession
-    parallelism = spark.sparkContext.defaultParallelism
+    # repartition by doc_id at the session's shuffle partition count
+    # and CACHE (persist preserves outputPartitioning through the
+    # InMemoryRelation — localCheckpoint would degrade it to
+    # UnknownPartitioning and re-shuffle the corpus every round,
+    # verified in test_plans): each round's per-doc dot then runs as
+    # InMemoryTableScan → broadcast join → partial/final agg with NO
+    # new corpus Exchange
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     feats = (
         doc_features(labeled, dim, id_col, text_col)
-        .repartition(parallelism, "doc_id")
-        .localCheckpoint(eager=True)
+        .repartition(n_shuffle, "doc_id")
+        .persist()
     )
+    feats.count()  # materialize once, before the rounds
     labels = labeled.select(
         F.col(id_col).alias("doc_id"), F.col(label_col).cast("int").alias("y")
     )
@@ -193,6 +202,7 @@ def train_hashed_logreg(
             )
             .localCheckpoint(eager=True)
         )
+    feats.unpersist()  # the final weights are eagerly checkpointed
     return LogRegModel(weights=w, dim=dim, rounds=rounds, eta=eta)
 
 

@@ -351,3 +351,77 @@ def test_pii_scrub_is_single_jvm_projection(spark):
     plan = plan_of(textstats.pii_scrub(df))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan  # pure per-row transform: zero shuffle
+
+
+def test_classifier_round_broadcasts_weights_and_reuses_doc_layout(spark):
+    """CCLogReg training round: the (dim+1)-row weight table must
+    BROADCAST onto the corpus-sized features (never shuffle the
+    corpus for the model), and the per-doc dot groupBy must reuse the
+    features' doc_id hash layout — no new corpus Exchange per round.
+    Gradient sums stay partial/final. No Python eval anywhere."""
+    from pignlproc_spark.operators import classifier as C
+
+    rows = [(i, f"w{i % 3} w{i % 5} text", i % 2) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    model = C.train_hashed_logreg(df, dim=8, rounds=1)
+    plan = plan_of(model.weights)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # scoring plan shows the broadcast-join shape (training rounds are
+    # localCheckpointed away; score_docs rebuilds the same join)
+    scored = plan_of(C.score_docs(df, model))
+    assert "BroadcastHashJoin" in scored
+    assert "SortMergeJoin" not in scored
+    assert "partial_sum" in scored  # per-doc dot combines map-side
+    # the training round proper (persisted doc_id-partitioned features
+    # + broadcast weights, exactly as train_hashed_logreg builds it)
+    # must add NO corpus Exchange: the cache carries the hash layout
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    feats = C.doc_features(df, 8).repartition(n, "doc_id").persist()
+    feats.count()
+    w = spark.range(-1, 8).select(
+        F.col("id").cast("bigint").alias("bucket"), F.lit(0).cast("bigint").alias("w_q")
+    )
+    dot = (
+        feats.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.col("w_q")).alias("dot_q"))
+    )
+    rp = plan_of(dot, mode="simple")
+    head = rp.split("InMemoryRelation")[0]  # below the cache = build lineage
+    assert "InMemoryTableScan" in rp
+    assert "Exchange" not in head.replace("BroadcastExchange", "")
+    feats.unpersist()
+
+
+def test_bpe_pair_count_is_partial_final_no_python(spark):
+    """CCBpe learning round: the freq-weighted adjacent-pair count is
+    the only corpus... vocab-table-wide operation — it must combine
+    map-side (partial/final sum) and never touch Python; the greedy
+    merge-apply is a JVM string fold (no ArrowEvalPython)."""
+    from pignlproc_spark.operators import bpe
+
+    df = spark.createDataFrame(
+        [(0, "the cat sat"), (1, "the mats chat")], "doc_id long, text string"
+    )
+    model = bpe.learn_bpe(df, n_merges=2)
+    plan = plan_of(model.vocab)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the round's aggregation shape, reconstructed on the checkpointed
+    # vocab exactly as learn_bpe builds it each round
+    pairs = (
+        model.vocab.where(F.size("syms") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1),"
+                    " j -> named_struct('l', syms[j-1], 'r', syms[j]))"
+                )
+            ).alias("p"),
+        )
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("freq").alias("cnt"))
+    )
+    pplan = plan_of(pairs)
+    assert "partial_sum" in pplan and pplan.count("HashAggregate") >= 2
+    assert "BatchEvalPython" not in pplan and "ArrowEvalPython" not in pplan
