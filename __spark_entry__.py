@@ -1317,6 +1317,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # boilerplate tail
         return textstats.unigram_surprisal(_read(spark, sf_dir, "documents"))
 
+    def docs_bigram_surprisal(spark, sf_dir):
+        # conditional add-one bigram NLL — the token-ORDER quality
+        # signal (shuffled text scores high here, unchanged for
+        # unigrams); same quantize-then-int-sum contract
+        return textstats.bigram_surprisal(_read(spark, sf_dir, "documents"))
+
     def docs_pii_scrub(spark, sf_dir):
         # PII redaction (CCPii v1: emails, IPv4, SSN-shaped ids,
         # +international phones) — the documents table carries no PII,
@@ -1411,6 +1417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kg_label_propagation=kg_label_propagation,
         docs_novelty=docs_novelty,
         docs_surprisal=docs_surprisal,
+        docs_bigram_surprisal=docs_bigram_surprisal,
         docs_line_dedup=docs_line_dedup,
         docs_pii_scrub=docs_pii_scrub,
         docs_decontaminate=docs_decontaminate,
@@ -2298,6 +2305,34 @@ def oracle_sql() -> dict[str, str]:
            floor(sum(tf * nll_q)::DOUBLE / sum(tf))::BIGINT AS surprisal_q
     FROM tf JOIN nll USING (tok) GROUP BY doc_id
     """
+    # docs_bigram_surprisal: add-one conditional bigram NLL (CCBigramLM
+    # v1) — adjacent pairs via list_transform (tokens are letters and
+    # digits, chr(31) can't occur), Laplace over the unigram vocab V
+    o["docs_bigram_surprisal"] = f"""
+    WITH t AS (
+      SELECT doc_id, {_tok_sql('text', stop=False)} AS toks FROM documents
+    ), u AS (
+      SELECT count(DISTINCT tok)::BIGINT AS v
+      FROM (SELECT unnest(toks) AS tok FROM t)
+    ), bg AS (
+      SELECT doc_id, string_split(pr, chr(31))[1] AS a,
+             string_split(pr, chr(31))[2] AS b, count(*)::BIGINT AS tf
+      FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+               j -> toks[j] || chr(31) || toks[j+1])) AS pr
+        FROM t WHERE len(toks) >= 2
+      ) GROUP BY 1, 2, 3
+    ), cab AS (SELECT a, b, sum(tf)::BIGINT AS c_ab FROM bg GROUP BY a, b),
+    ca AS (SELECT a, sum(c_ab)::BIGINT AS c_a FROM cab GROUP BY a),
+    nll AS (
+      SELECT a, b, floor(1000000.0 * ln((c_a + v)::DOUBLE / (c_ab + 1)::DOUBLE))::BIGINT AS nll_q
+      FROM cab JOIN ca USING (a) CROSS JOIN u
+    )
+    SELECT doc_id::BIGINT AS doc_id, sum(tf)::BIGINT AS n_bigrams,
+           floor(sum(tf * nll_q)::DOUBLE / sum(tf))::BIGINT AS surprisal2_q
+    FROM bg JOIN nll USING (a, b) GROUP BY doc_id
+    """
+
     o["docs_line_dedup"] = f"""
     WITH p AS (
       SELECT doc_id,

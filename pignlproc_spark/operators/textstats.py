@@ -1062,6 +1062,88 @@ def line_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     )
 
 
+def bigram_surprisal(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, n_bigrams, surprisal2_q) — per-document mean negative
+    log-likelihood under the corpus's own add-one-smoothed CONDITIONAL
+    bigram model: the next step up from :func:`unigram_surprisal`
+    toward CCNet's KenLM gate, still with no external artifact.
+
+        P(b|a)       = (c(ab) + 1) / (c(a·) + V)      Laplace, k=1
+        nll_q(ab)    = floor(1e6 · ln((c(a·) + V) / (c(ab) + 1)))
+        surprisal2_q = floor(Σ_pos nll_q / n_bigrams(d))
+
+    with c(a·) = Σ_b c(ab) (occurrences of ``a`` as a left context)
+    and V = distinct unigram types. Self-scoring means every document
+    bigram exists in the counts (c(ab) ≥ 1) — no OOV/backoff path;
+    scoring NEW text against a frozen model would need one (documented
+    out of scope for v1). HIGH = locally incoherent token order (the
+    signal unigrams can't see: shuffled text scores high here while
+    its unigram surprisal is unchanged); LOW = repetitive boilerplate.
+
+    Same float-then-floor contract as BM25/tf-idf/unigram surprisal
+    (quantize per distinct bigram BEFORE the integer sum; exact-int
+    division last) → DuckDB hash-exact. Docs with < 2 tokens produce
+    no row (no bigram positions — unnest parity).
+
+    Scale shape: adjacent pairs are built per row by the accepted
+    transform→immediate-explode pattern (no window, no self-join);
+    corpus model = two aggregations of that table plus a 1-row (V)
+    distinct-count broadcast; the per-doc score re-joins the doc-level
+    bigram counts to the (a, b)-keyed model co-partitioned by the
+    aggregation's own layout. Two corpus scans total (bigram table +
+    the V count) — fuse with a persisted token projection if the scan
+    dominates.
+    """
+    toks = tokens_col(F.col(text_col), apply_stoplist=False)
+    bg = (
+        df.select(F.col(id_col).cast("bigint").alias("doc_id"), toks.alias("_t"))
+        .where(F.size("_t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_t) - 1),"
+                    " j -> named_struct('a', _t[j-1], 'b', _t[j]))"
+                )
+            ).alias("p"),
+        )
+        .groupBy("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    c_ab = bg.groupBy("a", "b").agg(F.sum("tf").cast("bigint").alias("c_ab"))
+    c_a = c_ab.groupBy("a").agg(F.sum("c_ab").cast("bigint").alias("c_a"))
+    vocab = df.select(F.explode(toks).alias("tok")).agg(
+        F.count_distinct("tok").cast("bigint").alias("v")
+    )
+    nll = (
+        c_ab.join(c_a, "a")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "a",
+            "b",
+            F.floor(
+                F.lit(1000000.0)
+                * F.log(
+                    (F.col("c_a") + F.col("v")).cast("double")
+                    / (F.col("c_ab") + F.lit(1)).cast("double")
+                )
+            )
+            .cast("bigint")
+            .alias("nll_q"),
+        )
+    )
+    return (
+        bg.join(nll, ["a", "b"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_bigrams"),
+            F.floor(F.sum(F.col("tf") * F.col("nll_q")) / F.sum("tf"))
+            .cast("bigint")
+            .alias("surprisal2_q"),
+        )
+    )
+
+
 def unigram_surprisal(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, n_tokens, surprisal_q) — per-document mean self-information
     under the corpus's own unigram model, the CCNet perplexity

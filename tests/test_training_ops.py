@@ -1589,3 +1589,41 @@ def test_unigram_surprisal_bruteforce(spark):
         want = (len(ts), math.floor(sum(nll[t] for t in ts) / len(ts)))
         assert got[i] == want, i
     assert got[3][1] > got[2][1]  # rare-token doc scores higher
+
+
+def test_bigram_surprisal_bruteforce_and_order_sensitivity(spark):
+    """Laplace conditional bigram NLL, python float parity — and the
+    property unigrams can't give: reordering tokens changes the score
+    while the unigram surprisal stays identical."""
+    import math
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "mat the on sat cat the"),  # same multiset, shuffled order
+        (3, "the cat sat on the mat the cat sat"),
+        (4, "solo"),  # < 2 tokens: no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_bigrams, r.surprisal2_q) for r in textstats.bigram_surprisal(df).collect()}
+    toks = {i: t.split() for i, t in rows}
+    cab: dict[tuple[str, str], int] = {}
+    for ts in toks.values():
+        for a, b in zip(ts, ts[1:]):
+            cab[(a, b)] = cab.get((a, b), 0) + 1
+    ca: dict[str, int] = {}
+    for (a, _), c in cab.items():
+        ca[a] = ca.get(a, 0) + c
+    V = len({t for ts in toks.values() for t in ts})
+    nll = {ab: math.floor(1e6 * math.log((ca[ab[0]] + V) / (c + 1))) for ab, c in cab.items()}
+    for i, ts in toks.items():
+        pairs = list(zip(ts, ts[1:]))
+        if not pairs:
+            assert i not in got
+            continue
+        want = (len(pairs), math.floor(sum(nll[p] for p in pairs) / len(pairs)))
+        assert got[i] == want, i
+    # order sensitivity: the shuffled twin scores strictly higher...
+    assert got[2][1] > got[1][1]
+    # ...while unigram surprisal cannot tell them apart
+    uni = {r.doc_id: r.surprisal_q for r in textstats.unigram_surprisal(df).collect()}
+    assert uni[1] == uni[2]
