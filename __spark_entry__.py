@@ -1323,6 +1323,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # unigrams); same quantize-then-int-sum contract
         return textstats.bigram_surprisal(_read(spark, sf_dir, "documents"))
 
+    def docs_dsir_weights(spark, sf_dir):
+        # DSIR importance resampling (Xie et al., NeurIPS'23): weight
+        # every document toward the English subset's hashed-n-gram
+        # distribution — lang='en' is the stand-in target corpus
+        d = _read(spark, sf_dir, "documents")
+        return textstats.dsir_logweights(d, d.where(F.col("lang") == "en"))
+
     def docs_pii_scrub(spark, sf_dir):
         # PII redaction (CCPii v1: emails, IPv4, SSN-shaped ids,
         # +international phones) — the documents table carries no PII,
@@ -1418,6 +1425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs_novelty=docs_novelty,
         docs_surprisal=docs_surprisal,
         docs_bigram_surprisal=docs_bigram_surprisal,
+        docs_dsir_weights=docs_dsir_weights,
         docs_line_dedup=docs_line_dedup,
         docs_pii_scrub=docs_pii_scrub,
         docs_decontaminate=docs_decontaminate,
@@ -2331,6 +2339,41 @@ def oracle_sql() -> dict[str, str]:
     SELECT doc_id::BIGINT AS doc_id, sum(tf)::BIGINT AS n_bigrams,
            floor(sum(tf * nll_q)::DOUBLE / sum(tf))::BIGINT AS surprisal2_q
     FROM bg JOIN nll USING (a, b) GROUP BY doc_id
+    """
+    # docs_dsir_weights: DSIR hashed-n-gram importance log-weights
+    # toward the lang='en' subset (unigrams + chr(31)-joined adjacent
+    # bigrams, md5 bucket mod 8192 — the frozen hash_bucket spec;
+    # Laplace k=1 both models; quantize per bucket, then integer sums)
+    o["docs_dsir_weights"] = f"""
+    WITH t AS (
+      SELECT doc_id, lang, {_tok_sql('text', stop=False)} AS toks FROM documents
+    ), g AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(gram), 1, 4))::BIGINT % 8192 AS bucket
+      FROM (
+        SELECT doc_id, lang, unnest(list_concat(toks,
+               list_transform(range(1, len(toks)),
+                              j -> toks[j] || chr(31) || toks[j+1]))) AS gram
+        FROM t WHERE len(toks) >= 1
+      )
+    ), rawd AS (
+      SELECT doc_id, bucket, count(*)::BIGINT AS tf FROM g GROUP BY 1, 2
+    ), cr AS (
+      SELECT bucket, sum(tf)::BIGINT AS c_r FROM rawd GROUP BY bucket
+    ), ct AS (
+      SELECT bucket, count(*)::BIGINT AS c_t FROM g WHERE lang = 'en' GROUP BY bucket
+    ), nr AS (SELECT sum(c_r)::BIGINT AS n_r FROM cr),
+    nt AS (SELECT coalesce(sum(c_t), 0)::BIGINT AS n_t FROM ct),
+    lr AS (
+      SELECT cr.bucket,
+             floor(1000000.0 * ln(
+               ((coalesce(c_t, 0) + 1)::DOUBLE * (n_r + 8192)::DOUBLE)
+               / ((c_r + 1)::DOUBLE * (n_t + 8192)::DOUBLE)))::BIGINT AS lr_q
+      FROM cr LEFT JOIN ct USING (bucket) CROSS JOIN nr CROSS JOIN nt
+    )
+    SELECT doc_id::BIGINT AS doc_id, sum(tf)::BIGINT AS n_grams,
+           sum(tf * lr_q)::BIGINT AS dsir_logw_q
+    FROM rawd JOIN lr USING (bucket) GROUP BY doc_id
     """
 
     o["docs_line_dedup"] = f"""

@@ -1144,6 +1144,106 @@ def bigram_surprisal(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+def dsir_logweights(
+    raw: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 8192,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_grams, dsir_logw_q) — DSIR importance log-weights
+    (Data Selection via Importance Resampling, Xie et al., NeurIPS'23):
+    score every RAW document by how much more likely its hashed n-gram
+    profile is under the TARGET distribution than under the raw one,
+
+        features(d) = unigrams ∪ adjacent bigrams, md5-bucketed mod B
+        p̂[h] = (c_t[h] + 1) / (N_t + B)     target, Laplace k=1
+        q̂[h] = (c_r[h] + 1) / (N_r + B)     raw
+        log w(d) = Σ_h c(h, d) · lr_q[h]
+        lr_q[h]  = floor(1e6 · ln((c_t[h]+1)·(N_r+B) / ((c_r[h]+1)·(N_t+B))))
+
+    HIGH = target-like (select these, or sample ∝ softmax as the paper
+    does — the deterministic top-fraction cut composes with
+    :func:`quality_gate`). The paper's Gumbel-noise resampling step is
+    a trivial downstream `rand()`-free variant left to callers so the
+    score itself stays deterministic/oracle-checkable.
+
+    Bucketing is the frozen :func:`hash_bucket` md5 spec applied to
+    the gram string (bigram = ``a || chr(31) || b``, the engine-wide
+    pair separator). Quantize-per-bucket-then-integer-sum contract as
+    BM25/surprisal → DuckDB hash-exact. Token-empty docs emit no row
+    (no grams — unnest parity). An empty target degrades to the pure
+    smoothing prior (every c_t = 0), not an error.
+
+    Scale shape: one gram explode per corpus; per-doc bucket counts
+    (≤ B distinct per doc) aggregate map-side; BOTH corpus models are
+    bucket-keyed rollups of those tables (≤ B rows each) so the
+    log-ratio table is a broadcast join back onto the per-doc counts —
+    the corpus never shuffles on anything wider than (doc_id, bucket).
+    c_r reuses the raw per-doc table (one logical raw scan; persist it
+    if recomputation dominates at scale).
+    """
+    sep = "\x1f"
+
+    def grams(df_: DataFrame) -> DataFrame:
+        toks = tokens_col(F.col(text_col), apply_stoplist=False)
+        return (
+            df_.select(F.col(id_col).cast("bigint").alias("doc_id"), toks.alias("_t"))
+            .where(F.size("_t") >= 1)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.concat(
+                        F.col("_t"),
+                        F.when(
+                            F.size("_t") >= 2,
+                            F.expr(
+                                "transform(sequence(1, size(_t) - 1),"
+                                f" j -> concat(_t[j-1], '{sep}', _t[j]))"
+                            ),
+                        ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)")),
+                    )
+                ).alias("gram"),
+            )
+            .select("doc_id", hash_bucket(F.col("gram"), n_buckets).alias("bucket"))
+            .groupBy("doc_id", "bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        )
+
+    raw_docs = grams(raw)
+    c_r = raw_docs.groupBy("bucket").agg(F.sum("tf").cast("bigint").alias("c_r"))
+    c_t = grams(target).groupBy("bucket").agg(F.sum("tf").cast("bigint").alias("c_t"))
+    n_r = c_r.agg(F.sum("c_r").cast("bigint").alias("n_r"))
+    n_t = c_t.agg(F.coalesce(F.sum("c_t"), F.lit(0)).cast("bigint").alias("n_t"))
+    b = F.lit(int(n_buckets)).cast("bigint")
+    lr = (
+        c_r.join(c_t, "bucket", "left")
+        .na.fill({"c_t": 0})
+        .crossJoin(F.broadcast(n_r))
+        .crossJoin(F.broadcast(n_t))
+        .select(
+            "bucket",
+            F.floor(
+                F.lit(1000000.0)
+                * F.log(
+                    ((F.col("c_t") + F.lit(1)).cast("double") * (F.col("n_r") + b).cast("double"))
+                    / ((F.col("c_r") + F.lit(1)).cast("double") * (F.col("n_t") + b).cast("double"))
+                )
+            )
+            .cast("bigint")
+            .alias("lr_q"),
+        )
+    )
+    return (
+        raw_docs.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_grams"),
+            F.sum(F.col("tf") * F.col("lr_q")).cast("bigint").alias("dsir_logw_q"),
+        )
+    )
+
+
 def unigram_surprisal(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, n_tokens, surprisal_q) — per-document mean self-information
     under the corpus's own unigram model, the CCNet perplexity

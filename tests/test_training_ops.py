@@ -1627,3 +1627,61 @@ def test_bigram_surprisal_bruteforce_and_order_sensitivity(spark):
     # ...while unigram surprisal cannot tell them apart
     uni = {r.doc_id: r.surprisal_q for r in textstats.unigram_surprisal(df).collect()}
     assert uni[1] == uni[2]
+
+
+def test_dsir_logweights_bruteforce_and_selection(spark):
+    """DSIR hashed-n-gram importance log-weights: python float/md5
+    parity, and the selection property — the raw doc that looks like
+    the target corpus outweighs the one that doesn't."""
+    import hashlib
+    import math
+
+    B = 64
+    raw_rows = [
+        (1, "alpha beta gamma alpha beta"),   # target-like
+        (2, "zebra quux xylophone zebra"),    # off-target
+        (3, "alpha zebra"),                   # mixed
+    ]
+    target_rows = [(10, "alpha beta alpha gamma"), (11, "beta gamma alpha")]
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    target = spark.createDataFrame(target_rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_grams, r.dsir_logw_q)
+        for r in textstats.dsir_logweights(raw, target, n_buckets=B).collect()
+    }
+
+    def bucket(g: str) -> int:
+        return int(hashlib.md5(g.encode()).hexdigest()[:4], 16) % B
+
+    def doc_grams(text: str) -> list[int]:
+        ts = text.split()
+        return [bucket(g) for g in ts + [a + "\x1f" + b for a, b in zip(ts, ts[1:])]]
+
+    c_r: dict[int, int] = {}
+    for _, t in raw_rows:
+        for h in doc_grams(t):
+            c_r[h] = c_r.get(h, 0) + 1
+    c_t: dict[int, int] = {}
+    for _, t in target_rows:
+        for h in doc_grams(t):
+            c_t[h] = c_t.get(h, 0) + 1
+    n_r, n_t = sum(c_r.values()), sum(c_t.values())
+    lr = {
+        h: math.floor(
+            1e6
+            * math.log(
+                ((c_t.get(h, 0) + 1) * (n_r + B)) / ((c_r[h] + 1) * (n_t + B))
+            )
+        )
+        for h in c_r
+    }
+    for i, t in raw_rows:
+        hs = doc_grams(t)
+        assert got[i] == (len(hs), sum(lr[h] for h in hs)), i
+    # per-gram average importance: target-like > mixed > off-target
+    avg = {i: got[i][1] / got[i][0] for i, _ in raw_rows}
+    assert avg[1] > avg[3] > avg[2]
+    # empty target degrades to the smoothing prior, not an error
+    empty = target.where("doc_id < 0")
+    out = textstats.dsir_logweights(raw, empty, n_buckets=B).collect()
+    assert len(out) == 3
