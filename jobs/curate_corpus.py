@@ -18,6 +18,12 @@ pipeline over ``documents(doc_id, text, lang, ...)``:
                          below the corpus's EXACT Q-th percentile of
                          token count (textstats.quality_gate — the
                          global-statistic-dependent filter)
+  4b. DSIR gate        — with --dsir-pct Q > 0: drop keepers below the
+                         corpus's EXACT Q-th percentile of per-gram
+                         DSIR importance toward --dsir-target-lang
+                         (textstats.dsir_logweights + quality_gate's
+                         histogram percentile — target-distribution
+                         selection, Xie et al. NeurIPS'23)
   5. packing layout    — concat-and-chunk sequence assignment for the
                          surviving docs (textstats.pack_sequences)
   6. training mix      — with --mix "src0=250,src1=0": materialize
@@ -83,6 +89,15 @@ def main(argv=None):
     ap.add_argument(
         "--min-length-pct", type=int, default=0,
         help="drop keepers below this exact global token-count percentile (0 = off)",
+    )
+    ap.add_argument(
+        "--dsir-pct", type=int, default=0,
+        help="drop keepers below this exact global percentile of per-gram DSIR "
+             "importance toward --dsir-target-lang (0 = off)",
+    )
+    ap.add_argument(
+        "--dsir-target-lang", default=None,
+        help="DSIR target subset language (default: --lang)",
     )
     ap.add_argument("--mix", help="epochs-per-source weights, e.g. 'web=250,books=0' (percent)")
     ap.add_argument("--mix-default-pct", type=int, default=100, help="weight for unlisted sources")
@@ -269,11 +284,39 @@ def main(argv=None):
     else:
         report = report.withColumn("length_gate_keep", F.lit(1))
 
+    # 4b. optional DSIR target-distribution gate: per-gram importance
+    # toward the target-language subset (exact-int floor division of
+    # the quantized log-weight sum), thresholded at the exact global
+    # percentile by the same histogram machinery as the length gate.
+    # Docs with zero grams have no weight row → dsir_keep 0 (they fail
+    # quality_keep anyway). The score projection is persisted because
+    # quality_gate reads it twice (threshold + fact side) and the
+    # underlying gram passes are the job's heaviest optional stage.
+    if args.dsir_pct > 0:
+        target = docs.where(F.col("lang") == (args.dsir_target_lang or args.lang))
+        scores = (
+            textstats.dsir_logweights(docs, target)
+            .select(
+                "doc_id",
+                F.floor(F.col("dsir_logw_q") / F.col("n_grams")).cast("bigint").alias("n_tokens"),
+            )
+            .persist()
+        )
+        extra_persists.append(scores)
+        dsir_gated = textstats.quality_gate(docs, q=args.dsir_pct, counts=scores).select(
+            "doc_id", F.lit(1).alias("dsir_keep")
+        )
+        report = report.join(dsir_gated, "doc_id", "left").withColumn(
+            "dsir_keep", F.coalesce("dsir_keep", F.lit(0)).cast("int")
+        )
+    else:
+        report = report.withColumn("dsir_keep", F.lit(1))
+
     report = report.withColumn(
         "keep",
         (
             F.col("quality_keep") * F.col("neardup_keep") * F.col("decon_keep")
-            * F.col("length_gate_keep")
+            * F.col("length_gate_keep") * F.col("dsir_keep")
         ).cast("int"),
     )
     report_path = tables.write_table(report, "report", root=args.out)
@@ -321,7 +364,7 @@ def main(argv=None):
 
     # 8. optional distillation: train the CCLogReg linear scorer on the
     # CONTENT-derived gate components (quality × decontamination ×
-    # length), so the NEXT crawl can be pre-filtered for the price of a
+    # length × DSIR), so the NEXT crawl can be pre-filtered for the price of a
     # broadcast join before any heavy stage runs. The near-dup verdict
     # is deliberately excluded from the label: it is not a function of
     # a doc's own content (identical texts get different verdicts), so
@@ -332,6 +375,7 @@ def main(argv=None):
 
         content_y = (
             F.col("quality_keep") * F.col("decon_keep") * F.col("length_gate_keep")
+            * F.col("dsir_keep")
         ).cast("int")
         labeled = docs.select("doc_id", "text").join(
             report_w.select("doc_id", content_y.alias("y")), "doc_id"

@@ -101,7 +101,7 @@ REPORT_COLUMNS = {
     "doc_id", "ok_len", "ok_token_len", "ok_lang", "is_canonical",
     "quality_keep", "component_id", "neardup_keep", "n_hit_windows",
     "n_tokens_dropped", "contaminated", "n_tokens_kept", "decon_keep",
-    "length_gate_keep", "keep",
+    "length_gate_keep", "dsir_keep", "keep",
 }
 
 
@@ -371,3 +371,38 @@ def test_curate_corpus_job_line_dedup(spark, tmp_path):
     ).count() == 0
     report = spark.read.parquet(f"{out}/report")
     assert set(report.columns) == REPORT_COLUMNS  # schema contract holds
+
+
+def test_curate_corpus_job_dsir_gate(spark, tmp_path):
+    """--dsir-pct adds the DSIR target-distribution gate to the keep
+    conjunction: the verdict equals composing the operators directly,
+    and kept docs skew toward the target language."""
+    from jobs.curate_corpus import main as curate_main
+    from pignlproc_spark.operators import textstats
+
+    corpus_p = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "curated_dsir")
+    rc = curate_main(["--docs", corpus_p, "--out", out, "--dsir-pct", "30"])
+    assert rc == 0
+    report = spark.read.parquet(f"{out}/report")
+    assert set(report.columns) == REPORT_COLUMNS  # branch-independent shape
+    docs = spark.read.parquet(corpus_p)
+    scores = textstats.dsir_logweights(docs, docs.where(F.col("lang") == "en")).select(
+        "doc_id",
+        F.floor(F.col("dsir_logw_q") / F.col("n_grams")).cast("bigint").alias("n_tokens"),
+    )
+    want = {r.doc_id for r in textstats.quality_gate(docs, q=30, counts=scores).collect()}
+    got = {r.doc_id for r in report.where(F.col("dsir_keep") == 1).collect()}
+    assert got == want
+    # the gate participates in the keep conjunction
+    assert report.where((F.col("keep") == 1) & (F.col("dsir_keep") == 0)).count() == 0
+    # selection property: the survivors' en-fraction is >= the corpus's
+    en = docs.select("doc_id", (F.col("lang") == "en").cast("int").alias("is_en"))
+    base = en.agg(F.avg("is_en")).collect()[0][0]
+    kept = (
+        report.where(F.col("dsir_keep") == 1)
+        .join(en, "doc_id")
+        .agg(F.avg("is_en"))
+        .collect()[0][0]
+    )
+    assert kept >= base
