@@ -30,6 +30,23 @@ from pignlproc_spark.operators.canonicalize import expand_disambiguations, resol
 from pignlproc_spark.plans import pipeline
 
 SF_ORACLE = 0.01  # driver runs correctness at sf0.01
+
+# web_html_extract page template (CCHtml v1 differential fixture):
+# boilerplate head + nav, the doc text in the body, an entity gauntlet
+# and table/list structure after it. NO single quotes (the same
+# literals are spliced into the DuckDB oracle SQL verbatim).
+HTML_WRAP_PRE = (
+    '<!DOCTYPE html><html><head><title>doc</title>'
+    '<script type="text/javascript">var i=0; if (i<1) { i = 2 > 1 ? 3 : 4; }</script>'
+    '<style>.nav{color:#fff}</style></head><body><!-- boilerplate header -->'
+    '<div class="nav">Home | <a href="/about">About</a></div><h1>Doc '
+)
+HTML_WRAP_MID = "</h1><p>"
+HTML_WRAP_POST = (
+    "</p><ul><li>&lt;escaped&gt; &amp;co.</li>"
+    "<li>&quot;quoted&#39;s&quot;&nbsp;item</li></ul>"
+    "<table><tr><td>k</td><td>v</td></tr></table><br/><hr></body></html>"
+)
 STOPWORDS_SQL = "['" + "','".join(sorted(STOPWORDS)) + "']"
 TOKEN_RE_SQL = r"[^\W_]+"
 
@@ -476,6 +493,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             host_col(F.col("variant")).alias("host"),
         )
 
+    def web_html_extract(spark, sf_dir):
+        # CCHtml v1 over a deterministically-constructed HTML page per
+        # document (script/style/comment boilerplate + block structure
+        # + the entity gauntlet wrapped around the real text) — both
+        # engines build the identical bytes, so the hash match checks
+        # the full extraction pipeline character-for-character
+        from pignlproc_spark.functions.html import html_to_text_col
+
+        docs = _read(spark, sf_dir, "documents")
+        page = F.concat(
+            F.lit(HTML_WRAP_PRE),
+            F.col("doc_id").cast("string"),
+            F.lit(HTML_WRAP_MID),
+            F.col("text"),
+            F.lit(HTML_WRAP_POST),
+        )
+        return docs.select(
+            "doc_id", html_to_text_col(page).alias("text")
+        ).withColumn("n_chars", F.length("text").cast("bigint"))
+
     def web_url_dedup(spark, sf_dir):
         # crawl re-fetch dedup: every variant of the same canonical URL
         # collapses to one keeper (frozen: lexicographically-first
@@ -601,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return textstats.global_token_stats(_read(spark, sf_dir, "documents"))
 
     q.update(
+        web_html_extract=web_html_extract,
         web_canonical_urls=web_canonical_urls,
         web_domain_stats=web_domain_stats,
         web_domain_quota=web_domain_quota,
@@ -1792,6 +1830,21 @@ def oracle_sql() -> dict[str, str]:
     SELECT token, count(*) AS cnt FROM (
       SELECT unnest({_tok_sql('text', stop=False)}) AS token FROM documents
     ) GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 100
+    """
+
+    # CCHtml v1 — the oracle expression is generated from the SAME
+    # pattern/entity constants as the Spark column (functions/html.py)
+    from pignlproc_spark.functions.html import html_to_text_sql
+
+    o["web_html_extract"] = f"""
+    SELECT doc_id, text, length(text)::BIGINT AS n_chars FROM (
+      SELECT doc_id, {html_to_text_sql('html')} AS text FROM (
+        SELECT doc_id,
+               '{HTML_WRAP_PRE}' || doc_id::VARCHAR || '{HTML_WRAP_MID}'
+               || text || '{HTML_WRAP_POST}' AS html
+        FROM documents
+      )
+    )
     """
 
     # ---- web-page URL ops (CCUrl v1 — same RE2 regexes as

@@ -1,0 +1,129 @@
+"""HTML → text extraction for crawled web pages — frozen "CCHtml v1".
+
+Not in the reference (pignlproc consumes Wikipedia *markup*, handled
+by the frozen CCWikiText spec in functions/extract.py; SURVEY.md §2.1
+J5) — but the canonical input of a web-scale training pipeline is
+crawled **HTML** (Common-Crawl WET-style extraction is the first
+stage of C4, CCNet and RefinedWeb), so the engine needs a
+deterministic, cross-engine-checkable HTML text extractor sitting
+between `sources/warc.py` and the document-level curation operators.
+
+Spec "CCHtml v1" — a fixed sequence of regex/literal rewrites, chosen
+so the IDENTICAL rules run codegen'd in Spark (Java regex) and in the
+DuckDB oracle (RE2). Cross-engine discipline (learned the hard way;
+see tests/test_regex_parity.py): no bare ``\\b``/``\\s``/``\\w``, no
+``$`` anchors (Java matches before a final newline, RE2 does not),
+no backreferences (RE2 has none), whitespace classes spelled out,
+case-insensitivity only over ASCII tag names.
+
+Rewrite order (each step feeds the next):
+
+1. comments ``<!--...-->`` → one space (dotall, non-greedy);
+2. ``<script...>...</script...>`` blocks → one space (the body may
+   contain ``<`` ``>`` freely; non-greedy to the first real closer);
+3. ``<style...>...</style...>`` blocks → one space;
+4. block-level tags (open or close, with attributes, self-closing)
+   → newline — these are the line boundaries of the extracted text;
+5. every remaining tag ``<...>`` → one space (inline tags, DOCTYPE,
+   unknown tags). A ``<`` with no later ``>`` passes through; a bare
+   ``< b and c >`` IS swallowed as a tag (standard extractor
+   behavior — unescaped ``<`` in running text is malformed HTML);
+6. named/numeric entity decode for the fixed v1 table (LITERAL
+   replaces, ``&amp;`` deliberately last — so a double-escaped
+   ``&amp;lt;`` decodes exactly once, to the literal text ``&lt;``,
+   matching real HTML semantics for the table's entities);
+7. whitespace normalization: horizontal runs → one space, then
+   newline runs (with adjacent spaces) → one newline, then trim.
+
+v1 limits (explicit, frozen): no numeric entity decoding beyond the
+table; no <pre> whitespace preservation; no table-cell separators
+beyond the generic tag→space rule; CDATA sections fall under rule 5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: HTML-whitespace class, spelled out (NEVER \s — Java's includes
+#: \x0B, RE2's does not).
+_WS = r" \t\n\r\x0C"
+
+COMMENT_RE = r"(?s)<!--.*?-->"
+SCRIPT_RE = rf"(?is)<script([{_WS}][^>]*)?>.*?</script([{_WS}][^>]*)?>"
+STYLE_RE = rf"(?is)<style([{_WS}][^>]*)?>.*?</style([{_WS}][^>]*)?>"
+
+#: Tags whose boundaries become line breaks in the extracted text.
+BLOCK_TAGS = (
+    "p|div|br|hr|li|ul|ol|dl|dt|dd|h[1-6]|tr|table|blockquote|pre"
+    "|section|article|header|footer|nav|aside|figure|figcaption|form"
+)
+BLOCK_TAG_RE = rf"(?i)</?({BLOCK_TAGS})([{_WS}/][^>]*)?>"
+ANY_TAG_RE = r"<[^>]*>"
+
+#: Ordered literal entity table; (&amp; → &) MUST stay last so the
+#: earlier rows see the raw source bytes, not re-introduced ones.
+ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+#: Horizontal whitespace runs (newline handled separately).
+HSPACE_RUN_RE = r"[ \t\r\x0C]+"
+#: A newline plus any surrounding collapsed whitespace → one newline.
+NL_RUN_RE = r" *\n[ \n]*"
+#: Characters trimmed from both ends (literal, not regex).
+TRIM_CHARS = " \n"
+
+
+def html_to_text_col(html: Column) -> Column:
+    """CCHtml v1 extracted text of an HTML string column (Spark side)."""
+    c = F.regexp_replace(html, COMMENT_RE, " ")
+    c = F.regexp_replace(c, SCRIPT_RE, " ")
+    c = F.regexp_replace(c, STYLE_RE, " ")
+    c = F.regexp_replace(c, BLOCK_TAG_RE, "\n")
+    c = F.regexp_replace(c, ANY_TAG_RE, " ")
+    for ent, rep in ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    c = F.regexp_replace(c, HSPACE_RUN_RE, " ")
+    c = F.regexp_replace(c, NL_RUN_RE, "\n")
+    return F.btrim(c, F.lit(TRIM_CHARS))
+
+
+def _sq(s: str) -> str:
+    """Escape a literal for a single-quoted SQL string."""
+    return s.replace("'", "''")
+
+
+def html_to_text_sql(expr: str) -> str:
+    """The DuckDB-side CCHtml v1 expression over SQL expression ``expr``
+    — built from the SAME pattern/entity constants as the Spark side,
+    so the two engines cannot drift apart. DuckDB's regexp_replace
+    replaces only the first match by default, hence the 'g' flag on
+    every rewrite (Spark's replaces all matches by definition)."""
+    c = f"regexp_replace({expr}, '{_sq(COMMENT_RE)}', ' ', 'g')"
+    c = f"regexp_replace({c}, '{_sq(SCRIPT_RE)}', ' ', 'g')"
+    c = f"regexp_replace({c}, '{_sq(STYLE_RE)}', ' ', 'g')"
+    c = f"regexp_replace({c}, '{_sq(BLOCK_TAG_RE)}', chr(10), 'g')"
+    c = f"regexp_replace({c}, '{_sq(ANY_TAG_RE)}', ' ', 'g')"
+    for ent, rep in ENTITIES:
+        c = f"replace({c}, '{_sq(ent)}', '{_sq(rep)}')"
+    c = f"regexp_replace({c}, '{_sq(HSPACE_RUN_RE)}', ' ', 'g')"
+    c = f"regexp_replace({c}, '{_sq(NL_RUN_RE)}', chr(10), 'g')"
+    return f"trim({c}, ' ' || chr(10))"
+
+
+def extract_pages(pages, html_col: str = "html", out_col: str = "text"):
+    """(…, text) — CCHtml v1 extraction over a pages DataFrame.
+
+    Scale shape: a pure projection — no shuffle, no Python; every
+    rewrite is a codegen'd JVM regex, so extraction streams at scan
+    speed and fuses into whatever filter/projection follows (the same
+    single-stage property as CCWikiText's fused parse path,
+    plans/pipeline.py)."""
+    return pages.withColumn(out_col, html_to_text_col(F.col(html_col)))

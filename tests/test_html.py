@@ -1,0 +1,127 @@
+"""CCHtml v1 (functions/html.py) — frozen-spec goldens + Spark↔DuckDB
+differential parity (the cross-engine regex discipline that caught the
+\\b/\\s divergences in CCPii; see tests/test_regex_parity.py)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from pignlproc_spark.functions.html import (
+    extract_pages,
+    html_to_text_col,
+    html_to_text_sql,
+)
+
+# (html, expected CCHtml v1 text) — frozen goldens. Changing any
+# expectation is a spec change and needs a version bump (module
+# docstring rule, same discipline as CCWikiText).
+GOLDENS = [
+    (
+        '<!DOCTYPE html><html><head><title>T</title>'
+        '<script type="text/javascript">var i=0; if (i<1) { i = 2 > 1 ? 3 : 4; }</script>'
+        '<style>.a{color:red}</style></head><body><!-- nav -->'
+        '<div class="nav">Home | <a href="/x">About</a></div>'
+        "<h1>Doc 7</h1><p>hello  world</p><br/>"
+        "<table><tr><td>k</td><td>v</td></tr></table></body></html>",
+        "T\nHome | About\nDoc 7\nhello world\nk v",
+    ),
+    # entity gauntlet; &amp; last ⇒ a double-escaped &amp;lt; decodes
+    # exactly once, to the literal text "&lt;" (correct HTML semantics)
+    (
+        "<p>&lt;tag&gt; &amp; &quot;q&quot; &#39;s&#39;&nbsp;end</p>",
+        '<tag> & "q" \'s\' end',
+    ),
+    ("<p>&amp;lt;double&amp;gt;</p>", "&lt;double&gt;"),
+    # a < with a later > forms a (swallowed) tag; with none it passes
+    ("a < b and c > d", "a d"),
+    ("unclosed <div class=", "unclosed <div class="),
+    # case-insensitive script close, attributes on the closer
+    ("<SCRIPT>x</SCRIPT><Script src=x>y</script >z", "z"),
+    # unterminated script/style: opener falls to the generic tag rule
+    ("<style>a{}</style", "a{}</style"),
+    # v1 does NOT preserve <pre> whitespace
+    ("<pre>  spaced\n\tout  </pre>tail", "spaced\nout\ntail"),
+    # \x0C collapses (HTML whitespace), \x0B passes through (not one)
+    ("é CJK 漢字 \x0b vertical \x0c feed", "é CJK 漢字 \x0b vertical feed"),
+    ("<p>line1</p>\n\n\n<p>line2</p>", "line1\nline2"),
+    ("<br><br/><br />text", "text"),
+    ("<!-- multi\nline\ncomment -->after", "after"),
+    # beyond-the-table entities pass through untouched
+    ("&amp;amp; &#x27; &unknown;", "&amp; &#x27; &unknown;"),
+    ("", ""),
+]
+
+
+def test_goldens_spark(spark):
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(GOLDENS)], "i int, html string"
+    )
+    got = {
+        r.i: r.t
+        for r in df.select("i", html_to_text_col(F.col("html")).alias("t")).collect()
+    }
+    for i, (_, want) in enumerate(GOLDENS):
+        assert got[i] == want, f"case {i}"
+
+
+def test_duckdb_parity_on_goldens():
+    con = duckdb.connect()
+    for i, (h, want) in enumerate(GOLDENS):
+        con.execute("create or replace table t as select ? as html", [h])
+        got = con.sql(f"select {html_to_text_sql('html')} as t from t").fetchone()[0]
+        assert got == want, f"case {i}"
+
+
+@pytest.mark.parametrize(
+    "probe",
+    [
+        None,  # null html must not crash and stays null
+        "\x00 nul <p>byte</p>",
+        "<p>" + "x" * 20000 + "</p>",  # long body, no catastrophic backtrack
+        "<" * 500 + ">" * 500,  # pathological angle-bracket runs
+    ],
+)
+def test_extraction_robust(spark, probe):
+    df = spark.createDataFrame([(probe,)], "html string")
+    out = df.select(html_to_text_col(F.col("html")).alias("t")).collect()[0].t
+    if probe is None:
+        assert out is None
+    else:
+        assert out is not None
+
+
+def test_differential_fuzz_spark_vs_duckdb(spark):
+    """Deterministic fuzz: tag/entity/whitespace soup with the unicode
+    probes that found real Java-vs-RE2 divergences before."""
+    import itertools
+
+    frags = [
+        "<p>", "</p>", "<div a=b>", "text", "é", "漢", "\x0b", "\x0c", "\t",
+        "&amp;", "&lt;", "<script>", "</script>", "x<y", "<!-- c -->", "\n",
+        "<BR/>", "&nbsp;", "< div>", "e>f",
+    ]
+    cases = []
+    for i, combo in enumerate(itertools.permutations(frags, 3)):
+        if i % 97 == 0:  # 71 deterministic samples of the 6840 triples
+            cases.append("".join(combo))
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i int, html string"
+    )
+    got = {
+        r.i: r.t
+        for r in df.select("i", html_to_text_col(F.col("html")).alias("t")).collect()
+    }
+    con = duckdb.connect()
+    for i, c in enumerate(cases):
+        con.execute("create or replace table t as select ? as html", [c])
+        want = con.sql(f"select {html_to_text_sql('html')} as t from t").fetchone()[0]
+        assert got[i] == want, f"fuzz case {i}: {c!r}"
+
+
+def test_extract_pages_plan_is_pure_projection(spark):
+    """CCHtml extraction must stay a no-shuffle, no-Python projection
+    (the same single-stage property the wiki parse path has)."""
+    pages = spark.createDataFrame([("u", "<p>x</p>")], "url string, html string")
+    plan = extract_pages(pages)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
