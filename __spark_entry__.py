@@ -513,6 +513,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", html_to_text_col(page).alias("text")
         ).withColumn("n_chars", F.length("text").cast("bigint"))
 
+    def docs_mojibake_fix(spark, sf_dir):
+        # CCMoji v1 over deterministically-damaged text: docs with
+        # doc_id%7==0 arrive with 'e' mojibake'd to the cp1252 form of
+        # 'é', %5==0 with 'o' damaged to 'ö' (both, for %35). The
+        # count + repaired text are hash-exact against the oracle's
+        # chain rendered from the same generated table.
+        from pignlproc_spark.functions import encoding as enc
+
+        repaired = {c: d for d, c in enc.MOJIBAKE_TABLE}
+        de, do = repaired["é"], repaired["ö"]
+        docs = _read(spark, sf_dir, "documents")
+        t1 = F.when(
+            F.col("doc_id") % 7 == 0, F.replace(F.col("text"), F.lit("e"), F.lit(de))
+        ).otherwise(F.col("text"))
+        t2 = F.when(F.col("doc_id") % 5 == 0, F.replace(t1, F.lit("o"), F.lit(do))).otherwise(t1)
+        return enc.encoding_signals(docs.select("doc_id", t2.alias("text")))
+
     def web_url_dedup(spark, sf_dir):
         # crawl re-fetch dedup: every variant of the same canonical URL
         # collapses to one keeper (frozen: lexicographically-first
@@ -638,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return textstats.global_token_stats(_read(spark, sf_dir, "documents"))
 
     q.update(
+        docs_mojibake_fix=docs_mojibake_fix,
         web_html_extract=web_html_extract,
         web_canonical_urls=web_canonical_urls,
         web_domain_stats=web_domain_stats,
@@ -1843,6 +1861,31 @@ def oracle_sql() -> dict[str, str]:
                '{HTML_WRAP_PRE}' || doc_id::VARCHAR || '{HTML_WRAP_MID}'
                || text || '{HTML_WRAP_POST}' AS html
         FROM documents
+      )
+    )
+    """
+
+    # CCMoji v1 — damage + repair chains rendered from the same
+    # generated cp1252-round-trip table as the Spark side
+    from pignlproc_spark.functions import encoding as _enc
+
+    _rep = {c: d for d, c in _enc.MOJIBAKE_TABLE}
+    o["docs_mojibake_fix"] = f"""
+    SELECT doc_id,
+           {_enc.mojibake_count_sql('text')} AS n_mojibake,
+           text_fixed,
+           length(text_fixed)::BIGINT AS n_chars_fixed
+    FROM (
+      SELECT doc_id, text, {_enc.mojibake_fix_sql('text')} AS text_fixed FROM (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN replace(t1, 'o', '{_rep["ö"]}')
+                    ELSE t1 END AS text
+        FROM (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0 THEN replace(text, 'e', '{_rep["é"]}')
+                      ELSE text END AS t1
+          FROM documents
+        )
       )
     )
     """
