@@ -530,6 +530,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         t2 = F.when(F.col("doc_id") % 5 == 0, F.replace(t1, F.lit("o"), F.lit(do))).otherwise(t1)
         return enc.encoding_signals(docs.select("doc_id", t2.alias("text")))
 
+    def web_url_blocklist(spark, sf_dir):
+        # UT1-style ban list: two whole hosts + one URL-prefix pattern,
+        # applied as a broadcast host join + codegen'd prefix predicate
+        from pignlproc_spark.functions.urls import blocklist_filter
+
+        pages = synth.pages_for(spark, sf_dir)
+        hosts = spark.createDataFrame(
+            [("cc3.example",), ("cc7.example",)], "host string"
+        )
+        return blocklist_filter(
+            pages, hosts, blocked_prefixes=("https://cc1.example/p/000",)
+        )
+
     def web_url_dedup(spark, sf_dir):
         # crawl re-fetch dedup: every variant of the same canonical URL
         # collapses to one keeper (frozen: lexicographically-first
@@ -657,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(
         docs_mojibake_fix=docs_mojibake_fix,
         web_html_extract=web_html_extract,
+        web_url_blocklist=web_url_blocklist,
         web_canonical_urls=web_canonical_urls,
         web_domain_stats=web_domain_stats,
         web_domain_quota=web_domain_quota,
@@ -1906,6 +1920,17 @@ def oracle_sql() -> dict[str, str]:
     ), c AS ({url_canonical_sql('v')})
     SELECT canonical_url, min(variant) AS keep_variant, count(*)::BIGINT AS n_variants
     FROM c GROUP BY canonical_url
+    """
+    o["web_url_blocklist"] = f"""
+    SELECT url, host,
+           (host IN ('cc3.example', 'cc7.example'))::INT AS host_blocked,
+           starts_with(url, 'https://cc1.example/p/000')::INT AS prefix_blocked,
+           (1 - greatest((host IN ('cc3.example', 'cc7.example'))::INT,
+                         starts_with(url, 'https://cc1.example/p/000')::INT))::INT AS keep
+    FROM (
+      SELECT url, lower(regexp_extract(trim(url), '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host
+      FROM {g('pages')}
+    )
     """
     o["web_domain_stats"] = f"""
     SELECT lower(regexp_extract(trim(url), '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host,

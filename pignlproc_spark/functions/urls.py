@@ -59,6 +59,43 @@ def canonical_url_col(url: Column) -> Column:
     )
 
 
+def blocklist_filter(pages, blocked_hosts, blocked_prefixes=(), url_col: str = "url"):
+    """(url, host, host_blocked, prefix_blocked, keep) — UT1-style
+    crawl blocklist filter (the adult/spam/quota domain bans every
+    production web corpus applies before content-level curation;
+    RefinedWeb §3.1 uses exactly this host-list + URL-pattern pair).
+
+    ``blocked_hosts``: a DataFrame with a ``host`` column (CCUrl v1
+    lowercased host[:port] form). Real lists are a few million rows —
+    megabytes, so the join side is explicitly broadcast: the filter
+    costs a map-side hash probe per page, NO shuffle of the crawl.
+    ``blocked_prefixes``: literal URL prefixes, OR-folded into one
+    codegen'd predicate (no join at all).
+
+    Flags are INTs and ``keep = 1 - max(flags)`` so the output is
+    oracle-hashable and composes with the other gate columns
+    (textstats.corpus_filter convention).
+    """
+    u = F.col(url_col)
+    host = host_col(u)
+    bl = blocked_hosts.select(F.col("host").alias("_bl_host")).distinct()
+    out = pages.select(u.alias("url"), host.alias("host")).join(
+        F.broadcast(bl), F.col("host") == F.col("_bl_host"), "left"
+    )
+    prefix_hit = F.lit(False)
+    for p in blocked_prefixes:
+        prefix_hit = prefix_hit | F.col("url").startswith(p)
+    return out.select(
+        "url",
+        "host",
+        F.col("_bl_host").isNotNull().cast("int").alias("host_blocked"),
+        prefix_hit.cast("int").alias("prefix_blocked"),
+    ).withColumn(
+        "keep",
+        (1 - F.greatest("host_blocked", "prefix_blocked")).cast("int"),
+    )
+
+
 def domain_quota(pages, k: int, url_col: str = "url"):
     """At most ``k`` pages per host, deterministically (url ascending) —
     the standard crawl-curation cap that stops megasites from dominating

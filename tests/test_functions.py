@@ -407,3 +407,35 @@ def test_bpe_split_engine_parity_latin1(spark):
     for i, t in enumerate(texts):
         n = con.execute("select len(regexp_extract_all(?, ?))", [t, BPE_SPLIT_RE]).fetchone()[0]
         assert n == got[i], f"BPE engine divergence on {t!r}: spark {got[i]} duckdb {n}"
+
+
+def test_url_blocklist_filter(spark):
+    """UT1-style blocklist: host bans via broadcast join, prefix bans
+    via codegen predicate; keep is the AND-NOT of both flags."""
+    from pignlproc_spark.functions.urls import blocklist_filter
+
+    pages = spark.createDataFrame(
+        [
+            ("https://bad.example/a",),
+            ("https://BAD.example:443/b",),  # case/port-folds to the banned host
+            ("https://ok.example/spam/1",),
+            ("https://ok.example/fine",),
+            ("not a url",),
+        ],
+        "url string",
+    )
+    hosts = spark.createDataFrame([("bad.example",)], "host string")
+    out = blocklist_filter(
+        pages, hosts, blocked_prefixes=("https://ok.example/spam",)
+    )
+    got = {r.url: (r.host_blocked, r.prefix_blocked, r.keep) for r in out.collect()}
+    assert got["https://bad.example/a"] == (1, 0, 0)
+    # host_col lowercases but keeps the port — :443 is NOT the bare host
+    assert got["https://BAD.example:443/b"] == (0, 0, 1)
+    assert got["https://ok.example/spam/1"] == (0, 1, 0)
+    assert got["https://ok.example/fine"] == (0, 0, 1)
+    assert got["not a url"] == (0, 0, 1)  # unparseable rows pass through
+    # plan shape: the host list must arrive as a broadcast, never a shuffle
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "ShuffleExchange" not in plan
