@@ -109,6 +109,12 @@ def main(argv=None):
         help="redact emails/IPv4/SSN-ids/+international phones (CCPii v1) from the curated text",
     )
     ap.add_argument(
+        "--fix-mojibake",
+        action="store_true",
+        help="CCMoji v1 pre-pass: repair cp1252 encoding damage before any gate "
+             "runs (pre-repair artifact count lands in the report as n_mojibake)",
+    )
+    ap.add_argument(
         "--line-dedup",
         action="store_true",
         help="CCNet-style pre-pass: drop every repeated line except its corpus-first occurrence BEFORE quality/dedup/decontamination",
@@ -155,6 +161,18 @@ def main(argv=None):
 
     docs = tables.read_path_or_table(spark, args.docs)
     extra_persists = []
+    if args.fix_mojibake:
+        from pignlproc_spark.functions.encoding import mojibake_count_col, mojibake_fix_col
+
+        # encoding repair runs FIRST — damaged bytes would otherwise
+        # skew line hashes, token stats and every n-gram signal in the
+        # stages below; the PRE-repair artifact count rides along into
+        # the report. Pure projection, so it fuses into the first scan.
+        docs = docs.withColumn(
+            "n_mojibake", mojibake_count_col(F.col("text"))
+        ).withColumn("text", mojibake_fix_col(F.col("text")))
+    else:
+        docs = docs.withColumn("n_mojibake", F.lit(0).cast("bigint"))
     if args.line_dedup:
         # boilerplate pre-pass: every later stage (quality signals,
         # near-dup, decontamination, packing) sees the line-deduped
@@ -180,7 +198,9 @@ def main(argv=None):
         "doc_id", "component_id", F.col("keep").alias("neardup_keep")
     )
 
-    report = quality.join(neardup, "doc_id")
+    report = quality.join(neardup, "doc_id").join(
+        docs.select("doc_id", "n_mojibake"), "doc_id"
+    )
 
     # 3. decontamination (optional): tokenize + window-hash ONCE — the
     # span table alone feeds the report columns (span lengths = tokens
@@ -402,6 +422,7 @@ def main(argv=None):
 
     n_in = docs.count()
     n_keep = curated_w.count()
+    n_mojibake_total = int(report_w.agg(F.sum("n_mojibake")).collect()[0][0] or 0)
     # sequences actually containing pieces: empty docs occupy none, so
     # a shard of only-empty docs contributes 0 (not a phantom seq 0)
     n_seqs = (
@@ -421,6 +442,7 @@ def main(argv=None):
             {
                 "docs_in": n_in,
                 "docs_kept": n_keep,
+                "mojibake_repaired": n_mojibake_total,
                 "sequences": int(n_seqs or 0),
                 "pii_redactions": pii_totals,
                 "classifier_agreement": (

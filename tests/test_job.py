@@ -101,7 +101,7 @@ REPORT_COLUMNS = {
     "doc_id", "ok_len", "ok_token_len", "ok_lang", "is_canonical",
     "quality_keep", "component_id", "neardup_keep", "n_hit_windows",
     "n_tokens_dropped", "contaminated", "n_tokens_kept", "decon_keep",
-    "length_gate_keep", "dsir_keep", "keep",
+    "length_gate_keep", "dsir_keep", "n_mojibake", "keep",
 }
 
 
@@ -406,3 +406,57 @@ def test_curate_corpus_job_dsir_gate(spark, tmp_path):
         .collect()[0][0]
     )
     assert kept >= base
+
+
+def test_curate_corpus_job_fix_mojibake(spark, tmp_path):
+    """--fix-mojibake repairs encoding damage before any gate runs:
+    per-doc artifact counts land in the report, and the curated text
+    is the REPAIRED text."""
+    from jobs.curate_corpus import main as curate_main
+    from pignlproc_spark.functions.encoding import (
+        MOJIBAKE_TABLE,
+        mojibake_count_col,
+        mojibake_fix_col,
+    )
+
+    damaged_e = {c: d for d, c in MOJIBAKE_TABLE}["é"]
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corrupted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.replace(F.col("text"), F.lit("e"), F.lit(damaged_e))
+        ).otherwise(F.col("text")),
+    )
+    src = str(tmp_path / "damaged_docs")
+    corrupted.write.parquet(src)
+    out = str(tmp_path / "curated_moji")
+    rc = curate_main(["--docs", src, "--out", out, "--fix-mojibake"])
+    assert rc == 0
+    report = spark.read.parquet(f"{out}/report")
+    assert set(report.columns) == REPORT_COLUMNS
+    # per-doc counts == the operator applied to the damaged input
+    want = {
+        r.doc_id: r.n
+        for r in corrupted.select(
+            "doc_id", mojibake_count_col(F.col("text")).alias("n")
+        ).collect()
+    }
+    got = {r.doc_id: r.n_mojibake for r in report.collect()}
+    assert got == want
+    assert sum(got.values()) > 0  # the damage was actually planted
+    # curated text is the repaired text, byte-for-byte
+    fixed = {
+        r.doc_id: r.t
+        for r in corrupted.select(
+            "doc_id", mojibake_fix_col(F.col("text")).alias("t")
+        ).collect()
+    }
+    curated = spark.read.parquet(f"{out}/curated")
+    for r in curated.collect():
+        assert r.text == fixed[r.doc_id]
+    # without the flag the report column exists and is all-zero
+    out2 = str(tmp_path / "curated_no_moji")
+    assert curate_main(["--docs", src, "--out", out2]) == 0
+    rep2 = spark.read.parquet(f"{out2}/report")
+    assert set(rep2.columns) == REPORT_COLUMNS
+    assert rep2.where(F.col("n_mojibake") != 0).count() == 0
