@@ -1,0 +1,226 @@
+"""spark-submit entrypoint: raw crawl archives → a curation-ready
+``documents`` table.
+
+The front half of the web-corpus story (the back half is
+jobs/curate_corpus.py): Common-Crawl-layout ``.warc.gz`` archives in,
+one clean text document per unique canonical URL out —
+
+  1. WARC replay     — per-record gzip members, byte-faithful bodies
+                       (sources/warc.py; corrupt members lose one
+                       record, not the job)
+  2. response filter — HTTP 200 + text/html content type only
+  3. URL blocklist   — optional UT1-style host list (broadcast join)
+                       and literal URL-prefix bans
+                       (functions/urls.blocklist_filter semantics)
+  4. re-fetch dedup  — ONE canonical URL keeps ONE capture (the
+                       latest warc_ts; ties to the larger raw url) —
+                       CCUrl v1 canonicalization, min/max-struct
+                       aggregation: the job's single shuffle
+  5. text extraction — CCHtml v1 HTML→text (functions/html.py)
+  6. encoding repair — optional CCMoji v1 pass (--fix-mojibake)
+  7. language        — --lang literal, or --lang-id to run the
+                       n-gram marker classifier (textstats.lang_id)
+
+Scale shape: steps 1-3 and 5-7 are projections and broadcast probes
+that fuse into the archive scan; step 4 is the only corpus-wide
+shuffle (exact re-fetch dedup cannot avoid moving each kept payload
+once). ``doc_id = xxhash64(canonical_url)`` is a convenience
+surrogate — at ≫10¹⁰ documents use the url column itself as the key
+(64-bit birthday collisions become material around there).
+
+Cluster usage:
+
+    spark-submit --py-files dist/pignlproc_spark.zip \\
+      jobs/ingest_crawl.py \\
+      --warc "/crawl/segments/*.warc.gz" --out /warehouse/documents \\
+      [--block-hosts /lists/ut1_hosts.txt --block-prefix https://x.example/ads] \\
+      [--fix-mojibake] [--lang-id | --lang en] [--source-label cc-2026-08]
+
+Local smoke (synthetic archives):
+
+    python jobs/ingest_crawl.py \\
+      --warc "/root/repo/.synthdata/sf0.001/warc/*.warc.gz" --out /tmp/crawl_docs
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--warc", required=True, help=".warc.gz path/glob (crawl archives)")
+    ap.add_argument("--out", required=True, help="documents table output path")
+    ap.add_argument("--block-hosts", help="text file of banned hosts, one per line")
+    ap.add_argument(
+        "--block-prefix", action="append", default=[],
+        help="banned literal URL prefix (repeatable)",
+    )
+    ap.add_argument("--fix-mojibake", action="store_true", help="CCMoji v1 repair pass")
+    ap.add_argument("--lang", default="en", help="language label for every document")
+    ap.add_argument(
+        "--lang-id", action="store_true",
+        help="classify language per document (textstats.lang_id) instead of --lang",
+    )
+    ap.add_argument("--source-label", default="crawl", help="documents.source value")
+    ap.add_argument(
+        "--no-funnel", action="store_true",
+        help="skip the funnel-count aggregation (saves one archive scan)",
+    )
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from pignlproc_spark.functions.html import html_to_text_col
+    from pignlproc_spark.functions.urls import canonical_url_col, host_col
+    from pignlproc_spark.session import get_session
+    from pignlproc_spark.sources.warc import read_warc_gz
+
+    spark = SparkSession.getActiveSession() or get_session(app_name="ingest-crawl")
+    t0 = time.time()
+
+    raw = read_warc_gz(spark, args.warc)
+
+    # response gate: 200 + html. content_type is the raw header value
+    # ("text/html; charset=utf-8") — prefix match, case-folded.
+    ok_http = F.col("http_status") == 200
+    ok_type = F.lower(F.coalesce(F.col("content_type"), F.lit(""))).startswith("text/html")
+
+    u = F.col("url")
+    host = host_col(u)
+    prefix_hit = F.lit(False)
+    for p in args.block_prefix:
+        prefix_hit = prefix_hit | u.startswith(p)
+
+    flagged = raw.select(
+        "url",
+        "warc_ts",
+        "html",
+        ok_http.cast("int").alias("ok_http"),
+        ok_type.cast("int").alias("ok_type"),
+        host.alias("host"),
+        prefix_hit.cast("int").alias("prefix_blocked"),
+    )
+    if args.block_hosts:
+        bl = (
+            spark.read.text(args.block_hosts)
+            .select(F.lower(F.trim("value")).alias("_bl_host"))
+            .where(F.col("_bl_host") != "")
+            .distinct()
+        )
+        flagged = flagged.join(
+            F.broadcast(bl), flagged["host"] == F.col("_bl_host"), "left"
+        ).withColumn("host_blocked", F.col("_bl_host").isNotNull().cast("int")).drop("_bl_host")
+    else:
+        flagged = flagged.withColumn("host_blocked", F.lit(0))
+
+    kept = flagged.where(
+        (F.col("ok_http") == 1)
+        & (F.col("ok_type") == 1)
+        & (F.col("host_blocked") == 0)
+        & (F.col("prefix_blocked") == 0)
+    )
+
+    # re-fetch dedup: one capture per canonical URL — latest warc_ts,
+    # ties to the larger raw url (struct comparison is lexicographic),
+    # as a partial-aggregating groupBy (NO window sort over the crawl)
+    deduped = (
+        kept.select(
+            canonical_url_col(u).alias("canonical_url"),
+            F.struct("warc_ts", "url", "html").alias("_cap"),
+        )
+        .groupBy("canonical_url")
+        .agg(F.max("_cap").alias("_cap"))
+        .select(
+            "canonical_url",
+            F.col("_cap.url").alias("url"),
+            F.col("_cap.warc_ts").alias("warc_ts"),
+            F.col("_cap.html").alias("html"),
+        )
+    )
+
+    docs = deduped.select(
+        F.xxhash64("canonical_url").alias("doc_id"),
+        "url",
+        "warc_ts",
+        html_to_text_col(F.col("html")).alias("text"),
+    )
+
+    if args.fix_mojibake:
+        from pignlproc_spark.functions.encoding import mojibake_count_col, mojibake_fix_col
+
+        docs = docs.withColumn(
+            "n_mojibake", mojibake_count_col(F.col("text"))
+        ).withColumn("text", mojibake_fix_col(F.col("text")))
+    else:
+        docs = docs.withColumn("n_mojibake", F.lit(0).cast("bigint"))
+
+    if args.lang_id:
+        from pignlproc_spark.operators import textstats
+
+        langs = textstats.lang_id(docs.select("doc_id", "text")).select(
+            "doc_id", F.col("lang_pred").alias("lang")
+        )
+        docs = docs.join(langs, "doc_id")
+    else:
+        docs = docs.withColumn("lang", F.lit(args.lang))
+
+    docs = docs.select(
+        "doc_id",
+        "url",
+        "warc_ts",
+        "text",
+        "lang",
+        F.lit(args.source_label).alias("source"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        "n_mojibake",
+    )
+    docs.write.mode("overwrite").parquet(args.out)
+
+    out_w = spark.read.parquet(args.out)
+    n_docs = out_w.count()
+    n_mojibake_total = int(out_w.agg(F.sum("n_mojibake")).collect()[0][0] or 0)
+
+    funnel = {}
+    if not args.no_funnel:
+        # one extra archive scan for the audit funnel; skip at scale
+        # with --no-funnel if the numbers aren't worth the pass
+        row = flagged.agg(
+            F.count("*").alias("responses"),
+            F.sum("ok_http").alias("http_ok"),
+            F.sum(F.col("ok_http") * F.col("ok_type")).alias("html_ok"),
+            F.sum(
+                F.col("ok_http") * F.col("ok_type")
+                * F.greatest("host_blocked", "prefix_blocked")
+            ).alias("blocked"),
+        ).collect()[0]
+        funnel = {
+            "responses": int(row.responses or 0),
+            "http_ok": int(row.http_ok or 0),
+            "html_ok": int(row.html_ok or 0),
+            "blocked": int(row.blocked or 0),
+        }
+
+    print(
+        json.dumps(
+            {
+                "documents": n_docs,
+                "mojibake_repaired": n_mojibake_total,
+                **funnel,
+                "wall_s": round(time.time() - t0, 1),
+                "out": args.out,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -460,3 +460,59 @@ def test_curate_corpus_job_fix_mojibake(spark, tmp_path):
     rep2 = spark.read.parquet(f"{out2}/report")
     assert set(rep2.columns) == REPORT_COLUMNS
     assert rep2.where(F.col("n_mojibake") != 0).count() == 0
+
+
+def test_ingest_crawl_job_end_to_end(spark, tmp_path):
+    """WARC → documents: response/type gating, host+prefix blocklist,
+    latest-capture URL dedup, CCHtml extraction, CCMoji repair."""
+    import gzip
+
+    from jobs.ingest_crawl import main as crawl_main
+    from pignlproc_spark.functions.encoding import MOJIBAKE_TABLE
+    from tests.test_sources import _warc_record
+
+    def resp(url, date, body_html, ctype=b"text/html; charset=utf-8", status=b"200 OK"):
+        body = b"HTTP/1.1 " + status + b"\r\nContent-Type: " + ctype + b"\r\n\r\n" + body_html
+        return gzip.compress(_warc_record("response", url, date, body), mtime=0)
+
+    damaged_e = {c: d for d, c in MOJIBAKE_TABLE}["é"].encode("utf-8")
+    members = [
+        # same canonical URL fetched twice — the later capture must win
+        resp("https://a.example/x", "2024-01-01T00:00:00Z", b"<p>old capture</p>"),
+        resp("https://a.example/x/", "2024-03-01T00:00:00Z", b"<p>new capture</p>"),
+        # blocked host / blocked prefix / non-200 / non-html: all dropped
+        resp("https://bad.example/y", "2024-01-01T00:00:00Z", b"<p>banned</p>"),
+        resp("https://a.example/ads/1", "2024-01-01T00:00:00Z", b"<p>ad</p>"),
+        resp("https://a.example/gone", "2024-01-01T00:00:00Z", b"nope", status=b"404 NF"),
+        resp("https://a.example/img", "2024-01-01T00:00:00Z", b"\x89PNG", ctype=b"image/png"),
+        # mojibake body + full HTML gauntlet
+        resp(
+            "https://a.example/moji", "2024-01-01T00:00:00Z",
+            b"<html><script>var x=1<2;</script><h1>caf" + damaged_e + b"</h1><p>&amp; more</p></html>",
+        ),
+    ]
+    arc = tmp_path / "crawl"
+    arc.mkdir()
+    (arc / "seg.warc.gz").write_bytes(b"".join(members))
+    hosts = tmp_path / "hosts.txt"
+    hosts.write_text("BAD.example\n\n")  # case-folded, blank lines ignored
+    out = str(tmp_path / "docs")
+    rc = crawl_main([
+        "--warc", str(arc / "*.warc.gz"), "--out", out,
+        "--block-hosts", str(hosts), "--block-prefix", "https://a.example/ads",
+        "--fix-mojibake", "--source-label", "cc-test",
+    ])
+    assert rc == 0
+    docs = {r.url: r for r in spark.read.parquet(out).collect()}
+    assert set(docs) == {"https://a.example/x/", "https://a.example/moji"}
+    assert docs["https://a.example/x/"].text == "new capture"  # latest capture won
+    moji = docs["https://a.example/moji"]
+    assert moji.text == "café\n& more"  # script gone, entity decoded, repair applied
+    assert moji.n_mojibake == 1
+    assert moji.source == "cc-test" and moji.lang == "en"
+    assert moji.n_chars == len(moji.text)
+    # doc_id is the canonical-url hash: stable across re-ingestion
+    rc2 = crawl_main(["--warc", str(arc / "*.warc.gz"), "--out", str(tmp_path / "d2"), "--no-funnel"])
+    assert rc2 == 0
+    again = {r.url: r.doc_id for r in spark.read.parquet(str(tmp_path / "d2")).collect()}
+    assert again["https://a.example/moji"] == moji.doc_id
