@@ -105,6 +105,25 @@ def run(sf_dir: str, cpus: int, quiet: bool = True, pipeline_only: bool = False,
             lambda: textstats.lang_id(docs).join(textstats.quality_signals(docs), "doc_id").count(),
         )
 
+        # CCHtml v1 extraction throughput: the same page construction
+        # the driver query uses (boilerplate + entity gauntlet around
+        # the real text); sum(length) forces the full rewrite chain
+        from __spark_entry__ import HTML_WRAP_MID, HTML_WRAP_POST, HTML_WRAP_PRE
+        from pignlproc_spark.functions.html import html_to_text_col
+
+        _page = F.concat(
+            F.lit(HTML_WRAP_PRE), F.col("doc_id").cast("string"),
+            F.lit(HTML_WRAP_MID), F.col("text"), F.lit(HTML_WRAP_POST),
+        )
+        timed(
+            "web_html_extract",
+            lambda: int(
+                docs.select(html_to_text_col(_page).alias("t"))
+                .select(F.sum(F.length("t")))
+                .collect()[0][0]
+            ),
+        )
+
         # heaviest training-data operators (round-2 headline additions;
         # totals are NOT comparable to BENCH_r01 — noted in BASELINE.md).
         # tf-cosine: the driver documents table has a 31-token
