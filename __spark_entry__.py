@@ -530,6 +530,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         t2 = F.when(F.col("doc_id") % 5 == 0, F.replace(t1, F.lit("o"), F.lit(do))).otherwise(t1)
         return enc.encoding_signals(docs.select("doc_id", t2.alias("text")))
 
+    def docs_history_dedup(spark, sf_dir):
+        # simulated re-crawl: even docs arrive byte-identical (seen),
+        # odd docs arrive edited (' v2' suffix — never seen). The
+        # Bloom digest prunes the join input; the confirm semi-join
+        # makes the verdict exact, so the oracle is a plain anti-join.
+        docs = _read(spark, sf_dir, "documents")
+        new = (
+            docs.where(F.col("doc_id") % 2 == 0)
+            .select("doc_id", "text")
+            .unionByName(
+                docs.where(F.col("doc_id") % 2 == 1).select(
+                    "doc_id", F.concat(F.col("text"), F.lit(" v2")).alias("text")
+                )
+            )
+        )
+        return dedup.dedup_against_history(new, docs)
+
     def web_url_blocklist(spark, sf_dir):
         # UT1-style ban list: two whole hosts + one URL-prefix pattern,
         # applied as a broadcast host join + codegen'd prefix predicate
@@ -669,6 +686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q.update(
         docs_mojibake_fix=docs_mojibake_fix,
+        docs_history_dedup=docs_history_dedup,
         web_html_extract=web_html_extract,
         web_url_blocklist=web_url_blocklist,
         web_canonical_urls=web_canonical_urls,
@@ -1920,6 +1938,18 @@ def oracle_sql() -> dict[str, str]:
     ), c AS ({url_canonical_sql('v')})
     SELECT canonical_url, min(variant) AS keep_variant, count(*)::BIGINT AS n_variants
     FROM c GROUP BY canonical_url
+    """
+    o["docs_history_dedup"] = """
+    WITH new AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, text || ' v2' AS text FROM documents WHERE doc_id % 2 = 1
+    ), hist AS (
+      SELECT DISTINCT md5(text) AS key FROM documents
+    )
+    SELECT n.doc_id, md5(n.text) AS key,
+           (CASE WHEN h.key IS NULL THEN 1 ELSE 0 END)::INT AS keep
+    FROM new n LEFT JOIN hist h ON md5(n.text) = h.key
     """
     o["web_url_blocklist"] = f"""
     SELECT url, host,

@@ -861,3 +861,117 @@ def simhash_hamming_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def bloom_digest(keys: DataFrame, key_col: str = "key", n_bits: int = 1 << 20, n_hashes: int = 4) -> DataFrame:
+    """(word_id BIGINT, bits BIGINT) — a Bloom filter over ``keys`` packed
+    into 64-bit words: at most ``n_bits/64`` rows, independent of input
+    partitioning (bit_or is commutative), fully deterministic
+    (xxhash64 with the probe index as a second hash input).
+
+    This is the maintained side of incremental crawl dedup: build it
+    once over everything-seen-so-far, persist the (tiny) digest, and
+    every new batch pays a map-side probe instead of a corpus×history
+    join. Sizing: ``n_bits ≈ 10 × |history|`` with the default 4
+    probes gives ~1.2% false positives (fpp = (1-e^{-kn/m})^k) — and
+    false positives only cost a confirm-join row, never a wrong
+    verdict (dedup_against_history). At ≫10¹⁰ keys the digest
+    outgrows a broadcast: drop ``broadcast_digest`` on the probe side
+    and the word_id join degrades gracefully to a shuffle of tiny
+    (word, bit) rows, never of the corpus.
+
+    No reference analogue (pignlproc dedups nothing; SURVEY.md §6) —
+    this is the CCNet/Gopher "seen before?" primitive.
+    """
+    probes = [
+        F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(n_bits)) for i in range(n_hashes)
+    ]
+    return (
+        keys.select(F.explode(F.array(*probes)).alias("h"))
+        .select(
+            F.shiftright("h", 6).alias("word_id"),
+            F.expr("shiftleft(1L, cast(h % 64 AS int))").alias("bit"),
+        )
+        .groupBy("word_id")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+
+
+def bloom_might_contain(
+    keys: DataFrame,
+    digest: DataFrame,
+    key_col: str = "key",
+    n_bits: int = 1 << 20,
+    n_hashes: int = 4,
+    broadcast_digest: bool = True,
+) -> DataFrame:
+    """The subset of ``keys`` rows the digest cannot rule out (i.e.
+    every probe bit is set). Definite misses — the common case for a
+    genuinely-new batch — never reach any join with the history.
+    ``n_bits``/``n_hashes`` MUST match the digest's build parameters.
+    """
+    probes = [
+        F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(n_bits)) for i in range(n_hashes)
+    ]
+    probed = keys.select(
+        F.col(key_col), F.explode(F.array(*probes)).alias("h")
+    ).select(
+        key_col,
+        F.shiftright("h", 6).alias("word_id"),
+        F.expr("shiftleft(1L, cast(h % 64 AS int))").alias("bit"),
+    )
+    d = F.broadcast(digest) if broadcast_digest else digest
+    hits = probed.join(d, "word_id", "left").select(
+        key_col,
+        ((F.col("bits").isNotNull()) & (F.col("bits").bitwiseAND(F.col("bit")) != 0))
+        .cast("int")
+        .alias("hit"),
+    )
+    return (
+        hits.groupBy(key_col)
+        .agg(F.sum("hit").alias("_nhit"))
+        .where(F.col("_nhit") == n_hashes)
+        .select(key_col)
+    )
+
+
+def dedup_against_history(
+    new: DataFrame,
+    history: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = 1 << 20,
+    n_hashes: int = 4,
+    broadcast_seen: bool = True,
+) -> DataFrame:
+    """(doc_id, key, keep INT) — EXACT "never seen before" verdict for
+    each new document against the full history, by content identity
+    (``key = md5(text)``): keep=1 iff no history document has the
+    same bytes.
+
+    Plan: Bloom prefilter (bloom_digest over the distinct history
+    keys, probed map-side) shrinks the join input to the might-seen
+    slice; a confirm semi-join then kills the false positives, so the
+    verdict is exact no matter how small the digest. For an
+    incremental pipeline, build the digest once per epoch and persist
+    it — each arriving batch then joins only its (tiny) candidate
+    slice against the history key table.
+
+    ``broadcast_seen`` assumes the confirmed-seen key set fits a
+    broadcast (true whenever the batch is mostly new); a pathological
+    all-duplicates re-crawl should pass False and let AQE shuffle it.
+    """
+    keyed = new.select(F.col(id_col), F.md5(F.col(text_col)).alias("key"))
+    hist_keys = history.select(F.md5(F.col(text_col)).alias("key")).distinct()
+    digest = bloom_digest(hist_keys, "key", n_bits=n_bits, n_hashes=n_hashes)
+    maybe = bloom_might_contain(
+        keyed.select("key").distinct(), digest, "key", n_bits=n_bits, n_hashes=n_hashes
+    )
+    seen = maybe.join(hist_keys, "key", "left_semi").withColumn("_seen", F.lit(1))
+    if broadcast_seen:
+        seen = F.broadcast(seen)
+    return keyed.join(seen, "key", "left").select(
+        id_col,
+        "key",
+        (1 - F.coalesce("_seen", F.lit(0))).cast("int").alias("keep"),
+    )
