@@ -70,6 +70,12 @@ def main(argv=None):
     )
     ap.add_argument("--source-label", default="crawl", help="documents.source value")
     ap.add_argument(
+        "--history",
+        help="existing documents table: drop pages whose extracted text was "
+             "already ingested (Bloom-digest probe + exact confirm join — "
+             "dedup.dedup_against_history)",
+    )
+    ap.add_argument(
         "--no-funnel", action="store_true",
         help="skip the funnel-count aggregation (saves one archive scan)",
     )
@@ -172,6 +178,17 @@ def main(argv=None):
     else:
         docs = docs.withColumn("lang", F.lit(args.lang))
 
+    n_seen = 0
+    if args.history:
+        from pignlproc_spark.operators.dedup import dedup_against_history
+
+        hist = spark.read.parquet(args.history)
+        verdict = dedup_against_history(docs.select("doc_id", "text"), hist)
+        n_seen = verdict.where(F.col("keep") == 0).count()
+        docs = docs.join(
+            verdict.where(F.col("keep") == 1).select("doc_id"), "doc_id", "left_semi"
+        )
+
     docs = docs.select(
         "doc_id",
         "url",
@@ -212,6 +229,7 @@ def main(argv=None):
         json.dumps(
             {
                 "documents": n_docs,
+                "already_ingested": n_seen,
                 "mojibake_repaired": n_mojibake_total,
                 **funnel,
                 "wall_s": round(time.time() - t0, 1),

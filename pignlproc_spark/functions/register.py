@@ -84,6 +84,14 @@ def statements(escaped_literals: bool = False) -> dict[str, str]:
             "CREATE OR REPLACE TEMPORARY FUNCTION ccw_pii_clean(s STRING) "
             f"RETURNS STRING RETURN {_pii_clean_expr('s', lit)}"
         ),
+        "ccw_html_text": (
+            "CREATE OR REPLACE TEMPORARY FUNCTION ccw_html_text(s STRING) "
+            f"RETURNS STRING RETURN {_html_text_expr('s', lit)}"
+        ),
+        "ccw_moji_fix": (
+            "CREATE OR REPLACE TEMPORARY FUNCTION ccw_moji_fix(s STRING) "
+            f"RETURNS STRING RETURN {_moji_fix_expr('s', lit)}"
+        ),
     }
 
 
@@ -96,6 +104,34 @@ def _pii_clean_expr(col: str, lit) -> str:
         jpat = pat.replace(r"\b", _ASCII_B)
         expr = f"regexp_replace({expr}, {lit(jpat)}, {lit(repl)})"
     return expr
+
+
+def _html_text_expr(col: str, lit) -> str:
+    """CCHtml v1 (functions/html.py) as one nested SQL expression —
+    the same frozen pattern/entity constants, never retyped."""
+    from pignlproc_spark.functions import html as H
+
+    e = f"regexp_replace({col}, {lit(H.COMMENT_RE)}, ' ')"
+    e = f"regexp_replace({e}, {lit(H.SCRIPT_RE)}, ' ')"
+    e = f"regexp_replace({e}, {lit(H.STYLE_RE)}, ' ')"
+    e = f"regexp_replace({e}, {lit(H.BLOCK_TAG_RE)}, {lit(chr(10))})"
+    e = f"regexp_replace({e}, {lit(H.ANY_TAG_RE)}, ' ')"
+    for ent, rep in H.ENTITIES:
+        e = f"replace({e}, {lit(ent)}, {lit(rep)})"
+    e = f"regexp_replace({e}, {lit(H.HSPACE_RUN_RE)}, ' ')"
+    e = f"regexp_replace({e}, {lit(H.NL_RUN_RE)}, {lit(chr(10))})"
+    return f"btrim({e}, {lit(H.TRIM_CHARS)})"
+
+
+def _moji_fix_expr(col: str, lit) -> str:
+    """CCMoji v1 repair chain (functions/encoding.py), single-sourced
+    from the generated table."""
+    from pignlproc_spark.functions.encoding import MOJIBAKE_TABLE
+
+    e = col
+    for damaged, repaired in MOJIBAKE_TABLE:
+        e = f"replace({e}, {lit(damaged)}, {lit(repaired)})"
+    return e
 
 
 def register_sql(spark) -> list[str]:

@@ -439,3 +439,42 @@ def test_url_blocklist_filter(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "ShuffleExchange" not in plan
+
+
+def test_sql_registry_html_and_moji_parity(spark):
+    """ccw_html_text / ccw_moji_fix must equal the frozen DataFrame
+    expressions (single-sourced constants, both parser literal modes
+    handled by register_sql)."""
+    from pyspark.sql import functions as F
+
+    from pignlproc_spark.functions.encoding import MOJIBAKE_TABLE, mojibake_fix_col
+    from pignlproc_spark.functions.html import html_to_text_col
+    from pignlproc_spark.functions.register import register_sql
+
+    names = register_sql(spark)
+    assert "ccw_html_text" in names and "ccw_moji_fix" in names
+    damaged = MOJIBAKE_TABLE[0][0] + " caf" + {c: d for d, c in MOJIBAKE_TABLE}["é"]
+    df = spark.createDataFrame(
+        [
+            (1, '<p>a&amp;b</p><script>no</script><div class="x">c</div>'),
+            (2, damaged),
+            (3, "plain"),
+        ],
+        "id long, s string",
+    )
+    df.createOrReplaceTempView("reg_probe_hm")
+    got = {
+        r.id: (r.h, r.m)
+        for r in spark.sql(
+            "SELECT id, ccw_html_text(s) AS h, ccw_moji_fix(s) AS m FROM reg_probe_hm"
+        ).collect()
+    }
+    exp = {
+        r.id: (r.h, r.m)
+        for r in df.select(
+            "id",
+            html_to_text_col(F.col("s")).alias("h"),
+            mojibake_fix_col(F.col("s")).alias("m"),
+        ).collect()
+    }
+    assert got == exp

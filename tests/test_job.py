@@ -516,3 +516,38 @@ def test_ingest_crawl_job_end_to_end(spark, tmp_path):
     assert rc2 == 0
     again = {r.url: r.doc_id for r in spark.read.parquet(str(tmp_path / "d2")).collect()}
     assert again["https://a.example/moji"] == moji.doc_id
+
+
+def test_ingest_crawl_job_history_dedup(spark, tmp_path):
+    """--history drops pages whose extracted text was already ingested
+    (re-crawl across snapshots) and reports the count."""
+    import gzip
+    import json as _json
+
+    from jobs.ingest_crawl import main as crawl_main
+    from tests.test_sources import _warc_record
+
+    def resp(url, date, body_html):
+        body = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body_html
+        return gzip.compress(_warc_record("response", url, date, body), mtime=0)
+
+    arc1, arc2 = tmp_path / "c1", tmp_path / "c2"
+    arc1.mkdir(), arc2.mkdir()
+    (arc1 / "s.warc.gz").write_bytes(
+        resp("https://h.example/a", "2024-01-01T00:00:00Z", b"<p>alpha</p>")
+        + resp("https://h.example/b", "2024-01-01T00:00:00Z", b"<p>beta</p>")
+    )
+    # second crawl: /a unchanged (content seen), /c new
+    (arc2 / "s.warc.gz").write_bytes(
+        resp("https://h.example/a", "2024-06-01T00:00:00Z", b"<p>alpha</p>")
+        + resp("https://h.example/c", "2024-06-01T00:00:00Z", b"<p>gamma</p>")
+    )
+    snap1 = str(tmp_path / "snap1")
+    assert crawl_main(["--warc", str(arc1 / "*.warc.gz"), "--out", snap1, "--no-funnel"]) == 0
+    snap2 = str(tmp_path / "snap2")
+    rc = crawl_main(
+        ["--warc", str(arc2 / "*.warc.gz"), "--out", snap2, "--no-funnel", "--history", snap1]
+    )
+    assert rc == 0
+    urls = {r.url for r in spark.read.parquet(snap2).collect()}
+    assert urls == {"https://h.example/c"}  # /a's bytes were already in snap1
