@@ -547,6 +547,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return dedup.dedup_against_history(new, docs)
 
+    def docs_winnowing(spark, sf_dir):
+        return dedup.winnowing_fingerprints(_read(spark, sf_dir, "documents"))
+
     def web_url_blocklist(spark, sf_dir):
         # UT1-style ban list: two whole hosts + one URL-prefix pattern,
         # applied as a broadcast host join + codegen'd prefix predicate
@@ -687,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(
         docs_mojibake_fix=docs_mojibake_fix,
         docs_history_dedup=docs_history_dedup,
+        docs_winnowing=docs_winnowing,
         web_html_extract=web_html_extract,
         web_url_blocklist=web_url_blocklist,
         web_canonical_urls=web_canonical_urls,
@@ -1950,6 +1954,34 @@ def oracle_sql() -> dict[str, str]:
     SELECT n.doc_id, md5(n.text) AS key,
            (CASE WHEN h.key IS NULL THEN 1 ELSE 0 END)::INT AS keep
     FROM new n LEFT JOIN hist h ON md5(n.text) = h.key
+    """
+    # winnowing (k=5, w=4): the selection key packs the gram position
+    # into the low 20 bits so the window MIN tie-breaks identically in
+    # both engines (operators/dedup.winnowing_fingerprints)
+    o["docs_winnowing"] = f"""
+    WITH toks AS (
+      SELECT doc_id, {_tok_sql('text', stop=False)} AS t FROM documents
+    ), g AS (
+      SELECT doc_id, u.j - 1 AS pos, u.gram AS gram FROM (
+        SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 3, 1)),
+               j -> {{'j': j, 'gram': t[j] || ' ' || t[j+1] || ' ' || t[j+2] || ' ' || t[j+3] || ' ' || t[j+4]}})) AS u
+        FROM toks WHERE len(t) >= 5
+      )
+    ), h AS (
+      SELECT doc_id, pos,
+             ('0x' || substr(md5(gram), 1, 10))::BIGINT * 1048576 + pos AS hp
+      FROM g WHERE pos < 1048576
+    ), s AS (
+      SELECT doc_id, pos,
+             min(hp) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel,
+             count(*) OVER (PARTITION BY doc_id) AS n
+      FROM h
+    )
+    SELECT DISTINCT doc_id::BIGINT AS doc_id,
+           (sel // 1048576)::BIGINT AS fp_hash,
+           (sel % 1048576)::INT AS fp_pos
+    FROM s WHERE pos <= n - 4
     """
     o["web_url_blocklist"] = f"""
     SELECT url, host,

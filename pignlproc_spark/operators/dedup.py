@@ -975,3 +975,71 @@ def dedup_against_history(
         "key",
         (1 - F.coalesce("_seen", F.lit(0))).cast("int").alias("keep"),
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """(doc_id, fp_hash BIGINT, fp_pos INT) — winnowing fingerprint
+    selection (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the MOSS
+    algorithm): hash every k-token window, then keep the minimum hash
+    of each run of ``w`` consecutive window hashes. Guarantee: any
+    token run of length ≥ w+k-1 shared by two documents contributes
+    at least one IDENTICAL selected fingerprint to both — the local
+    dedup/plagiarism primitive MinHash (global similarity) and
+    duplicate_spans (exact full-window index) don't give. Expected
+    density 2/(w+1) of the gram count.
+
+    Relational formulation (one shuffle, on ``id_col``):
+    - gram positions explode from the frozen window expression
+      (window_expr; md5 AFTER the explode per the plan rules);
+    - the 40-bit md5 lane packs the gram position into the low 20
+      bits (``h·2²⁰ + pos``) so the running MIN is over a TOTAL order
+      — the leftmost-lowest tie-break is deterministic with no
+      arg_min/struct-min (whose tie behavior is engine-specific).
+      Docs are capped at 2²⁰ grams (longer docs: chunk first —
+      textstats.chunk_windows);
+    - min over ROWS BETWEEN CURRENT AND w-1 FOLLOWING per doc, window
+      starts clipped to full width, DISTINCT selections.
+
+    Docs with fewer than w+k-1 tokens select nothing (no full window
+    of windows exists) — consistent with the guarantee's floor.
+    """
+    from pyspark.sql import Window
+
+    sh = with_shingles(df.select(F.col(id_col), F.col(text_col)), text_col, k)
+    grams = sh.select(
+        F.col(id_col).cast("bigint").alias(id_col),
+        F.posexplode("shingles").alias("pos", "gram"),
+    ).where(F.col("pos") < 1 << 20)
+    hashed = grams.select(
+        id_col,
+        "pos",
+        (
+            F.conv(F.substring(F.md5(F.col("gram").cast("binary")), 1, 10), 16, 10).cast("bigint")
+            * F.lit(1 << 20)
+            + F.col("pos")
+        ).alias("hp"),
+    )
+    run = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    full = Window.partitionBy(id_col)
+    sel = hashed.select(
+        F.col(id_col),
+        "pos",
+        F.min("hp").over(run).alias("sel"),
+        F.count(F.lit(1)).over(full).alias("_n"),
+    )
+    return (
+        sel.where(F.col("pos") <= F.col("_n") - w)
+        .select(id_col, "sel")
+        .distinct()
+        .select(
+            F.col(id_col),
+            F.floor(F.col("sel") / (1 << 20)).cast("bigint").alias("fp_hash"),
+            (F.col("sel") % (1 << 20)).cast("int").alias("fp_pos"),
+        )
+    )

@@ -1685,3 +1685,51 @@ def test_dsir_logweights_bruteforce_and_selection(spark):
     empty = target.where("doc_id < 0")
     out = textstats.dsir_logweights(raw, empty, n_buckets=B).collect()
     assert len(out) == 3
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """The winnowing guarantee: documents sharing a token run of
+    length >= w+k-1 (= 8 at defaults) share at least one identical
+    fingerprint hash; selection density stays within the algorithm's
+    bounds; sub-threshold docs select nothing."""
+    from pignlproc_spark.operators.dedup import winnowing_fingerprints
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+    df = spark.createDataFrame(
+        [
+            (1, f"intro words before the common part {shared} and then a different tail"),
+            (2, f"{shared} appears immediately here with other following content entirely"),
+            (3, "completely unrelated text with no overlap whatsoever in any window"),
+            (4, "too short"),  # < w+k-1 tokens: no full window-of-windows
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnowing_fingerprints(df).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp_hash)
+    assert by_doc[1] & by_doc[2], "guaranteed shared fingerprint missing"
+    assert not (by_doc[1] & by_doc.get(3, set()))
+    assert 4 not in by_doc
+    # density bounds: between one-per-w-windows and every gram
+    for doc_id, text in [(1, None), (2, None)]:
+        n_tokens = len([t for r in df.where(F.col("doc_id") == doc_id).collect() for t in r.text.split()])
+        n_grams = n_tokens - 4  # k=5
+        n_starts = n_grams - 3  # w=4
+        n_sel = len(by_doc[doc_id])
+        assert n_sel <= n_grams
+        assert n_sel >= (n_starts + 3) // 4  # ceil(n_starts / w)
+    # positions point inside the gram range
+    assert all(0 <= r.fp_pos for r in fps)
+
+
+def test_winnowing_single_shuffle_plan(spark):
+    """One exchange (the per-doc window), nothing else — the operator
+    must not re-shuffle for the distinct (AQE may coalesce but the
+    distinct reuses the doc_id partitioning only when Spark keeps the
+    window's hash partitioning; assert no Python eval either way)."""
+    from pignlproc_spark.operators.dedup import winnowing_fingerprints
+
+    df = spark.createDataFrame([(1, "a b c d e f g h i j")], "doc_id long, text string")
+    plan = winnowing_fingerprints(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
