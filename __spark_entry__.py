@@ -42,6 +42,15 @@ HTML_WRAP_PRE = (
     '<div class="nav">Home | <a href="/about">About</a></div><h1>Doc '
 )
 HTML_WRAP_MID = "</h1><p>"
+
+# web_robots_filter fixture (CCRobots v1 differential): a badbot group
+# that must NOT leak into the '*' verdicts, then the starred group with
+# a shorter Disallow overridden by a longer Allow. NO single quotes.
+ROBOTS_BODY = (
+    "# synthetic robots fixture\n"
+    "User-agent: badbot\nDisallow: /\n\n"
+    "User-agent: *\nDisallow: /p/0000\nAllow: /p/00000\n"
+)
 HTML_WRAP_POST = (
     "</p><ul><li>&lt;escaped&gt; &amp;co.</li>"
     "<li>&quot;quoted&#39;s&quot;&nbsp;item</li></ul>"
@@ -550,6 +559,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def docs_winnowing(spark, sf_dir):
         return dedup.winnowing_fingerprints(_read(spark, sf_dir, "documents"))
 
+    def web_robots_filter(spark, sf_dir):
+        # hosts cc0-cc4 publish the fixture robots.txt (cc5-cc9 have
+        # none → allowed with no matched prefix); longest-match means
+        # ids < 100 (five leading path zeros) are Allow'd, the rest of
+        # the ids < 10000 hit the shorter Disallow
+        from pignlproc_spark.functions.urls import host_col, parse_robots, robots_filter
+
+        pages = synth.pages_for(spark, sf_dir)
+        hosts = (
+            pages.select(host_col(F.col("url")).alias("host"))
+            .distinct()
+            .where(F.substring("host", 3, 1).isin(*"01234"))
+        )
+        robots = hosts.select("host", F.lit(ROBOTS_BODY).alias("body"))
+        return robots_filter(pages, parse_robots(robots))
+
     def web_url_blocklist(spark, sf_dir):
         # UT1-style ban list: two whole hosts + one URL-prefix pattern,
         # applied as a broadcast host join + codegen'd prefix predicate
@@ -691,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs_mojibake_fix=docs_mojibake_fix,
         docs_history_dedup=docs_history_dedup,
         docs_winnowing=docs_winnowing,
+        web_robots_filter=web_robots_filter,
         web_html_extract=web_html_extract,
         web_url_blocklist=web_url_blocklist,
         web_canonical_urls=web_canonical_urls,
@@ -1982,6 +2008,61 @@ def oracle_sql() -> dict[str, str]:
            (sel // 1048576)::BIGINT AS fp_hash,
            (sel % 1048576)::INT AS fp_pos
     FROM s WHERE pos <= n - 4
+    """
+    # CCRobots v1 — the relational robots.txt parse + RFC 9309
+    # longest-match verdict, mirrored line for line (1-based list
+    # indices here vs posexplode's 0-based are internal-only; no
+    # output column depends on them)
+    o["web_robots_filter"] = f"""
+    WITH hosts AS (
+      SELECT DISTINCT lower(regexp_extract(trim(url), '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host
+      FROM {g('pages')}
+    ), rob AS (
+      SELECT host, '{ROBOTS_BODY}' AS body FROM hosts WHERE substr(host, 3, 1) IN ('0','1','2','3','4')
+    ), lines AS (
+      SELECT host, u.i AS line_no, trim(regexp_replace(u.line, '#.*$', '')) AS line FROM (
+        SELECT host, unnest(list_transform(range(1, len(L) + 1), i -> {{'i': i, 'line': L[i]}})) AS u
+        FROM (SELECT host, regexp_split_to_array(body, '\r?\n') AS L FROM rob)
+      )
+    ), kv AS (
+      SELECT host, line_no,
+             lower(trim(regexp_extract(line, '^([A-Za-z-]+):', 1))) AS key,
+             trim(regexp_extract(line, '^[A-Za-z-]+:(.*)$', 1)) AS value
+      FROM lines
+    ), tagged AS (
+      SELECT host, line_no, key, value,
+             last_value(ua_start IGNORE NULLS) OVER (PARTITION BY host ORDER BY line_no) AS group_start
+      FROM (
+        SELECT *, CASE WHEN key = 'user-agent'
+                            AND lag(key) OVER (PARTITION BY host ORDER BY line_no) = 'user-agent'
+                       THEN NULL
+                       WHEN key = 'user-agent' THEN line_no END AS ua_start
+        FROM kv
+      )
+    ), starred AS (
+      SELECT r.host, (r.key = 'allow')::INT AS allow, r.value AS path_prefix
+      FROM tagged r
+      WHERE r.key IN ('allow', 'disallow') AND r.value != '' AND r.group_start IS NOT NULL
+        AND EXISTS (
+          SELECT 1 FROM tagged a
+          WHERE a.key = 'user-agent' AND lower(a.value) = '*'
+            AND a.host = r.host AND a.group_start = r.group_start
+        )
+    ), ph AS (
+      SELECT url,
+             lower(regexp_extract(trim(url), '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host,
+             CASE WHEN regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) = ''
+                  THEN '/' ELSE regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) END AS path
+      FROM {g('pages')}
+    ), best AS (
+      SELECT ph.url, ph.host,
+             max(CASE WHEN s.path_prefix IS NOT NULL AND starts_with(ph.path, s.path_prefix)
+                      THEN {{'plen': length(s.path_prefix), 'allow': s.allow, 'prefix': s.path_prefix}}
+                 END) AS b
+      FROM ph LEFT JOIN starred s USING (host)
+      GROUP BY ph.url, ph.host
+    )
+    SELECT url, host, coalesce(b.allow, 1)::INT AS allow, b.prefix AS matched_prefix FROM best
     """
     o["web_url_blocklist"] = f"""
     SELECT url, host,

@@ -116,3 +116,105 @@ def domain_quota(pages, k: int, url_col: str = "url"):
         .where(F.col("rank") <= k)
         .select("host", "url", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def parse_robots(robots, host_col_name: str = "host", body_col: str = "body"):
+    """(host, rule_idx, allow INT, path_prefix) — the ``User-agent: *``
+    rule groups of each robots.txt body, as a relational parse
+    ("CCRobots v1", an RFC 9309 subset: literal path prefixes only —
+    no ``*``/``$`` wildcards; unknown directives ignored; a group is
+    one or more consecutive User-agent lines followed by its rules).
+
+    Relational shape: one explode of the body's lines, a running
+    last-User-agent window per host (the only per-host ordering), and
+    a filter to the ``*`` groups — no Python, no per-host loops.
+    """
+    from pyspark.sql import Window
+
+    lines = robots.select(
+        F.col(host_col_name).alias("host"),
+        F.posexplode(F.split(F.col(body_col), "\r?\n")).alias("line_no", "line"),
+    ).select(
+        "host",
+        "line_no",
+        # strip comments, then whitespace
+        F.trim(F.regexp_replace("line", "#.*$", "")).alias("line"),
+    )
+    kv = lines.select(
+        "host",
+        "line_no",
+        F.lower(F.trim(F.regexp_extract("line", "^([A-Za-z-]+):", 1))).alias("key"),
+        F.trim(F.regexp_extract("line", "^[A-Za-z-]+:(.*)$", 1)).alias("value"),
+    )
+    # a rule line belongs to the most recent user-agent run above it.
+    # RFC 9309 groups several consecutive User-agent lines: a UA line
+    # directly preceded by another UA line continues the same group,
+    # so the group key is the line_no of the run's FIRST UA line.
+    w = Window.partitionBy("host").orderBy("line_no")
+    tagged = kv.withColumn(
+        "_ua_line", F.when(F.col("key") == "user-agent", F.col("line_no"))
+    ).withColumn(
+        "_prev_key", F.lag("key").over(w)
+    ).withColumn(
+        "_ua_start",
+        F.when(
+            (F.col("key") == "user-agent") & (F.col("_prev_key") == "user-agent"), None
+        ).otherwise(F.col("_ua_line")),
+    ).withColumn("group_start", F.last("_ua_start", ignorenulls=True).over(w))
+    agents = (
+        tagged.where(F.col("key") == "user-agent")
+        .select("host", "group_start", F.lower("value").alias("agent"))
+        .distinct()
+    )
+    rules = tagged.where(
+        F.col("key").isin("allow", "disallow") & (F.col("value") != "") & F.col("group_start").isNotNull()
+    ).select(
+        "host",
+        "group_start",
+        F.col("line_no").alias("rule_idx"),
+        (F.col("key") == "allow").cast("int").alias("allow"),
+        F.col("value").alias("path_prefix"),
+    )
+    return (
+        rules.join(agents.where(F.col("agent") == "*"), ["host", "group_start"], "left_semi")
+        .select("host", "rule_idx", "allow", "path_prefix")
+    )
+
+
+def robots_filter(pages, rules, url_col: str = "url"):
+    """(url, host, allow INT, matched_prefix) — the RFC 9309 verdict of
+    CCRobots v1 rules for every page: among the host's matching rules
+    the LONGEST path prefix wins; on a length tie Allow wins; a URL
+    with no matching rule (or no rules at all for its host) is
+    allowed.
+
+    Scale shape: the rules table is a parsed robots corpus — a few
+    rows per host, megabytes for millions of hosts — so it arrives
+    broadcast; the verdict is one map-side probe + a partial/final
+    max-struct aggregate keyed by url, NO crawl-side window sort.
+    """
+    u = F.col(url_col)
+    pages_h = pages.select(u.alias("url"), host_col(u).alias("host")).withColumn(
+        "path",
+        F.when(F.regexp_extract("url", _PATH_RE, 1) == "", "/").otherwise(
+            F.regexp_extract("url", _PATH_RE, 1)
+        ),
+    )
+    joined = pages_h.join(F.broadcast(rules), "host", "left").withColumn(
+        "_match",
+        F.when(
+            F.col("path_prefix").isNotNull() & F.col("path").startswith(F.col("path_prefix")),
+            F.struct(
+                F.length("path_prefix").alias("plen"),
+                F.col("allow").alias("allow"),
+                F.col("path_prefix").alias("prefix"),
+            ),
+        ),
+    )
+    best = joined.groupBy("url", "host").agg(F.max("_match").alias("best"))
+    return best.select(
+        "url",
+        "host",
+        F.coalesce(F.col("best.allow"), F.lit(1)).cast("int").alias("allow"),
+        F.col("best.prefix").alias("matched_prefix"),
+    )

@@ -478,3 +478,58 @@ def test_sql_registry_html_and_moji_parity(spark):
         ).collect()
     }
     assert got == exp
+
+
+def test_parse_robots_group_scoping(spark):
+    """CCRobots v1: rules bind to their User-agent run; multi-UA runs
+    form ONE group; comments and empty values drop; only '*' groups
+    survive."""
+    from pignlproc_spark.functions.urls import parse_robots
+
+    body = (
+        "# top comment\n"
+        "User-agent: badbot\nDisallow: /\n\n"
+        "User-agent: a\nUser-agent: *\nDisallow: /x # trailing comment\nAllow: /x/pub\n"
+        "Disallow:\n"  # empty value: no rule
+        "Crawl-delay: 10\n"  # unknown directive: ignored
+        "\nUser-agent: c\nDisallow: /c\n"
+    )
+    rules = parse_robots(
+        spark.createDataFrame([("h.example", body)], "host string, body string")
+    ).collect()
+    got = {(r.allow, r.path_prefix) for r in rules}
+    assert got == {(0, "/x"), (1, "/x/pub")}  # badbot's and c's rules excluded
+
+
+def test_robots_filter_longest_match(spark):
+    """RFC 9309 verdicts: longest prefix wins, Allow wins length ties,
+    unmatched and no-robots URLs are allowed."""
+    from pignlproc_spark.functions.urls import parse_robots, robots_filter
+
+    body = (
+        "User-agent: *\n"
+        "Disallow: /private\n"
+        "Allow: /private/ok\n"
+        "Disallow: /tie\nAllow: /tie\n"  # same length: Allow wins
+    )
+    rules = parse_robots(
+        spark.createDataFrame([("h.example", body)], "host string, body string")
+    )
+    pages = spark.createDataFrame(
+        [
+            ("https://h.example/private/file",),
+            ("https://h.example/private/ok/file",),
+            ("https://h.example/tie",),
+            ("https://h.example/elsewhere",),
+            ("https://h.example",),  # empty path → '/'
+            ("https://other.example/private/file",),  # no robots at all
+        ],
+        "url string",
+    )
+    got = {r.url: (r.allow, r.matched_prefix) for r in robots_filter(pages, rules).collect()}
+    assert got["https://h.example/private/file"] == (0, "/private")
+    assert got["https://h.example/private/ok/file"] == (1, "/private/ok")
+    assert got["https://h.example/tie"] == (1, "/tie")
+    assert got["https://h.example/elsewhere"] == (1, None)
+    assert got["https://h.example"] == (1, None)
+    assert got["https://other.example/private/file"] == (1, None)
