@@ -70,6 +70,12 @@ def main(argv=None):
     )
     ap.add_argument("--source-label", default="crawl", help="documents.source value")
     ap.add_argument(
+        "--robots",
+        help="parquet of fetched robots.txt bodies (host, body): drop pages a "
+             "'User-agent: *' rule disallows (CCRobots v1, RFC 9309 "
+             "longest-match — urls.parse_robots/robots_filter)",
+    )
+    ap.add_argument(
         "--history",
         help="existing documents table: drop pages whose extracted text was "
              "already ingested (Bloom-digest probe + exact confirm join — "
@@ -133,6 +139,13 @@ def main(argv=None):
         & (F.col("host_blocked") == 0)
         & (F.col("prefix_blocked") == 0)
     )
+
+    if args.robots:
+        from pignlproc_spark.functions.urls import parse_robots, robots_filter
+
+        rules = parse_robots(spark.read.parquet(args.robots))
+        allowed = robots_filter(kept.select("url"), rules).where(F.col("allow") == 1)
+        kept = kept.join(allowed.select("url"), "url", "left_semi")
 
     # re-fetch dedup: one capture per canonical URL — latest warc_ts,
     # ties to the larger raw url (struct comparison is lexicographic),

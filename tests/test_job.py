@@ -551,3 +551,36 @@ def test_ingest_crawl_job_history_dedup(spark, tmp_path):
     assert rc == 0
     urls = {r.url for r in spark.read.parquet(snap2).collect()}
     assert urls == {"https://h.example/c"}  # /a's bytes were already in snap1
+
+
+def test_ingest_crawl_job_robots(spark, tmp_path):
+    """--robots drops pages a 'User-agent: *' Disallow covers, honoring
+    the longest-match Allow override."""
+    import gzip
+
+    from jobs.ingest_crawl import main as crawl_main
+    from tests.test_sources import _warc_record
+
+    def resp(url, body_html):
+        body = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body_html
+        return gzip.compress(_warc_record("response", url, "2024-01-01T00:00:00Z", body), mtime=0)
+
+    arc = tmp_path / "crawl"
+    arc.mkdir()
+    (arc / "s.warc.gz").write_bytes(
+        resp("https://h.example/private/x", b"<p>secret</p>")
+        + resp("https://h.example/private/ok/y", b"<p>public exception</p>")
+        + resp("https://h.example/open/z", b"<p>open</p>")
+    )
+    robots = str(tmp_path / "robots")
+    spark.createDataFrame(
+        [("h.example", "User-agent: *\nDisallow: /private\nAllow: /private/ok\n")],
+        "host string, body string",
+    ).write.parquet(robots)
+    out = str(tmp_path / "docs")
+    rc = crawl_main(
+        ["--warc", str(arc / "*.warc.gz"), "--out", out, "--robots", robots, "--no-funnel"]
+    )
+    assert rc == 0
+    urls = {r.url for r in spark.read.parquet(out).collect()}
+    assert urls == {"https://h.example/private/ok/y", "https://h.example/open/z"}
