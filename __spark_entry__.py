@@ -575,6 +575,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         robots = hosts.select("host", F.lit(ROBOTS_BODY).alias("body"))
         return robots_filter(pages, parse_robots(robots))
 
+    def docs_readability(spark, sf_dir):
+        return textstats.readability_signals(_read(spark, sf_dir, "documents"))
+
+    def web_sitemap_urls(spark, sf_dir):
+        # round-trip fixture: each host publishes a sitemap of its own
+        # urls (sorted, entity-encoded ampersand probe appended); the
+        # parse must recover every loc exactly
+        from pignlproc_spark.functions.urls import host_col, parse_sitemap
+
+        pages = synth.pages_for(spark, sf_dir)
+        sitemaps = (
+            pages.select(host_col(F.col("url")).alias("host"), F.col("url"))
+            .groupBy("host")
+            .agg(F.array_sort(F.collect_list("url")).alias("_urls"))
+            .select(
+                "host",
+                F.concat(
+                    F.lit('<?xml version="1.0"?><urlset>'),
+                    F.aggregate(
+                        "_urls",
+                        F.lit(""),
+                        lambda acc, u: F.concat(acc, F.lit("<loc>"), u, F.lit("</loc>")),
+                    ),
+                    F.lit("<loc>https://"),
+                    F.col("host"),
+                    F.lit("/a&amp;b</loc></urlset>"),
+                ).alias("body"),
+            )
+        )
+        return parse_sitemap(sitemaps)
+
     def web_url_blocklist(spark, sf_dir):
         # UT1-style ban list: two whole hosts + one URL-prefix pattern,
         # applied as a broadcast host join + codegen'd prefix predicate
@@ -717,6 +748,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs_history_dedup=docs_history_dedup,
         docs_winnowing=docs_winnowing,
         web_robots_filter=web_robots_filter,
+        web_sitemap_urls=web_sitemap_urls,
+        docs_readability=docs_readability,
         web_html_extract=web_html_extract,
         web_url_blocklist=web_url_blocklist,
         web_canonical_urls=web_canonical_urls,
@@ -2063,6 +2096,37 @@ def oracle_sql() -> dict[str, str]:
       GROUP BY ph.url, ph.host
     )
     SELECT url, host, coalesce(b.allow, 1)::INT AS allow, b.prefix AS matched_prefix FROM best
+    """
+    o["docs_readability"] = f"""
+    SELECT doc_id, n_words, n_sentences, n_vowel_groups,
+           ((39 * n_words) // greatest(n_sentences, 1)
+            + (1180 * n_vowel_groups) // greatest(n_words, 1) - 1559)::BIGINT AS fk_q100
+    FROM (
+      SELECT doc_id,
+             len({_tok_sql('text', stop=False)})::BIGINT AS n_words,
+             len(regexp_extract_all(text, '[.!?]+'))::BIGINT AS n_sentences,
+             len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT AS n_vowel_groups
+      FROM documents
+    )
+    """
+    o["web_sitemap_urls"] = f"""
+    WITH ph AS (
+      SELECT lower(regexp_extract(trim(url), '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host, url
+      FROM {g('pages')}
+    ), sm AS (
+      SELECT host,
+             '<?xml version="1.0"?><urlset>'
+             || string_agg('<loc>' || url || '</loc>', '' ORDER BY url)
+             || '<loc>https://' || host || '/a&amp;b</loc></urlset>' AS body
+      FROM ph GROUP BY host
+    ), raw AS (
+      SELECT host, unnest(regexp_extract_all(body, '<loc>([^<]*)</loc>', 1)) AS raw_loc FROM sm
+    )
+    SELECT host,
+           trim(replace(replace(replace(replace(replace(raw_loc,
+                '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''), '&amp;', '&')) AS loc,
+           count(*) OVER (PARTITION BY host) AS n_locs
+    FROM raw
     """
     o["web_url_blocklist"] = f"""
     SELECT url, host,

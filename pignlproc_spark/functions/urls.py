@@ -218,3 +218,38 @@ def robots_filter(pages, rules, url_col: str = "url"):
         F.coalesce(F.col("best.allow"), F.lit(1)).cast("int").alias("allow"),
         F.col("best.prefix").alias("matched_prefix"),
     )
+
+
+def parse_sitemap(sitemaps, host_col_name: str = "host", body_col: str = "body"):
+    """(host, loc, n_locs) — the ``<loc>`` URL entries of each
+    sitemap.xml body ("CCSitemap v1": regex-level parse — sitemaps in
+    the wild are machine-generated and flat, so ``<loc>([^<]*)</loc>``
+    with entity decode of the XML five covers the format; no XML
+    parser dependency, fully codegen'd).
+
+    Scale shape: one regexp_extract_all + explode per sitemap row —
+    the discovery side of a crawl frontier. n_locs rides along so a
+    frontier loader can budget per host without re-grouping.
+    """
+    locs = sitemaps.select(
+        F.col(host_col_name).alias("host"),
+        F.explode(F.regexp_extract_all(F.col(body_col), F.lit("<loc>([^<]*)</loc>"), 1)).alias(
+            "raw_loc"
+        ),
+    )
+    # XML entity decode (the five XML predefined entities; &amp; last)
+    loc = F.col("raw_loc")
+    for ent, rep in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&apos;", "'"),
+        ("&amp;", "&"),
+    ):
+        loc = F.replace(loc, F.lit(ent), F.lit(rep))
+    from pyspark.sql import Window
+
+    return (
+        locs.select("host", F.trim(loc).alias("loc"))
+        .withColumn("n_locs", F.count(F.lit(1)).over(Window.partitionBy("host")).cast("bigint"))
+    )

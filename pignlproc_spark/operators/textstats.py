@@ -1283,3 +1283,37 @@ def unigram_surprisal(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
             F.floor(F.sum(F.col("tf") * F.col("nll_q")) / F.sum("tf")).cast("bigint").alias("surprisal_q"),
         )
     )
+
+
+def readability_signals(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_words, n_sentences, n_vowel_groups, fk_q100) — a
+    frozen integer Flesch-Kincaid surrogate ("CCRead v1"), the
+    readability gate some curation recipes layer on top of the C4
+    rules (grade-band selection for educational corpora):
+
+    - words      = frozen-tokenizer token count (functions/tokenize);
+    - sentences  = runs of ``[.!?]+`` (terminal punctuation clusters);
+    - vowel groups = runs of ``[aeiouy]+`` in the lowercased text —
+      the standard syllable proxy (exact syllabification needs a
+      dictionary; the proxy is monotone with it on English);
+    - fk_q100    = (39·W) div max(S,1) + (1180·V) div max(W,1) − 1559
+      — Flesch-Kincaid grade ×100 with each term floor-divided
+      (exact integers, so the DuckDB oracle hash-matches; both
+      engines' integer division agrees on the all-positive operands).
+
+    Pure projection: rides the scan like the other quality signals.
+    """
+    t = F.col(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.size(tokens_col(t, apply_stoplist=False)).cast("bigint").alias("n_words"),
+        F.regexp_count(t, F.lit("[.!?]+")).cast("bigint").alias("n_sentences"),
+        F.regexp_count(F.lower(t), F.lit("[aeiouy]+")).cast("bigint").alias("n_vowel_groups"),
+    )
+    return base.withColumn(
+        "fk_q100",
+        F.expr(
+            "(39 * n_words) div greatest(n_sentences, 1) "
+            "+ (1180 * n_vowel_groups) div greatest(n_words, 1) - 1559"
+        ).cast("bigint"),
+    )

@@ -533,3 +533,25 @@ def test_robots_filter_longest_match(spark):
     assert got["https://h.example/elsewhere"] == (1, None)
     assert got["https://h.example"] == (1, None)
     assert got["https://other.example/private/file"] == (1, None)
+
+
+def test_parse_sitemap_entities_and_counts(spark):
+    from pignlproc_spark.functions.urls import parse_sitemap
+
+    body = (
+        '<?xml version="1.0"?><urlset>'
+        "<loc> https://h.example/a </loc>"
+        "<loc>https://h.example/x?a=1&amp;b=2</loc>"
+        "<loc>https://h.example/&lt;odd&gt;</loc>"
+        "</urlset>"
+    )
+    got = parse_sitemap(
+        spark.createDataFrame([("h.example", body)], "host string, body string")
+    ).collect()
+    locs = {r.loc for r in got}
+    assert locs == {
+        "https://h.example/a",  # trimmed
+        "https://h.example/x?a=1&b=2",  # &amp; decoded
+        "https://h.example/<odd>",  # &lt;/&gt; decoded
+    }
+    assert all(r.n_locs == 3 for r in got)

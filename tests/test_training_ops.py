@@ -1733,3 +1733,25 @@ def test_winnowing_single_shuffle_plan(spark):
     df = spark.createDataFrame([(1, "a b c d e f g h i j")], "doc_id long, text string")
     plan = winnowing_fingerprints(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_readability_signals_known_text(spark):
+    """CCRead v1 on hand-countable text; monotonicity: denser clauses
+    with longer words score a higher grade."""
+    from pignlproc_spark.operators.textstats import readability_signals
+
+    simple = "The cat sat. The dog ran. It was fun."  # short words, 3 sentences
+    dense = (
+        "Notwithstanding considerable organizational heterogeneity, "
+        "multidimensional evaluation methodologies demonstrate "
+        "extraordinary epistemological sophistication."
+    )
+    df = spark.createDataFrame([(1, simple), (2, dense), (3, "")], "doc_id long, text string")
+    got = {r.doc_id: r for r in readability_signals(df).collect()}
+    assert got[1].n_words == 9 and got[1].n_sentences == 3
+    # vowel groups by hand: the=1 cat=1 sat=1 dog=1 ran=1 it=1 was=1 fun=1 → the(1)+cat(1)+sat(1)
+    assert got[1].n_vowel_groups == 9
+    # fk_q100 = 39*9//3 + 1180*9//9 - 1559 = 117 + 1180 - 1559 = -262
+    assert got[1].fk_q100 == -262
+    assert got[2].fk_q100 > got[1].fk_q100  # dense text grades higher
+    assert got[3].n_words == 0 and got[3].fk_q100 == -1559  # empty-doc floor
