@@ -175,8 +175,14 @@ def parse_robots(robots, host_col_name: str = "host", body_col: str = "body"):
         (F.col("key") == "allow").cast("int").alias("allow"),
         F.col("value").alias("path_prefix"),
     )
+    # the agents table is a handful of rows per host — broadcast the
+    # semi-join key set rather than letting unknown stats pick an SMJ
     return (
-        rules.join(agents.where(F.col("agent") == "*"), ["host", "group_start"], "left_semi")
+        rules.join(
+            F.broadcast(agents.where(F.col("agent") == "*")),
+            ["host", "group_start"],
+            "left_semi",
+        )
         .select("host", "rule_idx", "allow", "path_prefix")
     )
 

@@ -425,3 +425,34 @@ def test_bpe_pair_count_is_partial_final_no_python(spark):
     pplan = plan_of(pairs)
     assert "partial_sum" in pplan and pplan.count("HashAggregate") >= 2
     assert "BatchEvalPython" not in pplan and "ArrowEvalPython" not in pplan
+
+
+def test_winnowing_single_exchange(spark):
+    """Winnowing costs ONE shuffle (the per-doc window); the distinct
+    must reuse that partitioning, and nothing drops to Python."""
+    from pignlproc_spark.operators.dedup import winnowing_fingerprints
+
+    df = spark.createDataFrame(
+        [(i, "alpha bravo charlie delta echo foxtrot golf hotel india") for i in range(10)],
+        "doc_id long, text string",
+    )
+    plan = winnowing_fingerprints(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "EvalPython" not in plan
+
+
+def test_robots_filter_crawl_side_is_broadcast_probe(spark):
+    """The rules reach the crawl as a broadcast; the crawl itself never
+    sort-shuffles beyond the verdict aggregate's own exchange."""
+    from pignlproc_spark.functions.urls import parse_robots, robots_filter
+
+    rules = parse_robots(
+        spark.createDataFrame(
+            [("h.example", "User-agent: *\nDisallow: /x\n")], "host string, body string"
+        )
+    )
+    pages = spark.createDataFrame([("https://h.example/x",)], "url string")
+    plan = robots_filter(pages, rules)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # rules side broadcast, never SMJ
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
