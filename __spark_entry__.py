@@ -606,6 +606,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return parse_sitemap(sitemaps)
 
+    def web_crawl_pipeline(spark, sf_dir):
+        # the crawl front half as ONE declarative plan: UT1 blocklist
+        # flags × robots verdict, conjoined per url — both dimension
+        # probes broadcast, so the whole gate is map-side over the
+        # crawl scan plus the robots verdict aggregate
+        from pignlproc_spark.functions.urls import (
+            blocklist_filter,
+            host_col,
+            parse_robots,
+            robots_filter,
+        )
+
+        pages = synth.pages_for(spark, sf_dir)
+        hosts = spark.createDataFrame(
+            [("cc3.example",), ("cc7.example",)], "host string"
+        )
+        bl = blocklist_filter(
+            pages, hosts, blocked_prefixes=("https://cc1.example/p/000",)
+        )
+        rob_hosts = (
+            pages.select(host_col(F.col("url")).alias("host"))
+            .distinct()
+            .where(F.substring("host", 3, 1).isin(*"01234"))
+        )
+        rb = robots_filter(
+            pages, parse_robots(rob_hosts.select("host", F.lit(ROBOTS_BODY).alias("body")))
+        ).select("url", F.col("allow").alias("robots_allow"))
+        return bl.join(rb, "url").select(
+            "url",
+            "host",
+            "host_blocked",
+            "prefix_blocked",
+            "robots_allow",
+            (F.col("keep") * F.col("robots_allow")).cast("int").alias("keep"),
+        )
+
     def web_url_blocklist(spark, sf_dir):
         # UT1-style ban list: two whole hosts + one URL-prefix pattern,
         # applied as a broadcast host join + codegen'd prefix predicate
@@ -749,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs_winnowing=docs_winnowing,
         web_robots_filter=web_robots_filter,
         web_sitemap_urls=web_sitemap_urls,
+        web_crawl_pipeline=web_crawl_pipeline,
         docs_readability=docs_readability,
         web_html_extract=web_html_extract,
         web_url_blocklist=web_url_blocklist,
@@ -1647,6 +1684,79 @@ def url_canonical_sql(src: str) -> str:
     """
 
 
+
+def robots_verdict_sql(pages_rel: str) -> str:
+    """(url, host, allow, matched_prefix) — the DuckDB side of the
+    CCRobots v1 parse + RFC 9309 verdict over ``pages_rel``; shared by
+    web_robots_filter and the composed web_crawl_pipeline oracle."""
+    return f"""
+    WITH hosts AS (
+      SELECT DISTINCT lower(regexp_extract(trim(url), '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host
+      FROM {pages_rel}
+    ), rob AS (
+      SELECT host, '{ROBOTS_BODY}' AS body FROM hosts WHERE substr(host, 3, 1) IN ('0','1','2','3','4')
+    ), lines AS (
+      SELECT host, u.i AS line_no, trim(regexp_replace(u.line, '#.*$', '')) AS line FROM (
+        SELECT host, unnest(list_transform(range(1, len(L) + 1), i -> {{'i': i, 'line': L[i]}})) AS u
+        FROM (SELECT host, regexp_split_to_array(body, '\r?\n') AS L FROM rob)
+      )
+    ), kv AS (
+      SELECT host, line_no,
+             lower(trim(regexp_extract(line, '^([A-Za-z-]+):', 1))) AS key,
+             trim(regexp_extract(line, '^[A-Za-z-]+:(.*)$', 1)) AS value
+      FROM lines
+    ), tagged AS (
+      SELECT host, line_no, key, value,
+             last_value(ua_start IGNORE NULLS) OVER (PARTITION BY host ORDER BY line_no) AS group_start
+      FROM (
+        SELECT *, CASE WHEN key = 'user-agent'
+                            AND lag(key) OVER (PARTITION BY host ORDER BY line_no) = 'user-agent'
+                       THEN NULL
+                       WHEN key = 'user-agent' THEN line_no END AS ua_start
+        FROM kv
+      )
+    ), starred AS (
+      SELECT r.host, (r.key = 'allow')::INT AS allow, r.value AS path_prefix
+      FROM tagged r
+      WHERE r.key IN ('allow', 'disallow') AND r.value != '' AND r.group_start IS NOT NULL
+        AND EXISTS (
+          SELECT 1 FROM tagged a
+          WHERE a.key = 'user-agent' AND lower(a.value) = '*'
+            AND a.host = r.host AND a.group_start = r.group_start
+        )
+    ), ph AS (
+      SELECT url,
+             lower(regexp_extract(trim(url), '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host,
+             CASE WHEN regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) = ''
+                  THEN '/' ELSE regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) END AS path
+      FROM {pages_rel}
+    ), best AS (
+      SELECT ph.url, ph.host,
+             max(CASE WHEN s.path_prefix IS NOT NULL AND starts_with(ph.path, s.path_prefix)
+                      THEN {{'plen': length(s.path_prefix), 'allow': s.allow, 'prefix': s.path_prefix}}
+                 END) AS b
+      FROM ph LEFT JOIN starred s USING (host)
+      GROUP BY ph.url, ph.host
+    )
+    SELECT url, host, coalesce(b.allow, 1)::INT AS allow, b.prefix AS matched_prefix FROM best
+    """
+
+
+def blocklist_sql(pages_rel: str) -> str:
+    """(url, host, host_blocked, prefix_blocked, keep) — the DuckDB side
+    of the web_url_blocklist fixture; shared with web_crawl_pipeline."""
+    return f"""
+    SELECT url, host,
+           (host IN ('cc3.example', 'cc7.example'))::INT AS host_blocked,
+           starts_with(url, 'https://cc1.example/p/000')::INT AS prefix_blocked,
+           (1 - greatest((host IN ('cc3.example', 'cc7.example'))::INT,
+                         starts_with(url, 'https://cc1.example/p/000')::INT))::INT AS keep
+    FROM (
+      SELECT url, lower(regexp_extract(trim(url), '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host
+      FROM {pages_rel}
+    )
+    """
+
 def _tok_sql(col: str, stop: bool) -> str:
     base = f"regexp_extract_all(lower({col}), '{TOKEN_RE_SQL}')"
     filt = f"list_filter({base}, t -> length(t) <= 64)"
@@ -2046,56 +2156,15 @@ def oracle_sql() -> dict[str, str]:
     # longest-match verdict, mirrored line for line (1-based list
     # indices here vs posexplode's 0-based are internal-only; no
     # output column depends on them)
-    o["web_robots_filter"] = f"""
-    WITH hosts AS (
-      SELECT DISTINCT lower(regexp_extract(trim(url), '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host
-      FROM {g('pages')}
-    ), rob AS (
-      SELECT host, '{ROBOTS_BODY}' AS body FROM hosts WHERE substr(host, 3, 1) IN ('0','1','2','3','4')
-    ), lines AS (
-      SELECT host, u.i AS line_no, trim(regexp_replace(u.line, '#.*$', '')) AS line FROM (
-        SELECT host, unnest(list_transform(range(1, len(L) + 1), i -> {{'i': i, 'line': L[i]}})) AS u
-        FROM (SELECT host, regexp_split_to_array(body, '\r?\n') AS L FROM rob)
-      )
-    ), kv AS (
-      SELECT host, line_no,
-             lower(trim(regexp_extract(line, '^([A-Za-z-]+):', 1))) AS key,
-             trim(regexp_extract(line, '^[A-Za-z-]+:(.*)$', 1)) AS value
-      FROM lines
-    ), tagged AS (
-      SELECT host, line_no, key, value,
-             last_value(ua_start IGNORE NULLS) OVER (PARTITION BY host ORDER BY line_no) AS group_start
-      FROM (
-        SELECT *, CASE WHEN key = 'user-agent'
-                            AND lag(key) OVER (PARTITION BY host ORDER BY line_no) = 'user-agent'
-                       THEN NULL
-                       WHEN key = 'user-agent' THEN line_no END AS ua_start
-        FROM kv
-      )
-    ), starred AS (
-      SELECT r.host, (r.key = 'allow')::INT AS allow, r.value AS path_prefix
-      FROM tagged r
-      WHERE r.key IN ('allow', 'disallow') AND r.value != '' AND r.group_start IS NOT NULL
-        AND EXISTS (
-          SELECT 1 FROM tagged a
-          WHERE a.key = 'user-agent' AND lower(a.value) = '*'
-            AND a.host = r.host AND a.group_start = r.group_start
-        )
-    ), ph AS (
-      SELECT url,
-             lower(regexp_extract(trim(url), '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host,
-             CASE WHEN regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) = ''
-                  THEN '/' ELSE regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) END AS path
-      FROM {g('pages')}
-    ), best AS (
-      SELECT ph.url, ph.host,
-             max(CASE WHEN s.path_prefix IS NOT NULL AND starts_with(ph.path, s.path_prefix)
-                      THEN {{'plen': length(s.path_prefix), 'allow': s.allow, 'prefix': s.path_prefix}}
-                 END) AS b
-      FROM ph LEFT JOIN starred s USING (host)
-      GROUP BY ph.url, ph.host
-    )
-    SELECT url, host, coalesce(b.allow, 1)::INT AS allow, b.prefix AS matched_prefix FROM best
+    o["web_robots_filter"] = robots_verdict_sql(g("pages"))
+    o["web_url_blocklist"] = blocklist_sql(g("pages"))
+    o["web_crawl_pipeline"] = f"""
+    WITH bl AS ({blocklist_sql(g('pages'))}),
+    rb AS ({robots_verdict_sql(g('pages'))})
+    SELECT bl.url, bl.host, bl.host_blocked, bl.prefix_blocked,
+           rb.allow AS robots_allow,
+           (bl.keep * rb.allow)::INT AS keep
+    FROM bl JOIN rb ON bl.url = rb.url
     """
     o["docs_readability"] = f"""
     SELECT doc_id, n_words, n_sentences, n_vowel_groups,
@@ -2127,17 +2196,6 @@ def oracle_sql() -> dict[str, str]:
                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''), '&amp;', '&')) AS loc,
            count(*) OVER (PARTITION BY host) AS n_locs
     FROM raw
-    """
-    o["web_url_blocklist"] = f"""
-    SELECT url, host,
-           (host IN ('cc3.example', 'cc7.example'))::INT AS host_blocked,
-           starts_with(url, 'https://cc1.example/p/000')::INT AS prefix_blocked,
-           (1 - greatest((host IN ('cc3.example', 'cc7.example'))::INT,
-                         starts_with(url, 'https://cc1.example/p/000')::INT))::INT AS keep
-    FROM (
-      SELECT url, lower(regexp_extract(trim(url), '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host
-      FROM {g('pages')}
-    )
     """
     o["web_domain_stats"] = f"""
     SELECT lower(regexp_extract(trim(url), '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host,
