@@ -265,6 +265,35 @@ def _jsonl_manifest(jdf: DataFrame, cols: list[str]) -> dict:
     }
 
 
+def read_jsonl_quarantine(
+    spark: SparkSession, path: str, schema: str
+) -> tuple[DataFrame, DataFrame]:
+    """(good, bad) — EXTERNAL-JSONL ingestion with corrupt-line
+    quarantine: third-party corpora arrive as JSON Lines of unknown
+    hygiene, and a malformed line must become an auditable row, never
+    a dropped record or a failed job. ``good`` carries ``schema``;
+    ``bad`` is (line STRING) of the raw malformed lines.
+
+    Spark quirk (documented since 2.3): a query referencing ONLY the
+    internal corrupt-record column of a JSON scan is disallowed, so the
+    parsed frame is cached before the two filters split it — one scan,
+    both halves served from the cache. At cluster scale prefer landing
+    the parsed frame once and splitting from storage; the semantics
+    here are identical.
+    """
+    raw = (
+        spark.read.schema(schema + ", _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    ).cache()
+    good = raw.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = raw.where(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("line")
+    )
+    return good, bad
+
+
 def read_jsonl_shards(spark: SparkSession, path: str, schema: str) -> DataFrame:
     """Read back a :func:`write_jsonl_shards` export; the ``shard``
     partition directory key is recovered as a column."""

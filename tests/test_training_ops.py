@@ -1755,3 +1755,30 @@ def test_readability_signals_known_text(spark):
     assert got[1].fk_q100 == -262
     assert got[2].fk_q100 > got[1].fk_q100  # dense text grades higher
     assert got[3].n_words == 0 and got[3].fk_q100 == -1559  # empty-doc floor
+
+
+def test_read_jsonl_quarantine(spark, tmp_path):
+    """External JSONL with malformed lines: good rows parse to the
+    schema, every bad line lands in the quarantine verbatim, and a
+    shard export round-trips losslessly with zero quarantined."""
+    import json as _json
+
+    from pignlproc_spark import tables
+
+    p = tmp_path / "ext"
+    p.mkdir()
+    good_rows = [{"doc_id": i, "text": f"doc {i}"} for i in range(20)]
+    bad_lines = ['{"doc_id": 3, "text": unquoted}', "{truncated", "not json at all"]
+    lines = [_json.dumps(r) for r in good_rows[:10]] + bad_lines[:2] + [
+        _json.dumps(r) for r in good_rows[10:]
+    ] + bad_lines[2:]
+    (p / "a.jsonl").write_text("\n".join(lines) + "\n")
+    good, bad = tables.read_jsonl_quarantine(spark, str(p), "doc_id long, text string")
+    assert {r.doc_id for r in good.collect()} == set(range(20))
+    assert {r.line for r in bad.collect()} == set(bad_lines)
+    # round-trip: our own export re-reads with an empty quarantine
+    df = spark.createDataFrame([(i, f"t{i}") for i in range(30)], "doc_id long, text string")
+    out = str(tmp_path / "export")
+    tables.write_jsonl_shards(df, out, n_shards=2)
+    g2, b2 = tables.read_jsonl_quarantine(spark, out, "doc_id long, text string")
+    assert b2.count() == 0 and g2.count() == 30
