@@ -642,6 +642,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.col("keep") * F.col("robots_allow")).cast("int").alias("keep"),
         )
 
+    def web_frontier_gap(spark, sf_dir):
+        # crawl-frontier maintenance: sitemap-discovered URLs that were
+        # never crawled (anti-join on the canonical form). The sitemap
+        # fixture plants exactly one uncrawled /a&b url per host.
+        from pignlproc_spark.functions.urls import canonical_url_col
+
+        pages = synth.pages_for(spark, sf_dir)
+        discovered = web_sitemap_urls(spark, sf_dir).select(
+            "host", canonical_url_col(F.col("loc")).alias("canonical_url")
+        )
+        crawled = pages.select(canonical_url_col(F.col("url")).alias("canonical_url")).distinct()
+        return discovered.join(crawled, "canonical_url", "left_anti").select(
+            "host", F.col("canonical_url").alias("to_crawl")
+        )
+
     def web_url_blocklist(spark, sf_dir):
         # UT1-style ban list: two whole hosts + one URL-prefix pattern,
         # applied as a broadcast host join + codegen'd prefix predicate
@@ -785,6 +800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs_winnowing=docs_winnowing,
         web_robots_filter=web_robots_filter,
         web_sitemap_urls=web_sitemap_urls,
+        web_frontier_gap=web_frontier_gap,
         web_crawl_pipeline=web_crawl_pipeline,
         docs_readability=docs_readability,
         web_html_extract=web_html_extract,
@@ -1757,6 +1773,31 @@ def blocklist_sql(pages_rel: str) -> str:
     )
     """
 
+
+def sitemap_locs_sql(pages_rel: str) -> str:
+    """(host, loc, n_locs) — the DuckDB side of the CCSitemap v1
+    round-trip fixture; shared by web_sitemap_urls and the frontier
+    gap oracle."""
+    return f"""
+    WITH ph AS (
+      SELECT lower(regexp_extract(trim(url), '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host, url
+      FROM {pages_rel}
+    ), sm AS (
+      SELECT host,
+             '<?xml version="1.0"?><urlset>'
+             || string_agg('<loc>' || url || '</loc>', '' ORDER BY url)
+             || '<loc>https://' || host || '/a&amp;b</loc></urlset>' AS body
+      FROM ph GROUP BY host
+    ), raw AS (
+      SELECT host, unnest(regexp_extract_all(body, '<loc>([^<]*)</loc>', 1)) AS raw_loc FROM sm
+    )
+    SELECT host,
+           trim(replace(replace(replace(replace(replace(raw_loc,
+                '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''), '&amp;', '&')) AS loc,
+           count(*) OVER (PARTITION BY host) AS n_locs
+    FROM raw
+    """
+
 def _tok_sql(col: str, stop: bool) -> str:
     base = f"regexp_extract_all(lower({col}), '{TOKEN_RE_SQL}')"
     filt = f"list_filter({base}, t -> length(t) <= 64)"
@@ -2178,24 +2219,16 @@ def oracle_sql() -> dict[str, str]:
       FROM documents
     )
     """
-    o["web_sitemap_urls"] = f"""
-    WITH ph AS (
-      SELECT lower(regexp_extract(trim(url), '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host, url
-      FROM {g('pages')}
-    ), sm AS (
-      SELECT host,
-             '<?xml version="1.0"?><urlset>'
-             || string_agg('<loc>' || url || '</loc>', '' ORDER BY url)
-             || '<loc>https://' || host || '/a&amp;b</loc></urlset>' AS body
-      FROM ph GROUP BY host
-    ), raw AS (
-      SELECT host, unnest(regexp_extract_all(body, '<loc>([^<]*)</loc>', 1)) AS raw_loc FROM sm
-    )
-    SELECT host,
-           trim(replace(replace(replace(replace(replace(raw_loc,
-                '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''), '&amp;', '&')) AS loc,
-           count(*) OVER (PARTITION BY host) AS n_locs
-    FROM raw
+    o["web_sitemap_urls"] = sitemap_locs_sql(g("pages"))
+    o["web_frontier_gap"] = f"""
+    WITH locs AS ({sitemap_locs_sql(g('pages'))}),
+    dvar AS (SELECT loc AS variant FROM locs),
+    dcan AS ({url_canonical_sql('dvar')}),
+    pvar AS (SELECT url AS variant FROM {g('pages')}),
+    crawled AS (SELECT DISTINCT canonical_url FROM ({url_canonical_sql('pvar')}))
+    SELECT d.host, d.canonical_url AS to_crawl
+    FROM dcan d
+    WHERE NOT EXISTS (SELECT 1 FROM crawled c WHERE c.canonical_url = d.canonical_url)
     """
     o["web_domain_stats"] = f"""
     SELECT lower(regexp_extract(trim(url), '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host,

@@ -92,6 +92,10 @@ def statements(escaped_literals: bool = False) -> dict[str, str]:
             "CREATE OR REPLACE TEMPORARY FUNCTION ccw_moji_fix(s STRING) "
             f"RETURNS STRING RETURN {_moji_fix_expr('s', lit)}"
         ),
+        "ccw_url_canonical": (
+            "CREATE OR REPLACE TEMPORARY FUNCTION ccw_url_canonical(s STRING) "
+            f"RETURNS STRING RETURN {_url_canonical_expr('s', lit)}"
+        ),
     }
 
 
@@ -132,6 +136,28 @@ def _moji_fix_expr(col: str, lit) -> str:
     for damaged, repaired in MOJIBAKE_TABLE:
         e = f"replace({e}, {lit(damaged)}, {lit(repaired)})"
     return e
+
+
+def _url_canonical_expr(col: str, lit) -> str:
+    """CCUrl v1 (functions/urls.py) as one SQL expression, from the
+    same frozen regex constants as canonical_url_col."""
+    from pignlproc_spark.functions import urls as U
+
+    u = f"trim({col})"
+    scheme = f"lower(regexp_extract({u}, {lit(U._SCHEME_RE)}, 1))"
+    raw_host = f"lower(regexp_extract({u}, {lit(U._HOST_RE)}, 1))"
+    host = (
+        f"CASE WHEN {scheme} = 'http' THEN regexp_replace({raw_host}, {lit(':80$')}, '') "
+        f"WHEN {scheme} = 'https' THEN regexp_replace({raw_host}, {lit(':443$')}, '') "
+        f"ELSE {raw_host} END"
+    )
+    path = f"regexp_replace(regexp_extract({u}, {lit(U._PATH_RE)}, 1), {lit('/+$')}, '')"
+    lone_qmark = r"^\?$"
+    query = f"regexp_replace(regexp_extract({u}, {lit(U._QUERY_RE)}, 1), {lit(lone_qmark)}, '')"
+    return (
+        f"CASE WHEN {scheme} = '' OR {raw_host} = '' THEN {u} "
+        f"ELSE concat({scheme}, '://', {host}, {path}, {query}) END"
+    )
 
 
 def register_sql(spark) -> list[str]:

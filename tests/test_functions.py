@@ -555,3 +555,34 @@ def test_parse_sitemap_entities_and_counts(spark):
         "https://h.example/<odd>",  # &lt;/&gt; decoded
     }
     assert all(r.n_locs == 3 for r in got)
+
+
+def test_sql_registry_url_canonical_parity(spark):
+    """ccw_url_canonical == canonical_url_col on the classic variants,
+    in BOTH parser literal modes (the regexes carry backslashes, so the
+    escapedStringLiterals path is the risky one)."""
+    from pyspark.sql import functions as F
+
+    from pignlproc_spark.functions.register import register_sql
+    from pignlproc_spark.functions.urls import canonical_url_col
+
+    urls = [
+        "HTTP://Host.Example:80/a/b/#frag",
+        "https://h.example:443/x?",
+        "https://h.example/x?a=1#f",
+        "not a url",
+        " http://h.example/trail/// ",
+        "file:///etc/passwd",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "s string")
+    df.createOrReplaceTempView("reg_probe_url")
+    for escaped in (False, True):
+        old = spark.conf.get("spark.sql.parser.escapedStringLiterals", "false")
+        spark.conf.set("spark.sql.parser.escapedStringLiterals", str(escaped).lower())
+        try:
+            register_sql(spark)
+            got = [r.c for r in spark.sql("SELECT ccw_url_canonical(s) AS c FROM reg_probe_url").collect()]
+        finally:
+            spark.conf.set("spark.sql.parser.escapedStringLiterals", old)
+        exp = [r.c for r in df.select(canonical_url_col(F.col("s")).alias("c")).collect()]
+        assert got == exp, f"escaped={escaped}"
