@@ -56,6 +56,25 @@ HTML_WRAP_POST = (
     "<li>&quot;quoted&#39;s&quot;&nbsp;item</li></ul>"
     "<table><tr><td>k</td><td>v</td></tr></table><br/><hr></body></html>"
 )
+# web_link_graph page template (CCLink v1 differential fixture): four
+# decoy anchors that must NOT match the frozen HREF_RE (<abbr href>,
+# hreflang with no real href, data-xhref, an unquoted value), a
+# fragment-only href that matches but resolves to NULL, then the three
+# real edges — protocol-relative to the cc0 hub, host-relative, and an
+# absolute link to an off-crawl aggregator host. NO single quotes
+# (spliced verbatim into the DuckDB oracle SQL).
+LINK_WRAP_PRE = (
+    '<html><body><nav><abbr href="https://no.example/a">cc</abbr>'
+    '<a hreflang="de" class="x">n</a>'
+    '<a data-xhref="https://no.example/c">m</a>'
+    "<a href=nope.html>u</a>"
+    '<a href="#top">t</a>'
+    '<A HREF="//cc0.example/pr">p</A>'
+    '<a class="nav" href="/l/x">l</a>'
+    '<a href="https://hub.example/out?src='
+)
+LINK_WRAP_POST = '">h</a></body></html>'
+
 STOPWORDS_SQL = "['" + "','".join(sorted(STOPWORDS)) + "']"
 TOKEN_RE_SQL = r"[^\W_]+"
 
@@ -657,6 +676,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "host", F.col("canonical_url").alias("to_crawl")
         )
 
+    def web_link_graph(spark, sf_dir):
+        # host-level link graph (the PageRank/frontier edge feed every
+        # web corpus builds): CCLink v1 href scan over a deterministic
+        # page per crawled URL, resolved against the page host, then
+        # one (src_host, dst_host) count agg. Scan-side projection +
+        # explode + single partial/final agg — the corpus never
+        # shuffles at page granularity, only the host-pair edges do
+        from pignlproc_spark.functions.html import extract_hrefs_col
+        from pignlproc_spark.functions.urls import host_col, resolve_href_col
+
+        pages = synth.pages_for(spark, sf_dir)
+        hosts = pages.select(host_col(F.col("url")).alias("src_host"))
+        html = F.concat(
+            F.lit(LINK_WRAP_PRE), F.col("src_host"), F.lit(LINK_WRAP_POST)
+        )
+        hrefs = hosts.select(
+            "src_host", F.explode(extract_hrefs_col(html)).alias("href")
+        )
+        resolved = hrefs.select(
+            "src_host",
+            resolve_href_col(F.col("href"), F.col("src_host")).alias("_r"),
+        ).where(F.col("_r").isNotNull())
+        return (
+            resolved.select("src_host", host_col(F.col("_r")).alias("dst_host"))
+            .groupBy("src_host", "dst_host")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_links"))
+        )
+
     def web_url_blocklist(spark, sf_dir):
         # UT1-style ban list: two whole hosts + one URL-prefix pattern,
         # applied as a broadcast host join + codegen'd prefix predicate
@@ -801,6 +848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         web_robots_filter=web_robots_filter,
         web_sitemap_urls=web_sitemap_urls,
         web_frontier_gap=web_frontier_gap,
+        web_link_graph=web_link_graph,
         web_crawl_pipeline=web_crawl_pipeline,
         docs_readability=docs_readability,
         web_html_extract=web_html_extract,
@@ -2229,6 +2277,26 @@ def oracle_sql() -> dict[str, str]:
     SELECT d.host, d.canonical_url AS to_crawl
     FROM dcan d
     WHERE NOT EXISTS (SELECT 1 FROM crawled c WHERE c.canonical_url = d.canonical_url)
+    """
+    # CCLink v1 — the oracle scans the SAME frozen HREF_RE and applies
+    # the SAME resolution CASE, over the identically-constructed page
+    from pignlproc_spark.functions.html import extract_hrefs_sql
+    from pignlproc_spark.functions.urls import resolve_href_sql
+
+    _lg_page = f"'{LINK_WRAP_PRE}' || src_host || '{LINK_WRAP_POST}'"
+    o["web_link_graph"] = f"""
+    WITH ph AS (
+      SELECT lower(regexp_extract(trim(url), '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS src_host
+      FROM {g('pages')}
+    ), hrefs AS (
+      SELECT src_host, unnest({extract_hrefs_sql(_lg_page)}) AS href FROM ph
+    ), res AS (
+      SELECT src_host, {resolve_href_sql('href', 'src_host')} AS r FROM hrefs
+    )
+    SELECT src_host,
+           lower(regexp_extract(r, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS dst_host,
+           count(*)::BIGINT AS n_links
+    FROM res WHERE r IS NOT NULL GROUP BY 1, 2
     """
     o["web_domain_stats"] = f"""
     SELECT lower(regexp_extract(trim(url), '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host,

@@ -118,6 +118,85 @@ def html_to_text_sql(expr: str) -> str:
     return f"trim({c}, ' ' || chr(10))"
 
 
+#: Anchor-href extraction, frozen "CCLink v1" tag scan: an ``<a`` tag
+#: (whitespace REQUIRED after the tag name, so ``<abbr``/``<area``
+#: never match), optional attributes that must END in whitespace
+#: before ``href`` (so a decoy attribute like ``hreflang=`` or
+#: ``xhref=`` never matches), then a DOUBLE-quoted value. v1 limits
+#: (explicit, frozen): single-quoted and unquoted attribute values are
+#: out of spec, as are attribute VALUES that themselves contain
+#: ``href="..."`` (regex-level scan, same trade-off as CCSitemap's
+#: ``<loc>`` rule). Case-insensitivity spelled out per character —
+#: never ``(?i)`` over the capture, which would also fold the URL.
+HREF_RE = rf'<[aA][{_WS}](?:[^>]*[{_WS}])?[hH][rR][eE][fF][{_WS}]*=[{_WS}]*"([^"]*)"'
+
+
+def extract_hrefs_col(html: Column) -> Column:
+    """array<string> of raw ``<a href="...">`` values, document order
+    (CCLink v1 scan). Pure codegen'd projection — the link-graph feed
+    runs at scan speed with no Python and no shuffle."""
+    return F.regexp_extract_all(html, F.lit(HREF_RE), F.lit(1))
+
+
+def extract_hrefs_sql(expr: str) -> str:
+    """DuckDB-side CCLink v1 scan: a per-row LIST of raw hrefs, from
+    the SAME frozen pattern (unnest at the call site)."""
+    return f"regexp_extract_all({expr}, '{_sq(HREF_RE)}', 1)"
+
+
+#: Whole-anchor-element scan (CCLink v1, the paired form): the same
+#: decoy-proof open-tag grammar as HREF_RE, then the rest of the open
+#: tag, inner TEXT with no markup, and the close tag. v1 limits
+#: (frozen): anchors whose body contains nested tags (``<a><b>x</b>``)
+#: or a ``<``/``>`` are out of spec and skipped — the pair extractor
+#: trades recall for a cross-engine-exact, backtrack-free scan.
+A_ELEM_RE = (
+    rf'<[aA][{_WS}](?:[^>]*[{_WS}])?[hH][rR][eE][fF][{_WS}]*=[{_WS}]*"[^"]*"'
+    rf"[^>]*>[^<]*</[aA][{_WS}]*>"
+)
+
+#: Inner text of a matched anchor element: the last ``>``-to-``</a``
+#: span with no angle brackets inside — immune to ``>`` characters
+#: hiding inside the quoted href value.
+INNER_TEXT_RE = rf">([^<>]*)</[aA][{_WS}]*>"
+
+
+def anchor_elems_col(html: Column) -> Column:
+    """array<string> of whole ``<a href="...">text</a>`` elements in
+    document order (CCLink v1 paired scan) — codegen'd, no Python."""
+    return F.regexp_extract_all(html, F.lit(A_ELEM_RE), F.lit(0))
+
+
+def anchor_href_col(elem: Column) -> Column:
+    """Raw href value of one matched anchor element."""
+    return F.regexp_extract(elem, HREF_RE, 1)
+
+
+def anchor_text_col(elem: Column) -> Column:
+    """Normalized surface form of one matched anchor element: inner
+    text, HTML-whitespace runs collapsed to one space, trimmed — the
+    web analogue of pignlproc's anchor-text surface form (the
+    (surface, target) evidence KG linking is trained on)."""
+    t = F.regexp_extract(elem, INNER_TEXT_RE, 1)
+    return F.btrim(F.regexp_replace(t, rf"[{_WS}]+", " "), F.lit(" "))
+
+
+def anchor_elems_sql(expr: str) -> str:
+    """DuckDB twin of :func:`anchor_elems_col` (same frozen pattern)."""
+    return f"regexp_extract_all({expr}, '{_sq(A_ELEM_RE)}', 0)"
+
+
+def anchor_href_sql(elem: str) -> str:
+    """DuckDB twin of :func:`anchor_href_col`."""
+    return f"regexp_extract({elem}, '{_sq(HREF_RE)}', 1)"
+
+
+def anchor_text_sql(elem: str) -> str:
+    """DuckDB twin of :func:`anchor_text_col`."""
+    inner = f"regexp_extract({elem}, '{_sq(INNER_TEXT_RE)}', 1)"
+    return f"trim(regexp_replace({inner}, '[{_WS}]+', ' ', 'g'), ' ')"
+
+
 def extract_pages(pages, html_col: str = "html", out_col: str = "text"):
     """(…, text) — CCHtml v1 extraction over a pages DataFrame.
 

@@ -59,6 +59,39 @@ def canonical_url_col(url: Column) -> Column:
     )
 
 
+def resolve_href_col(href: Column, base_host: Column) -> Column:
+    """Absolute URL of a raw ``<a href>`` value against its page's host
+    — the resolution half of the frozen "CCLink v1" spec (the scan half
+    is ``functions/html.HREF_RE``). Rules, in order:
+
+    1. already absolute (``scheme://...``) → kept verbatim;
+    2. protocol-relative (``//host/...``) → ``https:`` prepended (v1
+       freezes https as the assumed scheme — the crawl's own);
+    3. host-relative (``/path``) → ``https://`` + base host + href;
+    4. anything else → NULL (page-relative paths, ``#fragment``,
+       ``mailto:``/``javascript:`` pseudo-links — v1 deliberately does
+       not guess a base *path*, only a base host, so these drop).
+
+    Pure codegen'd CASE over one regexp + two prefix tests: the
+    link-graph edge feed stays a projection, no Python, no shuffle."""
+    return (
+        F.when(href.rlike(_SCHEME_RE), href)
+        .when(href.startswith("//"), F.concat(F.lit("https:"), href))
+        .when(href.startswith("/"), F.concat(F.lit("https://"), base_host, href))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def resolve_href_sql(href: str, base_host: str) -> str:
+    """DuckDB twin of :func:`resolve_href_col` — the SAME rule order
+    over SQL expressions, for the driver-oracle differential."""
+    return f"""CASE
+      WHEN regexp_matches({href}, '^[a-zA-Z][a-zA-Z0-9+.-]*://') THEN {href}
+      WHEN starts_with({href}, '//') THEN 'https:' || {href}
+      WHEN starts_with({href}, '/') THEN 'https://' || {base_host} || {href}
+      END"""
+
+
 def blocklist_filter(pages, blocked_hosts, blocked_prefixes=(), url_col: str = "url"):
     """(url, host, host_blocked, prefix_blocked, keep) — UT1-style
     crawl blocklist filter (the adult/spam/quota domain bans every

@@ -125,3 +125,83 @@ def test_extract_pages_plan_is_pure_projection(spark):
     plan = extract_pages(pages)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# (html, expected raw hrefs in document order) — frozen CCLink v1
+# goldens: every decoy class the spec rules out, plus the match forms
+# it rules in. Changing an expectation is a spec change (version bump).
+HREF_GOLDENS = [
+    ('<a href="https://x.example/a">t</a>', ["https://x.example/a"]),
+    # uppercase tag/attr match; the VALUE must come back uncased
+    ('<A HREF="//X.example/B">t</A>', ["//X.example/B"]),
+    # attributes before href, whitespace around =
+    ('<a class="n" id=q href = "/p">t</a>', ["/p"]),
+    ('<a\thref="/tab">t</a>', ["/tab"]),
+    # document order over multiple anchors
+    ('<a href="/1">a</a><p><a href="/2">b</a>', ["/1", "/2"]),
+    # --- decoys: must NOT match ---
+    ('<abbr href="https://no.example/">t</abbr>', []),
+    ('<area href="https://no.example/">', []),
+    ('<a hreflang="de">t</a>', []),  # hreflang is not href
+    ('<a data-xhref="https://no.example/">t</a>', []),  # no WS before href
+    ("<a href=unquoted.html>t</a>", []),  # v1: double-quoted only
+    ("<a href='single.html'>t</a>", []),  # v1: double-quoted only
+    ('<ahref="https://no.example/">t</a>', []),  # WS after tag required
+    ('href="https://no.example/" outside any tag', []),
+    # fragment-only and empty values DO match the scan (resolution drops)
+    ('<a href="#top">t</a><a href="">e</a>', ["#top", ""]),
+]
+
+
+def test_href_goldens_spark(spark):
+    from pignlproc_spark.functions.html import extract_hrefs_col
+
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(HREF_GOLDENS)], "i int, html string"
+    )
+    got = {
+        r.i: r.h
+        for r in df.select("i", extract_hrefs_col(F.col("html")).alias("h")).collect()
+    }
+    for i, (_, want) in enumerate(HREF_GOLDENS):
+        assert got[i] == want, f"case {i}"
+
+
+def test_href_duckdb_parity_on_goldens():
+    from pignlproc_spark.functions.html import extract_hrefs_sql
+
+    con = duckdb.connect()
+    for i, (h, want) in enumerate(HREF_GOLDENS):
+        con.execute("create or replace table t as select ? as html", [h])
+        got = con.sql(f"select {extract_hrefs_sql('html')} as h from t").fetchone()[0]
+        assert got == want, f"case {i}"
+
+
+def test_resolve_href_rules(spark):
+    """CCLink v1 resolution: absolute kept, protocol-relative gets
+    https, host-relative joins the base host, everything else NULL."""
+    from pignlproc_spark.functions.urls import resolve_href_col
+
+    cases = [
+        ("https://a.example/x", "https://a.example/x"),
+        ("HTTP://a.example/x", "HTTP://a.example/x"),  # kept VERBATIM
+        ("ftp+x.y://a.example/f", "ftp+x.y://a.example/f"),
+        ("//cdn.example/j", "https://cdn.example/j"),
+        ("/p/1", "https://base.example/p/1"),
+        ("relative.html", None),
+        ("#frag", None),
+        ("", None),
+        ("mailto:x@y.example", None),  # scheme: but not scheme://
+        ("javascript:void(0)", None),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "i int, href string"
+    )
+    got = {
+        r.i: r.r
+        for r in df.select(
+            "i", resolve_href_col(F.col("href"), F.lit("base.example")).alias("r")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, f"case {i}"
