@@ -75,6 +75,18 @@ LINK_WRAP_PRE = (
 )
 LINK_WRAP_POST = '">h</a></body></html>'
 
+# web_anchor_stats page template (CCLink v1 paired-scan fixture): a KB
+# entity anchor whose surface embeds the page id, a boilerplate anchor
+# whose inner text needs whitespace normalization (leading tab, double
+# spaces), and a nested-markup anchor the v1 element scan must skip.
+# NO single quotes (spliced verbatim into the DuckDB oracle SQL).
+ANCHOR_WRAP_PRE = '<p>See <a class="x" href="https://kb.example/e/'
+ANCHOR_WRAP_MID = '">Entity '
+ANCHOR_WRAP_POST = (
+    '</a> and <a href="/faq">\tread   more </a>'
+    '<a href="/skip"><b>nested</b></a>.</p>'
+)
+
 STOPWORDS_SQL = "['" + "','".join(sorted(STOPWORDS)) + "']"
 TOKEN_RE_SQL = r"[^\W_]+"
 
@@ -704,6 +716,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_links"))
         )
 
+    def web_anchor_stats(spark, sf_dir):
+        # (surface_form, target) anchor evidence — the web analogue of
+        # pignlproc's names_and_entities pair counts, but harvested
+        # from the CCLink v1 PAIRED element scan instead of wiki
+        # markup: whole <a href>...</a> elements (nested-markup bodies
+        # skipped per spec), href + normalized inner text projected
+        # per element, one count agg. Entity ids repeat across pages
+        # (pid % 97) so the counts genuinely aggregate; the boilerplate
+        # anchor collapses every page into one ("read more", "/faq")
+        # row, exercising whitespace normalization. Scan-side explode
+        # + partial/final agg — pages never shuffle, only pairs do.
+        from pignlproc_spark.functions.html import (
+            anchor_elems_col,
+            anchor_href_col,
+            anchor_text_col,
+        )
+
+        pages = synth.pages_for(spark, sf_dir)
+        ent = (
+            F.regexp_extract(F.col("url"), r"/p/([0-9]{7})", 1).cast("bigint") % 97
+        ).cast("string")
+        html = F.concat(
+            F.lit(ANCHOR_WRAP_PRE), ent, F.lit(ANCHOR_WRAP_MID), ent,
+            F.lit(ANCHOR_WRAP_POST),
+        )
+        elems = pages.select(F.explode(anchor_elems_col(html)).alias("elem"))
+        pairs = elems.select(
+            anchor_text_col(F.col("elem")).alias("surface_form"),
+            anchor_href_col(F.col("elem")).alias("target"),
+        )
+        return pairs.groupBy("surface_form", "target").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_anchors")
+        )
+
     def web_url_blocklist(spark, sf_dir):
         # UT1-style ban list: two whole hosts + one URL-prefix pattern,
         # applied as a broadcast host join + codegen'd prefix predicate
@@ -849,6 +895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         web_sitemap_urls=web_sitemap_urls,
         web_frontier_gap=web_frontier_gap,
         web_link_graph=web_link_graph,
+        web_anchor_stats=web_anchor_stats,
         web_crawl_pipeline=web_crawl_pipeline,
         docs_readability=docs_readability,
         web_html_extract=web_html_extract,
@@ -2297,6 +2344,30 @@ def oracle_sql() -> dict[str, str]:
            lower(regexp_extract(r, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS dst_host,
            count(*)::BIGINT AS n_links
     FROM res WHERE r IS NOT NULL GROUP BY 1, 2
+    """
+    # CCLink v1 paired scan — same frozen element/inner-text patterns,
+    # same fixture construction (pid % 97 spliced into href AND text)
+    from pignlproc_spark.functions.html import (
+        anchor_elems_sql,
+        anchor_href_sql,
+        anchor_text_sql,
+    )
+
+    _as_page = (
+        f"'{ANCHOR_WRAP_PRE}' || ent || '{ANCHOR_WRAP_MID}' || ent"
+        f" || '{ANCHOR_WRAP_POST}'"
+    )
+    o["web_anchor_stats"] = f"""
+    WITH ph AS (
+      SELECT (CAST(regexp_extract(url, '/p/([0-9]{{7}})', 1) AS BIGINT) % 97)::VARCHAR AS ent
+      FROM {g('pages')}
+    ), el AS (
+      SELECT unnest({anchor_elems_sql(_as_page)}) AS elem FROM ph
+    )
+    SELECT {anchor_text_sql('elem')} AS surface_form,
+           {anchor_href_sql('elem')} AS target,
+           count(*)::BIGINT AS n_anchors
+    FROM el GROUP BY 1, 2
     """
     o["web_domain_stats"] = f"""
     SELECT lower(regexp_extract(trim(url), '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host,

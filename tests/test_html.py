@@ -205,3 +205,72 @@ def test_resolve_href_rules(spark):
     }
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, f"case {i}"
+
+
+# (html, expected (href, normalized text) pairs in document order) —
+# frozen CCLink v1 PAIRED-scan goldens. The element scan trades recall
+# for cross-engine exactness: nested-markup bodies are out of spec.
+ANCHOR_GOLDENS = [
+    ('<a href="/x">plain</a>', [("/x", "plain")]),
+    # attributes after the href value; whitespace-normalized body
+    ('<a href="/y" class="n">\tread   more </a>', [("/y", "read more")]),
+    # uppercase tag, spaced close tag
+    ('<A HREF="/Z">t</A >', [("/Z", "t")]),
+    # empty body is a match (empty surface form)
+    ('<a href="/e"></a>', [("/e", "")]),
+    # document order over multiple anchors
+    (
+        '<a href="/1">a</a> mid <a href="/2">b</a>',
+        [("/1", "a"), ("/2", "b")],
+    ),
+    # --- out of spec: must NOT match the paired scan ---
+    ('<a href="/skip"><b>nested</b></a>', []),  # markup in body
+    ('<a href="/open">never closed', []),
+    ("<a href='/sq'>t</a>", []),  # single-quoted value (v1 rule)
+    ('<abbr href="/no">t</abbr>', []),  # decoy tag
+    ('<a hreflang="de">t</a>', []),  # decoy attribute
+]
+
+
+def test_anchor_pair_goldens_spark(spark):
+    from pignlproc_spark.functions.html import (
+        anchor_elems_col,
+        anchor_href_col,
+        anchor_text_col,
+    )
+
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(ANCHOR_GOLDENS)], "i int, html string"
+    )
+    elem = F.explode(anchor_elems_col(F.col("html"))).alias("elem")
+    rows = (
+        df.select("i", elem)
+        .select(
+            "i",
+            anchor_href_col(F.col("elem")).alias("href"),
+            anchor_text_col(F.col("elem")).alias("text"),
+        )
+        .collect()
+    )
+    got: dict[int, list] = {i: [] for i in range(len(ANCHOR_GOLDENS))}
+    for r in rows:  # explode preserves array (document) order per row
+        got[r.i].append((r.href, r.text))
+    for i, (_, want) in enumerate(ANCHOR_GOLDENS):
+        assert got[i] == want, f"case {i}"
+
+
+def test_anchor_pair_duckdb_parity_on_goldens():
+    from pignlproc_spark.functions.html import (
+        anchor_elems_sql,
+        anchor_href_sql,
+        anchor_text_sql,
+    )
+
+    con = duckdb.connect()
+    for i, (h, want) in enumerate(ANCHOR_GOLDENS):
+        con.execute("create or replace table t as select ? as html", [h])
+        got = con.sql(
+            f"select {anchor_href_sql('elem')}, {anchor_text_sql('elem')} "
+            f"from (select unnest({anchor_elems_sql('html')}) as elem from t)"
+        ).fetchall()
+        assert [tuple(r) for r in got] == want, f"case {i}"
