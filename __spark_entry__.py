@@ -750,6 +750,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count(F.lit(1)).cast("bigint").alias("n_anchors")
         )
 
+    def web_fetch_schedule(spark, sf_dir):
+        # politeness scheduler — the step between frontier and fetcher:
+        # per-host FIFO (url order; synth urls are zero-padded) split
+        # into waves of 16 fetches, so one wave = one host-parallel
+        # fetch round honoring per-host connection caps. Window is
+        # partitioned BY HOST — at crawl scale each host's queue is
+        # bounded (real frontiers cap it), so no global sort exists
+        from pignlproc_spark.functions.urls import host_col
+        from pyspark.sql import Window
+
+        pages = synth.pages_for(spark, sf_dir)
+        w = Window.partitionBy("host").orderBy("url")
+        rn = F.row_number().over(w) - 1
+        return pages.select(host_col(F.col("url")).alias("host"), "url").select(
+            "host",
+            "url",
+            (rn / 16).cast("bigint").alias("fetch_wave"),
+            (rn % 16).cast("bigint").alias("fetch_slot"),
+        )
+
     def web_url_blocklist(spark, sf_dir):
         # UT1-style ban list: two whole hosts + one URL-prefix pattern,
         # applied as a broadcast host join + codegen'd prefix predicate
@@ -896,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         web_frontier_gap=web_frontier_gap,
         web_link_graph=web_link_graph,
         web_anchor_stats=web_anchor_stats,
+        web_fetch_schedule=web_fetch_schedule,
         web_crawl_pipeline=web_crawl_pipeline,
         docs_readability=docs_readability,
         web_html_extract=web_html_extract,
@@ -1593,6 +1614,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # near-dup); exact integers, gram-level two-phase aggregate
         return textstats.novelty_score(_read(spark, sf_dir, "documents"), n=3)
 
+    def docs_hll_tokens(spark, sf_dir):
+        # CCHll v1 approximate distinct-token count per lang: md5-hash
+        # HLL, 256 registers, integer-exact harmonic sum, ONE IEEE
+        # division — oracle-exact down to the estimate (the sketch
+        # Spark's own approx_count_distinct can't reproduce outside
+        # the JVM). At 100 TB the distinct items never shuffle — only
+        # ≤ groups × 256 register rows do (map-side partial MAX)
+        from pignlproc_spark.functions.tokenize import tokens_col
+        from pignlproc_spark.operators import sketches
+
+        toks = _read(spark, sf_dir, "documents").select(
+            "lang",
+            F.explode(tokens_col(F.col("text"), apply_stoplist=False)).alias("token"),
+        )
+        return sketches.hll_distinct(toks, "token", ("lang",))
+
     def docs_line_dedup(spark, sf_dir):
         # CCNet-style corpus-wide line dedup: the documents table is
         # single-line, so plant the classic repeat-offenders — two
@@ -1722,6 +1759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kg_incremental_merge=kg_incremental_merge,
         kg_label_propagation=kg_label_propagation,
         docs_novelty=docs_novelty,
+        docs_hll_tokens=docs_hll_tokens,
         docs_surprisal=docs_surprisal,
         docs_bigram_surprisal=docs_bigram_surprisal,
         docs_dsir_weights=docs_dsir_weights,
@@ -2961,6 +2999,29 @@ def oracle_sql() -> dict[str, str]:
            coalesce(n_kept, 0)::BIGINT AS n_kept,
            coalesce(clean_text, '') AS clean_text
     FROM documents d LEFT JOIN n_all USING (doc_id) LEFT JOIN kept USING (doc_id)
+    """
+    # CCHll v1 — the oracle renders the full sketch chain (registers
+    # CTE + integer harmonic sum + the single IEEE division) from the
+    # SAME frozen constants as the Spark operator
+    from pignlproc_spark.operators.sketches import hll_distinct_sql
+
+    o["docs_hll_tokens"] = hll_distinct_sql(
+        f"SELECT lang, unnest({_tok_sql('text', stop=False)}) AS token FROM documents",
+        "token",
+        ("lang",),
+    )
+    o["web_fetch_schedule"] = f"""
+    WITH ph AS (
+      SELECT lower(regexp_extract(trim(url), '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host,
+             url
+      FROM {g('pages')}
+    ), rn AS (
+      SELECT host, url,
+             row_number() OVER (PARTITION BY host ORDER BY url) - 1 AS r
+      FROM ph
+    )
+    SELECT host, url, (r // 16)::BIGINT AS fetch_wave, (r % 16)::BIGINT AS fetch_slot
+    FROM rn
     """
     o["docs_novelty"] = f"""
     WITH toks AS (
