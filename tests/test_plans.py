@@ -456,3 +456,21 @@ def test_robots_filter_crawl_side_is_broadcast_probe(spark):
     assert "BroadcastHashJoin" in plan  # rules side broadcast, never SMJ
     assert "SortMergeJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_hll_sketch_is_two_bounded_agg_pairs(spark):
+    """CCHll v1: register build must be a partial/final MAX pair on
+    (group, register) — map-side combine bounds the shuffle at
+    n_partitions × groups × 256 rows — and the whole chain stays
+    JVM-side (no Python stage, no distinct, no window)."""
+    from pignlproc_spark.operators import sketches
+
+    df = spark.createDataFrame(
+        [("g%d" % (i % 3), "item%d" % i) for i in range(100)],
+        "g string, item string",
+    )
+    plan = plan_of(sketches.hll_distinct(df, "item", ("g",)))
+    assert "partial_max" in plan  # map-side register combine
+    assert plan.count("HashAggregate") >= 4  # two partial/final pairs
+    assert "Expand" not in plan and "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -228,6 +228,20 @@ def main():
         stats.aggregate_text_salted(res.mentions, "uri", "context"),
     )
     add(
+        "CCHll v1 cardinality sketch (two bounded aggregations)",
+        "Register build is a partial/final HashAggregate pair on "
+        "(group, register) — map-side MAX bounds the shuffle at "
+        "n_partitions × groups × 256 rows no matter the corpus size; the "
+        "estimate is a second pair over ≤256 rows per group. The distinct "
+        "items themselves never shuffle (the point vs exact COUNT DISTINCT "
+        "at 100 TB).",
+        __import__(
+            "pignlproc_spark.operators.sketches", fromlist=["hll_distinct"]
+        ).hll_distinct(
+            docs.select("lang", F.col("text").alias("item")), "item", ("lang",)
+        ),
+    )
+    add(
         "PII scrub (pure codegen projection)",
         "CCPii v1 redaction is ONE Project over the scan — all four "
         "regexp_replace/regexp_extract_all chains are JVM built-ins, zero "
