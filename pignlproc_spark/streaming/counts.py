@@ -85,17 +85,37 @@ def append_delta(partial_counts: DataFrame, counts_dir: str, batch_id: int) -> N
         _write_manifest(counts_dir, m)
 
 
-def read_counts(spark: SparkSession, counts_dir: str, keys: list[str]) -> DataFrame:
-    """Merge-on-read: the current exact counts (keys..., cnt)."""
+def read_counts(
+    spark: SparkSession,
+    counts_dir: str,
+    keys: list[str],
+    value: str = "cnt",
+    how: str = "sum",
+) -> DataFrame:
+    """Merge-on-read: the current exact table (keys..., value).
+
+    ``how`` is the delta-merge operation and must match what the
+    deltas hold: ``"sum"`` for algebraic count partials (the default),
+    ``"max"`` for sketch registers (CCHll v1 rho values — MAX is the
+    HLL merge, so union-of-deltas is EXACTLY the sketch of the union).
+    """
+    merge = {"sum": F.sum, "max": F.max}[how]
     m = _read_manifest(counts_dir)
     if not m["live"]:
         fields = ", ".join(f"{k} string" for k in keys)
-        return spark.createDataFrame([], f"{fields}, cnt long")
+        return spark.createDataFrame([], f"{fields}, {value} long")
     df = spark.read.parquet(*[f"{counts_dir}/{d}" for d in m["live"]])
-    return df.groupBy(*keys).agg(F.sum("cnt").cast("long").alias("cnt"))
+    return df.groupBy(*keys).agg(merge(value).cast("long").alias(value))
 
 
-def compact(spark: SparkSession, counts_dir: str, keys: list[str], min_deltas: int = 2) -> bool:
+def compact(
+    spark: SparkSession,
+    counts_dir: str,
+    keys: list[str],
+    min_deltas: int = 2,
+    value: str = "cnt",
+    how: str = "sum",
+) -> bool:
     """Fold live dirs into one base. Returns True if it compacted.
 
     New base is written first, then the manifest swap publishes it,
@@ -111,7 +131,7 @@ def compact(spark: SparkSession, counts_dir: str, keys: list[str], min_deltas: i
     n_deltas = sum(1 for d in m["live"] if d.startswith("delta-"))
     if n_deltas < min_deltas:
         return False
-    merged = read_counts(spark, counts_dir, keys)
+    merged = read_counts(spark, counts_dir, keys, value=value, how=how)
     base = f"base-{m['next_base']:08d}"
     merged.write.mode("overwrite").parquet(f"{counts_dir}/{base}")
     consumed = list(m["live"])

@@ -611,3 +611,61 @@ def test_warc_stream_ingest_exactly_once(spark, synth_dir, tmp_path):
     key = lambda d: d.select("url", F.md5("html" if "html" in d.columns else "payload").alias("m"))  # noqa: E731
     assert key(got).exceptAll(key(batch)).count() == 0
     assert key(batch).exceptAll(key(got)).count() == 0
+
+
+def test_streaming_hll_matches_batch_sketch(spark, tmp_path):
+    """CCHll register deltas drained through a real file stream must
+    yield the IDENTICAL estimate as the batch sketch over the union —
+    then replay idempotence and compaction invariance on top."""
+    from pignlproc_spark.operators import sketches
+    from pignlproc_spark.streaming import cardinality, counts
+
+    src = str(tmp_path / "hll_in")
+    df = spark.range(0, 6000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        F.concat(F.lit("u-"), (F.col("id") % 1500).cast("string")).alias("item"),
+    )
+    df.repartition(4).write.mode("overwrite").parquet(src)
+
+    hll_dir = str(tmp_path / "hll_regs")
+    q = (
+        spark.readStream.schema("g string, item string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(
+            cardinality.foreach_batch_hook("item", ("g",), hll_dir, compact_every=2)
+        )
+        .option("checkpointLocation", str(tmp_path / "hll_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    want = [
+        tuple(r) for r in sketches.hll_distinct(df, "item", ("g",)).orderBy("g").collect()
+    ]
+    got = [
+        tuple(r)
+        for r in cardinality.read_estimates(spark, hll_dir, ("g",)).orderBy("g").collect()
+    ]
+    assert got == want
+
+    # replaying an already-folded batch is a no-op (manifest HWM), and
+    # replaying a live one is value-idempotent (MAX merge)
+    cardinality.append_batch(df.limit(500), 0, "item", ("g",), hll_dir)
+    cardinality.append_batch(df.limit(500), 99, "item", ("g",), hll_dir)
+    got2 = [
+        tuple(r)
+        for r in cardinality.read_estimates(spark, hll_dir, ("g",)).orderBy("g").collect()
+    ]
+    assert got2 == want
+
+    # compaction folds everything into one base, estimates unchanged
+    assert counts.compact(
+        spark, hll_dir, ["g", "register"], min_deltas=1, value="rho", how="max"
+    )
+    got3 = [
+        tuple(r)
+        for r in cardinality.read_estimates(spark, hll_dir, ("g",)).orderBy("g").collect()
+    ]
+    assert got3 == want
