@@ -1630,6 +1630,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return sketches.hll_distinct(toks, "token", ("lang",))
 
+    def docs_cms_tokens(spark, sf_dir):
+        # CCCms v1 count-min point-frequency: a 4×4096 integer-SUM
+        # sketch of ALL token occurrences, probed with the distinct
+        # tokens of every 101st doc; exact_count shown beside est_count
+        # so the one-sided guarantee (est ≥ exact, ≤ e·N/4096 over) is
+        # visible in the result. At 100 TB only ≤ 4×4096 register rows
+        # shuffle (map-side partial SUM); the probe lookup broadcasts
+        # the register table — oracle-exact down to every estimate
+        from pignlproc_spark.functions.tokenize import tokens_col
+        from pignlproc_spark.operators import sketches
+
+        toks = _read(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.explode(tokens_col(F.col("text"), apply_stoplist=False)).alias("token"),
+        )
+        probes = toks.where(F.col("doc_id") % 101 == 0).select("token").distinct()
+        est = sketches.cms_lookup(sketches.cms_registers(toks, "token"), probes, "token")
+        exact = (
+            toks.join(F.broadcast(probes), "token", "semi")
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+        )
+        return est.join(exact, "token").select("token", "exact_count", "est_count")
+
     def docs_line_dedup(spark, sf_dir):
         # CCNet-style corpus-wide line dedup: the documents table is
         # single-line, so plant the classic repeat-offenders — two
@@ -1760,6 +1784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kg_label_propagation=kg_label_propagation,
         docs_novelty=docs_novelty,
         docs_hll_tokens=docs_hll_tokens,
+        docs_cms_tokens=docs_cms_tokens,
         docs_surprisal=docs_surprisal,
         docs_bigram_surprisal=docs_bigram_surprisal,
         docs_dsir_weights=docs_dsir_weights,
@@ -3010,6 +3035,24 @@ def oracle_sql() -> dict[str, str]:
         "token",
         ("lang",),
     )
+    # CCCms v1 — registers, probe lookup and the exact side rendered
+    # from the SAME frozen constants as the Spark operator
+    from pignlproc_spark.operators.sketches import cms_lookup_sql
+
+    _cms_toks = (
+        f"SELECT doc_id, unnest({_tok_sql('text', stop=False)}) AS token "
+        "FROM documents"
+    )
+    o["docs_cms_tokens"] = f"""
+    WITH toks AS ({_cms_toks}),
+    probes AS (SELECT DISTINCT token FROM toks WHERE doc_id % 101 = 0),
+    est AS ({cms_lookup_sql("SELECT token FROM toks", "SELECT token FROM probes", "token")}),
+    exact AS (
+      SELECT token, count(*)::BIGINT AS exact_count
+      FROM toks JOIN probes USING (token) GROUP BY token
+    )
+    SELECT token, exact_count, est_count FROM est JOIN exact USING (token)
+    """
     o["web_fetch_schedule"] = f"""
     WITH ph AS (
       SELECT lower(regexp_extract(trim(url), '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host,

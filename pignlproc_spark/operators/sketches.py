@@ -163,3 +163,144 @@ def hll_distinct_sql(inner_sql: str, item: str, groups: tuple[str, ...] = ()) ->
         f"CAST(floor({NUMER!r} / CAST({s} AS DOUBLE)) AS BIGINT) AS est_distinct "
         f"FROM ({regs}){grp}"
     )
+
+
+# ====================================================================
+# Frequency sketch — frozen "CCCms v1" count-min sketch
+# ====================================================================
+#
+# The dual of CCHll: "how OFTEN does this token / url / n-gram occur
+# in the 100-TB stream?" answered from fixed space, without retaining
+# or shuffling the items. Count-min (Cormode & Muthukrishnan, J.Alg
+# 2005): D keyed hash rows × W counters; insert adds 1 to one counter
+# per row; the point estimate is the MIN over the D counters, which
+# NEVER underestimates and overestimates by ≤ ⌈e·N/W⌉ with
+# probability ≥ 1 − e^−D (N = total insertions).
+#
+# Everything is integer SUMs over md5-derived buckets, so the whole
+# sketch — registers AND estimates — is bit-identical across engines
+# and oracle-exact, unlike any float-seeded native sketch. The merge
+# is per-cell SUM: associative/commutative (NOT idempotent — replay
+# safety for streaming deltas comes from the manifest high-water mark
+# in streaming/counts.py, exactly like the exact count tables).
+#
+# Frozen v1 constants: D = 4 keyed md5 rows (key = 'cms<i>' + US
+# separator, the repo's keyed-md5-family idiom, dedup.py:116);
+# W = 4096 buckets addressed by the first 3 hex chars — no hex→int
+# conversion, the same cross-engine trick as CCHll's registers.
+# Error: ε = e/4096 ≈ 0.066 % of N per lookup, δ = e^−4 ≈ 1.8 %.
+#
+# Scale shape: 4-element array build → posexplode → partial SUM per
+# (group, hrow, bucket); the shuffle is bounded by
+# n_partitions × groups × 4 × 4096 rows regardless of corpus size.
+# Lookups broadcast the ≤16 384-row-per-group register table and
+# never shuffle the probe side except the final per-probe MIN.
+
+D_CMS = 4
+W_HEX = 3  # bucket id = first 3 hex chars → W = 16^3 = 4096
+_CMS_SEP = "\u001f"  # US separator, same family-keying byte as MinHash
+
+
+def _cms_buckets(item: Column) -> Column:
+    """ARRAY<STRING> of the D_CMS bucket ids of one item (Spark side)."""
+    return F.array(
+        *[
+            F.substring(
+                F.md5(F.concat(F.lit(f"cms{i}{_CMS_SEP}"), item.cast("string"))),
+                1,
+                W_HEX,
+            )
+            for i in range(D_CMS)
+        ]
+    )
+
+
+def cms_registers(df: DataFrame, item, groups: tuple[str, ...] = ()) -> DataFrame:
+    """(groups…, hrow INT, bucket STRING, cnt BIGINT) — the CCCms v1
+    sketch of ``item`` OCCURRENCES (a multiset, unlike CCHll) per
+    group. Re-aggregating with SUM is the sketch merge."""
+    if isinstance(item, str):
+        item = F.col(item)
+    keyed = df.select(
+        *groups, F.posexplode(_cms_buckets(item)).alias("hrow", "bucket")
+    )
+    return keyed.groupBy(*groups, "hrow", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+
+def cms_merge(regs: DataFrame, groups: tuple[str, ...] = ()) -> DataFrame:
+    """Merge register tables (union of per-batch / per-split sketches):
+    per-cell SUM — associative and commutative, so any partitioning or
+    re-aggregation order yields the identical sketch."""
+    return regs.groupBy(*groups, "hrow", "bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def cms_lookup(
+    regs: DataFrame, probes: DataFrame, item: str, groups: tuple[str, ...] = ()
+) -> DataFrame:
+    """(groups…, item, est_count BIGINT) — point-frequency estimates
+    for each DISTINCT probe row. est_count ≥ the true count, always;
+    the register table is broadcast (≤ groups × 16 384 rows), so the
+    probe side never shuffles except the final per-probe MIN."""
+    keyed = probes.select(
+        *groups, item, F.posexplode(_cms_buckets(F.col(item))).alias("hrow", "bucket")
+    )
+    joined = keyed.join(F.broadcast(regs), [*groups, "hrow", "bucket"], "left")
+    return joined.groupBy(*groups, item).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est_count")
+    )
+
+
+# --- DuckDB twins, rendered from the SAME frozen constants ---------
+
+
+def _cms_bucket_sql(item: str, i: int) -> str:
+    return (
+        f"substr(md5('cms{i}' || chr(31) || CAST({item} AS VARCHAR)), 1, {W_HEX})"
+    )
+
+
+def _cms_keyed_sql(inner_sql: str, item: str, groups: tuple[str, ...]) -> str:
+    """UNION ALL of the D_CMS keyed (hrow, bucket) projections."""
+    gpfx = "".join(f"{g}, " for g in groups)
+    return " UNION ALL ".join(
+        f"SELECT {gpfx}{i} AS hrow, {_cms_bucket_sql(item, i)} AS bucket, "
+        f"{item} AS item FROM ({inner_sql})"
+        for i in range(D_CMS)
+    )
+
+
+def cms_registers_sql(
+    inner_sql: str, item: str, groups: tuple[str, ...] = ()
+) -> str:
+    """CCCms v1 register table over ``inner_sql`` (DuckDB side)."""
+    gpfx = "".join(f"{g}, " for g in groups)
+    return (
+        f"SELECT {gpfx}hrow, bucket, count(*)::BIGINT AS cnt "
+        f"FROM ({_cms_keyed_sql(inner_sql, item, groups)}) "
+        f"GROUP BY {gpfx}hrow, bucket"
+    )
+
+
+def cms_lookup_sql(
+    inner_sql: str,
+    probes_sql: str,
+    item: str,
+    groups: tuple[str, ...] = (),
+    out_item: str | None = None,
+) -> str:
+    """Point estimates for ``probes_sql``'s distinct rows against the
+    sketch of ``inner_sql`` — byte-for-byte the Spark chain."""
+    out_item = out_item or item
+    gcols = "".join(f"{g}, " for g in groups)
+    using = ", ".join([*groups, "hrow", "bucket"])
+    return (
+        f"SELECT {gcols}p.item AS {out_item}, "
+        f"min(coalesce(r.cnt, 0))::BIGINT AS est_count "
+        f"FROM ({_cms_keyed_sql(probes_sql, item, groups)}) p "
+        f"LEFT JOIN ({cms_registers_sql(inner_sql, item, groups)}) r "
+        f"USING ({using}) GROUP BY {gcols}p.item"
+    )

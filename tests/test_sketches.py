@@ -116,3 +116,105 @@ def test_all_zero_tail_rho_golden(spark):
         assert got[i] == want, (i, tail)
         con.execute("create or replace table t as select ? as tail", [tail])
         assert con.sql(f"select {sk.hll_rho_sql('tail')} from t").fetchone()[0] == want
+
+
+# ====================================================================
+# CCCms v1 — count-min frequency sketch
+# ====================================================================
+
+
+def _freq_df(spark, n_rows: int, n_distinct: int, n_groups: int = 1):
+    # Zipf-ish multiset: item-k appears ~n_rows/n_distinct times with
+    # a deterministic heavy head (id % k^2 style skew is overkill —
+    # squaring the residue suffices to make counts unequal).
+    return spark.range(0, n_rows).select(
+        (F.col("id") % n_groups).cast("string").alias("g"),
+        F.concat(
+            F.lit("t-"), ((F.col("id") * F.col("id")) % n_distinct).cast("string")
+        ).alias("item"),
+    )
+
+
+def test_cms_never_underestimates_and_bound(spark):
+    """est ≥ exact for EVERY probe (the CMS guarantee is one-sided),
+    and the mean overestimate sits far below the ε·N = e/4096·N
+    bound on this deterministic corpus."""
+    df = _freq_df(spark, 40000, 700)
+    probes = df.select("item").distinct()
+    est = {
+        r.item: r.est_count
+        for r in sk.cms_lookup(sk.cms_registers(df, "item"), probes, "item").collect()
+    }
+    exact = {r.item: r.c for r in df.groupBy("item").agg(F.count("*").alias("c")).collect()}
+    assert set(est) == set(exact)
+    overs = [est[k] - exact[k] for k in exact]
+    assert min(overs) >= 0, "CMS must never underestimate"
+    import math
+
+    assert sum(overs) / len(overs) <= math.e / 4096 * 40000
+
+
+def test_cms_merge_and_partitioning_invariance(spark):
+    """sketch(A ⊎ B) == merge(sketch(A), sketch(B)) — SUM is
+    associative/commutative — and repartitioning changes nothing."""
+    df = _freq_df(spark, 30000, 500, n_groups=3)
+    whole = sorted(
+        tuple(r) for r in sk.cms_registers(df, "item", ("g",)).collect()
+    )
+    a = df.where(F.col("item") < "t-3")
+    b = df.where(F.col("item") >= "t-3")
+    merged = sk.cms_merge(
+        sk.cms_registers(a, "item", ("g",)).unionByName(
+            sk.cms_registers(b, "item", ("g",))
+        ),
+        ("g",),
+    )
+    assert sorted(tuple(r) for r in merged.collect()) == whole
+    assert (
+        sorted(
+            tuple(r)
+            for r in sk.cms_registers(df.repartition(7), "item", ("g",)).collect()
+        )
+        == whole
+    )
+
+
+def test_cms_duckdb_parity_exact(spark):
+    """Same data → byte-identical (g, item, est_count) in both
+    engines; absent probes estimate from colliding buckets only."""
+    df = _freq_df(spark, 20000, 400, n_groups=2)
+    probes = df.select("g", "item").distinct().union(
+        spark.createDataFrame([("0", "never-seen"), ("1", "also-absent")], "g string, item string")
+    )
+    got_spark = sorted(
+        tuple(r)
+        for r in sk.cms_lookup(
+            sk.cms_registers(df, "item", ("g",)), probes, "item", ("g",)
+        ).collect()
+    )
+    base = (
+        "SELECT (i % 2)::VARCHAR AS g, "
+        "'t-' || ((i * i) % 400)::VARCHAR AS item FROM range(20000) t(i)"
+    )
+    pr = (
+        f"SELECT DISTINCT g, item FROM ({base}) "
+        "UNION ALL SELECT '0', 'never-seen' UNION ALL SELECT '1', 'also-absent'"
+    )
+    sql = sk.cms_lookup_sql(base, pr, "item", ("g",))
+    assert got_spark == sorted(duckdb.sql(sql).fetchall())
+
+
+def test_cms_register_table_shape(spark):
+    """≤ D_CMS × 4096 rows per group; every row id < D_CMS; bucket is
+    3 hex chars; total mass per hash row equals the insert count."""
+    df = _freq_df(spark, 8000, 300, n_groups=2)
+    rows = sk.cms_registers(df, "item", ("g",)).collect()
+    assert all(0 <= r.hrow < sk.D_CMS and len(r.bucket) == sk.W_HEX for r in rows)
+    from collections import Counter
+
+    per = Counter((r.g, r.hrow) for r in rows)
+    assert all(v <= 16**sk.W_HEX for v in per.values())
+    mass = Counter()
+    for r in rows:
+        mass[(r.g, r.hrow)] += r.cnt
+    assert all(v == 4000 for v in mass.values()), "each row holds all inserts"

@@ -669,3 +669,71 @@ def test_streaming_hll_matches_batch_sketch(spark, tmp_path):
         for r in cardinality.read_estimates(spark, hll_dir, ("g",)).orderBy("g").collect()
     ]
     assert got3 == want
+
+
+def test_streaming_cms_matches_batch_sketch(spark, tmp_path):
+    """CCCms register deltas drained through a real file stream must
+    yield IDENTICAL point estimates to the batch sketch over the
+    union; compaction must be observably a no-op."""
+    from pignlproc_spark.operators import sketches
+    from pignlproc_spark.streaming import counts, frequency
+
+    src = str(tmp_path / "cms_in")
+    df = spark.range(0, 9000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        F.concat(
+            F.lit("t-"), ((F.col("id") * F.col("id")) % 400).cast("string")
+        ).alias("item"),
+    )
+    df.repartition(4).write.mode("overwrite").parquet(src)
+
+    cms_dir = str(tmp_path / "cms_regs")
+    q = (
+        spark.readStream.schema("g string, item string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(
+            frequency.foreach_batch_hook("item", ("g",), cms_dir, compact_every=2)
+        )
+        .option("checkpointLocation", str(tmp_path / "cms_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    probes = df.select("g", "item").distinct()
+    want = sorted(
+        tuple(r)
+        for r in sketches.cms_lookup(
+            sketches.cms_registers(df, "item", ("g",)), probes, "item", ("g",)
+        ).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in frequency.read_estimates(
+            spark, cms_dir, probes, "item", ("g",)
+        ).collect()
+    )
+    assert got == want
+
+    # replaying an already-seen batch id is a no-op (manifest HWM)
+    frequency.append_batch(df.limit(500), 0, "item", ("g",), cms_dir)
+    got2 = sorted(
+        tuple(r)
+        for r in frequency.read_estimates(
+            spark, cms_dir, probes, "item", ("g",)
+        ).collect()
+    )
+    assert got2 == want
+
+    # compaction folds everything into one base, estimates unchanged
+    assert counts.compact(
+        spark, cms_dir, ["g", "hrow", "bucket"], min_deltas=1, value="cnt", how="sum"
+    )
+    got3 = sorted(
+        tuple(r)
+        for r in frequency.read_estimates(
+            spark, cms_dir, probes, "item", ("g",)
+        ).collect()
+    )
+    assert got3 == want
