@@ -716,6 +716,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_links"))
         )
 
+    def web_hits_q(spark, sf_dir):
+        # Kleinberg HITS over the host link graph in fixed-point
+        # integer arithmetic (stats.hits_q, SCALE=1e6, max-normalized
+        # — no sqrt, so 4 full iterations stay integer-exact and the
+        # unrolled MATERIALIZED-CTE oracle hash-matches). Hub =
+        # "links to good hosts" (directory/sitemap hosts), authority
+        # = "linked from good hubs" — the crawl seed-quality pair
+        # PageRank alone conflates. Edge table persisted once; each
+        # half-step shuffles only (host, score) + a 1-row max
+        from pignlproc_spark.operators import stats
+
+        edges = web_link_graph(spark, sf_dir)
+        return stats.hits_q(
+            edges, src="src_host", dst="dst_host", weight="n_links", iterations=4
+        ).select(F.col("node").alias("host"), "hub_q", "auth_q")
+
     def web_anchor_stats(spark, sf_dir):
         # (surface_form, target) anchor evidence — the web analogue of
         # pignlproc's names_and_entities pair counts, but harvested
@@ -915,6 +931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         web_sitemap_urls=web_sitemap_urls,
         web_frontier_gap=web_frontier_gap,
         web_link_graph=web_link_graph,
+        web_hits_q=web_hits_q,
         web_anchor_stats=web_anchor_stats,
         web_fetch_schedule=web_fetch_schedule,
         web_crawl_pipeline=web_crawl_pipeline,
@@ -2072,6 +2089,43 @@ def _pagerank_q_sql(mentions_rel: str, iters: int = 3) -> str:
     return "\n".join(parts)
 
 
+def _hits_q_sql(edges_sql: str, iters: int = 4) -> str:
+    """Fixed-point HITS oracle: the integer recurrence of
+    stats.hits_q unrolled as a MATERIALIZED-CTE chain (plain chained
+    CTEs inline ~4^iters copies of the edge scan — always
+    materialize; DuckDB ``//`` is Spark ``div`` on nonnegatives).
+    ``edges_sql`` must provide (src, dst, w)."""
+    from pignlproc_spark.operators.stats import HITS_SCALE
+
+    s = HITS_SCALE
+    parts = [
+        "WITH e AS MATERIALIZED (SELECT src, dst, sum(w)::BIGINT AS w "
+        f"FROM ({edges_sql}) GROUP BY src, dst),",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),",
+        f"h0 AS MATERIALIZED (SELECT node, {s}::BIGINT AS hub_q FROM nodes),",
+    ]
+    prev_h = "h0"
+    for k in range(1, iters + 1):
+        parts += [
+            f"ar{k} AS MATERIALIZED (SELECT e.dst AS node, sum(h.hub_q * e.w)::BIGINT AS raw"
+            f"  FROM e JOIN {prev_h} h ON h.node = e.src GROUP BY e.dst),",
+            f"am{k} AS MATERIALIZED (SELECT greatest(coalesce(max(raw), 0), 1)::BIGINT AS m FROM ar{k}),",
+            f"a{k} AS MATERIALIZED (SELECT n.node, ((coalesce(r.raw, 0) * {s}) // m)::BIGINT AS auth_q"
+            f"  FROM nodes n CROSS JOIN am{k} LEFT JOIN ar{k} r ON r.node = n.node),",
+            f"hr{k} AS MATERIALIZED (SELECT e.src AS node, sum(a.auth_q * e.w)::BIGINT AS raw"
+            f"  FROM e JOIN a{k} a ON a.node = e.dst GROUP BY e.src),",
+            f"hm{k} AS MATERIALIZED (SELECT greatest(coalesce(max(raw), 0), 1)::BIGINT AS m FROM hr{k}),",
+            f"h{k} AS MATERIALIZED (SELECT n.node, ((coalesce(r.raw, 0) * {s}) // m)::BIGINT AS hub_q"
+            f"  FROM nodes n CROSS JOIN hm{k} LEFT JOIN hr{k} r ON r.node = n.node)"
+            + ("," if k < iters else ""),
+        ]
+        prev_h = f"h{k}"
+    parts.append(
+        f"SELECT h.node, h.hub_q, a.auth_q FROM h{iters} h JOIN a{iters} a USING (node)"
+    )
+    return "\n".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     syn = {name: _syn_path(name) for name in synth.TABLES}
     g = lambda name: f"read_parquet('{syn[name]}')"  # noqa: E731
@@ -2408,6 +2462,18 @@ def oracle_sql() -> dict[str, str]:
            count(*)::BIGINT AS n_links
     FROM res WHERE r IS NOT NULL GROUP BY 1, 2
     """
+    # HITS — the same host edges fed through the unrolled fixed-point
+    # recurrence (MATERIALIZED CTEs; see _hits_q_sql)
+    o["web_hits_q"] = (
+        "SELECT node AS host, hub_q, auth_q FROM (\n"
+        + _hits_q_sql(
+            "SELECT src_host AS src, dst_host AS dst, n_links AS w FROM ("
+            + o["web_link_graph"]
+            + ")",
+            iters=4,
+        )
+        + "\n)"
+    )
     # CCLink v1 paired scan — same frozen element/inner-text patterns,
     # same fixture construction (pid % 97 spliced into href AND text)
     from pignlproc_spark.functions.html import (

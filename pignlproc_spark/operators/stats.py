@@ -431,6 +431,102 @@ def entity_pagerank_q(
     return ranks
 
 
+HITS_SCALE = 10**6
+
+
+def _hits_half(
+    e: DataFrame, nodes: DataFrame, scores: DataFrame,
+    join_side: str, other_side: str, in_col: str, out_col: str,
+) -> DataFrame:
+    """One HITS half-step: push ``in_col`` along edges from
+    ``join_side`` to ``other_side``, then max-normalize to ≤ SCALE."""
+    raw = (
+        e.join(scores.withColumnRenamed("node", join_side), join_side)
+        .select(other_side, (F.col(in_col) * F.col("w")).alias("_c"))
+        .groupBy(other_side)
+        .agg(F.sum("_c").cast("bigint").alias("raw"))
+    )
+    mx = raw.agg(F.greatest(F.max("raw"), F.lit(1)).cast("bigint").alias("_m"))
+    return (
+        nodes.join(raw.withColumnRenamed(other_side, "node"), "node", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "node",
+            F.expr(f"(coalesce(raw, 0) * {HITS_SCALE}) div _m").cast("bigint").alias(out_col),
+        )
+    )
+
+
+def hits_q(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iterations: int = 4,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """(node, hub_q BIGINT, auth_q BIGINT) — Kleinberg's HITS (hubs &
+    authorities, JACM 1999) over a directed weighted edge table, in
+    FIXED-POINT integer arithmetic so the DuckDB oracle (the same
+    recurrence unrolled as a MATERIALIZED-CTE chain,
+    ``__spark_entry__._hits_q_sql``) hash-matches. The web twin of
+    :func:`entity_pagerank_q`: PageRank scores endorsement flow;
+    HITS separates "points at good pages" (hub — a directory/sitemap
+    host) from "is pointed at by good hubs" (authority) — the crawl
+    seed-quality signal frontier schedulers weight by.
+
+    Recurrence (all integer ops; SCALE = 1e6, div = floor on the
+    all-nonnegative values, identical in Spark ``div`` / DuckDB //)::
+
+        h⁰(v)   = SCALE
+        araw(v) = Σ_{u→v} hᵏ(u)·w(u,v)
+        aᵏ⁺¹(v) = (araw(v)·SCALE) div max_v araw      (no in-links → 0)
+        hraw(u) = Σ_{u→v} aᵏ⁺¹(v)·w(u,v)
+        hᵏ⁺¹(u) = (hraw(u)·SCALE) div max_u hraw
+
+    Max-normalization, not L2 — no sqrt, so every step stays
+    integer-exact. int64 headroom: scores ≤ SCALE and
+    raw·SCALE < 2⁶³ needs max weighted degree Σw < 9.2e6 at the
+    default SCALE (host-graph territory; lower SCALE for denser
+    graphs). Parallel edges are collapsed by summing ``weight``
+    first, so multigraph inputs are well-defined.
+
+    Scale shape: the (src, dst, w) edge table is persisted once; each
+    half-step shuffles only the (node, score) table plus a 1-row
+    broadcast max — the graph itself never re-shuffles per iteration.
+    """
+    spark = edges.sparkSession
+    w = F.col(weight).cast("bigint") if weight else F.lit(1).cast("bigint")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w"))
+        .groupBy("src", "dst")
+        .agg(F.sum("w").cast("bigint").alias("w"))
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    if not nodes.head(1):
+        e.unpersist()
+        nodes.unpersist()
+        return spark.createDataFrame([], "node string, hub_q bigint, auth_q bigint")
+    h = nodes.select("node", F.lit(HITS_SCALE).cast("bigint").alias("hub_q"))
+    a = nodes.select("node", F.lit(0).cast("bigint").alias("auth_q"))
+    for it in range(iterations):
+        a = _hits_half(e, nodes, h, "src", "dst", "hub_q", "auth_q")
+        h = _hits_half(e, nodes, a, "dst", "src", "auth_q", "hub_q")
+        if (it + 1) % checkpoint_every == 0:
+            a = a.localCheckpoint(eager=True)
+            h = h.localCheckpoint(eager=True)
+    out = h.join(a, "node").localCheckpoint(eager=True)
+    e.unpersist()
+    nodes.unpersist()
+    return out
+
+
 def entity_triangles(mentions: DataFrame, cooc: DataFrame | None = None) -> DataFrame:
     """(uri, n_triangles) — per-entity triangle counts over the
     co-occurrence graph: the local clustering signal KG-quality checks

@@ -1782,3 +1782,68 @@ def test_read_jsonl_quarantine(spark, tmp_path):
     tables.write_jsonl_shards(df, out, n_shards=2)
     g2, b2 = tables.read_jsonl_quarantine(spark, out, "doc_id long, text string")
     assert b2.count() == 0 and g2.count() == 30
+
+
+def _hits_ref(edge_rows, iterations, scale):
+    """Dense integer reference for stats.hits_q: same recurrence, same
+    floor divisions, same max-normalization, multi-edges summed."""
+    from collections import defaultdict
+
+    w = defaultdict(int)
+    for s, d, c in edge_rows:
+        w[(s, d)] += c
+    nodes = sorted({s for s, _ in w} | {d for _, d in w})
+    h = {v: scale for v in nodes}
+    a = {v: 0 for v in nodes}
+    for _ in range(iterations):
+        raw = defaultdict(int)
+        for (s, d), c in w.items():
+            raw[d] += h[s] * c
+        m = max(max(raw.values(), default=0), 1)
+        a = {v: (raw.get(v, 0) * scale) // m for v in nodes}
+        raw = defaultdict(int)
+        for (s, d), c in w.items():
+            raw[s] += a[d] * c
+        m = max(max(raw.values(), default=0), 1)
+        h = {v: (raw.get(v, 0) * scale) // m for v in nodes}
+    return {v: (h[v], a[v]) for v in nodes}
+
+
+def test_hits_q_matches_dense_reference(spark):
+    """hits_q == the dense integer recurrence EXACTLY (both floor at
+    the same points), on a hub/authority graph with parallel edges,
+    a pure source, a pure sink and a 2-cycle."""
+    from pignlproc_spark.operators import stats
+
+    rows = [
+        ("hub1", "auth1", 3), ("hub1", "auth2", 1), ("hub1", "auth3", 1),
+        ("hub2", "auth1", 2), ("hub2", "auth2", 2),
+        ("hub2", "auth1", 1),          # parallel edge — must sum
+        ("auth1", "hub1", 1),          # back-edge: 2-cycle
+        ("source", "hub1", 1),         # no in-links → auth_q 0
+        ("hub2", "sink", 1),           # no out-links → hub_q 0
+    ]
+    e = spark.createDataFrame(rows, "s string, d string, c int")
+    got = {
+        r.node: (r.hub_q, r.auth_q)
+        for r in stats.hits_q(e, src="s", dst="d", weight="c", iterations=4).collect()
+    }
+    assert got == _hits_ref(rows, 4, stats.HITS_SCALE)
+    assert got["source"][1] == 0 and got["sink"][0] == 0
+    # max-normalization pins the best hub and best authority at SCALE
+    assert max(v[0] for v in got.values()) == stats.HITS_SCALE
+    assert max(v[1] for v in got.values()) == stats.HITS_SCALE
+
+
+def test_hits_q_unweighted_and_empty(spark):
+    from pignlproc_spark.operators import stats
+
+    rows = [("a", "b"), ("a", "c"), ("b", "c")]
+    e = spark.createDataFrame(rows, "s string, d string")
+    got = {
+        r.node: (r.hub_q, r.auth_q)
+        for r in stats.hits_q(e, src="s", dst="d", iterations=3).collect()
+    }
+    assert got == _hits_ref([(s, d, 1) for s, d in rows], 3, stats.HITS_SCALE)
+    empty = spark.createDataFrame([], "s string, d string")
+    assert stats.hits_q(empty, src="s", dst="d").count() == 0
