@@ -87,6 +87,30 @@ ANCHOR_WRAP_POST = (
     '<a href="/skip"><b>nested</b></a>.</p>'
 )
 
+# web_page_metadata head template (CCMeta v1 differential fixture):
+# a commented-out title + canonical that comment-stripping must kill,
+# two decoy metas the whitespace-before-attribute rule must skip
+# (name= inside data-name=, xdescription), a title needing whitespace
+# normalization, canonical in BOTH attribute orders (by pid parity),
+# description absent on every 5th page, robots noindex on every 3rd,
+# and 0–3 hreflang alternates (one with an uppercase <LINK>). NO
+# single quotes (spliced verbatim into the DuckDB oracle SQL).
+META_WRAP_PRE = (
+    '<html><head><!-- <title>decoy</title> <link rel="canonical" href="https://no.example/x"> -->'
+    '<meta name="xdescription" content="no"><meta data-name="description" content="no2">'
+    "<title>Page "
+)
+META_TITLE_MID = "   on  "
+META_CANON_KV = ('<link rel="canonical" href="https://', '">')
+META_CANON_VK = ('<link href="https://', '" rel="canonical">')
+META_DESC = ('<meta name="description" content="Doc ', " about ", '">')
+META_ROBOTS_NOIDX = '<meta content="noindex, nofollow" name="robots">'
+META_ROBOTS_IDX = '<meta name="robots" content="index, follow">'
+META_HL1 = '<link rel="alternate" hreflang="de" href="/de">'
+META_HL2 = '<link hreflang="fr" href="/fr">'
+META_HL3 = '<LINK hreflang="es" href="/es">'
+META_WRAP_POST = '</head><body><a href="/x">x</a></body></html>'
+
 STOPWORDS_SQL = "['" + "','".join(sorted(STOPWORDS)) + "']"
 TOKEN_RE_SQL = r"[^\W_]+"
 
@@ -766,6 +790,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count(F.lit(1)).cast("bigint").alias("n_anchors")
         )
 
+    def web_page_metadata(spark, sf_dir):
+        # CCMeta v1 head-metadata bundle (the WAT record a crawl
+        # pipeline keeps per page): title, rel="canonical" (both
+        # attribute orders exercised), meta description/robots,
+        # hreflang alternate count — all frozen-regex scans over the
+        # comment-stripped document, one strip shared by all five.
+        # Pure codegen'd projection: no shuffle, no Python — metadata
+        # extraction runs at scan speed even at 100 TB
+        from pignlproc_spark.functions.html import page_metadata
+        from pignlproc_spark.functions.urls import host_col
+
+        pages = synth.pages_for(spark, sf_dir)
+        pid = F.regexp_extract(F.col("url"), r"/p/([0-9]{7})", 1).cast("bigint")
+        host = host_col(F.col("url"))
+        p = pid.cast("string")
+        canon = F.when(
+            pid % 2 == 0,
+            F.concat(F.lit(META_CANON_KV[0]), host, F.lit("/c/"), p, F.lit(META_CANON_KV[1])),
+        ).otherwise(
+            F.concat(F.lit(META_CANON_VK[0]), host, F.lit("/c/"), p, F.lit(META_CANON_VK[1]))
+        )
+        desc = F.when(pid % 5 == 0, F.lit("")).otherwise(
+            F.concat(
+                F.lit(META_DESC[0]), (pid % 7).cast("string"),
+                F.lit(META_DESC[1]), host, F.lit(META_DESC[2]),
+            )
+        )
+        robots = F.when(pid % 3 == 0, F.lit(META_ROBOTS_NOIDX)).otherwise(
+            F.lit(META_ROBOTS_IDX)
+        )
+        hl = (
+            F.when(pid % 4 == 1, F.lit(META_HL1))
+            .when(pid % 4 == 2, F.lit(META_HL1 + META_HL2))
+            .when(pid % 4 == 3, F.lit(META_HL1 + META_HL2 + META_HL3))
+            .otherwise(F.lit(""))
+        )
+        html = F.concat(
+            F.lit(META_WRAP_PRE), p, F.lit(META_TITLE_MID), host, F.lit("</title>"),
+            canon, desc, robots, hl, F.lit(META_WRAP_POST),
+        )
+        out = page_metadata(pages.select("url", html.alias("html")))
+        return out.select(
+            "url", "title", "canonical", "description",
+            F.col("noindex").cast("bigint").alias("noindex"), "n_hreflang",
+        )
+
     def web_fetch_schedule(spark, sf_dir):
         # politeness scheduler — the step between frontier and fetcher:
         # per-host FIFO (url order; synth urls are zero-padded) split
@@ -932,6 +1002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         web_frontier_gap=web_frontier_gap,
         web_link_graph=web_link_graph,
         web_hits_q=web_hits_q,
+        web_page_metadata=web_page_metadata,
         web_anchor_stats=web_anchor_stats,
         web_fetch_schedule=web_fetch_schedule,
         web_crawl_pipeline=web_crawl_pipeline,
@@ -2474,6 +2545,48 @@ def oracle_sql() -> dict[str, str]:
         )
         + "\n)"
     )
+    # CCMeta v1 — the oracle strips comments and runs the SAME frozen
+    # title/canonical/meta/hreflang patterns over the identically-
+    # constructed head (every fixture constant spliced verbatim)
+    from pignlproc_spark.functions.html import (
+        canonical_link_sql,
+        hreflang_langs_sql,
+        meta_content_sql,
+        page_title_sql,
+        strip_comments_sql,
+    )
+
+    o["web_page_metadata"] = f"""
+    WITH ph AS (
+      SELECT url, CAST(regexp_extract(url, '/p/([0-9]{{7}})', 1) AS BIGINT) AS pid,
+             lower(regexp_extract(trim(url), '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host
+      FROM {g('pages')}
+    ), h AS (
+      SELECT url,
+        '{META_WRAP_PRE}' || pid || '{META_TITLE_MID}' || host || '</title>'
+        || CASE WHEN pid % 2 = 0
+                THEN '{META_CANON_KV[0]}' || host || '/c/' || pid || '{META_CANON_KV[1]}'
+                ELSE '{META_CANON_VK[0]}' || host || '/c/' || pid || '{META_CANON_VK[1]}' END
+        || CASE WHEN pid % 5 = 0 THEN ''
+                ELSE '{META_DESC[0]}' || (pid % 7) || '{META_DESC[1]}' || host || '{META_DESC[2]}' END
+        || CASE WHEN pid % 3 = 0 THEN '{META_ROBOTS_NOIDX}' ELSE '{META_ROBOTS_IDX}' END
+        || CASE pid % 4 WHEN 1 THEN '{META_HL1}'
+                        WHEN 2 THEN '{META_HL1}{META_HL2}'
+                        WHEN 3 THEN '{META_HL1}{META_HL2}{META_HL3}'
+                        ELSE '' END
+        || '{META_WRAP_POST}' AS html
+      FROM ph
+    ), s AS (
+      SELECT url, {strip_comments_sql('html')} AS sh FROM h
+    )
+    SELECT url,
+           {page_title_sql('sh')} AS title,
+           {canonical_link_sql('sh')} AS canonical,
+           {meta_content_sql('sh', 'description')} AS description,
+           coalesce(contains({meta_content_sql('sh', 'robots')}, 'noindex'), false)::BIGINT AS noindex,
+           len({hreflang_langs_sql('sh')})::BIGINT AS n_hreflang
+    FROM s
+    """
     # CCLink v1 paired scan — same frozen element/inner-text patterns,
     # same fixture construction (pid % 97 spliced into href AND text)
     from pignlproc_spark.functions.html import (

@@ -197,6 +197,141 @@ def anchor_text_sql(elem: str) -> str:
     return f"trim(regexp_replace({inner}, '[{_WS}]+', ' ', 'g'), ' ')"
 
 
+#: Head-metadata scan, frozen "CCMeta v1" — the WAT-style metadata a
+#: crawl pipeline wants per page WITHOUT a DOM: <title>, the
+#: rel="canonical" link, named <meta> content (description, robots),
+#: and hreflang alternates. Same grammar family as CCLink: per-char
+#: case classes on tag/attribute NAMES (never ``(?i)`` over a
+#: capture), whitespace REQUIRED before an attribute name (so
+#: ``data-name=`` / ``xhref=`` decoys never match), DOUBLE-quoted
+#: values only. Attribute ORDER is free: every key/value rule is the
+#: coalesce of a key-first and a value-first pattern (RE2 has no
+#: lookahead, so the two-order union is the cross-engine-safe spelling).
+#: v1 limits (explicit, frozen): attribute VALUES are matched
+#: lowercase-exact ("canonical", never "CANONICAL"); single-quoted /
+#: unquoted attributes are out of spec; an empty value is
+#: indistinguishable from an absent element (both → NULL); the scan
+#: runs on the COMMENT-STRIPPED document (CCHtml's COMMENT_RE), so a
+#: commented-out head element never wins.
+
+
+def _ci(word: str) -> str:
+    """Per-character case classes for a tag/attribute name."""
+    return "".join(f"[{c}{c.upper()}]" for c in word)
+
+
+_EQ = rf"[{_WS}]*=[{_WS}]*"
+_PRE_ATTRS = rf"(?:[^>]*[{_WS}])?"
+
+TITLE_RE = rf"<{_ci('title')}(?:[{_WS}][^>]*)?>([^<]*)</{_ci('title')}[{_WS}]*>"
+HREFLANG_RE = rf'<{_ci("link")}[{_WS}]{_PRE_ATTRS}{_ci("hreflang")}{_EQ}"([^"]*)"'
+
+
+def _elem_pair_res(tag: str, key: str, key_val: str, val: str) -> tuple[str, str]:
+    """The two attribute-order patterns for <tag … key="key_val" …
+    val="(captured)" …> — key-first and value-first."""
+    t, k, v = _ci(tag), _ci(key), _ci(val)
+    kv = rf'<{t}[{_WS}]{_PRE_ATTRS}{k}{_EQ}"{key_val}"[^>]*[{_WS}]{v}{_EQ}"([^"]*)"'
+    vk = rf'<{t}[{_WS}]{_PRE_ATTRS}{v}{_EQ}"([^"]*)"[^>]*[{_WS}]{k}{_EQ}"{key_val}"'
+    return kv, vk
+
+
+CANONICAL_KV_RE, CANONICAL_VK_RE = _elem_pair_res("link", "rel", "canonical", "href")
+
+
+def strip_comments_col(html: Column) -> Column:
+    """The comment-stripped document every CCMeta scan runs on."""
+    return F.regexp_replace(html, COMMENT_RE, " ")
+
+
+def strip_comments_sql(expr: str) -> str:
+    return f"regexp_replace({expr}, '{_sq(COMMENT_RE)}', ' ', 'g')"
+
+
+def _first_nonempty(*cols: Column) -> Column:
+    return F.coalesce(*[F.nullif(c, F.lit("")) for c in cols])
+
+
+def page_title_col(stripped: Column) -> Column:
+    """First <title> inner text, whitespace-normalized; NULL if absent
+    or empty. ``stripped`` must be the comment-stripped document
+    (:func:`strip_comments_col` — share one strip across all scans)."""
+    t = F.regexp_extract(stripped, TITLE_RE, 1)
+    return F.nullif(
+        F.btrim(F.regexp_replace(t, rf"[{_WS}]+", " "), F.lit(" ")), F.lit("")
+    )
+
+
+def canonical_link_col(stripped: Column) -> Column:
+    """href of the first rel="canonical" <link> (either attribute
+    order); NULL if absent."""
+    return _first_nonempty(
+        F.regexp_extract(stripped, CANONICAL_KV_RE, 1),
+        F.regexp_extract(stripped, CANONICAL_VK_RE, 1),
+    )
+
+
+def meta_content_col(stripped: Column, name: str) -> Column:
+    """content of the first <meta name="{name}"> (either attribute
+    order); NULL if absent. ``name`` is a frozen lowercase literal
+    ("description", "robots", …), part of the rendered pattern."""
+    kv, vk = _elem_pair_res("meta", "name", name, "content")
+    return _first_nonempty(
+        F.regexp_extract(stripped, kv, 1), F.regexp_extract(stripped, vk, 1)
+    )
+
+
+def hreflang_langs_col(stripped: Column) -> Column:
+    """array<string> of hreflang attribute values of <link> elements,
+    document order — the alternate-language cluster signal."""
+    return F.regexp_extract_all(stripped, F.lit(HREFLANG_RE), F.lit(1))
+
+
+def page_metadata(pages, html_col: str = "html"):
+    """(…, title, canonical, description, noindex, n_hreflang) — the
+    CCMeta v1 bundle. One comment strip shared by all five scans; a
+    pure codegen'd projection (no shuffle, no Python), so it fuses
+    into the scan exactly like CCHtml text extraction."""
+    c = strip_comments_col(F.col(html_col))
+    robots = meta_content_col(c, "robots")
+    return pages.select(
+        "*",
+        page_title_col(c).alias("title"),
+        canonical_link_col(c).alias("canonical"),
+        meta_content_col(c, "description").alias("description"),
+        F.coalesce(robots.contains("noindex"), F.lit(False)).alias("noindex"),
+        F.size(hreflang_langs_col(c)).cast("bigint").alias("n_hreflang"),
+    )
+
+
+# --- DuckDB twins, rendered from the SAME frozen patterns ----------
+
+
+def page_title_sql(stripped: str) -> str:
+    t = f"regexp_extract({stripped}, '{_sq(TITLE_RE)}', 1)"
+    norm = f"trim(regexp_replace({t}, '[{_WS}]+', ' ', 'g'), ' ')"
+    return f"nullif({norm}, '')"
+
+
+def canonical_link_sql(stripped: str) -> str:
+    return (
+        f"coalesce(nullif(regexp_extract({stripped}, '{_sq(CANONICAL_KV_RE)}', 1), ''), "
+        f"nullif(regexp_extract({stripped}, '{_sq(CANONICAL_VK_RE)}', 1), ''))"
+    )
+
+
+def meta_content_sql(stripped: str, name: str) -> str:
+    kv, vk = _elem_pair_res("meta", "name", name, "content")
+    return (
+        f"coalesce(nullif(regexp_extract({stripped}, '{_sq(kv)}', 1), ''), "
+        f"nullif(regexp_extract({stripped}, '{_sq(vk)}', 1), ''))"
+    )
+
+
+def hreflang_langs_sql(stripped: str) -> str:
+    return f"regexp_extract_all({stripped}, '{_sq(HREFLANG_RE)}', 1)"
+
+
 def extract_pages(pages, html_col: str = "html", out_col: str = "text"):
     """(…, text) — CCHtml v1 extraction over a pages DataFrame.
 

@@ -274,3 +274,67 @@ def test_anchor_pair_duckdb_parity_on_goldens():
             f"from (select unnest({anchor_elems_sql('html')}) as elem from t)"
         ).fetchall()
         assert [tuple(r) for r in got] == want, f"case {i}"
+
+
+# ====================================================================
+# CCMeta v1 — head metadata
+# ====================================================================
+
+META_DOCS = [
+    # decoys: commented-out title+canonical, data-name=, xdescription;
+    # both attribute orders; whitespace-normalized title; 2 hreflangs
+    (
+        '<html><head><!-- <title>decoy</title>'
+        ' <link rel="canonical" href="https://no.example/x"> -->'
+        "<tItLe> My\t Host --  page  7 </TITLE>"
+        '<meta name="xdescription" content="no">'
+        '<meta data-name="description" content="no2">'
+        '<meta name="description" content="A real desc">'
+        '<link href="https://ex.com/c7" rel="canonical">'
+        '<meta content="noindex,nofollow" name="robots">'
+        '<link rel="alternate" hreflang="de" href="/de">'
+        '<link hreflang="fr" href="/fr"></head></html>'
+    ),
+    # empty title == absent; robots without noindex
+    '<html><head><title></title><meta name="robots" content="index"></head></html>',
+    "<p>nothing at all</p>",
+    # key-first canonical; single-quoted attrs are out of spec (v1)
+    "<link rel=\"canonical\" href=\"https://kv.example/\">"
+    "<meta name='description' content='single-quoted out of spec'>",
+]
+
+META_WANT = [
+    ("My Host -- page 7", "https://ex.com/c7", "A real desc", True, 2),
+    (None, None, None, False, 0),
+    (None, None, None, False, 0),
+    (None, "https://kv.example/", None, False, 0),
+]
+
+
+def test_page_metadata_spark(spark):
+    from pignlproc_spark.functions.html import page_metadata
+
+    df = spark.createDataFrame([(d,) for d in META_DOCS], "html string")
+    got = [tuple(r) for r in page_metadata(df).drop("html").collect()]
+    assert got == META_WANT
+
+
+def test_page_metadata_duckdb_parity():
+    """The SQL twins, rendered from the SAME frozen patterns, agree
+    value-for-value — including every decoy."""
+    import duckdb
+
+    from pignlproc_spark.functions import html as H
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(html VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(d,) for d in META_DOCS])
+    s = H.strip_comments_sql("html")
+    sql = f"""
+    SELECT {H.page_title_sql(s)}, {H.canonical_link_sql(s)},
+           {H.meta_content_sql(s, 'description')},
+           coalesce(contains({H.meta_content_sql(s, 'robots')}, 'noindex'), false),
+           len({H.hreflang_langs_sql(s)})::BIGINT
+    FROM t
+    """
+    assert [tuple(r) for r in con.sql(sql).fetchall()] == META_WANT
