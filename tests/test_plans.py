@@ -474,3 +474,56 @@ def test_hll_sketch_is_two_bounded_agg_pairs(spark):
     assert plan.count("HashAggregate") >= 4  # two partial/final pairs
     assert "Expand" not in plan and "Window" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cms_lookup_broadcasts_registers(spark):
+    """CCCms v1: the register build must be a partial/final COUNT pair
+    on (group, hrow, bucket) — shuffle bounded at
+    n_partitions × groups × 4 × 4096 rows — and the probe lookup must
+    BROADCAST the register table (probes never shuffle for the join),
+    all JVM-side."""
+    from pignlproc_spark.operators import sketches
+
+    df = spark.createDataFrame(
+        [("g%d" % (i % 2), "item%d" % (i % 20)) for i in range(200)],
+        "g string, item string",
+    )
+    regs = sketches.cms_registers(df, "item", ("g",))
+    plan = plan_of(regs)
+    assert "partial_count" in plan  # map-side register combine
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    probes = df.select("g", "item").distinct()
+    lookup_plan = plan_of(sketches.cms_lookup(regs, probes, "item", ("g",)))
+    assert "BroadcastHashJoin" in lookup_plan
+    assert "SortMergeJoin" not in lookup_plan
+    assert "CartesianProduct" not in lookup_plan
+
+
+def test_hits_half_step_shuffles_scores_not_graph(spark):
+    """One HITS half-step (the unit every iteration repeats; the full
+    hits_q output hides behind its localCheckpoint): the join against
+    the persisted edge table must read the cache (InMemoryTableScan —
+    the graph is never re-shuffled per iteration), the normalization
+    max must arrive as a 1-row broadcast (BroadcastNestedLoopJoin on
+    a singleton, never a CartesianProduct over data), all JVM-side."""
+    from pignlproc_spark.operators import stats
+
+    raw = spark.createDataFrame(
+        [("s%d" % (i % 7), "d%d" % (i % 5), 1) for i in range(50)],
+        "src string, dst string, w int",
+    )
+    e = raw.groupBy("src", "dst").agg(F.sum("w").cast("bigint").alias("w")).persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    h = nodes.select("node", F.lit(stats.HITS_SCALE).cast("bigint").alias("hub_q"))
+    e.count(), nodes.count()  # materialize the caches
+    plan = plan_of(stats._hits_half(e, nodes, h, "src", "dst", "hub_q", "auth_q"))
+    e.unpersist(), nodes.unpersist()
+    assert "InMemoryTableScan" in plan  # persisted edges + nodes reused
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row max attach
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
