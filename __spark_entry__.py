@@ -790,6 +790,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count(F.lit(1)).cast("bigint").alias("n_anchors")
         )
 
+    def web_host_components(spark, sf_dir):
+        # weakly-connected components of the host link graph — the
+        # "site family" signal (mirror networks, shared-CMS clusters)
+        # crawl budgeting and per-family dedup key on. Reuses the
+        # alternating large-star/small-star machinery (Kiveris
+        # SoCC'14) directly on string host ids; component id = min
+        # host. Oracle = recursive-CTE reachability, hash-exact
+        from pignlproc_spark.operators import dedup
+
+        edges = web_link_graph(spark, sf_dir).where(
+            F.col("src_host") != F.col("dst_host")
+        )
+        comps = dedup.connected_components(
+            edges, src_col="src_host", dst_col="dst_host", out_type=None
+        )
+        return comps.select(
+            F.col("doc_id").alias("host"), F.col("component_id").alias("component")
+        )
+
     def web_page_metadata(spark, sf_dir):
         # CCMeta v1 head-metadata bundle (the WAT record a crawl
         # pipeline keeps per page): title, rel="canonical" (both
@@ -1003,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         web_link_graph=web_link_graph,
         web_hits_q=web_hits_q,
         web_page_metadata=web_page_metadata,
+        web_host_components=web_host_components,
         web_anchor_stats=web_anchor_stats,
         web_fetch_schedule=web_fetch_schedule,
         web_crawl_pipeline=web_crawl_pipeline,
@@ -2545,6 +2565,22 @@ def oracle_sql() -> dict[str, str]:
         )
         + "\n)"
     )
+    # host components — reachability over the same host edges
+    o["web_host_components"] = f"""
+    WITH RECURSIVE lg AS (
+      {o['web_link_graph']}
+    ),
+    sym AS (
+      SELECT src_host AS u, dst_host AS v FROM lg WHERE src_host <> dst_host
+      UNION SELECT dst_host, src_host FROM lg WHERE src_host <> dst_host
+    ),
+    reach(u, l) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+      UNION
+      SELECT s.v, r.l FROM reach r JOIN sym s ON s.u = r.u
+    )
+    SELECT u AS host, min(l) AS component FROM reach GROUP BY u
+    """
     # CCMeta v1 — the oracle strips comments and runs the SAME frozen
     # title/canonical/meta/hreflang patterns over the identically-
     # constructed head (every fixture constant spliced verbatim)

@@ -380,6 +380,7 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_rounds: int = 16,
+    out_type: str | None = "bigint",
 ) -> DataFrame:
     """(doc_id, component_id) for every node appearing in ``pairs`` —
     component_id = min node id of the connected component.
@@ -456,9 +457,16 @@ def connected_components(
     sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
         e.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
-    return sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("component_id")).select(
-        F.col("u").cast("bigint").alias("doc_id"), F.col("component_id").cast("bigint")
-    )
+    res = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("component_id"))
+    # out_type=None keeps the node ids' native type (e.g. string
+    # hosts for the web link graph); the bigint default preserves the
+    # doc-id dedup contract
+    if out_type:
+        return res.select(
+            F.col("u").cast(out_type).alias("doc_id"),
+            F.col("component_id").cast(out_type),
+        )
+    return res.select(F.col("u").alias("doc_id"), "component_id")
 
 
 def dedup_keep_decision(
