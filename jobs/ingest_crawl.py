@@ -16,12 +16,17 @@ one clean text document per unique canonical URL out —
                        latest warc_ts; ties to the larger raw url) —
                        CCUrl v1 canonicalization, min/max-struct
                        aggregation: the job's single shuffle
-  5. text extraction — CCHtml v1 HTML→text (functions/html.py)
-  6. encoding repair — optional CCMoji v1 pass (--fix-mojibake)
-  7. language        — --lang literal, or --lang-id to run the
+  5. head metadata   — CCMeta v1 title/canonical columns (always on —
+                       a free scan-fused projection) and, with
+                       --respect-noindex, the robots-meta gate real
+                       crawlers must honor (noindex pages dropped,
+                       count reported)
+  6. text extraction — CCHtml v1 HTML→text (functions/html.py)
+  7. encoding repair — optional CCMoji v1 pass (--fix-mojibake)
+  8. language        — --lang literal, or --lang-id to run the
                        n-gram marker classifier (textstats.lang_id)
 
-Scale shape: steps 1-3 and 5-7 are projections and broadcast probes
+Scale shape: steps 1-3 and 5-8 are projections and broadcast probes
 that fuse into the archive scan; step 4 is the only corpus-wide
 shuffle (exact re-fetch dedup cannot avoid moving each kept payload
 once). ``doc_id = xxhash64(canonical_url)`` is a convenience
@@ -34,7 +39,8 @@ Cluster usage:
       jobs/ingest_crawl.py \\
       --warc "/crawl/segments/*.warc.gz" --out /warehouse/documents \\
       [--block-hosts /lists/ut1_hosts.txt --block-prefix https://x.example/ads] \\
-      [--fix-mojibake] [--lang-id | --lang en] [--source-label cc-2026-08]
+      [--respect-noindex] [--fix-mojibake] [--lang-id | --lang en] \\
+      [--source-label cc-2026-08]
 
 Local smoke (synthetic archives):
 
@@ -61,6 +67,10 @@ def main(argv=None):
     ap.add_argument(
         "--block-prefix", action="append", default=[],
         help="banned literal URL prefix (repeatable)",
+    )
+    ap.add_argument(
+        "--respect-noindex", action="store_true",
+        help="drop pages whose <meta name=robots> contains noindex (CCMeta v1)",
     )
     ap.add_argument("--fix-mojibake", action="store_true", help="CCMoji v1 repair pass")
     ap.add_argument("--lang", default="en", help="language label for every document")
@@ -165,10 +175,33 @@ def main(argv=None):
         )
     )
 
+    # CCMeta v1 head metadata: always-on columns (a scan-fused regex
+    # projection costs nothing extra) + the robots-meta verdict
+    from pignlproc_spark.functions.html import (
+        canonical_link_col,
+        meta_content_col,
+        page_title_col,
+        strip_comments_col,
+    )
+
+    _stripped = strip_comments_col(F.col("html"))
+    deduped = deduped.withColumn(
+        "_noindex",
+        F.coalesce(meta_content_col(_stripped, "robots").contains("noindex"), F.lit(False)),
+    ).withColumn("title", page_title_col(_stripped)).withColumn(
+        "canonical", canonical_link_col(_stripped)
+    )
+    n_noindexed = 0
+    if args.respect_noindex:
+        n_noindexed = deduped.where(F.col("_noindex")).count()
+        deduped = deduped.where(~F.col("_noindex"))
+
     docs = deduped.select(
         F.xxhash64("canonical_url").alias("doc_id"),
         "url",
         "warc_ts",
+        "title",
+        "canonical",
         html_to_text_col(F.col("html")).alias("text"),
     )
 
@@ -206,6 +239,8 @@ def main(argv=None):
         "doc_id",
         "url",
         "warc_ts",
+        "title",
+        "canonical",
         "text",
         "lang",
         F.lit(args.source_label).alias("source"),
@@ -243,6 +278,7 @@ def main(argv=None):
             {
                 "documents": n_docs,
                 "already_ingested": n_seen,
+                "noindexed": n_noindexed,
                 "mojibake_repaired": n_mojibake_total,
                 **funnel,
                 "wall_s": round(time.time() - t0, 1),

@@ -518,6 +518,61 @@ def test_ingest_crawl_job_end_to_end(spark, tmp_path):
     assert again["https://a.example/moji"] == moji.doc_id
 
 
+def test_ingest_crawl_job_metadata_and_noindex(spark, tmp_path, capsys):
+    """CCMeta columns ride along on every document; --respect-noindex
+    drops robots-meta noindex pages and reports the count."""
+    import gzip
+    import json as _json
+
+    from jobs.ingest_crawl import main as crawl_main
+    from tests.test_sources import _warc_record
+
+    def resp(url, date, body_html):
+        body = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+            + body_html
+        )
+        return gzip.compress(_warc_record("response", url, date, body), mtime=0)
+
+    members = [
+        resp(
+            "https://m.example/keep", "2024-01-01T00:00:00Z",
+            b'<html><head><title> Keep \t me </title>'
+            b'<link href="https://m.example/k" rel="canonical"></head>'
+            b"<body><p>body text</p></body></html>",
+        ),
+        resp(
+            "https://m.example/hidden", "2024-01-01T00:00:00Z",
+            b'<html><head><meta content="noindex, nofollow" name="robots">'
+            b"</head><body><p>secret</p></body></html>",
+        ),
+        resp("https://m.example/bare", "2024-01-01T00:00:00Z", b"<p>no head</p>"),
+    ]
+    arc = tmp_path / "crawl"
+    arc.mkdir()
+    (arc / "seg.warc.gz").write_bytes(b"".join(members))
+    out = str(tmp_path / "docs")
+    rc = crawl_main(
+        ["--warc", str(arc / "*.warc.gz"), "--out", out, "--respect-noindex", "--no-funnel"]
+    )
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["noindexed"] == 1 and summary["documents"] == 2
+    docs = {r.url: r for r in spark.read.parquet(out).collect()}
+    assert set(docs) == {"https://m.example/keep", "https://m.example/bare"}
+    kept = docs["https://m.example/keep"]
+    assert kept.title == "Keep me" and kept.canonical == "https://m.example/k"
+    bare = docs["https://m.example/bare"]
+    assert bare.title is None and bare.canonical is None
+    # without the flag the noindex page is kept, metadata still present
+    rc2 = crawl_main(
+        ["--warc", str(arc / "*.warc.gz"), "--out", str(tmp_path / "d2"), "--no-funnel"]
+    )
+    assert rc2 == 0
+    d2 = {r.url: r for r in spark.read.parquet(str(tmp_path / "d2")).collect()}
+    assert "https://m.example/hidden" in d2 and d2["https://m.example/hidden"].title is None
+
+
 def test_ingest_crawl_job_history_dedup(spark, tmp_path):
     """--history drops pages whose extracted text was already ingested
     (re-crawl across snapshots) and reports the count."""
