@@ -737,3 +737,73 @@ def test_streaming_cms_matches_batch_sketch(spark, tmp_path):
         ).collect()
     )
     assert got3 == want
+
+
+def test_streaming_topk_heavy_hitters(spark, tmp_path):
+    """Sketch-plus-candidates heavy hitters: the streamed top-k must
+    equal the exact batch top-k (counts spaced beyond the CMS error so
+    ranks cannot swap), estimates never understate, and replay +
+    compaction are observably no-ops."""
+    from pignlproc_spark.streaming import topk
+
+    # item i (i in 0..19) appears 50*(20-i) times per group: top-5 are
+    # separated by 50 counts, far above any plausible CMS collision
+    src = str(tmp_path / "hh_in")
+    df = (
+        spark.range(0, 2 * 50 * 210)
+        .select(
+            (F.col("id") % 2).cast("string").alias("g"),
+            F.floor(
+                (F.col("id") / 2) % 10500 / F.lit(50)
+            ).alias("_slot"),
+        )
+        .select(
+            "g",
+            F.concat(
+                F.lit("w-"),
+                F.expr(
+                    "CASE WHEN _slot < 20 THEN 0 WHEN _slot < 39 THEN 1 "
+                    "WHEN _slot < 57 THEN 2 ELSE _slot END"
+                ).cast("int").cast("string"),
+            ).alias("item"),
+        )
+    )
+    df.repartition(4).write.mode("overwrite").parquet(src)
+
+    store = str(tmp_path / "hh_store")
+    q = (
+        spark.readStream.schema("g string, item string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(
+            topk.foreach_batch_hook("item", ("g",), store, k_track=32, compact_every=2)
+        )
+        .option("checkpointLocation", str(tmp_path / "hh_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    exact = {
+        (r.g, r.item): r.c
+        for r in df.groupBy("g", "item").agg(F.count("*").alias("c")).collect()
+    }
+    top = topk.read_topk(spark, store, "item", ("g",), k=3).collect()
+    want_items = {"w-0", "w-1", "w-2"}
+    for g in ("0", "1"):
+        got_g = sorted(
+            [r for r in top if r.g == g], key=lambda r: r.rank
+        )
+        assert [r.item for r in got_g] == sorted(
+            want_items, key=lambda i: -exact[(g, i)]
+        )
+        for r in got_g:
+            assert r.est_count >= exact[(g, r.item)]
+    # replay an already-folded batch id — nothing changes
+    topk.append_batch(df.limit(1000), 0, "item", ("g",), store, k_track=32)
+    again = topk.read_topk(spark, store, "item", ("g",), k=3).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, top))
+    # explicit compaction — still nothing changes
+    topk.compact(spark, store, "item", ("g",))
+    again2 = topk.read_topk(spark, store, "item", ("g",), k=3).collect()
+    assert sorted(map(tuple, again2)) == sorted(map(tuple, top))
