@@ -46,10 +46,14 @@ HTML_WRAP_MID = "</h1><p>"
 # web_robots_filter fixture (CCRobots v1 differential): a badbot group
 # that must NOT leak into the '*' verdicts, then the starred group with
 # a shorter Disallow overridden by a longer Allow. NO single quotes.
+# The badbot group's Crawl-delay must NOT leak into the * verdicts;
+# the non-integer trailing delay is ignored per the CCRobots v1
+# integer-seconds freeze (robots_crawl_delay).
 ROBOTS_BODY = (
     "# synthetic robots fixture\n"
-    "User-agent: badbot\nDisallow: /\n\n"
-    "User-agent: *\nDisallow: /p/0000\nAllow: /p/00000\n"
+    "User-agent: badbot\nDisallow: /\nCrawl-delay: 99\n\n"
+    "User-agent: *\nCrawl-delay: 3\nDisallow: /p/0000\nAllow: /p/00000\n"
+    "Crawl-delay: 2.5\n"
 )
 HTML_WRAP_POST = (
     "</p><ul><li>&lt;escaped&gt; &amp;co.</li>"
@@ -630,6 +634,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         robots = hosts.select("host", F.lit(ROBOTS_BODY).alias("body"))
         return robots_filter(pages, parse_robots(robots))
 
+    def web_crawl_delays(spark, sf_dir):
+        # Crawl-delay of the * groups (CCRobots v1 extension): integer
+        # seconds only, MAX across groups; the badbot group's delay
+        # and a fractional trailing value must both be ignored. Same
+        # single line-explode as the verdict parse + one MAX per host
+        from pignlproc_spark.functions.urls import host_col, robots_crawl_delay
+
+        pages = synth.pages_for(spark, sf_dir)
+        hosts = (
+            pages.select(host_col(F.col("url")).alias("host"))
+            .distinct()
+            .where(F.substring("host", 3, 1).isin(*"01234"))
+        )
+        robots = hosts.select("host", F.lit(ROBOTS_BODY).alias("body"))
+        return robots_crawl_delay(robots)
+
     def docs_readability(spark, sf_dir):
         return textstats.readability_signals(_read(spark, sf_dir, "documents"))
 
@@ -1017,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs_history_dedup=docs_history_dedup,
         docs_winnowing=docs_winnowing,
         web_robots_filter=web_robots_filter,
+        web_crawl_delays=web_crawl_delays,
         web_sitemap_urls=web_sitemap_urls,
         web_frontier_gap=web_frontier_gap,
         web_link_graph=web_link_graph,
@@ -1967,12 +1988,12 @@ def url_canonical_sql(src: str) -> str:
 
 
 
-def robots_verdict_sql(pages_rel: str) -> str:
-    """(url, host, allow, matched_prefix) — the DuckDB side of the
-    CCRobots v1 parse + RFC 9309 verdict over ``pages_rel``; shared by
-    web_robots_filter and the composed web_crawl_pipeline oracle."""
-    return f"""
-    WITH hosts AS (
+def _robots_tagged_sql(pages_rel: str) -> str:
+    """The shared CCRobots v1 CTE fragment (hosts → fixture bodies →
+    lines → kv → tagged-with-group_start); consumed by
+    robots_verdict_sql and robots_delay_sql. No WITH keyword — splice
+    into the caller's chain."""
+    return f"""hosts AS (
       SELECT DISTINCT lower(regexp_extract(trim(url), '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host
       FROM {pages_rel}
     ), rob AS (
@@ -1997,7 +2018,34 @@ def robots_verdict_sql(pages_rel: str) -> str:
                        WHEN key = 'user-agent' THEN line_no END AS ua_start
         FROM kv
       )
-    ), starred AS (
+    )"""
+
+
+def robots_delay_sql(pages_rel: str) -> str:
+    """(host, crawl_delay_s) — the DuckDB side of robots_crawl_delay:
+    integer-seconds Crawl-delay of the * groups, MAX per host."""
+    return f"""
+    WITH {_robots_tagged_sql(pages_rel)}, starred AS (
+      SELECT r.host, CAST(r.value AS BIGINT) AS d
+      FROM tagged r
+      WHERE r.key = 'crawl-delay' AND regexp_full_match(r.value, '[0-9]+')
+        AND r.group_start IS NOT NULL
+        AND EXISTS (
+          SELECT 1 FROM tagged a
+          WHERE a.key = 'user-agent' AND lower(a.value) = '*'
+            AND a.host = r.host AND a.group_start = r.group_start
+        )
+    )
+    SELECT host, max(d)::BIGINT AS crawl_delay_s FROM starred GROUP BY host
+    """
+
+
+def robots_verdict_sql(pages_rel: str) -> str:
+    """(url, host, allow, matched_prefix) — the DuckDB side of the
+    CCRobots v1 parse + RFC 9309 verdict over ``pages_rel``; shared by
+    web_robots_filter and the composed web_crawl_pipeline oracle."""
+    return f"""
+    WITH {_robots_tagged_sql(pages_rel)}, starred AS (
       SELECT r.host, (r.key = 'allow')::INT AS allow, r.value AS path_prefix
       FROM tagged r
       WHERE r.key IN ('allow', 'disallow') AND r.value != '' AND r.group_start IS NOT NULL
@@ -2501,6 +2549,7 @@ def oracle_sql() -> dict[str, str]:
     # indices here vs posexplode's 0-based are internal-only; no
     # output column depends on them)
     o["web_robots_filter"] = robots_verdict_sql(g("pages"))
+    o["web_crawl_delays"] = robots_delay_sql(g("pages"))
     o["web_url_blocklist"] = blocklist_sql(g("pages"))
     o["web_crawl_pipeline"] = f"""
     WITH bl AS ({blocklist_sql(g('pages'))}),

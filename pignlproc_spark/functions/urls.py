@@ -151,17 +151,11 @@ def domain_quota(pages, k: int, url_col: str = "url"):
     )
 
 
-def parse_robots(robots, host_col_name: str = "host", body_col: str = "body"):
-    """(host, rule_idx, allow INT, path_prefix) — the ``User-agent: *``
-    rule groups of each robots.txt body, as a relational parse
-    ("CCRobots v1", an RFC 9309 subset: literal path prefixes only —
-    no ``*``/``$`` wildcards; unknown directives ignored; a group is
-    one or more consecutive User-agent lines followed by its rules).
-
-    Relational shape: one explode of the body's lines, a running
-    last-User-agent window per host (the only per-host ordering), and
-    a filter to the ``*`` groups — no Python, no per-host loops.
-    """
+def _robots_groups(robots, host_col_name: str, body_col: str):
+    """Shared CCRobots v1 line/group machinery: the (tagged, agents)
+    pair — every directive line with its group_start, and the agent
+    names per group — consumed by :func:`parse_robots` (allow /
+    disallow rules) and :func:`robots_crawl_delay`."""
     from pyspark.sql import Window
 
     lines = robots.select(
@@ -199,6 +193,21 @@ def parse_robots(robots, host_col_name: str = "host", body_col: str = "body"):
         .select("host", "group_start", F.lower("value").alias("agent"))
         .distinct()
     )
+    return tagged, agents
+
+
+def parse_robots(robots, host_col_name: str = "host", body_col: str = "body"):
+    """(host, rule_idx, allow INT, path_prefix) — the ``User-agent: *``
+    rule groups of each robots.txt body, as a relational parse
+    ("CCRobots v1", an RFC 9309 subset: literal path prefixes only —
+    no ``*``/``$`` wildcards; unknown directives ignored; a group is
+    one or more consecutive User-agent lines followed by its rules).
+
+    Relational shape: one explode of the body's lines, a running
+    last-User-agent window per host (the only per-host ordering), and
+    a filter to the ``*`` groups — no Python, no per-host loops.
+    """
+    tagged, agents = _robots_groups(robots, host_col_name, body_col)
     rules = tagged.where(
         F.col("key").isin("allow", "disallow") & (F.col("value") != "") & F.col("group_start").isNotNull()
     ).select(
@@ -217,6 +226,34 @@ def parse_robots(robots, host_col_name: str = "host", body_col: str = "body"):
             "left_semi",
         )
         .select("host", "rule_idx", "allow", "path_prefix")
+    )
+
+
+def robots_crawl_delay(robots, host_col_name: str = "host", body_col: str = "body"):
+    """(host, crawl_delay_s BIGINT) — the ``Crawl-delay`` of each
+    host's ``User-agent: *`` groups (the de-facto politeness directive
+    fetch schedulers honor; not in RFC 9309, so frozen here as a
+    CCRobots v1 extension): INTEGER-seconds values only (anything
+    else — fractions, empty, words — is ignored, frozen), and the MAX
+    across a host's ``*`` groups wins (the conservative reading when
+    directives conflict). Hosts without the directive emit no row —
+    the scheduler's own default applies.
+
+    Scale shape: same single line-explode as :func:`parse_robots`,
+    then one partial/final MAX per host."""
+    tagged, agents = _robots_groups(robots, host_col_name, body_col)
+    delays = tagged.where(
+        (F.col("key") == "crawl-delay")
+        & F.col("value").rlike("^[0-9]+$")
+        & F.col("group_start").isNotNull()
+    )
+    starred = delays.join(
+        F.broadcast(agents.where(F.col("agent") == "*")),
+        ["host", "group_start"],
+        "left_semi",
+    )
+    return starred.groupBy("host").agg(
+        F.max(F.col("value").cast("bigint")).alias("crawl_delay_s")
     )
 
 

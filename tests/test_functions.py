@@ -586,3 +586,30 @@ def test_sql_registry_url_canonical_parity(spark):
             spark.conf.set("spark.sql.parser.escapedStringLiterals", old)
         exp = [r.c for r in df.select(canonical_url_col(F.col("s")).alias("c")).collect()]
         assert got == exp, f"escaped={escaped}"
+
+
+def test_robots_crawl_delay(spark):
+    """CCRobots v1 extension: integer-seconds Crawl-delay of the *
+    groups only — badbot's delay never leaks, fractional/word values
+    are ignored, MAX wins across a host's * groups, hosts without the
+    directive emit no row."""
+    from pignlproc_spark.functions.urls import robots_crawl_delay
+
+    bodies = [
+        (
+            "h1",
+            "User-agent: badbot\nCrawl-delay: 99\n\n"
+            "User-agent: *\nCrawl-delay: 3\nDisallow: /x\n\n"
+            "User-agent: a\nUser-agent: *\nCrawl-delay: 7\n"
+            "Crawl-delay: 2.5\nCrawl-delay: fast\n",  # both ignored
+        ),
+        ("h2", "User-agent: *\nDisallow: /\n"),  # no directive → no row
+        ("h3", "User-agent: other\nCrawl-delay: 5\n"),  # wrong agent
+    ]
+    got = {
+        r.host: r.crawl_delay_s
+        for r in robots_crawl_delay(
+            spark.createDataFrame(bodies, "host string, body string")
+        ).collect()
+    }
+    assert got == {"h1": 7}
