@@ -91,6 +91,20 @@ ANCHOR_WRAP_POST = (
     '<a href="/skip"><b>nested</b></a>.</p>'
 )
 
+# web_sitemap_routing fixture: every host publishes one INDEX body
+# (two child sitemaps, one with an entity-encoded ampersand) and one
+# flat urlset body (two page locs, same probe). NO single quotes.
+SMI_WRAP = (
+    '<?xml version="1.0"?><sitemapindex><sitemap><loc>https://',
+    "/sitemap-a.xml</loc></sitemap><sitemap><loc>https://",
+    "/sitemap-b&amp;c.xml</loc></sitemap></sitemapindex>",
+)
+SMF_WRAP = (
+    '<?xml version="1.0"?><urlset><url><loc>https://',
+    "/p1</loc></url><loc>https://",
+    "/p&amp;2</loc></urlset>",
+)
+
 # web_page_metadata head template (CCMeta v1 differential fixture):
 # a commented-out title + canonical that comment-stripping must kill,
 # two decoy metas the whitespace-before-attribute rule must skip
@@ -717,6 +731,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.col("keep") * F.col("robots_allow")).cast("int").alias("keep"),
         )
 
+    def web_sitemap_routing(spark, sf_dir):
+        # CCSitemap index routing: an index body's locs are CHILD
+        # SITEMAPS (the fetcher's next hop), a urlset's locs are page
+        # candidates — mis-routing an index floods the frontier with
+        # xml urls. Root sniff + the same loc scan/entity decode, one
+        # codegen projection per body
+        from pignlproc_spark.functions.urls import host_col, parse_sitemap_routed
+
+        pages = synth.pages_for(spark, sf_dir)
+        hosts = pages.select(host_col(F.col("url")).alias("host")).distinct()
+        idx = hosts.select(
+            "host",
+            F.concat(
+                F.lit(SMI_WRAP[0]), F.col("host"),
+                F.lit(SMI_WRAP[1]), F.col("host"), F.lit(SMI_WRAP[2]),
+            ).alias("body"),
+        )
+        flat = hosts.select(
+            "host",
+            F.concat(
+                F.lit(SMF_WRAP[0]), F.col("host"),
+                F.lit(SMF_WRAP[1]), F.col("host"), F.lit(SMF_WRAP[2]),
+            ).alias("body"),
+        )
+        return parse_sitemap_routed(idx.unionByName(flat))
+
     def web_frontier_gap(spark, sf_dir):
         # crawl-frontier maintenance: sitemap-discovered URLs that were
         # never crawled (anti-join on the canonical form). The sitemap
@@ -1039,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         web_robots_filter=web_robots_filter,
         web_crawl_delays=web_crawl_delays,
         web_sitemap_urls=web_sitemap_urls,
+        web_sitemap_routing=web_sitemap_routing,
         web_frontier_gap=web_frontier_gap,
         web_link_graph=web_link_graph,
         web_hits_q=web_hits_q,
@@ -2572,6 +2613,26 @@ def oracle_sql() -> dict[str, str]:
     )
     """
     o["web_sitemap_urls"] = sitemap_locs_sql(g("pages"))
+    _sm_decode = (
+        "trim(replace(replace(replace(replace(replace(raw_loc, "
+        "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&apos;', ''''), '&amp;', '&'))"
+    )
+    o["web_sitemap_routing"] = f"""
+    WITH ph AS (
+      SELECT DISTINCT lower(regexp_extract(trim(url), '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host
+      FROM {g('pages')}
+    ), bodies AS (
+      SELECT host, '{SMI_WRAP[0]}' || host || '{SMI_WRAP[1]}' || host || '{SMI_WRAP[2]}' AS body FROM ph
+      UNION ALL
+      SELECT host, '{SMF_WRAP[0]}' || host || '{SMF_WRAP[1]}' || host || '{SMF_WRAP[2]}' AS body FROM ph
+    ), raw AS (
+      SELECT host,
+             CASE WHEN contains(body, '<sitemapindex') THEN 'sitemap' ELSE 'page' END AS kind,
+             unnest(regexp_extract_all(body, '<loc>([^<]*)</loc>', 1)) AS raw_loc
+      FROM bodies
+    )
+    SELECT host, kind, {_sm_decode} AS loc FROM raw
+    """
     o["web_frontier_gap"] = f"""
     WITH locs AS ({sitemap_locs_sql(g('pages'))}),
     dvar AS (SELECT loc AS variant FROM locs),

@@ -313,8 +313,16 @@ def parse_sitemap(sitemaps, host_col_name: str = "host", body_col: str = "body")
             "raw_loc"
         ),
     )
-    # XML entity decode (the five XML predefined entities; &amp; last)
-    loc = F.col("raw_loc")
+    from pyspark.sql import Window
+
+    return (
+        locs.select("host", F.trim(_xml_entity_decode(F.col("raw_loc"))).alias("loc"))
+        .withColumn("n_locs", F.count(F.lit(1)).over(Window.partitionBy("host")).cast("bigint"))
+    )
+
+
+def _xml_entity_decode(col):
+    """The five XML predefined entities; &amp; last (CCSitemap v1)."""
     for ent, rep in (
         ("&lt;", "<"),
         ("&gt;", ">"),
@@ -322,10 +330,30 @@ def parse_sitemap(sitemaps, host_col_name: str = "host", body_col: str = "body")
         ("&apos;", "'"),
         ("&amp;", "&"),
     ):
-        loc = F.replace(loc, F.lit(ent), F.lit(rep))
-    from pyspark.sql import Window
+        col = F.replace(col, F.lit(ent), F.lit(rep))
+    return col
 
-    return (
-        locs.select("host", F.trim(loc).alias("loc"))
-        .withColumn("n_locs", F.count(F.lit(1)).over(Window.partitionBy("host")).cast("bigint"))
+
+def parse_sitemap_routed(sitemaps, host_col_name: str = "host", body_col: str = "body"):
+    """(host, kind, loc) — CCSitemap v1 extended with INDEX routing:
+    a body whose root element is ``<sitemapindex>`` yields
+    ``kind='sitemap'`` rows (child sitemap URLs, the fetcher's next
+    hop), anything else ``kind='page'`` (frontier candidates). Root
+    sniff = the literal ``<sitemapindex`` tag-open anywhere in the
+    body (frozen): sitemap files are machine-generated with exactly
+    one root, so element-scoped scanning buys nothing over the sniff.
+    Same ``<loc>`` scan + entity decode as :func:`parse_sitemap` —
+    one codegen'd projection per body, no XML parser."""
+    kind = F.when(
+        F.col(body_col).contains("<sitemapindex"), F.lit("sitemap")
+    ).otherwise(F.lit("page"))
+    routed = sitemaps.select(
+        F.col(host_col_name).alias("host"),
+        kind.alias("kind"),
+        F.explode(
+            F.regexp_extract_all(F.col(body_col), F.lit("<loc>([^<]*)</loc>"), 1)
+        ).alias("raw_loc"),
+    )
+    return routed.select(
+        "host", "kind", F.trim(_xml_entity_decode(F.col("raw_loc"))).alias("loc")
     )

@@ -613,3 +613,37 @@ def test_robots_crawl_delay(spark):
         ).collect()
     }
     assert got == {"h1": 7}
+
+
+def test_parse_sitemap_routed(spark):
+    """Index bodies route their locs as kind='sitemap' (child fetch
+    hops), urlset bodies as kind='page'; entity decode applies to
+    both; an empty body yields no rows."""
+    from pignlproc_spark.functions.urls import parse_sitemap_routed
+
+    rows = [
+        (
+            "h1",
+            '<?xml version="1.0"?><sitemapindex>'
+            "<sitemap><loc>https://h1/s-a.xml</loc></sitemap>"
+            "<sitemap><loc> https://h1/s-b&amp;c.xml </loc></sitemap></sitemapindex>",
+        ),
+        (
+            "h1",
+            '<?xml version="1.0"?><urlset><url><loc>https://h1/p1</loc></url>'
+            "<loc>https://h1/p&apos;2</loc></urlset>",
+        ),
+        ("h2", "<urlset></urlset>"),
+    ]
+    got = {
+        (r.host, r.kind, r.loc)
+        for r in parse_sitemap_routed(
+            spark.createDataFrame(rows, "host string, body string")
+        ).collect()
+    }
+    assert got == {
+        ("h1", "sitemap", "https://h1/s-a.xml"),
+        ("h1", "sitemap", "https://h1/s-b&c.xml"),
+        ("h1", "page", "https://h1/p1"),
+        ("h1", "page", "https://h1/p'2"),
+    }
