@@ -2069,7 +2069,7 @@ def robots_delay_sql(pages_rel: str) -> str:
     WITH {_robots_tagged_sql(pages_rel)}, starred AS (
       SELECT r.host, CAST(r.value AS BIGINT) AS d
       FROM tagged r
-      WHERE r.key = 'crawl-delay' AND regexp_full_match(r.value, '[0-9]+')
+      WHERE r.key = 'crawl-delay' AND regexp_full_match(r.value, '[0-9]{{1,18}}')
         AND r.group_start IS NOT NULL
         AND EXISTS (
           SELECT 1 FROM tagged a

@@ -20,7 +20,10 @@ one clean text document per unique canonical URL out —
                        a free scan-fused projection) and, with
                        --respect-noindex, the robots-meta gate real
                        crawlers must honor (noindex pages dropped,
-                       count reported)
+                       count reported; the count is an extra action,
+                       so the gate persists the deduped captures —
+                       MEMORY_AND_DISK — instead of re-running the
+                       archive scan + dedup shuffle under the write)
   6. text extraction — CCHtml v1 HTML→text (functions/html.py)
   7. encoding repair — optional CCMoji v1 pass (--fix-mojibake)
   8. language        — --lang literal, or --lang-id to run the
@@ -192,9 +195,14 @@ def main(argv=None):
         "canonical", canonical_link_col(_stripped)
     )
     n_noindexed = 0
+    _gate_cache = None
     if args.respect_noindex:
-        n_noindexed = deduped.where(F.col("_noindex")).count()
-        deduped = deduped.where(~F.col("_noindex"))
+        # the count is a separate action: without a persist its lineage
+        # (archive scan + the dedup shuffle) would re-execute under the
+        # final write. MEMORY_AND_DISK — payloads may exceed memory.
+        _gate_cache = deduped.persist()
+        n_noindexed = _gate_cache.where(F.col("_noindex")).count()
+        deduped = _gate_cache.where(~F.col("_noindex"))
 
     docs = deduped.select(
         F.xxhash64("canonical_url").alias("doc_id"),
@@ -248,6 +256,8 @@ def main(argv=None):
         "n_mojibake",
     )
     docs.write.mode("overwrite").parquet(args.out)
+    if _gate_cache is not None:
+        _gate_cache.unpersist()
 
     out_w = spark.read.parquet(args.out)
     n_docs = out_w.count()

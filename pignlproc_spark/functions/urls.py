@@ -233,18 +233,20 @@ def robots_crawl_delay(robots, host_col_name: str = "host", body_col: str = "bod
     """(host, crawl_delay_s BIGINT) — the ``Crawl-delay`` of each
     host's ``User-agent: *`` groups (the de-facto politeness directive
     fetch schedulers honor; not in RFC 9309, so frozen here as a
-    CCRobots v1 extension): INTEGER-seconds values only (anything
-    else — fractions, empty, words — is ignored, frozen), and the MAX
-    across a host's ``*`` groups wins (the conservative reading when
-    directives conflict). Hosts without the directive emit no row —
-    the scheduler's own default applies.
+    CCRobots v1 extension): INTEGER-seconds values of 1–18 digits
+    only (anything else — fractions, empty, words, or a value that
+    would overflow BIGINT under ANSI cast; robots.txt is arbitrary
+    web input — is ignored, frozen), and the MAX across a host's
+    ``*`` groups wins (the conservative reading when directives
+    conflict). Hosts without the directive emit no row — the
+    scheduler's own default applies.
 
     Scale shape: same single line-explode as :func:`parse_robots`,
     then one partial/final MAX per host."""
     tagged, agents = _robots_groups(robots, host_col_name, body_col)
     delays = tagged.where(
         (F.col("key") == "crawl-delay")
-        & F.col("value").rlike("^[0-9]+$")
+        & F.col("value").rlike("^[0-9]{1,18}$")
         & F.col("group_start").isNotNull()
     )
     starred = delays.join(

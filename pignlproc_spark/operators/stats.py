@@ -510,9 +510,21 @@ def hits_q(
         .persist()
     )
     if not nodes.head(1):
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        # empty result keeps the INPUT's node-id type (string hosts,
+        # bigint doc ids, …) so the empty edge case unions/joins
+        # exactly like the populated one
+        schema = StructType(
+            [
+                StructField("node", e.schema["src"].dataType),
+                StructField("hub_q", LongType()),
+                StructField("auth_q", LongType()),
+            ]
+        )
         e.unpersist()
         nodes.unpersist()
-        return spark.createDataFrame([], "node string, hub_q bigint, auth_q bigint")
+        return spark.createDataFrame([], schema)
     h = nodes.select("node", F.lit(HITS_SCALE).cast("bigint").alias("hub_q"))
     a = nodes.select("node", F.lit(0).cast("bigint").alias("auth_q"))
     for it in range(iterations):

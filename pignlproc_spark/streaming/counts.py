@@ -98,14 +98,20 @@ def read_counts(
     deltas hold: ``"sum"`` for algebraic count partials (the default),
     ``"max"`` for sketch registers (CCHll v1 rho values — MAX is the
     HLL merge, so union-of-deltas is EXACTLY the sketch of the union).
+
+    A key may carry a type ("hrow int"); untyped keys default to
+    string. Only the EMPTY-store schema depends on this — pass the
+    type whenever a delta key is non-string, or the cold-start read
+    diverges from the populated one.
     """
     merge = {"sum": F.sum, "max": F.max}[how]
+    names = [k.split()[0] for k in keys]
     m = _read_manifest(counts_dir)
     if not m["live"]:
-        fields = ", ".join(f"{k} string" for k in keys)
+        fields = ", ".join(k if " " in k else f"{k} string" for k in keys)
         return spark.createDataFrame([], f"{fields}, {value} long")
     df = spark.read.parquet(*[f"{counts_dir}/{d}" for d in m["live"]])
-    return df.groupBy(*keys).agg(merge(value).cast("long").alias(value))
+    return df.groupBy(*names).agg(merge(value).cast("long").alias(value))
 
 
 def compact(

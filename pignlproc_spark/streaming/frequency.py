@@ -48,7 +48,7 @@ def read_registers(
     """The merged everything-so-far register table
     (groups…, hrow, bucket, cnt)."""
     return counts.read_counts(
-        spark, cms_dir, [*groups, "hrow", "bucket"], value="cnt", how="sum"
+        spark, cms_dir, [*groups, "hrow int", "bucket"], value="cnt", how="sum"
     )
 
 
@@ -83,7 +83,7 @@ def foreach_batch_hook(
             counts.compact(
                 batch_df.sparkSession,
                 cms_dir,
-                [*groups, "hrow", "bucket"],
+                [*groups, "hrow int", "bucket"],
                 value="cnt",
                 how="sum",
             )

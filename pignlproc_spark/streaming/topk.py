@@ -107,7 +107,7 @@ def compact(spark: SparkSession, store_dir: str, item: str, groups: tuple[str, .
     """Fold both stores (CMS: SUM cells; candidates: MAX-dedup to the
     distinct set) — observably a no-op for readers."""
     counts.compact(
-        spark, _cms_dir(store_dir), [*groups, "hrow", "bucket"],
+        spark, _cms_dir(store_dir), [*groups, "hrow int", "bucket"],
         min_deltas=1, value="cnt", how="sum",
     )
     counts.compact(

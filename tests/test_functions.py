@@ -601,7 +601,11 @@ def test_robots_crawl_delay(spark):
             "User-agent: badbot\nCrawl-delay: 99\n\n"
             "User-agent: *\nCrawl-delay: 3\nDisallow: /x\n\n"
             "User-agent: a\nUser-agent: *\nCrawl-delay: 7\n"
-            "Crawl-delay: 2.5\nCrawl-delay: fast\n",  # both ignored
+            # all ignored: fraction, word, BIGINT-overflowing digits
+            # (robots.txt is arbitrary web input — must not crash the
+            # job under ANSI cast; 19+ digits are out of the v1 spec)
+            "Crawl-delay: 2.5\nCrawl-delay: fast\n"
+            "Crawl-delay: 99999999999999999999\n",
         ),
         ("h2", "User-agent: *\nDisallow: /\n"),  # no directive → no row
         ("h3", "User-agent: other\nCrawl-delay: 5\n"),  # wrong agent

@@ -807,3 +807,24 @@ def test_streaming_topk_heavy_hitters(spark, tmp_path):
     topk.compact(spark, store, "item", ("g",))
     again2 = topk.read_topk(spark, store, "item", ("g",), k=3).collect()
     assert sorted(map(tuple, again2)) == sorted(map(tuple, top))
+
+
+def test_cms_store_cold_start_schema(spark, tmp_path):
+    """An empty CMS store must read with the SAME schema as a
+    populated one (hrow int — the typed-key contract of
+    counts.read_counts), so cold-start reads union/join cleanly with
+    fresh batch registers, and read_topk on nothing returns nothing."""
+    from pignlproc_spark.operators import sketches
+    from pignlproc_spark.streaming import frequency, topk
+
+    empty_regs = frequency.read_registers(spark, str(tmp_path / "none"), ("g",))
+    fresh = sketches.cms_registers(
+        spark.createDataFrame([("a", "x")], "g string, item string"), "item", ("g",)
+    )
+    # name+type parity is the contract (nullability flags differ —
+    # posexplode output is non-nullable, DDL-schema fields nullable)
+    assert [(f.name, f.dataType) for f in empty_regs.schema.fields] == [
+        (f.name, f.dataType) for f in fresh.schema.fields
+    ]
+    assert empty_regs.unionByName(fresh).count() == 4  # D_CMS rows
+    assert topk.read_topk(spark, str(tmp_path / "hh_none"), "item", ("g",)).count() == 0

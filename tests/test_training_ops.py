@@ -1847,3 +1847,11 @@ def test_hits_q_unweighted_and_empty(spark):
     assert got == _hits_ref([(s, d, 1) for s, d in rows], 3, stats.HITS_SCALE)
     empty = spark.createDataFrame([], "s string, d string")
     assert stats.hits_q(empty, src="s", dst="d").count() == 0
+    # the empty result keeps the INPUT's node-id type, so the edge
+    # case unions/joins exactly like the populated one
+    empty_long = stats.hits_q(
+        spark.createDataFrame([], "s bigint, d bigint"), src="s", dst="d"
+    )
+    assert [f.dataType.simpleString() for f in empty_long.schema.fields] == [
+        "bigint", "bigint", "bigint",
+    ]
