@@ -731,6 +731,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.col("keep") * F.col("robots_allow")).cast("int").alias("keep"),
         )
 
+    def web_url_templates(spark, sf_dir):
+        # URL template mining (digit runs in the path → {n}): the
+        # template-level frontier budget / crawler-trap signal. Three
+        # deterministic variants per crawled url (the original, a
+        # two-number deep path, a static page) so templates genuinely
+        # aggregate. Regex projection + one partial/final count
+        from pignlproc_spark.functions.urls import host_col, url_templates
+
+        pages = synth.pages_for(spark, sf_dir)
+        pid = F.regexp_extract(F.col("url"), r"/p/([0-9]{7})", 1).cast("bigint")
+        host = host_col(F.col("url"))
+        deep = F.concat(
+            F.lit("https://"), host, F.lit("/c"), (pid % 7).cast("string"),
+            F.lit("/item-"), pid.cast("string"), F.lit("?ref=9"),
+        )
+        static = F.concat(F.lit("https://"), host, F.lit("/about"))
+        urls = (
+            pages.select(F.col("url").alias("u"))
+            .unionByName(pages.select(deep.alias("u")))
+            .unionByName(pages.select(static.alias("u")))
+        )
+        return url_templates(urls, url_col="u")
+
     def web_sitemap_routing(spark, sf_dir):
         # CCSitemap index routing: an index body's locs are CHILD
         # SITEMAPS (the fetcher's next hop), a urlset's locs are page
@@ -1080,6 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         web_crawl_delays=web_crawl_delays,
         web_sitemap_urls=web_sitemap_urls,
         web_sitemap_routing=web_sitemap_routing,
+        web_url_templates=web_url_templates,
         web_frontier_gap=web_frontier_gap,
         web_link_graph=web_link_graph,
         web_hits_q=web_hits_q,
@@ -2611,6 +2635,27 @@ def oracle_sql() -> dict[str, str]:
              len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT AS n_vowel_groups
       FROM documents
     )
+    """
+    o["web_url_templates"] = f"""
+    WITH base AS (
+      SELECT url, CAST(regexp_extract(url, '/p/([0-9]{{7}})', 1) AS BIGINT) AS pid,
+             lower(regexp_extract(trim(url), '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host
+      FROM {g('pages')}
+    ), urls AS (
+      SELECT url AS u FROM base
+      UNION ALL
+      SELECT 'https://' || host || '/c' || (pid % 7) || '/item-' || pid || '?ref=9' FROM base
+      UNION ALL
+      SELECT 'https://' || host || '/about' FROM base
+    ), parts AS (
+      SELECT lower(regexp_extract(trim(u), '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host,
+             CASE WHEN regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?#]+([^?#]*)', 1) = ''
+                  THEN '/' ELSE regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?#]+([^?#]*)', 1) END AS path
+      FROM urls
+    )
+    SELECT host, regexp_replace(path, '[0-9]+', '{{n}}', 'g') AS template,
+           count(*)::BIGINT AS n_urls
+    FROM parts GROUP BY host, template
     """
     o["web_sitemap_urls"] = sitemap_locs_sql(g("pages"))
     _sm_decode = (

@@ -259,6 +259,30 @@ def robots_crawl_delay(robots, host_col_name: str = "host", body_col: str = "bod
     )
 
 
+def url_templates(pages, url_col: str = "url"):
+    """(host, template, n_urls) — URL path templates: every maximal
+    digit run in the PATH replaced by ``{n}`` (query/fragment never
+    count — they are not part of the CCUrl path), then one count agg
+    per (host, template). The crawl-engineering workhorse this feeds:
+    template-level frontier budgeting (cap ``/product/{n}/review-{n}``
+    at N fetches per host) and crawler-trap detection (one template
+    exploding to millions of urls = an infinite space, not content).
+
+    Scale shape: codegen'd regex projection + one partial/final count
+    — urls never shuffle, only (host, template) pairs do."""
+    u = F.col(url_col)
+    raw_path = F.regexp_extract(u, _PATH_RE, 1)
+    path = F.when(raw_path == "", "/").otherwise(raw_path)
+    return (
+        pages.select(
+            host_col(u).alias("host"),
+            F.regexp_replace(path, "[0-9]+", "{n}").alias("template"),
+        )
+        .groupBy("host", "template")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_urls"))
+    )
+
+
 def robots_filter(pages, rules, url_col: str = "url"):
     """(url, host, allow INT, matched_prefix) — the RFC 9309 verdict of
     CCRobots v1 rules for every page: among the host's matching rules

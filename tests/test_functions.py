@@ -651,3 +651,29 @@ def test_parse_sitemap_routed(spark):
         ("h1", "page", "https://h1/p1"),
         ("h1", "page", "https://h1/p'2"),
     }
+
+
+def test_url_templates(spark):
+    """Digit runs in the PATH become {n}; query/fragment never count;
+    an empty path is '/'; counts aggregate per (host, template)."""
+    from pignlproc_spark.functions.urls import url_templates
+
+    urls = [
+        "https://a.example/p/123",
+        "https://a.example/p/9",                  # same template
+        "https://a.example/c5/item-77?page=3#s2", # query/fragment cut
+        "https://A.example",                      # empty path → '/'
+        "https://b.example/v2/x10y20",            # multiple runs
+    ]
+    got = {
+        (r.host, r.template): r.n_urls
+        for r in url_templates(
+            spark.createDataFrame([(u,) for u in urls], "url string")
+        ).collect()
+    }
+    assert got == {
+        ("a.example", "/p/{n}"): 2,
+        ("a.example", "/c{n}/item-{n}"): 1,
+        ("a.example", "/"): 1,
+        ("b.example", "/v{n}/x{n}y{n}"): 1,
+    }
