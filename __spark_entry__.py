@@ -892,6 +892,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("doc_id").alias("host"), F.col("component_id").alias("component")
         )
 
+    def web_trustrank_q(spark, sf_dir):
+        # TrustRank (VLDB'04): PageRank whose teleport goes only to
+        # trusted seed hosts (cc0/cc1), so trust decays with link
+        # distance — the spam-demoting frontier scorer. Fixed-point
+        # integers, per-edge floors before the sum ⇒ hash-matches the
+        # unrolled MATERIALIZED-CTE oracle. Edge table persisted once;
+        # per-iteration shuffle = the (host, trust_q) table only
+        from pignlproc_spark.operators import stats
+
+        edges = web_link_graph(spark, sf_dir)
+        hosts = (
+            edges.select(F.col("src_host").alias("node"))
+            .union(edges.select(F.col("dst_host").alias("node")))
+            .distinct()
+        )
+        seeds = hosts.where(F.substring("node", 3, 1).isin("0", "1"))
+        out = stats.trustrank_q(
+            edges, seeds, src="src_host", dst="dst_host",
+            weight="n_links", iterations=3,
+        )
+        return out.select(F.col("node").alias("host"), "trust_q")
+
     def web_page_metadata(spark, sf_dir):
         # CCMeta v1 head-metadata bundle (the WAT record a crawl
         # pipeline keeps per page): title, rel="canonical" (both
@@ -1107,6 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         web_frontier_gap=web_frontier_gap,
         web_link_graph=web_link_graph,
         web_hits_q=web_hits_q,
+        web_trustrank_q=web_trustrank_q,
         web_page_metadata=web_page_metadata,
         web_host_components=web_host_components,
         web_anchor_stats=web_anchor_stats,
@@ -2293,6 +2316,45 @@ def _pagerank_q_sql(mentions_rel: str, iters: int = 3) -> str:
     return "\n".join(parts)
 
 
+def _trustrank_q_sql(edges_sql: str, seeds_sql: str, iters: int = 3) -> str:
+    """Fixed-point TrustRank oracle: stats.trustrank_q's integer
+    recurrence unrolled as MATERIALIZED CTEs. ``edges_sql`` provides
+    (src, dst, w); ``seeds_sql`` one column of seed node ids."""
+    from pignlproc_spark.operators.stats import PAGERANK_SCALE
+
+    s = PAGERANK_SCALE
+    parts = [
+        "WITH eraw AS MATERIALIZED (SELECT src, dst, sum(w)::BIGINT AS w "
+        f"FROM ({edges_sql}) GROUP BY src, dst),",
+        "ws AS MATERIALIZED (SELECT src, sum(w)::BIGINT AS wsum FROM eraw GROUP BY src),",
+        "e AS MATERIALIZED (SELECT eraw.src, eraw.dst, eraw.w, ws.wsum FROM eraw JOIN ws USING (src)),",
+        f"sd AS MATERIALIZED (SELECT DISTINCT * FROM ({seeds_sql})),",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e "
+        "UNION SELECT * FROM sd),",
+        "ns AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM sd),",
+        "fl AS MATERIALIZED (SELECT n.node, (EXISTS (SELECT 1 FROM sd WHERE sd.node = n.node))::INT AS seed "
+        "FROM (SELECT node FROM nodes) n),",
+        f"r0 AS MATERIALIZED (SELECT node, (seed * ({s} // ns.n))::BIGINT AS trust_q FROM fl CROSS JOIN ns)"
+        + ("," if iters >= 1 else ""),
+    ]
+    prev = "r0"
+    for k in range(1, iters + 1):
+        parts.append(
+            f"c{k} AS MATERIALIZED (SELECT e.dst AS node, "
+            f"sum((r.trust_q * e.w * 85) // (100 * e.wsum))::BIGINT AS acc"
+            f"  FROM e JOIN {prev} r ON r.node = e.src GROUP BY e.dst),"
+        )
+        parts.append(
+            f"r{k} AS MATERIALIZED (SELECT fl.node, "
+            f"(fl.seed * (({s}::BIGINT * 15) // (100 * ns.n)) + coalesce(c.acc, 0))::BIGINT AS trust_q"
+            f"  FROM fl CROSS JOIN ns LEFT JOIN c{k} c ON fl.node = c.node)"
+            + ("," if k < iters else "")
+        )
+        prev = f"r{k}"
+    parts.append(f"SELECT node, trust_q FROM {prev}")
+    return "\n".join(parts)
+
+
 def _hits_q_sql(edges_sql: str, iters: int = 4) -> str:
     """Fixed-point HITS oracle: the integer recurrence of
     stats.hits_q unrolled as a MATERIALIZED-CTE chain (plain chained
@@ -2718,6 +2780,25 @@ def oracle_sql() -> dict[str, str]:
             + ")",
             iters=4,
         )
+        + "\n)"
+    )
+    # TrustRank — the same host edges, teleport restricted to the
+    # cc0/cc1 seed hosts, unrolled fixed-point recurrence
+    _tr_edges = (
+        "SELECT src_host AS src, dst_host AS dst, n_links AS w FROM ("
+        + o["web_link_graph"]
+        + ")"
+    )
+    _tr_seeds = (
+        "SELECT node FROM (SELECT src_host AS node FROM ("
+        + o["web_link_graph"]
+        + ") UNION SELECT dst_host FROM ("
+        + o["web_link_graph"]
+        + ")) WHERE substr(node, 3, 1) IN ('0', '1')"
+    )
+    o["web_trustrank_q"] = (
+        "SELECT node AS host, trust_q FROM (\n"
+        + _trustrank_q_sql(_tr_edges, _tr_seeds, iters=3)
         + "\n)"
     )
     # host components — reachability over the same host edges

@@ -539,6 +539,98 @@ def hits_q(
     return out
 
 
+def trustrank_q(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iterations: int = 3,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """(node, trust_q BIGINT) — TrustRank (Gyöngyi, Garcia-Molina &
+    Pedersen, VLDB'04): PageRank whose teleport mass goes ONLY to a
+    trusted seed set, so trust decays with link distance from the
+    seeds — the crawl-prioritization / spam-demotion scorer a frontier
+    ranks hosts by when generic PageRank would launder link-farm mass.
+    Fixed-point integers (scale 1e9, damping 85/100 exact), every
+    per-edge contribution floored BEFORE the sum — the same exact-
+    BIGINT contract as :func:`entity_pagerank_q`, so the DuckDB oracle
+    (the recurrence unrolled as MATERIALIZED CTEs,
+    ``__spark_entry__._trustrank_q_sql``) hash-matches.
+
+    Recurrence (all integer ops; S = seed set)::
+
+        r⁰(v)   = (SCALE div |S|) · [v ∈ S]
+        rᵏ⁺¹(v) = [v ∈ S] · (SCALE·15) div (100·|S|)
+                  + Σ_{u→v} (rᵏ(u)·w(u,v)·85) div (100·W(u))
+
+    Dangling mass leaks downward through the floors (ranks only ever
+    shrink relative to the ideal — same stance as entity_pagerank_q).
+    int64 headroom: ranks ≤ SCALE, so edge weights are bounded at
+    ~10⁸ as there. Seeds not present in the edge set still rank (they
+    hold teleport mass); parallel edges are collapsed by summing.
+
+    Scale shape: edge table with (w, wsum) persisted once; each
+    iteration shuffles only the (node, trust_q) table; the seed set
+    arrives as a broadcast membership join.
+    """
+    spark = edges.sparkSession
+    w = F.col(weight).cast("bigint") if weight else F.lit(1).cast("bigint")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w"))
+        .groupBy("src", "dst")
+        .agg(F.sum("w").cast("bigint").alias("w"))
+    )
+    ws = e.groupBy("src").agg(F.sum("w").cast("bigint").alias("wsum"))
+    e = e.join(ws, "src").persist()
+    s = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .unionAll(s.select("node"))
+        .distinct()
+        .persist()
+    )
+    n_s = s.count()
+    if n_s == 0:
+        e.unpersist()
+        nodes.unpersist()
+        raise ValueError("trustrank_q needs a non-empty seed set")
+    flagged = nodes.join(
+        F.broadcast(s.withColumn("_seed", F.lit(1))), "node", "left"
+    ).select("node", F.coalesce(F.col("_seed"), F.lit(0)).alias("_seed"))
+    flagged = flagged.persist()
+    flagged.count()
+    ranks = flagged.select(
+        "node",
+        (F.col("_seed") * F.lit(PAGERANK_SCALE // n_s)).cast("bigint").alias("trust_q"),
+    )
+    base_q = (PAGERANK_SCALE * 15) // (100 * n_s)
+    for it in range(iterations):
+        contribs = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select("dst", F.expr("(trust_q * w * 85) div (100 * wsum)").alias("_c"))
+            .groupBy("dst")
+            .agg(F.sum("_c").cast("bigint").alias("acc"))
+        )
+        ranks = flagged.join(
+            contribs.withColumnRenamed("dst", "node"), "node", "left"
+        ).select(
+            "node",
+            (F.col("_seed") * F.lit(base_q) + F.coalesce(F.col("acc"), F.lit(0)))
+            .cast("bigint")
+            .alias("trust_q"),
+        )
+        if (it + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    ranks = ranks.localCheckpoint(eager=True)
+    e.unpersist()
+    nodes.unpersist()
+    flagged.unpersist()
+    return ranks
+
+
 def entity_triangles(mentions: DataFrame, cooc: DataFrame | None = None) -> DataFrame:
     """(uri, n_triangles) — per-entity triangle counts over the
     co-occurrence graph: the local clustering signal KG-quality checks

@@ -1855,3 +1855,54 @@ def test_hits_q_unweighted_and_empty(spark):
     assert [f.dataType.simpleString() for f in empty_long.schema.fields] == [
         "bigint", "bigint", "bigint",
     ]
+
+
+def test_trustrank_q_matches_dense_reference(spark):
+    """trustrank_q == the dense integer recurrence EXACTLY, on a graph
+    with parallel edges, a dangling node, an off-graph seed, and a
+    spam cluster that must receive trust ONLY through links from the
+    seed side (never via teleport)."""
+    from collections import defaultdict
+
+    from pignlproc_spark.operators import stats
+
+    rows = [
+        ("seed1", "good1", 2), ("seed1", "good2", 1),
+        ("good1", "good2", 1),
+        ("good1", "good2", 2),            # parallel edge — must sum
+        ("good2", "spam1", 1),            # trust decays into spam side
+        ("spam1", "spam2", 5), ("spam2", "spam1", 5),  # link farm loop
+        ("good2", "dangling", 1),         # no out-links: mass leaks
+    ]
+    seeds = ["seed1", "seed2_offgraph"]
+    e = spark.createDataFrame(rows, "s string, d string, c int")
+    sdf = spark.createDataFrame([(x,) for x in seeds], "node string")
+    got = {
+        r.node: r.trust_q
+        for r in stats.trustrank_q(
+            e, sdf, src="s", dst="d", weight="c", iterations=4
+        ).collect()
+    }
+
+    w = defaultdict(int)
+    for s_, d_, c in rows:
+        w[(s_, d_)] += c
+    wsum = defaultdict(int)
+    for (s_, _), c in w.items():
+        wsum[s_] += c
+    nodes = sorted({s_ for s_, _ in w} | {d_ for _, d_ in w} | set(seeds))
+    SCALE = stats.PAGERANK_SCALE
+    r = {v: (SCALE // len(seeds) if v in seeds else 0) for v in nodes}
+    base = SCALE * 15 // (100 * len(seeds))
+    for _ in range(4):
+        acc = defaultdict(int)
+        for (s_, d_), c in w.items():
+            acc[d_] += r[s_] * c * 85 // (100 * wsum[s_])
+        r = {v: (base if v in seeds else 0) + acc.get(v, 0) for v in nodes}
+    assert got == r
+    # total mass never exceeds the injected teleport (the floors only
+    # ever leak mass downward), and an off-graph seed keeps exactly
+    # its teleport share — trust reaches non-seeds ONLY through links
+    assert sum(got.values()) <= SCALE
+    assert got["seed2_offgraph"] == base
+    assert got["spam1"] > 0 and got["dangling"] > 0  # link-borne trust
