@@ -242,6 +242,30 @@ def main():
         ),
     )
     add(
+        "CCCms v1 frequency sketch lookup (broadcast registers)",
+        "Register build is a partial/final COUNT pair on (group, hrow, "
+        "bucket) — shuffle bounded at n_partitions × groups × 4 × 4096 "
+        "rows; the probe lookup BROADCASTS the register table, so the "
+        "probe side never shuffles for the join (only the final "
+        "per-probe MIN aggregates).",
+        (lambda sk: sk.cms_lookup(
+            sk.cms_registers(docs.select("lang", F.col("text").alias("item")), "item", ("lang",)),
+            docs.select("lang", F.col("text").alias("item")).distinct(),
+            "item",
+            ("lang",),
+        ))(__import__("pignlproc_spark.operators.sketches", fromlist=["cms_lookup"])),
+    )
+    add(
+        "CCMeta v1 head metadata (pure codegen projection)",
+        "Title/canonical/description/robots/hreflang are five frozen "
+        "regex scans over ONE shared comment-stripped column — a single "
+        "Project over the scan, zero exchanges, no Python; metadata "
+        "extraction runs at scan speed at any corpus size.",
+        __import__(
+            "pignlproc_spark.functions.html", fromlist=["page_metadata"]
+        ).page_metadata(docs.select(F.col("text").alias("html"))),
+    )
+    add(
         "PII scrub (pure codegen projection)",
         "CCPii v1 redaction is ONE Project over the scan — all four "
         "regexp_replace/regexp_extract_all chains are JVM built-ins, zero "
