@@ -16,6 +16,10 @@ one clean text document per unique canonical URL out —
                        latest warc_ts; ties to the larger raw url) —
                        CCUrl v1 canonicalization, min/max-struct
                        aggregation: the job's single shuffle
+  4b. trap guard     — optional --max-per-template N: at most N
+                       canonical urls per (host, path template) —
+                       calendar/session/faceted traps collapse to one
+                       template and get capped (urls.template_quota)
   5. head metadata   — CCMeta v1 title/canonical columns (always on —
                        a free scan-fused projection) and, with
                        --respect-noindex, the robots-meta gate real
@@ -74,6 +78,12 @@ def main(argv=None):
     ap.add_argument(
         "--respect-noindex", action="store_true",
         help="drop pages whose <meta name=robots> contains noindex (CCMeta v1)",
+    )
+    ap.add_argument(
+        "--max-per-template", type=int,
+        help="crawler-trap guard: keep at most N canonical urls per "
+             "(host, path template) — digit runs collapse to {n} "
+             "(urls.template_quota)",
     )
     ap.add_argument("--fix-mojibake", action="store_true", help="CCMoji v1 repair pass")
     ap.add_argument("--lang", default="en", help="language label for every document")
@@ -177,6 +187,20 @@ def main(argv=None):
             F.col("_cap.html").alias("html"),
         )
     )
+
+    if args.max_per_template:
+        from pignlproc_spark.functions.urls import template_quota
+
+        keep = template_quota(
+            deduped.select(F.col("canonical_url").alias("u")),
+            args.max_per_template,
+            url_col="u",
+        )
+        deduped = deduped.join(
+            keep.select(F.col("url").alias("canonical_url")),
+            "canonical_url",
+            "left_semi",
+        )
 
     # CCMeta v1 head metadata: always-on columns (a scan-fused regex
     # projection costs nothing extra) + the robots-meta verdict

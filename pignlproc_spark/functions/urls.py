@@ -151,6 +151,39 @@ def domain_quota(pages, k: int, url_col: str = "url"):
     )
 
 
+def template_quota(pages, k: int, url_col: str = "url"):
+    """At most ``k`` urls per (host, PATH TEMPLATE), deterministically
+    (url ascending) — the crawler-trap guard: calendar pages, session
+    ids and faceted listings all collapse to one template whose
+    membership explodes, and capping the template bounds the damage
+    while leaving legitimate flat sites untouched (they have many
+    templates with few urls each). Returns (host, template, url, rank)
+    for the keepers; templates per :func:`url_templates` (digit runs →
+    ``{n}``, query/fragment never count).
+
+    Scale shape: ONE shuffle on (host, template), then a
+    within-partition sort + running row_number — same stance as
+    :func:`domain_quota` (a trap template is one partition's sort;
+    AQE splits it if it dominates)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    u = F.col(url_col)
+    raw_path = F.regexp_extract(u, _PATH_RE, 1)
+    path = F.when(raw_path == "", "/").otherwise(raw_path)
+    keyed = pages.select(
+        host_col(u).alias("host"),
+        F.regexp_replace(path, "[0-9]+", "{n}").alias("template"),
+        u.alias("url"),
+    )
+    w = Window.partitionBy("host", "template").orderBy(F.col("url").asc())
+    return (
+        keyed.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("host", "template", "url", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def _robots_groups(robots, host_col_name: str, body_col: str):
     """Shared CCRobots v1 line/group machinery: the (tagged, agents)
     pair — every directive line with its group_start, and the agent

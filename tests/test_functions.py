@@ -677,3 +677,22 @@ def test_url_templates(spark):
         ("a.example", "/"): 1,
         ("b.example", "/v{n}/x{n}y{n}"): 1,
     }
+
+
+def test_template_quota(spark):
+    """At most k urls per (host, template), url-ascending determinism;
+    the trap template is capped while flat pages all survive."""
+    from pignlproc_spark.functions.urls import template_quota
+
+    urls = [f"https://t.example/cal/2024-{m:02d}-01" for m in range(1, 10)]
+    urls += ["https://t.example/about", "https://t.example/contact"]
+    got = template_quota(
+        spark.createDataFrame([(u,) for u in urls], "url string"), k=3
+    ).collect()
+    by_tmpl = {}
+    for r in got:
+        by_tmpl.setdefault(r.template, []).append(r.url)
+    assert sorted(by_tmpl["/cal/{n}-{n}-{n}"]) == urls[:3]  # first 3 by url
+    assert by_tmpl["/about"] == ["https://t.example/about"]
+    assert by_tmpl["/contact"] == ["https://t.example/contact"]
+    assert all(r.rank <= 3 for r in got)

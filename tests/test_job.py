@@ -639,3 +639,38 @@ def test_ingest_crawl_job_robots(spark, tmp_path):
     assert rc == 0
     urls = {r.url for r in spark.read.parquet(out).collect()}
     assert urls == {"https://h.example/private/ok/y", "https://h.example/open/z"}
+
+
+def test_ingest_crawl_job_template_quota(spark, tmp_path):
+    """--max-per-template caps a crawler-trap template while flat
+    pages survive; deterministic keepers (url ascending)."""
+    import gzip
+
+    from jobs.ingest_crawl import main as crawl_main
+    from tests.test_sources import _warc_record
+
+    def resp(url, body_html):
+        body = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body_html
+        )
+        return gzip.compress(
+            _warc_record("response", url, "2024-01-01T00:00:00Z", body), mtime=0
+        )
+
+    members = [resp(f"https://t.example/cal/2024-{m:02d}", b"<p>cal</p>") for m in range(1, 8)]
+    members += [resp("https://t.example/about", b"<p>about</p>")]
+    arc = tmp_path / "crawl"
+    arc.mkdir()
+    (arc / "seg.warc.gz").write_bytes(b"".join(members))
+    out = str(tmp_path / "docs")
+    rc = crawl_main(
+        ["--warc", str(arc / "*.warc.gz"), "--out", out,
+         "--max-per-template", "2", "--no-funnel"]
+    )
+    assert rc == 0
+    urls = sorted(r.url for r in spark.read.parquet(out).collect())
+    assert urls == [
+        "https://t.example/about",
+        "https://t.example/cal/2024-01",
+        "https://t.example/cal/2024-02",
+    ]
