@@ -802,26 +802,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # one (src_host, dst_host) count agg. Scan-side projection +
         # explode + single partial/final agg — the corpus never
         # shuffles at page granularity, only the host-pair edges do
-        from pignlproc_spark.functions.html import extract_hrefs_col
-        from pignlproc_spark.functions.urls import host_col, resolve_href_col
+        from pignlproc_spark.functions.urls import host_col, host_link_edges
 
         pages = synth.pages_for(spark, sf_dir)
-        hosts = pages.select(host_col(F.col("url")).alias("src_host"))
-        html = F.concat(
-            F.lit(LINK_WRAP_PRE), F.col("src_host"), F.lit(LINK_WRAP_POST)
+        with_html = pages.select(
+            "url",
+            F.concat(
+                F.lit(LINK_WRAP_PRE), host_col(F.col("url")), F.lit(LINK_WRAP_POST)
+            ).alias("html"),
         )
-        hrefs = hosts.select(
-            "src_host", F.explode(extract_hrefs_col(html)).alias("href")
-        )
-        resolved = hrefs.select(
-            "src_host",
-            resolve_href_col(F.col("href"), F.col("src_host")).alias("_r"),
-        ).where(F.col("_r").isNotNull())
-        return (
-            resolved.select("src_host", host_col(F.col("_r")).alias("dst_host"))
-            .groupBy("src_host", "dst_host")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_links"))
-        )
+        return host_link_edges(with_html)
 
     def web_hits_q(spark, sf_dir):
         # Kleinberg HITS over the host link graph in fixed-point

@@ -292,6 +292,34 @@ def robots_crawl_delay(robots, host_col_name: str = "host", body_col: str = "bod
     )
 
 
+def host_link_edges(pages, url_col: str = "url", html_col: str = "html"):
+    """(src_host, dst_host, n_links) — the host-level link graph of a
+    crawled pages table: CCLink v1 href scan over the html, each href
+    resolved against the page's host, then one count agg per host
+    pair. The edge feed PageRank / TrustRank / HITS / components and
+    the crawl frontier all consume.
+
+    Scale shape: scan-side projection + explode + a single
+    partial/final agg — pages never shuffle at page granularity, only
+    the (src_host, dst_host) pairs do."""
+    from pignlproc_spark.functions.html import extract_hrefs_col
+
+    u = F.col(url_col)
+    hrefs = pages.select(
+        host_col(u).alias("src_host"),
+        F.explode(extract_hrefs_col(F.col(html_col))).alias("href"),
+    )
+    resolved = hrefs.select(
+        "src_host",
+        resolve_href_col(F.col("href"), F.col("src_host")).alias("_r"),
+    ).where(F.col("_r").isNotNull())
+    return (
+        resolved.select("src_host", host_col(F.col("_r")).alias("dst_host"))
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_links"))
+    )
+
+
 def url_templates(pages, url_col: str = "url"):
     """(host, template, n_urls) — URL path templates: every maximal
     digit run in the PATH replaced by ``{n}`` (query/fragment never

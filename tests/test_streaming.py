@@ -828,3 +828,77 @@ def test_cms_store_cold_start_schema(spark, tmp_path):
     ]
     assert empty_regs.unionByName(fresh).count() == 4  # D_CMS rows
     assert topk.read_topk(spark, str(tmp_path / "hh_none"), "item", ("g",)).count() == 0
+
+
+def test_streaming_link_graph_matches_batch(spark, tmp_path):
+    """Edge SUM deltas drained through a real file stream must merge
+    to the IDENTICAL link graph as the batch scan over the union —
+    and a graph scorer run on the maintained table must equal the
+    same scorer on batch edges (the composability the store exists
+    for). Replay and compaction are no-ops."""
+    from __spark_entry__ import LINK_WRAP_POST, LINK_WRAP_PRE
+    from pignlproc_spark.functions.urls import host_link_edges
+    from pignlproc_spark.operators import stats
+    from pignlproc_spark.streaming import counts, linkgraph
+
+    src = str(tmp_path / "lg_in")
+    pages = spark.range(0, 400).select(
+        F.concat(
+            F.lit("https://cc"), (F.col("id") % 7).cast("string"),
+            F.lit(".example/p/"), F.lpad(F.col("id").cast("string"), 7, "0"),
+        ).alias("url")
+    ).select(
+        "url",
+        F.concat(
+            F.lit(LINK_WRAP_PRE),
+            F.regexp_extract("url", r"://([^/]+)/", 1),
+            F.lit(LINK_WRAP_POST),
+        ).alias("html"),
+    )
+    pages.repartition(4).write.mode("overwrite").parquet(src)
+
+    graph_dir = str(tmp_path / "lg_edges")
+    q = (
+        spark.readStream.schema("url string, html string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(
+            linkgraph.foreach_batch_hook(graph_dir, compact_every=2)
+        )
+        .option("checkpointLocation", str(tmp_path / "lg_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    want = sorted(tuple(r) for r in host_link_edges(pages).collect())
+    got_edges = linkgraph.read_edges(spark, graph_dir)
+    assert sorted(tuple(r) for r in got_edges.collect()) == want
+
+    # a scorer on the maintained table == the scorer on batch edges
+    batch_hits = sorted(
+        tuple(r)
+        for r in stats.hits_q(
+            host_link_edges(pages), src="src_host", dst="dst_host",
+            weight="n_links", iterations=2,
+        ).collect()
+    )
+    stream_hits = sorted(
+        tuple(r)
+        for r in stats.hits_q(
+            got_edges, src="src_host", dst="dst_host",
+            weight="n_links", iterations=2,
+        ).collect()
+    )
+    assert stream_hits == batch_hits
+
+    # replaying a batch id the stream already folded is a no-op (the
+    # manifest high-water mark — SUM deltas have NO value-level
+    # idempotence, so this is the contract that matters); an explicit
+    # compact afterwards changes nothing a reader can observe
+    linkgraph.append_batch(pages.limit(50), 0, graph_dir)
+    counts.compact(
+        spark, graph_dir, ["src_host", "dst_host"], min_deltas=1,
+        value="cnt", how="sum",
+    )
+    assert sorted(tuple(r) for r in linkgraph.read_edges(spark, graph_dir).collect()) == want
