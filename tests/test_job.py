@@ -674,3 +674,59 @@ def test_ingest_crawl_job_template_quota(spark, tmp_path):
         "https://t.example/cal/2024-01",
         "https://t.example/cal/2024-02",
     ]
+
+
+def test_crawl_graph_job_end_to_end(spark, tmp_path, capsys):
+    """Drop-dir pages → maintained edge store → ranked hosts; the
+    job's HITS output must equal hits_q on batch edges, and a second
+    drain with the same checkpoint must be a no-op."""
+    import json as _json
+
+    from __spark_entry__ import LINK_WRAP_POST, LINK_WRAP_PRE
+    from jobs.crawl_graph import main as graph_main
+    from pignlproc_spark.functions.urls import host_link_edges
+    from pignlproc_spark.operators import stats
+
+    pages = spark.range(0, 300).select(
+        F.concat(
+            F.lit("https://cc"), (F.col("id") % 5).cast("string"),
+            F.lit(".example/p/"), F.lpad(F.col("id").cast("string"), 7, "0"),
+        ).alias("url")
+    ).select(
+        "url",
+        F.concat(
+            F.lit(LINK_WRAP_PRE),
+            F.regexp_extract("url", r"://([^/]+)/", 1),
+            F.lit(LINK_WRAP_POST),
+        ).alias("html"),
+    )
+    drop = tmp_path / "pages_drop"
+    pages.repartition(3).write.parquet(str(drop))
+    out = str(tmp_path / "scores")
+    rc = graph_main([
+        "--pages", str(drop), "--root", str(tmp_path / "lg"),
+        "--checkpoint", str(tmp_path / "ck"), "--out", out,
+        "--scorer", "hits", "--iterations", "2",
+    ])
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["hosts_ranked"] > 0 and summary["edges"] > 0
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    want = sorted(
+        tuple(r)
+        for r in stats.hits_q(
+            host_link_edges(pages), src="src_host", dst="dst_host",
+            weight="n_links", iterations=2,
+        ).select(F.col("node").alias("host"), "hub_q", "auth_q").collect()
+    )
+    assert got == want
+
+    # re-drain with the same checkpoint: no new files, scores identical
+    rc2 = graph_main([
+        "--pages", str(drop), "--root", str(tmp_path / "lg"),
+        "--checkpoint", str(tmp_path / "ck"), "--out", str(tmp_path / "s2"),
+        "--scorer", "trustrank", "--iterations", "2",
+    ])
+    assert rc2 == 0
+    tr = spark.read.parquet(str(tmp_path / "s2"))
+    assert tr.count() == len(want) and tr.where(F.col("score") < 0).count() == 0
