@@ -49,11 +49,16 @@ HTML_WRAP_MID = "</h1><p>"
 # The badbot group's Crawl-delay must NOT leak into the * verdicts;
 # the non-integer trailing delay is ignored per the CCRobots v1
 # integer-seconds freeze (robots_crawl_delay).
+# Sitemap: directives are group-independent (one before any group —
+# case kept in the value — one inside the * group) and invisible to
+# the allow/disallow verdict parse.
 ROBOTS_BODY = (
     "# synthetic robots fixture\n"
+    "Sitemap: https://SEE.example/root-sitemap.xml\n"
     "User-agent: badbot\nDisallow: /\nCrawl-delay: 99\n\n"
     "User-agent: *\nCrawl-delay: 3\nDisallow: /p/0000\nAllow: /p/00000\n"
     "Crawl-delay: 2.5\n"
+    "Sitemap: https://cdn.example/maps/site-2.xml\n"
 )
 HTML_WRAP_POST = (
     "</p><ul><li>&lt;escaped&gt; &amp;co.</li>"
@@ -648,6 +653,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         robots = hosts.select("host", F.lit(ROBOTS_BODY).alias("body"))
         return robots_filter(pages, parse_robots(robots))
 
+    def web_robots_sitemaps(spark, sf_dir):
+        # group-independent Sitemap: directives (sitemaps.org protocol)
+        # — one before any UA group (value case KEPT), one inside the
+        # * group; the discovery bridge robots.txt → sitemap routing.
+        # Same single line-explode as the verdict parse + one distinct
+        from pignlproc_spark.functions.urls import host_col, robots_sitemaps
+
+        pages = synth.pages_for(spark, sf_dir)
+        hosts = (
+            pages.select(host_col(F.col("url")).alias("host"))
+            .distinct()
+            .where(F.substring("host", 3, 1).isin(*"01234"))
+        )
+        robots = hosts.select("host", F.lit(ROBOTS_BODY).alias("body"))
+        return robots_sitemaps(robots)
+
     def web_crawl_delays(spark, sf_dir):
         # Crawl-delay of the * groups (CCRobots v1 extension): integer
         # seconds only, MAX across groups; the badbot group's delay
@@ -1113,6 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs_winnowing=docs_winnowing,
         web_robots_filter=web_robots_filter,
         web_crawl_delays=web_crawl_delays,
+        web_robots_sitemaps=web_robots_sitemaps,
         web_sitemap_urls=web_sitemap_urls,
         web_sitemap_routing=web_sitemap_routing,
         web_url_templates=web_url_templates,
@@ -2118,6 +2140,16 @@ def robots_delay_sql(pages_rel: str) -> str:
     """
 
 
+def robots_sitemaps_sql(pages_rel: str) -> str:
+    """(host, sitemap_url) — the DuckDB side of robots_sitemaps:
+    group-independent Sitemap: directives, case-kept values."""
+    return f"""
+    WITH {_robots_tagged_sql(pages_rel)}
+    SELECT DISTINCT host, value AS sitemap_url FROM tagged
+    WHERE key = 'sitemap' AND value != ''
+    """
+
+
 def robots_verdict_sql(pages_rel: str) -> str:
     """(url, host, allow, matched_prefix) — the DuckDB side of the
     CCRobots v1 parse + RFC 9309 verdict over ``pages_rel``; shared by
@@ -2667,6 +2699,7 @@ def oracle_sql() -> dict[str, str]:
     # output column depends on them)
     o["web_robots_filter"] = robots_verdict_sql(g("pages"))
     o["web_crawl_delays"] = robots_delay_sql(g("pages"))
+    o["web_robots_sitemaps"] = robots_sitemaps_sql(g("pages"))
     o["web_url_blocklist"] = blocklist_sql(g("pages"))
     o["web_crawl_pipeline"] = f"""
     WITH bl AS ({blocklist_sql(g('pages'))}),

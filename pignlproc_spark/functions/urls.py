@@ -344,6 +344,26 @@ def url_templates(pages, url_col: str = "url"):
     )
 
 
+def robots_sitemaps(robots, host_col_name: str = "host", body_col: str = "body"):
+    """(host, sitemap_url) — the ``Sitemap:`` directives of each
+    robots.txt body (CCRobots v1 extension). Per the sitemaps.org
+    protocol the directive is GROUP-INDEPENDENT: it counts wherever it
+    appears, inside or outside any User-agent group, and the value
+    keeps its case (URLs are case-sensitive past the host). Empty
+    values drop; duplicates within one host dedup. This is the
+    discovery bridge: robots.txt → sitemap urls →
+    :func:`parse_sitemap_routed` → frontier candidates.
+
+    Scale shape: the same single line-explode as the verdict parse,
+    one distinct on (host, url)."""
+    tagged, _ = _robots_groups(robots, host_col_name, body_col)
+    return (
+        tagged.where((F.col("key") == "sitemap") & (F.col("value") != ""))
+        .select("host", F.col("value").alias("sitemap_url"))
+        .distinct()
+    )
+
+
 def robots_filter(pages, rules, url_col: str = "url"):
     """(url, host, allow INT, matched_prefix) — the RFC 9309 verdict of
     CCRobots v1 rules for every page: among the host's matching rules

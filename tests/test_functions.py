@@ -696,3 +696,29 @@ def test_template_quota(spark):
     assert by_tmpl["/about"] == ["https://t.example/about"]
     assert by_tmpl["/contact"] == ["https://t.example/contact"]
     assert all(r.rank <= 3 for r in got)
+
+
+def test_robots_sitemaps(spark):
+    """Sitemap: directives are group-independent (pre-group and
+    in-group both count), value case is KEPT, empties drop, and
+    duplicates within a host dedup."""
+    from pignlproc_spark.functions.urls import robots_sitemaps
+
+    body = (
+        "Sitemap: https://CDN.example/Root.xml\n"
+        "User-agent: badbot\nDisallow: /\n"
+        "Sitemap: https://h.example/inner.xml\n\n"
+        "User-agent: *\nDisallow: /x\n"
+        "Sitemap:\n"  # empty value: dropped
+        "Sitemap: https://CDN.example/Root.xml\n"  # dup: one row
+    )
+    got = {
+        (r.host, r.sitemap_url)
+        for r in robots_sitemaps(
+            spark.createDataFrame([("h.example", body)], "host string, body string")
+        ).collect()
+    }
+    assert got == {
+        ("h.example", "https://CDN.example/Root.xml"),
+        ("h.example", "https://h.example/inner.xml"),
+    }
