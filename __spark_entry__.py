@@ -492,6 +492,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             default_pct=40,
         )
 
+    def docs_mix_temperature(spark, sf_dir):
+        # τ=2 temperature mixing: per-source rates DERIVED as
+        # √-shares of the corpus (α=1/2 is the one temperature that
+        # stays oracle-exact — IEEE sqrt is correctly rounded, then
+        # quantized to BIGINT immediately); same frozen md5-bucket
+        # fractional-epoch rule as docs_mix_corpus. The uniform src0–19
+        # labels are folded into skewed web/books/code groups (14:4:2)
+        # so the flattening is real: the head rate lands BELOW 100,
+        # the tail ABOVE. Tiny source table + 1-row broadcast; the
+        # corpus never shuffles
+        d = _read(spark, sf_dir, "documents").withColumn(
+            "_idx", F.substring("source", 4, 10).cast("int")
+        )
+        grouped = d.withColumn(
+            "source",
+            F.when(F.col("_idx") < 14, "web")
+            .when(F.col("_idx") < 18, "books")
+            .otherwise("code"),
+        )
+        return textstats.temperature_mix(grouped)
+
     def docs_quality_gate(spark, sf_dir):
         return textstats.quality_gate(_read(spark, sf_dir, "documents"), q=10)
 
@@ -1352,6 +1373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs_containment_pairs=docs_containment_pairs,
         docs_rarity_score=docs_rarity_score,
         docs_mix_corpus=docs_mix_corpus,
+        docs_mix_temperature=docs_mix_temperature,
         docs_quality_gate=docs_quality_gate,
         docs_tfidf_topk=docs_tfidf_topk,
         emb_dot_topk=emb_dot_topk,
@@ -2990,6 +3012,35 @@ def oracle_sql() -> dict[str, str]:
     )
     SELECT doc_id, source,
            unnest(range(1, w // 100 + CASE WHEN bucket < w % 100 THEN 1 ELSE 0 END + 1))::INT AS epoch
+    FROM b
+    """
+    # τ=2 temperature mix — the oracle repeats the quantized-sqrt
+    # integer chain from the same constants (SQRT_Q, md5 bucket)
+    from pignlproc_spark.operators.textstats import SQRT_Q
+
+    o["docs_mix_temperature"] = f"""
+    WITH d AS (
+      SELECT doc_id, CASE WHEN substr(source, 4)::INT < 14 THEN 'web'
+                          WHEN substr(source, 4)::INT < 18 THEN 'books'
+                          ELSE 'code' END AS source
+      FROM documents
+    ), n AS (
+      SELECT source, count(*)::BIGINT AS n FROM d GROUP BY source
+    ), q AS (
+      SELECT source, n, CAST(floor(sqrt((n * {SQRT_Q})::DOUBLE)) AS BIGINT) AS sq FROM n
+    ), t AS (
+      SELECT sum(n)::BIGINT AS nn, sum(sq)::BIGINT AS ss FROM q
+    ), r AS (
+      SELECT source, ((100 * ((100 * nn) // 100) * sq) // (ss * n))::BIGINT AS rate
+      FROM q CROSS JOIN t
+    ), b AS (
+      SELECT d.doc_id::BIGINT AS doc_id, d.source,
+             (('0x' || substr(md5(d.doc_id::VARCHAR), 1, 4))::BIGINT % 100) AS bucket,
+             r.rate
+      FROM d JOIN r USING (source)
+    )
+    SELECT doc_id, source,
+           unnest(range(1, rate // 100 + CASE WHEN bucket < rate % 100 THEN 1 ELSE 0 END + 1))::INT AS epoch
     FROM b
     """
     o["docs_quality_gate"] = f"""

@@ -328,6 +328,72 @@ def mix_corpus(
     )
 
 
+#: √-quantizer for temperature_mix: √n is floored at 3 decimal digits
+#: (floor(√(n·10⁶))), so every downstream step is exact BIGINT.
+SQRT_Q = 1_000_000
+
+
+def temperature_mix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    budget_pct: int = 100,
+) -> DataFrame:
+    """(doc_id, source, epoch) — temperature sampling at τ = 2
+    (α = 1/2): each source's share of the emitted budget is ∝ √n_i,
+    the standard multilingual/multi-source flattening (UNIMAX-style —
+    heads are damped, tails boosted) — :func:`mix_corpus` with the
+    weights DERIVED from corpus statistics instead of hand-set.
+    ``budget_pct`` scales the total emitted docs (100 ≈ one corpus
+    worth, re-apportioned by √-share).
+
+    Exactness contract: α = 1/2 is the one temperature that stays
+    oracle-exact — IEEE sqrt of an exactly-representable integer is
+    CORRECTLY ROUNDED (unlike pow/ln, which are libm-specific), and
+    it is quantized immediately: sq_i = floor(√(n_i·10⁶)), then every
+    later step is integer arithmetic. Per-source percent rate
+    = (100·T·sq_i) div (S·n_i) with T = (budget_pct·N) div 100,
+    S = Σ sq_i; per-doc copies then follow :func:`mix_corpus`'s
+    frozen md5-bucket rule. int64 headroom: 100·T·sq_i < 2⁶³ bounds
+    the corpus at ~2·10⁹ docs at the default quantizer.
+
+    Scale shape: one partial/final count per source (a tiny table),
+    a 1-row totals broadcast, a broadcast rate join back onto the
+    corpus, and the same no-shuffle sequence/explode emission as
+    mix_corpus — the corpus itself never shuffles.
+    """
+    if budget_pct < 0:
+        raise ValueError(f"budget_pct must be >= 0; got {budget_pct}")
+    n = df.groupBy(source_col).agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    q = n.withColumn(
+        "_sq", F.floor(F.sqrt(F.col("_n") * F.lit(SQRT_Q))).cast("bigint")
+    )
+    tot = q.agg(
+        F.sum("_n").cast("bigint").alias("_tot_n"),
+        F.sum("_sq").cast("bigint").alias("_tot_sq"),
+    )
+    rates = q.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        F.expr(f"(100 * (({budget_pct} * _tot_n) div 100) * _sq) div (_tot_sq * _n)")
+        .cast("bigint")
+        .alias("_rate"),
+    )
+    joined = df.join(F.broadcast(rates), source_col).withColumn(
+        "_bucket", hash_bucket(F.col(id_col), 100)
+    )
+    n_copies = F.expr(
+        "(_rate div 100) + IF(_bucket < _rate % 100, 1, 0)"
+    ).cast("int")
+    copies = F.when(n_copies >= 1, F.sequence(F.lit(1), n_copies)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return joined.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.col(source_col).alias("source"),
+        F.explode(copies).alias("epoch"),
+    )
+
+
 def quality_gate(
     df: DataFrame,
     id_col: str = "doc_id",

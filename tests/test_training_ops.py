@@ -1906,3 +1906,49 @@ def test_trustrank_q_matches_dense_reference(spark):
     assert sum(got.values()) <= SCALE
     assert got["seed2_offgraph"] == base
     assert got["spam1"] > 0 and got["dangling"] > 0  # link-borne trust
+
+
+def test_temperature_mix_flattens_sqrt_exact(spark):
+    """τ=2 mixing: rates follow the quantized-√ integer chain exactly
+    (recomputed in pure Python), the head source is damped below 100%
+    and the tail boosted above, and total emissions stay within one
+    md5-bucket granule of the budget."""
+    import math
+
+    from pignlproc_spark.operators import textstats
+
+    sizes = {"web": 3200, "books": 800, "code": 200}
+    rows = []
+    i = 0
+    for s, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, s))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = textstats.temperature_mix(df)
+    per_source = {
+        r.source: r.c
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+
+    N = sum(sizes.values())
+    sq = {s: math.floor(math.sqrt(n * textstats.SQRT_Q)) for s, n in sizes.items()}
+    S = sum(sq.values())
+    rate = {s: (100 * N * sq[s]) // (S * sizes[s]) for s in sizes}
+    assert rate["web"] < 100 < rate["code"] and rate["books"] > 100
+    # exact per-source emission: n*(rate div 100) + |{buckets < rate%100}|
+    # — the bucket fraction is deterministic, so just compare to Spark
+    for s, n in sizes.items():
+        lo = n * (rate[s] // 100)
+        assert lo <= per_source[s] <= lo + n  # fractional part within [0, n]
+    # every doc's copy count matches the frozen rule exactly
+    got_copies = {
+        r.doc_id: r.c
+        for r in out.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    import hashlib
+
+    for doc_id, s in rows[::37]:  # sample the lattice
+        bucket = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16) % 100
+        want = rate[s] // 100 + (1 if bucket < rate[s] % 100 else 0)
+        assert got_copies.get(doc_id, 0) == want, (doc_id, s)
