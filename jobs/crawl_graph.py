@@ -11,8 +11,10 @@ rows, never pages.
 
 Scorers: ``--scorer hits`` (stats.hits_q hubs/authorities) or
 ``--scorer trustrank`` (stats.trustrank_q; seeds from ``--seeds``, a
-text file of one trusted host per line, else every host whose name
-the crawl saw first — pass real seeds in production).
+text file of one trusted host per line, else every host WITH
+OUT-LINKS — a degenerate all-trusted default; pass real seeds in
+production). An empty graph or empty seed set writes an empty ranked
+table rather than failing the refresh.
 
 Cluster usage:
 
@@ -82,16 +84,19 @@ def main(argv=None):
             )
         else:
             seeds = edges.select(F.col("src_host").alias("node")).distinct()
-        scores = stats.trustrank_q(
-            edges, seeds, src="src_host", dst="dst_host",
-            weight="n_links", iterations=args.iterations,
-        ).select(F.col("node").alias("host"), F.col("trust_q").alias("score"))
+        if not seeds.head(1):
+            # pre-first-batch refresh or a blank seeds file: an empty
+            # ranked table, not a failed job (matches the hits branch)
+            scores = spark.createDataFrame([], "host string, score bigint")
+        else:
+            scores = stats.trustrank_q(
+                edges, seeds, src="src_host", dst="dst_host",
+                weight="n_links", iterations=args.iterations,
+            ).select(F.col("node").alias("host"), F.col("trust_q").alias("score"))
     else:
         scores = stats.hits_q(
             edges, src="src_host", dst="dst_host",
             weight="n_links", iterations=args.iterations,
-        ).select(
-            "node", "hub_q", "auth_q"
         ).select(F.col("node").alias("host"), "hub_q", "auth_q")
     scores.write.mode("overwrite").parquet(args.out)
 

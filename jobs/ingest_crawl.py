@@ -188,7 +188,9 @@ def main(argv=None):
         )
     )
 
-    if args.max_per_template:
+    if args.max_per_template is not None:
+        # template_quota itself rejects k < 1, so a typo'd negative or
+        # zero cap fails loudly instead of silently emptying the crawl
         from pignlproc_spark.functions.urls import template_quota
 
         keep = template_quota(

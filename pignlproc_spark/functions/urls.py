@@ -165,15 +165,15 @@ def template_quota(pages, k: int, url_col: str = "url"):
     within-partition sort + running row_number — same stance as
     :func:`domain_quota` (a trap template is one partition's sort;
     AQE splits it if it dominates)."""
+    if k < 1:
+        raise ValueError(f"template_quota needs k >= 1; got {k}")
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     u = F.col(url_col)
-    raw_path = F.regexp_extract(u, _PATH_RE, 1)
-    path = F.when(raw_path == "", "/").otherwise(raw_path)
     keyed = pages.select(
         host_col(u).alias("host"),
-        F.regexp_replace(path, "[0-9]+", "{n}").alias("template"),
+        _template_col(u).alias("template"),
         u.alias("url"),
     )
     w = Window.partitionBy("host", "template").orderBy(F.col("url").asc())
@@ -332,16 +332,19 @@ def url_templates(pages, url_col: str = "url"):
     Scale shape: codegen'd regex projection + one partial/final count
     — urls never shuffle, only (host, template) pairs do."""
     u = F.col(url_col)
-    raw_path = F.regexp_extract(u, _PATH_RE, 1)
-    path = F.when(raw_path == "", "/").otherwise(raw_path)
     return (
-        pages.select(
-            host_col(u).alias("host"),
-            F.regexp_replace(path, "[0-9]+", "{n}").alias("template"),
-        )
+        pages.select(host_col(u).alias("host"), _template_col(u).alias("template"))
         .groupBy("host", "template")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_urls"))
     )
+
+
+def _template_col(u) -> "Column":
+    """The frozen template derivation shared by :func:`url_templates`
+    and :func:`template_quota`: path (empty → '/'), digit runs → {n}."""
+    raw_path = F.regexp_extract(u, _PATH_RE, 1)
+    path = F.when(raw_path == "", "/").otherwise(raw_path)
+    return F.regexp_replace(path, "[0-9]+", "{n}")
 
 
 def robots_sitemaps(robots, host_col_name: str = "host", body_col: str = "body"):
