@@ -83,6 +83,14 @@ def main(argv=None):
                 .distinct()
             )
         else:
+            # all-trusted fallback makes TrustRank's spam demotion a
+            # no-op (degenerate near-PageRank) — shout, don't whisper
+            print(
+                "WARNING: --scorer trustrank without --seeds trusts EVERY "
+                "host with out-links; spam demotion is disabled. Pass a "
+                "real seed list in production.",
+                file=sys.stderr,
+            )
             seeds = edges.select(F.col("src_host").alias("node")).distinct()
         if not seeds.head(1):
             # pre-first-batch refresh or a blank seeds file: an empty

@@ -488,8 +488,10 @@ def hits_q(
     integer-exact. int64 headroom: scores ≤ SCALE and
     raw·SCALE < 2⁶³ needs max weighted degree Σw < 9.2e6 at the
     default SCALE (host-graph territory; lower SCALE for denser
-    graphs). Parallel edges are collapsed by summing ``weight``
-    first, so multigraph inputs are well-defined.
+    graphs) — GUARDED: a graph over the bound raises ValueError with
+    a rescale hint instead of silently wrapping. Parallel edges are
+    collapsed by summing ``weight`` first, so multigraph inputs are
+    well-defined.
 
     Scale shape: the (src, dst, w) edge table is persisted once; each
     half-step shuffles only the (node, score) table plus a 1-row
@@ -525,6 +527,29 @@ def hits_q(
         e.unpersist()
         nodes.unpersist()
         return spark.createDataFrame([], schema)
+    # headroom guard: scores ≤ SCALE, so raw ≤ SCALE·Σw and the
+    # normalization multiplies by SCALE again — a node whose weighted
+    # degree exceeds 2⁶³/SCALE² would silently wrap BIGINT (Spark is
+    # non-ANSI here) and corrupt every rank. One cheap job on the
+    # persisted edge table; real crawl graphs (jobs/crawl_graph.py
+    # feeds n_links-weighted host edges) CAN hit this on hub hosts.
+    limit = (2**63) // HITS_SCALE // HITS_SCALE
+    maxdeg = (
+        e.select(F.col("src").alias("_n"), "w")
+        .unionAll(e.select(F.col("dst").alias("_n"), "w"))
+        .groupBy("_n")
+        .agg(F.sum("w").alias("_d"))
+        .agg(F.max("_d"))
+        .first()[0]
+    )
+    if maxdeg is not None and maxdeg > limit:
+        e.unpersist()
+        nodes.unpersist()
+        raise ValueError(
+            f"hits_q int64 headroom: max weighted degree {maxdeg} exceeds "
+            f"{limit} at SCALE={HITS_SCALE}; pre-scale the weight column "
+            f"down (e.g. w div {-(-maxdeg // limit)}) before calling"
+        )
     h = nodes.select("node", F.lit(HITS_SCALE).cast("bigint").alias("hub_q"))
     a = nodes.select("node", F.lit(0).cast("bigint").alias("auth_q"))
     for it in range(iterations):
@@ -568,7 +593,8 @@ def trustrank_q(
     Dangling mass leaks downward through the floors (ranks only ever
     shrink relative to the ideal — same stance as entity_pagerank_q).
     int64 headroom: ranks ≤ SCALE, so edge weights are bounded at
-    ~10⁸ as there. Seeds not present in the edge set still rank (they
+    ~10⁸ — GUARDED: an over-bound weight raises ValueError with a
+    rescale hint. Seeds not present in the edge set still rank (they
     hold teleport mass); parallel edges are collapsed by summing.
 
     Scale shape: edge table with (w, wsum) persisted once; each
@@ -597,6 +623,20 @@ def trustrank_q(
         e.unpersist()
         nodes.unpersist()
         raise ValueError("trustrank_q needs a non-empty seed set")
+    # headroom guard: per-edge contribution is trust_q·w·85 with
+    # trust_q ≤ SCALE, so a single collapsed edge weight above
+    # 2⁶³/(85·SCALE) (~1.08e8) silently wraps BIGINT and corrupts the
+    # ranking. One cheap max() on the persisted edge table.
+    w_limit = (2**63) // (85 * PAGERANK_SCALE)
+    max_w = e.agg(F.max("w")).first()[0]
+    if max_w is not None and max_w > w_limit:
+        e.unpersist()
+        nodes.unpersist()
+        raise ValueError(
+            f"trustrank_q int64 headroom: max collapsed edge weight {max_w} "
+            f"exceeds {w_limit} at SCALE={PAGERANK_SCALE}; pre-scale the "
+            f"weight column down (e.g. w div {-(-max_w // w_limit)})"
+        )
     flagged = nodes.join(
         F.broadcast(s.withColumn("_seed", F.lit(1))), "node", "left"
     ).select("node", F.coalesce(F.col("_seed"), F.lit(0)).alias("_seed"))

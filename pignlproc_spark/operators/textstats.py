@@ -362,8 +362,11 @@ def temperature_mix(
     corpus, and the same no-shuffle sequence/explode emission as
     mix_corpus — the corpus itself never shuffles.
     """
-    if budget_pct < 0:
-        raise ValueError(f"budget_pct must be >= 0; got {budget_pct}")
+    # budget_pct is spliced into F.expr SQL below — a float (50.5)
+    # would silently change the integer-div semantics, so reject
+    # anything but a true non-negative int (bool is an int subclass)
+    if not isinstance(budget_pct, int) or isinstance(budget_pct, bool) or budget_pct < 0:
+        raise ValueError(f"budget_pct must be a non-negative int; got {budget_pct!r}")
     n = df.groupBy(source_col).agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
     q = n.withColumn(
         "_sq", F.floor(F.sqrt(F.col("_n") * F.lit(SQRT_Q))).cast("bigint")

@@ -45,6 +45,12 @@ def _cand_dir(store_dir: str) -> str:
     return f"{store_dir}/cand"
 
 
+def _item_name(item: str) -> str:
+    """``item`` may carry a type ("doc_id bigint") for the candidate
+    store's cold-start schema — column references use the bare name."""
+    return item.split()[0]
+
+
 def append_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -62,16 +68,21 @@ def append_batch(
     that is a single-reducer top-k over the batch's distinct items:
     bounded by the micro-batch, not the corpus, which is the
     batch-sizing contract (same stance as the per-host fetch-schedule
-    window)."""
-    frequency.append_batch(batch_df, batch_id, item, groups, _cms_dir(store_dir))
-    bc = batch_df.groupBy(*groups, item).agg(F.count(F.lit(1)).alias("_cnt"))
+    window).
+
+    ``item`` may carry a type spec ("doc_id bigint") — forwarded to
+    the candidate store so a cold-start (empty) read has the same
+    schema as a populated one for non-string item columns."""
+    name = _item_name(item)
+    frequency.append_batch(batch_df, batch_id, name, groups, _cms_dir(store_dir))
+    bc = batch_df.groupBy(*groups, name).agg(F.count(F.lit(1)).alias("_cnt"))
     w = Window.partitionBy(*[F.col(g) for g in groups]).orderBy(
-        F.desc("_cnt"), F.col(item)
+        F.desc("_cnt"), F.col(name)
     )
     cand = (
         bc.withColumn("_r", F.row_number().over(w))
         .where(F.col("_r") <= k_track)
-        .select(*groups, item, F.lit(1).cast("long").alias("seen"))
+        .select(*groups, name, F.lit(1).cast("long").alias("seen"))
     )
     counts.append_delta(cand, _cand_dir(store_dir), batch_id)
 
@@ -79,7 +90,8 @@ def append_batch(
 def read_candidates(
     spark: SparkSession, store_dir: str, item: str, groups: tuple[str, ...]
 ) -> DataFrame:
-    """(groups…, item) — every item ever tracked (MAX-merged set)."""
+    """(groups…, item) — every item ever tracked (MAX-merged set).
+    A typed ``item`` ("doc_id bigint") pins the cold-start schema."""
     return counts.read_counts(
         spark, _cand_dir(store_dir), [*groups, item], value="seen", how="max"
     ).drop("seen")
@@ -95,10 +107,11 @@ def read_topk(
     """(groups…, item, est_count, rank) — the top-``k`` tracked items
     per group by sketch estimate (ties broken by item, so the report
     is deterministic under replay and compaction)."""
+    name = _item_name(item)
     cand = read_candidates(spark, store_dir, item, groups)
-    est = frequency.read_estimates(spark, _cms_dir(store_dir), cand, item, groups)
+    est = frequency.read_estimates(spark, _cms_dir(store_dir), cand, name, groups)
     w = Window.partitionBy(*[F.col(g) for g in groups]).orderBy(
-        F.desc("est_count"), F.col(item)
+        F.desc("est_count"), F.col(name)
     )
     return est.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 

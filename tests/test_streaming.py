@@ -830,6 +830,31 @@ def test_cms_store_cold_start_schema(spark, tmp_path):
     assert topk.read_topk(spark, str(tmp_path / "hh_none"), "item", ("g",)).count() == 0
 
 
+def test_topk_typed_item_cold_start(spark, tmp_path):
+    """A non-string item column ("doc_id bigint") must read with the
+    SAME schema from a cold (empty) candidate store as from a
+    populated one — the typed-item passthrough of topk."""
+    from pignlproc_spark.streaming import topk
+
+    store = str(tmp_path / "hh_typed")
+    cold = topk.read_candidates(spark, store, "doc_id bigint", ("g",))
+    assert [f.dataType.simpleString() for f in cold.schema.fields] == ["string", "bigint"]
+    df = spark.createDataFrame(
+        [("a", 7), ("a", 7), ("a", 7), ("a", 9)], "g string, doc_id long"
+    )
+    topk.append_batch(df, 0, "doc_id bigint", ("g",), store, k_track=8)
+    warm = topk.read_candidates(spark, store, "doc_id bigint", ("g",))
+    assert [(f.name, f.dataType) for f in cold.schema.fields] == [
+        (f.name, f.dataType) for f in warm.schema.fields
+    ]
+    assert cold.unionByName(warm).count() == 2
+    top = topk.read_topk(spark, store, "doc_id bigint", ("g",), k=1).collect()
+    assert top[0].doc_id == 7 and top[0].est_count >= 3
+    topk.compact(spark, store, "doc_id bigint", ("g",))
+    again = topk.read_topk(spark, store, "doc_id bigint", ("g",), k=1).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, top))
+
+
 def test_streaming_link_graph_matches_batch(spark, tmp_path):
     """Edge SUM deltas drained through a real file stream must merge
     to the IDENTICAL link graph as the batch scan over the union —

@@ -1908,6 +1908,30 @@ def test_trustrank_q_matches_dense_reference(spark):
     assert got["spam1"] > 0 and got["dangling"] > 0  # link-borne trust
 
 
+def test_graph_scorer_headroom_guards(spark):
+    """hits_q / trustrank_q refuse graphs whose weights would wrap
+    BIGINT mid-recurrence (Spark is non-ANSI — it wraps silently)
+    instead of returning corrupted ranks; just-under-bound graphs
+    still run."""
+    from pignlproc_spark.operators import stats
+
+    hot = spark.createDataFrame([("hub", "x", 10**7)], "s string, d string, c long")
+    with pytest.raises(ValueError, match="headroom"):
+        stats.hits_q(hot, src="s", dst="d", weight="c", iterations=1)
+    ok = spark.createDataFrame([("hub", "x", 9 * 10**6)], "s string, d string, c long")
+    assert stats.hits_q(ok, src="s", dst="d", weight="c", iterations=1).count() == 2
+
+    seeds = spark.createDataFrame([("hub",)], "node string")
+    heavy = spark.createDataFrame([("hub", "x", 2 * 10**8)], "s string, d string, c long")
+    with pytest.raises(ValueError, match="headroom"):
+        stats.trustrank_q(heavy, seeds, src="s", dst="d", weight="c", iterations=1)
+    ok_t = spark.createDataFrame([("hub", "x", 10**8)], "s string, d string, c long")
+    assert (
+        stats.trustrank_q(ok_t, seeds, src="s", dst="d", weight="c", iterations=1).count()
+        == 2
+    )
+
+
 def test_temperature_mix_flattens_sqrt_exact(spark):
     """τ=2 mixing: rates follow the quantized-√ integer chain exactly
     (recomputed in pure Python), the head source is damped below 100%
@@ -1952,3 +1976,8 @@ def test_temperature_mix_flattens_sqrt_exact(spark):
         bucket = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16) % 100
         want = rate[s] // 100 + (1 if bucket < rate[s] % 100 else 0)
         assert got_copies.get(doc_id, 0) == want, (doc_id, s)
+    # budget_pct is spliced into generated SQL: a float or bool must
+    # fail loudly, never silently change integer-div semantics
+    for bad in (50.5, True, -1):
+        with pytest.raises(ValueError):
+            textstats.temperature_mix(df, budget_pct=bad)
