@@ -529,6 +529,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _read(spark, sf_dir, "embeddings")
         return similarity.embedding_near_duplicates(emb, min_cos_pct=40)
 
+    def emb_srp_pairs(spark, sf_dir):
+        # the BUCKETED ANN scale tier, oracle-pinned: banded integer
+        # SRP-LSH candidates (8 bands x 4 quantized hyperplanes, band
+        # equi-join — NO crossJoin, plan-asserted in test_plans.py)
+        # + exact integer cosine verify. Candidates ⊆ emb_near_dups.
+        emb = _read(spark, sf_dir, "embeddings")
+        return similarity.srp_banded_pairs(emb, min_cos_pct=40, dim=64)
+
     def docs_quality_classifier(spark, sf_dir):
         # CCLogReg v1: bit-deterministic distributed training of a
         # hashed bag-of-words quality classifier (hard-sigmoid GD,
@@ -1378,6 +1386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs_tfidf_topk=docs_tfidf_topk,
         emb_dot_topk=emb_dot_topk,
         emb_near_dups=emb_near_dups,
+        emb_srp_pairs=emb_srp_pairs,
         emb_semantic_keep=emb_semantic_keep,
         docs_quality_classifier=docs_quality_classifier,
         docs_lang_id=docs_lang_id,
@@ -3310,6 +3319,45 @@ def oracle_sql() -> dict[str, str]:
              list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))::BIGINT AS dot_q,
              a.nrm AS norm_a, b.nrm AS norm_b
       FROM n a JOIN n b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, dot_q, norm_a, norm_b
+    FROM p WHERE dot_q > 0 AND 10000 * dot_q * dot_q >= 1600 * norm_a * norm_b
+    """
+    # emb_srp_pairs: the BUCKETED scale tier — banded integer SRP-LSH
+    # (the same seeded plane integers are spliced as literals into both
+    # engines, so bucket codes agree bit-for-bit) + the emb_near_dups
+    # exact-integer cosine verify. Candidate join is band+code equality
+    # — the oracle replays the bucketing, not a cross product.
+    from pignlproc_spark.operators.similarity import srp_planes_q as _srp_pl
+
+    _srp_r = 4
+    _srp_rows = ", ".join(
+        f"({i}, [{', '.join(str(x) for x in p)}]::BIGINT[])"
+        for i, p in enumerate(_srp_pl(64, 32))
+    )
+    o["emb_srp_pairs"] = f"""
+    WITH qv AS (
+      SELECT vec_id, list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS v
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, list_sum(list_transform(v, x -> x * x))::BIGINT AS nrm FROM qv
+    ), pl AS (
+      SELECT * FROM (VALUES {_srp_rows}) AS t(pid, p)
+    ), sg AS (
+      SELECT n.vec_id, pl.pid // {_srp_r} AS band,
+             CASE WHEN list_sum(list_transform(range(1, len(n.v) + 1), i -> n.v[i] * pl.p[i])) >= 0
+                  THEN (1::BIGINT << (pl.pid % {_srp_r})) ELSE 0 END AS bit
+      FROM n CROSS JOIN pl
+    ), code AS (
+      SELECT vec_id, band, sum(bit)::BIGINT AS code FROM sg GROUP BY 1, 2
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM code a JOIN code b ON a.band = b.band AND a.code = b.code AND a.vec_id < b.vec_id
+    ), p AS (
+      SELECT c.id_a, c.id_b,
+             list_sum(list_transform(range(1, len(na.v) + 1), i -> na.v[i] * nb.v[i]))::BIGINT AS dot_q,
+             na.nrm AS norm_a, nb.nrm AS norm_b
+      FROM cand c JOIN n na ON na.vec_id = c.id_a JOIN n nb ON nb.vec_id = c.id_b
     )
     SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, dot_q, norm_a, norm_b
     FROM p WHERE dot_q > 0 AND 10000 * dot_q * dot_q >= 1600 * norm_a * norm_b

@@ -191,6 +191,142 @@ def srp_bucket_col(vec_col, planes: list[list[float]]):
     return bucket
 
 
+def srp_planes_q(
+    dim: int, n_planes: int = 32, seed: int = 42, plane_scale: int = 1000
+) -> list[list[int]]:
+    """INTEGER-quantized deterministic hyperplanes: ``round(N(0,1)·
+    plane_scale)``. Quantizing the planes (not just the vectors) makes
+    the sign test ``dot_int(v_q, p_q) ≥ 0`` exact integer arithmetic —
+    the whole SRP bucketing becomes SQL-expressible, so a DuckDB
+    oracle computes the IDENTICAL buckets (the same move that made
+    docs_simhash_pairs hash-exact)."""
+    rng = np.random.default_rng(seed)
+    return [
+        [int(x) for x in np.round(p * plane_scale).astype(np.int64)]
+        for p in rng.standard_normal((n_planes, dim))
+    ]
+
+
+def srp_band_codes(qvec_name: str, planes_q: list[list[int]], band_planes: int):
+    """ARRAY<BIGINT> of per-band SRP codes over an ALREADY-QUANTIZED
+    vector column named ``qvec_name``: band b's code packs the sign
+    bits of planes [b·r, (b+1)·r). All-integer — both engines agree
+    bit-for-bit. Rendered as ONE SQL expression string: building it
+    from per-element ``F.lit`` calls costs one py4j round-trip per
+    plane coefficient (measured ~5 s of pure driver time at 32×64)."""
+    assert len(planes_q) % band_planes == 0
+
+    def dot_sql(plane: list[int]) -> str:
+        lits = ", ".join(f"{x}L" for x in plane)
+        return (
+            f"aggregate(zip_with({qvec_name}, array({lits}), (x, y) -> x * y), "
+            f"0L, (a, p) -> a + p)"
+        )
+
+    codes = []
+    for b in range(len(planes_q) // band_planes):
+        bits = " + ".join(
+            f"(case when {dot_sql(planes_q[b * band_planes + j])} >= 0 "
+            f"then {1 << j}L else 0L end)"
+            for j in range(band_planes)
+        )
+        codes.append(f"cast({bits} as bigint)")
+    return F.expr(f"array({', '.join(codes)})")
+
+
+def srp_banded_pairs(
+    embeddings: DataFrame,
+    min_cos_pct: int = 90,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    bands: int = 8,
+    band_planes: int = 4,
+    seed: int = 42,
+    plane_scale: int = 1000,
+    dim: int | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """(id_a, id_b, dot_q, norm_a, norm_b) — the BUCKETED scale tier of
+    :func:`embedding_near_duplicates`, hash-exact against a SQL oracle:
+    banded integer SRP-LSH (bands × band_planes quantized hyperplanes;
+    a pair is a candidate iff SOME band's full sign-code matches —
+    the MinHash-LSH banding construction of dedup.near_duplicates
+    applied to embeddings) followed by the exact integer cosine verify
+    ``10⁴·dot_q² ≥ (100τ)²·‖a‖²·‖b‖²``.
+
+    Candidates ⊆ verified: banding only ever *misses* true pairs
+    (recall = 1-(1-(1-θ/π)^r)^b, tunable by b/r), never admits a false
+    one past the verify — the standard LSH contract, here with every
+    stage integer-exact so the driver oracle hash-matches.
+
+    Scale shape — the reason this tier exists: NO crossJoin anywhere
+    (plan-asserted in tests/test_plans.py). The corpus is projected to
+    (id, band, code) sign rows (b rows per vector, vectors NOT
+    carried), candidates come from a band+code equi-join, are deduped,
+    and only then re-join the two quantized vectors by id. The shuffle
+    carries bucket-join candidates, not the N² cross product.
+
+    int64 headroom: verify as in embedding_near_duplicates (guarded
+    there; same guard here); band dots ≤ dim·scale·plane_scale·max|x|
+    — ~10¹⁰ at dim 1000 for unit vectors, far inside 2⁶³.
+
+    ``materialize=False`` returns the un-persisted, un-checkpointed
+    plan (plan-shape tests only — localCheckpoint hides the fragment).
+    """
+    n = embeddings.select(
+        F.col(id_col).alias("id"), _quantize(F.col(vec_col), scale).alias("v")
+    ).withColumn("nrm", _dot_int(F.col("v"), F.col("v")))
+    # same wrap-immune overflow guard as embedding_near_duplicates
+    nrm_d = F.aggregate(
+        F.col("v"), F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+    )
+    max_nrm = n.agg(F.max(nrm_d)).collect()[0][0] or 0.0
+    if 10000.0 * max_nrm * max_nrm >= float(2**62):
+        raise ValueError(
+            f"quantized norm^2 up to {max_nrm:.3g} overflows the int64 cosine "
+            "test; unit-normalize the embeddings or lower `scale`"
+        )
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    planes = srp_planes_q(dim, bands * band_planes, seed, plane_scale)
+    if materialize:
+        n = n.persist()
+    sigs = n.select(
+        "id", F.posexplode(srp_band_codes("v", planes, band_planes)).alias("band", "code")
+    )
+    cand = (
+        sigs.select(F.col("id").alias("id_a"), "band", "code")
+        .join(sigs.select(F.col("id").alias("id_b"), "band", "code"), ["band", "code"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = n.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("norm_a"))
+    vb = n.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("norm_b"))
+    pct2 = min_cos_pct * min_cos_pct
+    out = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("dot_q", _dot_int(F.col("va"), F.col("vb")))
+        .where(
+            (F.col("dot_q") > 0)
+            & (F.lit(10000) * F.col("dot_q") * F.col("dot_q") >= F.lit(pct2) * F.col("norm_a") * F.col("norm_b"))
+        )
+        .select(
+            F.col("id_a").cast("bigint"),
+            F.col("id_b").cast("bigint"),
+            F.col("dot_q").cast("bigint"),
+            F.col("norm_a").cast("bigint"),
+            F.col("norm_b").cast("bigint"),
+        )
+    )
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        n.unpersist()
+    return out
+
+
 def ivf_centroids(
     embeddings: DataFrame,
     n_centroids: int = 16,

@@ -235,6 +235,25 @@ def test_containment_join_is_equi_not_cartesian(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_srp_pairs_bucket_join_no_cartesian(spark):
+    # the oracle-pinned ANN scale tier (emb_srp_pairs): candidates must
+    # come from the band+code equi-join — a cartesian/NestedLoop would
+    # be the brute-force tier leaking back into the 100-TB path
+    from pignlproc_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 5) - 2.0, 1.0, 0.5, -0.25]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    plan = plan_of(
+        similarity.srp_banded_pairs(
+            emb, min_cos_pct=80, bands=4, band_planes=2, dim=4, materialize=False
+        )
+    )
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_rarity_score_one_scan_no_join(spark):
     # doc_freq rides a window over the token partitioning: ONE scan of
     # the corpus, no df-rollup-and-rejoin (which would tokenize twice)

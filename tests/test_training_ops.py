@@ -311,6 +311,43 @@ def test_embedding_near_duplicates(spark):
         similarity.embedding_near_duplicates(big, min_cos_pct=90)
 
 
+def test_srp_banded_pairs(spark):
+    """Banded integer-SRP scale tier (the oracle-pinned bucketed ANN):
+    verified pairs ⊆ the all-pairs brute set with IDENTICAL values
+    (candidates-⊆-verify LSH contract), identical-direction vectors
+    always share every band code (recall 1 on exact dups), antiparallel
+    never pairs, and the overflow guard carries over."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [2.0, 0.0, 0.0, 0.0]),
+        (3, [0.95, 0.05, 0.0, 0.0]),
+        (4, [0.0, 1.0, 0.0, 0.0]),
+        (5, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    brute = {
+        (r.id_a, r.id_b): (r.dot_q, r.norm_a, r.norm_b)
+        for r in similarity.embedding_near_duplicates(emb, min_cos_pct=90).collect()
+    }
+    srp = {
+        (r.id_a, r.id_b): (r.dot_q, r.norm_a, r.norm_b)
+        for r in similarity.srp_banded_pairs(
+            emb, min_cos_pct=90, bands=4, band_planes=3
+        ).collect()
+    }
+    assert set(srp) <= set(brute)
+    for k, v in srp.items():
+        assert brute[k] == v  # same integer dot/norm values, not re-derived
+    assert {(0, 1), (0, 2), (1, 2)} <= set(srp)
+    assert not any(5 in k for k in srp)
+    big = spark.createDataFrame(
+        [(0, [4.0e6, 0.0]), (1, [4.0e6, 1.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="overflow"):
+        similarity.srp_banded_pairs(big, min_cos_pct=90, bands=2, band_planes=2)
+
+
 def test_jsonl_shard_export_roundtrip(spark, tmp_path):
     from pignlproc_spark import tables
     from pignlproc_spark.operators.textstats import hash_bucket
