@@ -62,6 +62,27 @@ class SurfaceFormMatcher:
             lengths[toks[0]].add(len(toks))
         self.index = {t: sorted(ls) for t, ls in lengths.items()}
 
+    @classmethod
+    def from_normalized(cls, norms: Iterable[str], max_n: int = 4) -> "SurfaceFormMatcher":
+        """Build from ALREADY-normalized forms (``normalize_sf`` output,
+        e.g. computed distributed via ``stats.normalize_sf_udf``) —
+        skips the per-form tokenize, which matters when the build runs
+        lazily per executor over a 10M-entry Arrow payload."""
+        m = cls.__new__(cls)
+        m.max_n = max_n
+        m.forms = set()
+        lengths = defaultdict(set)
+        for norm in norms:
+            if not norm:
+                continue
+            toks = norm.split(" ")
+            if len(toks) > max_n:
+                continue
+            m.forms.add(norm)
+            lengths[toks[0]].add(len(toks))
+        m.index = {t: sorted(ls) for t, ls in lengths.items()}
+        return m
+
     def occurrences(self, text: str | None) -> list[str]:
         """All dictionary n-gram occurrences in text (multiset)."""
         if not text:
@@ -87,6 +108,9 @@ def occurrences_udf(spark, surface_forms: list[str], max_n: int = 4):
 
     The matcher is built once on the driver and shipped via Spark
     broadcast; each Arrow batch does pure in-memory set lookups.
+    Small/test-path convenience — the pipeline ships the capped
+    dictionary as an Arrow buffer instead (:func:`occurrences_udf_arrow`;
+    a 10M-string Python list costs GBs of driver heap + pickle time).
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -95,6 +119,70 @@ def occurrences_udf(spark, surface_forms: list[str], max_n: int = 4):
     @pandas_udf("array<string>")
     def _occ(text: pd.Series) -> pd.Series:
         matcher = bc.value
+        return pd.Series([matcher.occurrences(t) for t in text])
+
+    return _occ
+
+
+class _LazyArrowMatcher:
+    """Broadcast payload for the Arrow dictionary path: holds the
+    normalized forms as serialized Arrow IPC bytes (contiguous buffers
+    — no per-string Python objects on the driver, compact pickle) and
+    materializes the executor-local :class:`SurfaceFormMatcher` ONCE,
+    lazily, on first use. The per-executor set is inherent to O(1)
+    window matching (the reference's side-file dict does the same);
+    the fix is that the DRIVER never holds 10M Python strings."""
+
+    def __init__(self, ipc_bytes: bytes, max_n: int):
+        self.ipc_bytes = ipc_bytes
+        self.max_n = max_n
+        self._matcher: SurfaceFormMatcher | None = None
+
+    def __getstate__(self):
+        return (self.ipc_bytes, self.max_n)  # never pickle the built matcher
+
+    def __setstate__(self, state):
+        self.ipc_bytes, self.max_n = state
+        self._matcher = None
+
+    def get(self) -> SurfaceFormMatcher:
+        if self._matcher is None:
+            import pyarrow as pa
+
+            tbl = pa.ipc.open_stream(self.ipc_bytes).read_all()
+            self._matcher = SurfaceFormMatcher.from_normalized(
+                (v.as_py() for chunk in tbl.column(0).chunks for v in chunk),
+                self.max_n,
+            )
+        return self._matcher
+
+
+def normalized_forms_ipc(forms_df) -> bytes:
+    """One NORMALIZED single-column DataFrame → Arrow IPC bytes. The
+    collect lands in Arrow buffers (``DataFrame.toArrow``), not Python
+    objects — the driver-side footprint is the string bytes themselves.
+    """
+    import pyarrow as pa
+
+    tbl = forms_df.toArrow()
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, tbl.schema) as w:
+        w.write_table(tbl)
+    return sink.getvalue().to_pybytes()
+
+
+def occurrences_udf_arrow(spark, normalized_ipc: bytes, max_n: int = 4):
+    """pandas UDF text → ARRAY<STRING>, dictionary shipped as Arrow
+    IPC bytes of ALREADY-normalized forms (see
+    ``stats.capped_surface_forms_ipc``). The matcher builds lazily per
+    executor — the driver pickles only the compact buffer."""
+    from pyspark.sql.functions import pandas_udf
+
+    bc = spark.sparkContext.broadcast(_LazyArrowMatcher(normalized_ipc, max_n))
+
+    @pandas_udf("array<string>")
+    def _occ(text: pd.Series) -> pd.Series:
+        matcher = bc.value.get()
         return pd.Series([matcher.occurrences(t) for t in text])
 
     return _occ

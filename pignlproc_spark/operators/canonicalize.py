@@ -73,22 +73,31 @@ def _chase(src: str, edges: dict, max_hops: int) -> str:
     return cur
 
 
+AUTO_DISTRIBUTED_ROWS = 5_000_000
+
+
 def resolve_mapping(
-    redirects: DataFrame, max_hops: int = MAX_HOPS, distributed: bool = False
+    redirects: DataFrame, max_hops: int = MAX_HOPS, distributed: bool | None = None
 ) -> DataFrame:
     """Fully-resolved redirect map: (src_uri, resolved_uri) for every
     source in the redirect table — the broadcastable dimension used by
     the pipeline so the *fact-side* join is a single broadcast hop.
 
-    Default path is **driver-side pointer chasing**: the redirect table
-    is a broadcastable dimension by contract (~10^7 rows ≈ 1 GB for
-    all of Wikipedia — it ships to every executor for the broadcast
-    join anyway, so the driver holding it once is strictly cheaper),
-    and a dict-chase is one Spark job instead of up-to-8 join+count
-    actions whose fixed latency serializes the DAG. Set
-    ``distributed=True`` for a redirect graph too big to collect —
-    the bounded iterative-join fixpoint (identical frozen semantics).
+    ``distributed=None`` (default) AUTO-SWITCHES on a row count:
+    below :data:`AUTO_DISTRIBUTED_ROWS` the map is built by
+    **driver-side pointer chasing** — the redirect table is a
+    broadcastable dimension by contract (~10^7 rows ≈ 1 GB for all of
+    Wikipedia — it ships to every executor for the broadcast join
+    anyway, so the driver holding it once is strictly cheaper), and a
+    dict-chase is one Spark job instead of up-to-8 join+count actions
+    whose fixed latency serializes the DAG. At or above the threshold
+    the bounded iterative-join fixpoint runs instead (identical frozen
+    semantics, pytest-pinned) — a caller at 100× scale no longer has
+    to remember the flag to avoid a driver-OOM collect. The count on
+    the dimension is one cheap job; pass an explicit bool to skip it.
     """
+    if distributed is None:
+        distributed = redirects.count() >= AUTO_DISTRIBUTED_ROWS
     if distributed:
         srcs = redirects.select(F.col("src_uri").alias("uri")).distinct()
         return resolve_uris(srcs, redirects).withColumnRenamed("uri", "src_uri")

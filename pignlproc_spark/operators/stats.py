@@ -27,7 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pignlproc_spark.functions.ngrams import occurrences_udf
+from pignlproc_spark.functions.ngrams import occurrences_udf, occurrences_udf_arrow
 from pignlproc_spark.functions.tokenize import tokens_col
 
 DEFAULT_SALT_BUCKETS = 32
@@ -52,17 +52,25 @@ def annotated_sf_counts(mentions: DataFrame) -> DataFrame:
     return mentions.groupBy("surface_form").agg(F.count(F.lit(1)).alias("annotated_cnt"))
 
 
-def sf_occurrence_totals(pages_text: DataFrame, surface_forms: list[str], max_n: int = 4) -> DataFrame:
+def sf_occurrence_totals(
+    pages_text: DataFrame, surface_forms: list[str] | bytes, max_n: int = 4
+) -> DataFrame:
     """(norm_sf, total_cnt) — total occurrences (linked or not) of each
     dictionary surface form across the corpus text.
 
     Parity: RestrictedNGramGenerator (J12) + GROUP/COUNT. The dict is
-    built once on the driver and broadcast; the scan stage is
-    shuffle-free until the final (tiny) count aggregation.
-    ``pages_text`` needs one column ``text``.
+    built once and broadcast; the scan stage is shuffle-free until the
+    final (tiny) count aggregation. ``pages_text`` needs one column
+    ``text``. ``surface_forms`` is either a raw-form list (small/test
+    path) or Arrow IPC ``bytes`` of ALREADY-normalized forms
+    (:func:`capped_surface_forms_ipc` — the pipeline path; the driver
+    never materializes the dictionary as Python strings).
     """
     spark = pages_text.sparkSession
-    occ = occurrences_udf(spark, surface_forms, max_n=max_n)
+    if isinstance(surface_forms, bytes):
+        occ = occurrences_udf_arrow(spark, surface_forms, max_n=max_n)
+    else:
+        occ = occurrences_udf(spark, surface_forms, max_n=max_n)
     return (
         pages_text.select(F.explode(occ(F.col("text"))).alias("norm_sf"))
         .groupBy("norm_sf")
@@ -95,10 +103,12 @@ def normalize_sf_udf():
 
 
 #: Hard cap on the broadcast surface-form dictionary. The reference's
-#: side-file dict is ~10^7 entries (SURVEY.md §2.1 J12); a Python set
-#: of 10M short strings is ~1-2 GB — the practical per-executor
-#: broadcast ceiling. This is an explicit contract, not a tuning knob:
-#: the driver NEVER materializes more rows than this.
+#: side-file dict is ~10^7 entries (SURVEY.md §2.1 J12); the executor-
+#: local matcher set at 10M short strings is ~1-2 GB — the practical
+#: per-executor ceiling. This is an explicit contract, not a tuning
+#: knob: no stage ever materializes more forms than this, and the
+#: DRIVER holds them only as Arrow buffers (capped_surface_forms_ipc),
+#: never as Python objects.
 SF_DICT_MAX_SIZE = 10_000_000
 
 
@@ -127,6 +137,38 @@ def capped_surface_forms(
     return [r[0] for r in capped.select("surface_form").collect()]
 
 
+def capped_surface_forms_ipc(
+    annotated: DataFrame,
+    max_dict_size: int = SF_DICT_MAX_SIZE,
+    min_annotated: int = 1,
+    max_n: int = 4,
+) -> bytes:
+    """The pipeline-path dictionary build: the same bounded
+    TakeOrderedAndProject cap as :func:`capped_surface_forms`, but the
+    forms are NORMALIZED DISTRIBUTED (``normalize_sf_udf`` — the exact
+    Python spec, full Unicode), filtered to the matcher's n-gram bound,
+    deduped, and collected as **Arrow IPC bytes** (``DataFrame.toArrow``)
+    — the driver holds contiguous string buffers, never a list of up to
+    10M Python string objects (~GBs of heap + pickle time at the cap;
+    the Arrow payload is just the UTF-8 bytes + offsets). Executors
+    rebuild the set-based matcher lazily from the broadcast buffer
+    (``ngrams._LazyArrowMatcher``).
+    """
+    from pignlproc_spark.functions.ngrams import normalized_forms_ipc
+
+    capped = (
+        annotated.where(F.col("annotated_cnt") >= min_annotated)
+        .orderBy(F.col("annotated_cnt").desc(), F.col("surface_form"))
+        .limit(max_dict_size)
+    )
+    norms = (
+        capped.select(normalize_sf_udf()(F.col("surface_form")).alias("norm"))
+        .where((F.col("norm") != "") & (F.size(F.split(F.col("norm"), " ")) <= max_n))
+        .distinct()
+    )
+    return normalized_forms_ipc(norms)
+
+
 def sf_total_counts(
     mentions: DataFrame,
     pages_text: DataFrame,
@@ -149,8 +191,8 @@ def sf_total_counts(
     to ``total_cnt = -1`` instead of OOMing the driver.
     """
     annotated = annotated_sf_counts(mentions)
-    forms = capped_surface_forms(
-        annotated, max_dict_size=max_dict_size, min_annotated=min_annotated
+    forms = capped_surface_forms_ipc(
+        annotated, max_dict_size=max_dict_size, min_annotated=min_annotated, max_n=max_n
     )
     totals = sf_occurrence_totals(pages_text, forms, max_n=max_n)
     # exact (Unicode/NFC) normalization so the join key equals the

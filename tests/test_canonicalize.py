@@ -45,6 +45,37 @@ def test_resolve_mapping_and_apply(spark):
     assert got == {"c": 1, "q": 2}
 
 
+def test_resolve_mapping_both_paths_identical(spark, monkeypatch):
+    """The collect-chase and iterative-join paths must implement the
+    SAME frozen semantics (chain, cycle, dangling), and the auto
+    switch picks the distributed path past the row threshold without
+    changing the result."""
+    from pignlproc_spark.operators import canonicalize
+
+    red = _red(
+        spark,
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"), ("y", "x"), ("q", "gone")],
+    )
+    collect_path = {
+        r.src_uri: r.resolved_uri
+        for r in resolve_mapping(red, distributed=False).collect()
+    }
+    dist_path = {
+        r.src_uri: r.resolved_uri
+        for r in resolve_mapping(red, distributed=True).collect()
+    }
+    assert collect_path == dist_path
+    assert collect_path["a"] == "d" and collect_path["q"] == "gone"
+    assert collect_path["x"] == "x"  # even MAX_HOPS around the 2-cycle
+    # auto mode: force the threshold under the row count — result
+    # identical through the distributed branch
+    monkeypatch.setattr(canonicalize, "AUTO_DISTRIBUTED_ROWS", 2)
+    auto = {
+        r.src_uri: r.resolved_uri for r in canonicalize.resolve_mapping(red).collect()
+    }
+    assert auto == collect_path
+
+
 def test_expand_disambiguations(spark):
     dabs = spark.createDataFrame([("d1", "c1"), ("d1", "c2")], "dab_uri string, candidate_uri string")
     facts = spark.createDataFrame([("d1", 1), ("plain", 2)], "uri string, v int")

@@ -86,6 +86,37 @@ def test_sf_dict_cap_bounds_driver_materialization(spark, sf_dir, result):
     assert stats.SF_DICT_MAX_SIZE > n_distinct
 
 
+def test_sf_dict_arrow_path_matches_list_path(spark, result):
+    """The Arrow-IPC dictionary build (pipeline path — driver holds
+    contiguous buffers, never 10M Python strings) must produce totals
+    identical to the legacy list path, including Unicode forms
+    normalized through the exact Python spec."""
+    from pignlproc_spark.functions import ngrams
+    from pignlproc_spark.operators import stats
+
+    annotated = stats.annotated_sf_counts(result.mentions)
+    pages_text = result.parsed.where(F.col("redirect").isNull()).select("text")
+
+    ipc = stats.capped_surface_forms_ipc(annotated)
+    assert isinstance(ipc, bytes)  # compact broadcast payload, not list
+    forms = stats.capped_surface_forms(annotated)
+    via_arrow = {
+        (r.norm_sf, r.total_cnt)
+        for r in stats.sf_occurrence_totals(pages_text, ipc).collect()
+    }
+    via_list = {
+        (r.norm_sf, r.total_cnt)
+        for r in stats.sf_occurrence_totals(pages_text, forms).collect()
+    }
+    assert via_arrow == via_list and via_arrow
+    # the lazy matcher rebuilds from bytes alone (executor unpickle path)
+    import pickle
+
+    handle = pickle.loads(pickle.dumps(ngrams._LazyArrowMatcher(ipc, 4)))
+    m = handle.get()
+    assert m.forms and all(" ".join(ngrams.tokenize(f, stopwords=None)) == f for f in list(m.forms)[:50])
+
+
 def test_token_counts_exact(spark, sf_dir, result):
     _assert_equal(result.token_counts, _golden(spark, sf_dir, "golden_token_counts"), ["uri", "token", "cnt"])
 
