@@ -2036,8 +2036,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _read(spark, sf_dir, "documents")
         return bpe.encode_corpus(d, bpe.learn_bpe(d, n_merges=10))
 
+    def docs_bpe_vocab_batched(spark, sf_dir):
+        # CCBpeB v1 — the LATENCY scale tier of BPE induction: up to 8
+        # merges accepted per driver round under the frozen within-
+        # round symbol-disjointness rule (~4x fewer sequential Spark
+        # jobs than the 1-merge rounds of docs_bpe_vocab); oracle =
+        # the same rule replayed (recursive-CTE greedy selection +
+        # multi-pair list_reduce fold per unrolled round)
+        from pignlproc_spark.operators import bpe
+
+        return bpe.learn_bpe_batched(
+            _read(spark, sf_dir, "documents"), n_merges=10, batch=8, window=32
+        ).merges
+
     q.update(
         docs_bpe_vocab=docs_bpe_vocab,
+        docs_bpe_vocab_batched=docs_bpe_vocab_batched,
         docs_bpe_encode=docs_bpe_encode,
         docs_chunk_windows=docs_chunk_windows,
         kg_incremental_merge=kg_incremental_merge,
@@ -4363,6 +4377,111 @@ def oracle_sql() -> dict[str, str]:
     SELECT doc_id::BIGINT AS doc_id, sum(n)::BIGINT AS n_pieces,
            md5(string_agg(enc, ' ' ORDER BY ord)) AS pieces_md5
     FROM j GROUP BY doc_id
+    """
+
+    # docs_bpe_vocab_batched: CCBpeB v1 replay. Per unrolled round:
+    # pair counts → top-window ranking → the frozen greedy acceptance
+    # (recursive CTE walking ranks, carrying the used-symbol set
+    # {l, r, l||r} as a chr(31)-joined string, capped at
+    # min(batch, merges remaining)) → ONE multi-pair list_reduce fold
+    # (accepted pairs are symbol-disjoint, so the combined pass equals
+    # sequential application — operators/bpe.py spec block).
+    _bb_n, _bb_batch, _bb_window, _bb_rounds = 10, 8, 32, 10
+    _bb = [
+        f"w AS MATERIALIZED (SELECT tok AS word, count(*)::BIGINT AS freq FROM"
+        f" (SELECT unnest({_tok_sql('text', stop=False)}) AS tok FROM documents) GROUP BY tok)",
+        "bs0 AS MATERIALIZED (SELECT word, freq, string_split(word, '') AS syms FROM w)",
+        f"accu0 AS MATERIALIZED (SELECT 0::BIGINT AS rank, ''::VARCHAR AS l,"
+        f" ''::VARCHAR AS r, 0::BIGINT AS cnt WHERE FALSE)",
+    ]
+    for i in range(_bb_rounds):
+        _bb.append(
+            f"bp{i} AS MATERIALIZED (SELECT string_split(pr, chr(31))[1] AS l,"
+            f" string_split(pr, chr(31))[2] AS r, sum(freq)::BIGINT AS cnt FROM"
+            f" (SELECT freq, unnest(list_transform(range(1, len(syms)),"
+            f" j -> syms[j] || chr(31) || syms[j+1])) AS pr FROM bs{i}) GROUP BY 1, 2)"
+        )
+        _bb.append(
+            f"bt{i} AS MATERIALIZED (SELECT l, r, cnt, row_number() OVER"
+            f" (ORDER BY cnt DESC, l ASC, r ASC) AS rk FROM bp{i}"
+            f" QUALIFY rk <= {_bb_window})"
+        )
+        _bb.append(
+            f"bcap{i} AS MATERIALIZED (SELECT least({_bb_batch},"
+            f" {_bb_n} - (SELECT count(*) FROM accu{i})) AS cap)"
+        )
+        # the greedy scan is ONE list_reduce over the ranked window —
+        # a recursive CTE here re-evaluated its whole upstream chain
+        # (tokenize + pair counts) per iteration in the replay engine
+        # (~0.5 s x 32 ranks x rounds). State string layout:
+        #   "<cap>\x1c<used \x1f-joined>\x1c<accepted \x1d-joined>"
+        # with each element/accepted entry "l\x1er\x1ecnt".
+        _st = "string_split(acc, chr(28))"
+        _el = "string_split(x, chr(30))"
+        _used = f"string_split({_st}[2], chr(31))"
+        _nacc = (
+            f"(CASE WHEN {_st}[3] = '' THEN 0"
+            f" ELSE len(string_split({_st}[3], chr(29))) END)"
+        )
+        _bb.append(
+            f"btl{i} AS MATERIALIZED (SELECT coalesce(list("
+            f" l || chr(30) || r || chr(30) || cnt ORDER BY rk),"
+            f" []::VARCHAR[]) AS lst FROM bt{i})"
+        )
+        _bb.append(
+            f"bsel{i} AS MATERIALIZED (SELECT list_reduce("
+            f" list_prepend((SELECT cap FROM bcap{i})::VARCHAR || chr(28) || chr(28), lst),"
+            f" (acc, x) -> CASE WHEN {_nacc} < {_st}[1]::INT"
+            f"  AND NOT list_contains({_used}, {_el}[1])"
+            f"  AND NOT list_contains({_used}, {_el}[2])"
+            f"  AND NOT list_contains({_used}, {_el}[1] || {_el}[2])"
+            f" THEN {_st}[1] || chr(28)"
+            f"  || {_st}[2] || chr(31) || {_el}[1] || chr(31) || {_el}[2]"
+            f"  || chr(31) || {_el}[1] || {_el}[2] || chr(28)"
+            f"  || CASE WHEN {_st}[3] = '' THEN x"
+            f"     ELSE {_st}[3] || chr(29) || x END"
+            f" ELSE acc END) AS st FROM btl{i})"
+        )
+        _bb.append(
+            f"ba{i} AS MATERIALIZED (SELECT ai,"
+            f" string_split(e, chr(30))[1] AS l,"
+            f" string_split(e, chr(30))[2] AS r,"
+            f" string_split(e, chr(30))[3]::BIGINT AS cnt FROM ("
+            f" SELECT unnest(string_split(string_split(st, chr(28))[3], chr(29))) AS e,"
+            f" unnest(range(1, len(string_split(string_split(st, chr(28))[3], chr(29))) + 1)) AS ai"
+            f" FROM bsel{i} WHERE string_split(st, chr(28))[3] != ''))"
+        )
+        _bb.append(
+            f"bap{i} AS MATERIALIZED (SELECT coalesce(list("
+            f" {{'ml': l, 'mr': r}} ORDER BY ai),"
+            f" []::STRUCT(ml VARCHAR, mr VARCHAR)[]) AS prs FROM ba{i})"
+        )
+        _bb.append(
+            f"accu{i + 1} AS MATERIALIZED (SELECT * FROM accu{i} UNION ALL"
+            f" SELECT ai + (SELECT count(*) FROM accu{i}) AS rank, l, r, cnt FROM ba{i})"
+        )
+        # the multi-pair match is a STATICALLY UNROLLED OR over the ≤
+        # batch accepted slots (a nested list_filter lambda measured
+        # ~250x slower in the replay); FALSE AND NULL = FALSE keeps
+        # absent slots inert, and no-op rounds skip the fold entirely
+        _match = " OR ".join(
+            f"(len(ap.prs) >= {j} AND ends_with(acc, chr(31) || ap.prs[{j}].ml)"
+            f" AND x = ap.prs[{j}].mr)"
+            for j in range(1, _bb_batch + 1)
+        )
+        _bb.append(
+            f"bs{i + 1} AS MATERIALIZED (SELECT word, freq,"
+            f" CASE WHEN len(ap.prs) = 0 THEN s.syms ELSE"
+            f" string_split(list_reduce(list_prepend('', s.syms),"
+            f" (acc, x) -> CASE WHEN {_match}"
+            f" THEN acc || x ELSE acc || chr(31) || x END), chr(31))[2:]"
+            f" END AS syms"
+            f" FROM bs{i} s CROSS JOIN bap{i} ap)"
+        )
+    o["docs_bpe_vocab_batched"] = f"""
+    WITH {', '.join(_bb)}
+    SELECT rank::INT AS rank, l AS lhs, r AS rhs, cnt AS pair_freq
+    FROM accu{_bb_rounds}
     """
 
     # emb_cosine_topk / emb_srp_lsh_topk / media_features /

@@ -72,10 +72,13 @@ SPEC_VERSION = "CCBpe v1"
 class BpeModel:
     """Learned model: ``merges`` = (rank, lhs, rhs, pair_freq);
     ``vocab`` = (word, freq, syms ARRAY<STRING>) with ``syms`` in the
-    final post-merge state — i.e. the word→pieces **encoder table**."""
+    final post-merge state — i.e. the word→pieces **encoder table**.
+    ``rounds`` = driver rounds the learner ran (v1: one per merge;
+    batched: one per accepted batch — the latency metric)."""
 
     merges: DataFrame
     vocab: DataFrame
+    rounds: int = 0
 
 
 MERGES_SCHEMA = "rank int, lhs string, rhs string, pair_freq bigint"
@@ -164,7 +167,164 @@ def learn_bpe(
             "word", "freq", _apply_merge(F.col("syms"), left, right).alias("syms")
         ).localCheckpoint(eager=True)
     merges_df = spark.createDataFrame(merges, MERGES_SCHEMA)
-    return BpeModel(merges=merges_df, vocab=vocab)
+    return BpeModel(merges=merges_df, vocab=vocab, rounds=len(merges))
+
+
+# --------------------------- CCBpeB v1 ---------------------------
+#
+# Batched merge learning. CCBpe v1 is latency-bound by design: one
+# driver argmax round-trip per merge = n_merges SEQUENTIAL Spark jobs
+# whose fixed latency dominates on small clusters (VERDICT r2). CCBpeB
+# v1 learns UP TO ``batch`` merges per round under a FROZEN
+# within-round independence rule, cutting driver rounds ~3-5x while
+# every accepted merge's recorded pair_freq stays exactly the count at
+# its true application time:
+#
+#   1. rank the round's snapshot pairs by (cnt DESC, l ASC, r ASC)
+#      and take the top ``window``;
+#   2. scan in rank order, greedily accepting a pair (l, r) iff
+#      {l, r, l||r} is disjoint from the accepted-so-far symbol set
+#      {l_j, r_j, l_j||r_j} — stop at min(batch, merges remaining);
+#   3. apply ALL accepted merges in ONE greedy left-to-right pass.
+#
+# Why the rule is sound: accepted pairs share no symbols, so applying
+# one cannot create, destroy, or re-count occurrences of another
+# (the concat term l||r in the used set closes the one loophole — a
+# merge whose OUTPUT equals another accepted pair's INPUT symbol, or
+# vice versa, would couple them). Hence the single combined pass
+# equals applying the batch sequentially in rank order, and each
+# snapshot count equals the count at application time. The SEQUENCE
+# differs from CCBpe v1 in general (v1 re-ranks after every merge;
+# CCBpeB commits a batch against one snapshot) — CCBpeB is its own
+# frozen spec with its own pure-Python reference and DuckDB oracle
+# (the standard trade of scalable BPE trainers).
+
+
+def select_merge_batch(
+    ranked: list[tuple[str, str, int]], remaining: int, batch: int
+) -> list[tuple[str, str, int]]:
+    """The frozen CCBpeB acceptance rule over one round's ranked
+    top-``window`` pairs (shared by the Spark driver loop, the pure-
+    Python reference, and mirrored by the oracle's recursive CTE)."""
+    cap = min(batch, remaining)
+    acc: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    for left, right, cnt in ranked:
+        if len(acc) >= cap:
+            break
+        if {left, right, left + right} & used:
+            continue
+        acc.append((left, right, cnt))
+        used |= {left, right, left + right}
+    return acc
+
+
+def _apply_merges(syms_col, pairs: list[tuple[str, str]]):
+    """One greedy left-to-right pass applying a WITHIN-ROUND-DISJOINT
+    set of merges (the CCBpeB acceptance rule guarantees the combined
+    pass equals sequential application). Empty set = identity."""
+    if not pairs:
+        return syms_col
+
+    def step(acc, x):
+        cond = F.lit(False)
+        for left, right in pairs:
+            cond = cond | (acc.endswith(SEP + left) & (x == F.lit(right)))
+        return F.when(cond, F.concat(acc, x)).otherwise(F.concat(acc, F.lit(SEP), x))
+
+    fold = F.aggregate(syms_col, F.lit(""), step)
+    return F.filter(F.split(fold, SEP), lambda s: s != F.lit(""))
+
+
+def learn_bpe_batched(
+    df: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+    min_freq: int = 1,
+    vocab_cap: int | None = None,
+    batch: int = 8,
+    window: int = 32,
+) -> BpeModel:
+    """Learn ``n_merges`` merges under CCBpeB v1 (see the spec block
+    above). Each driver round costs ONE top-``window`` collect plus one
+    checkpointed vocab rewrite, and accepts up to ``batch`` merges —
+    rank-1 is always accepted, so rounds ≤ n_merges with typical text
+    converging in ~n_merges/4 rounds (4x fewer sequential Spark jobs
+    than :func:`learn_bpe`; ``model.rounds`` reports the actual count).
+    """
+    spark = df.sparkSession
+    vocab = (
+        word_freqs(df, text_col, min_freq, vocab_cap)
+        .select("word", "freq", F.split("word", "").alias("syms"))
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    rounds = 0
+    while len(merges) < n_merges:
+        pairs = (
+            vocab.where(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " j -> named_struct('l', syms[j-1], 'r', syms[j]))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        top = (
+            pairs.orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(window)
+            .collect()
+        )
+        if not top:
+            break
+        rounds += 1
+        ranked = [(r["l"], r["r"], int(r["cnt"])) for r in top]
+        accepted = select_merge_batch(ranked, n_merges - len(merges), batch)
+        for left, right, cnt in accepted:
+            merges.append((len(merges) + 1, left, right, cnt))
+        vocab = vocab.select(
+            "word",
+            "freq",
+            _apply_merges(F.col("syms"), [(l, r) for l, r, _ in accepted]).alias("syms"),
+        ).localCheckpoint(eager=True)
+    merges_df = spark.createDataFrame(merges, MERGES_SCHEMA)
+    return BpeModel(merges=merges_df, vocab=vocab, rounds=rounds)
+
+
+def learn_bpe_batched_reference(
+    word_freqs_list: list[tuple[str, int]],
+    n_merges: int,
+    batch: int = 8,
+    window: int = 32,
+) -> list[tuple[int, str, str, int]]:
+    """Pure-Python CCBpeB v1 reference learner — the independent
+    second implementation tests hold :func:`learn_bpe_batched` to."""
+    syms = {w: [c for c in w] for w, _ in word_freqs_list}
+    freqs = dict(word_freqs_list)
+    merges: list[tuple[int, str, str, int]] = []
+    while len(merges) < n_merges:
+        counts: dict[tuple[str, str], int] = {}
+        for w, s in syms.items():
+            f = freqs[w]
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        ranked = sorted(
+            ((left, right, cnt) for (left, right), cnt in counts.items()),
+            key=lambda t: (-t[2], t[0], t[1]),
+        )[:window]
+        accepted = select_merge_batch(ranked, n_merges - len(merges), batch)
+        for left, right, cnt in accepted:
+            merges.append((len(merges) + 1, left, right, cnt))
+            for w in syms:
+                syms[w] = _apply_py(syms[w], left, right)
+    return merges
 
 
 def piece_counts(model: BpeModel) -> DataFrame:

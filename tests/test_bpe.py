@@ -65,6 +65,79 @@ def test_learner_fuzz_vs_reference(spark):
     assert {r.word: r.syms for r in model.vocab.collect()} == ref_enc
 
 
+def test_batched_learner_matches_reference(spark, docs):
+    """CCBpeB v1: the Spark batched learner == the pure-Python batched
+    reference (merge sequence AND final encoder states), and the round
+    count actually collapses (the latency contract: ≥4x fewer driver
+    rounds than the 1-merge-per-round v1 learner on typical text)."""
+    model = bpe.learn_bpe_batched(docs, n_merges=8, batch=8, window=32)
+    wf = sorted((r["word"], r["freq"]) for r in bpe.word_freqs(docs).collect())
+    ref_merges = bpe.learn_bpe_batched_reference(wf, 8, batch=8, window=32)
+    got = [(r.rank, r.lhs, r.rhs, r.pair_freq) for r in model.merges.orderBy("rank").collect()]
+    assert got == ref_merges
+    enc = bpe.encode_words([w for w, _ in wf], [(l, r) for _, l, r, _ in ref_merges])
+    assert {r.word: r.syms for r in model.vocab.collect()} == dict(
+        zip((w for w, _ in wf), enc)
+    )
+    assert 1 <= model.rounds <= 2  # 8 merges in ≤2 rounds vs 8 in v1
+
+
+def test_batched_learner_fuzz_vs_reference(spark):
+    rng = random.Random(11)
+    words = ["".join(rng.choice("abcd") for _ in range(rng.randint(1, 7))) for _ in range(60)]
+    rows = [(i, " ".join(rng.sample(words, rng.randint(1, 12)))) for i in range(40)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    model = bpe.learn_bpe_batched(d, n_merges=12, batch=4, window=16)
+    wf = sorted((r["word"], r["freq"]) for r in bpe.word_freqs(d).collect())
+    ref = bpe.learn_bpe_batched_reference(wf, 12, batch=4, window=16)
+    got = [(r.rank, r.lhs, r.rhs, r.pair_freq) for r in model.merges.orderBy("rank").collect()]
+    assert got == ref
+
+
+def test_batched_acceptance_rule_blocks_concat_coupling():
+    """The {l, r, l||r} used-set must block (a) symbol reuse and
+    (b) a pair whose input equals another accepted pair's OUTPUT —
+    the one coupling that would make the combined single pass diverge
+    from sequential application."""
+    ranked = [
+        ("a", "b", 100),   # accepted; used = {a, b, ab}
+        ("b", "c", 90),    # blocked: b used
+        ("ab", "x", 80),   # blocked: consumes the new concat 'ab'
+        ("c", "d", 70),    # accepted; used += {c, d, cd}
+        ("x", "y", 60),    # accepted
+    ]
+    got = bpe.select_merge_batch(ranked, remaining=10, batch=8)
+    assert [(l, r) for l, r, _ in got] == [("a", "b"), ("c", "d"), ("x", "y")]
+    # cap truncates without polluting the used set
+    assert [(l, r) for l, r, _ in bpe.select_merge_batch(ranked, 10, 1)] == [("a", "b")]
+    assert [(l, r) for l, r, _ in bpe.select_merge_batch(ranked, 2, 8)] == [
+        ("a", "b"), ("c", "d"),
+    ]
+
+
+def test_batched_multi_apply_equals_sequential(spark):
+    """For a within-round-disjoint pair set, ONE combined greedy pass
+    must equal applying the pairs sequentially (the soundness claim the
+    CCBpeB spec rests on), including the 'a a a a' self-overlap case."""
+    pairs = [("a", "a"), ("c", "d")]
+    rows = [
+        (["a", "a", "a", "a"],),
+        (["c", "d", "a", "a", "c", "d"],),
+        (["x", "c", "a", "d"],),
+        ([],),
+    ]
+    d = spark.createDataFrame(rows, "syms array<string>")
+    multi = [r[0] for r in d.select(bpe._apply_merges(F.col("syms"), pairs)).collect()]
+    seq = d
+    for l, r in pairs:
+        seq = seq.select(bpe._apply_merge(F.col(seq.columns[0]), l, r).alias("syms"))
+    assert multi == [r[0] for r in seq.collect()]
+    assert multi[0] == ["aa", "aa"] and multi[1] == ["cd", "aa", "cd"]
+    # empty pair set is the identity
+    same = [r[0] for r in d.select(bpe._apply_merges(F.col("syms"), [])).collect()]
+    assert same == [list(r[0]) for r in d.collect()]
+
+
 def test_encode_corpus_and_piece_counts(spark, docs):
     model = bpe.learn_bpe(docs, n_merges=8)
     wf, merges, ref_enc = _ref_model(docs, 8)
