@@ -126,17 +126,24 @@ def run(sf_dir: str, cpus: int, quiet: bool = True, pipeline_only: bool = False,
 
         # heaviest training-data operators (round-2 headline additions;
         # totals are NOT comparable to BENCH_r01 — noted in BASELINE.md).
-        # tf-cosine: the driver documents table has a 31-token
-        # vocabulary (min df = 5% of docs), so the EXACT inverted-index
-        # path is inherently dense — candidates ARE all pairs, and the
-        # postings self-join is ~Σ df² ≈ 4.4e8 rows at sf0.1 (55 s of
-        # honest but unrepresentative work; the max_df scale path finds
-        # zero rare tokens here by construction). Bench a deterministic
-        # quarter sample: same plan shape, 16× less degenerate volume.
-        docs_q = docs.where(F.col("doc_id") % 4 == 0)
+        # tf-cosine (round-3 fixture fix, VERDICT r2 #2): the driver
+        # documents table has a DEGENERATE 31-token vocabulary (every
+        # token df ≈ 40-90% of docs), which forces the exact inverted-
+        # index path dense (Σ df² ≈ 4.4e8 at sf0.1) while the max_df
+        # governor finds no rare tokens to keep — unrepresentative in
+        # both directions. Bench instead on the synth page corpus at
+        # the SAME sf: a realistic zipf vocabulary (sf0.1: 50k docs,
+        # 10,746 tokens, full Σ df² = 2.08e10, max df = 29,921) where
+        # max_df=200 — the documented WWW'07 prefix-filter knob — cuts
+        # the postings self-join to Σ df² = 6.0e6 over the FULL table.
+        # This is the plan a 100-TB corpus runs: candidates from rare
+        # tokens, dot/norms verified over full vectors.
+        pages_real = res.parsed.where(F.col("redirect").isNull()).select(
+            F.xxhash64("url").alias("doc_id"), "text"
+        )
         timed(
-            "docs_tf_cosine_pairs",
-            lambda: dedup.tf_cosine_pairs(docs_q, min_cos_pct=50).count(),
+            "docs_tf_cosine_realvocab",
+            lambda: dedup.tf_cosine_pairs(pages_real, min_cos_pct=50, max_df=200).count(),
         )
         timed(
             "docs_decontaminate",
