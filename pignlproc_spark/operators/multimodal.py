@@ -9,13 +9,16 @@ Two decode tiers:
 - **Real, dependency-free codecs** for the formats a header+payload
   parse can handle with stdlib + numpy: 24-bpp uncompressed **BMP**
   (:func:`decode_bmp`, :func:`encode_bmp`, nearest-neighbor
-  :func:`resize_bmp`) and **PCM WAV** (:func:`decode_wav`). These feed
-  :func:`media_stats`, whose integer-exact output (pixel channel sums,
-  sample abs-sums, zero crossings) is oracle-checkable — corrupt or
-  foreign payloads degrade to NULL stats instead of killing the job,
-  which is the behavior you want on a 100-TB crawl.
-- **Stubbed codecs** for everything else (JPEG/PNG/MP4/...): the
-  libraries are NOT in this container, so :func:`decode_payload`
+  :func:`resize_bmp`), **PNG** (:func:`decode_png` — stdlib zlib
+  inflate + full None/Sub/Up/Average/Paeth filter reconstruction;
+  8-bit grey/RGB/RGBA non-interlaced) and **PCM WAV**
+  (:func:`decode_wav`). These feed :func:`media_stats`, whose
+  integer-exact output (pixel channel sums, sample abs-sums, zero
+  crossings) is oracle-checkable — corrupt or foreign payloads degrade
+  to NULL stats instead of killing the job, which is the behavior you
+  want on a 100-TB crawl.
+- **Stubbed codecs** for everything else (JPEG/MP4/...): entropy
+  coding is out of dependency-free scope, so :func:`decode_payload`
   raises for those formats and tests exercise the Spark plumbing —
   schema, partitioning, UDF signature, batch shape — against
   :func:`fake_decode` (deterministic md5-derived pseudo-features).
@@ -100,6 +103,121 @@ def resize_bmp(payload: bytes, target_w: int, target_h: int) -> bytes:
     return encode_bmp(px[ys][:, xs])
 
 
+def resize_image(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """REAL image resize across the dependency-free formats: BMP or
+    PNG in, nearest-neighbor resample, 24-bpp BMP out (the one format
+    we can *encode* without libs — normalizing to a single storage
+    format is what a curation pipeline does anyway)."""
+    if payload is not None and payload[:8] == PNG_SIG:
+        w, h, px = decode_png(payload)
+    else:
+        w, h, px = decode_bmp(payload)
+    xs = (np.arange(target_w) * w) // target_w
+    ys = (np.arange(target_h) * h) // target_h
+    return encode_bmp(px[ys][:, xs])
+
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Dependency-free PNG → (width, height, pixels[h, w, 3] uint8 RGB,
+    row 0 = top). stdlib ``zlib`` inflate + full filter reconstruction
+    (None/Sub/Up/Average/Paeth, RFC 2083 §6) — the same pattern as the
+    BMP parser: header+payload parse, no codec libs.
+
+    Supported: 8-bit, non-interlaced, color types 0 (greyscale —
+    replicated to RGB), 2 (RGB) and 6 (RGBA — alpha DROPPED, not
+    composited; stats are over the raw channel bytes). Palette (3),
+    grey+alpha (4), 16-bit and Adam7 raise ValueError — the caller's
+    degrade-to-NULL contract handles them like any foreign payload.
+    """
+    import zlib
+
+    if len(payload) < 8 + 25 or payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (clen,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + clen]
+        if len(body) < clen:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body[:13])
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 8 + clen + 4  # skip CRC (decode is not an integrity checker)
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, bit_depth, color_type, compression, filter_method, interlace = ihdr
+    if w <= 0 or h <= 0 or w * h > 1 << 26:
+        raise ValueError("degenerate PNG dimensions")
+    channels = {0: 1, 2: 3, 6: 4}.get(color_type)
+    if (
+        channels is None
+        or bit_depth != 8
+        or compression != 0
+        or filter_method != 0
+        or interlace != 0
+    ):
+        raise ValueError(
+            "unsupported PNG variant (need 8-bit non-interlaced grey/RGB/RGBA)"
+        )
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) < (stride + 1) * h:
+        raise ValueError("truncated PNG scanline data")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1).astype(
+            np.int64
+        )
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # Up — vectorized across the row
+            cur = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub/Average/Paeth — sequential in x
+            cur = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = cur[x - channels] if x >= channels else 0
+                b = prev[x]
+                c = prev[x - channels] if x >= channels else 0
+                if ftype == 1:
+                    cur[x] = (line[x] + a) & 0xFF
+                elif ftype == 3:
+                    cur[x] = (line[x] + (a + b) // 2) & 0xFF
+                else:
+                    cur[x] = (line[x] + _paeth(a, b, c)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    px = out.reshape(h, w, channels)
+    if color_type == 0:
+        px = np.repeat(px, 3, axis=2)
+    elif color_type == 6:
+        px = px[:, :, :3]
+    return w, h, px.copy()
+
+
 def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     """RIFF/WAVE PCM (8- or 16-bit, any channel count) → (sample_rate,
     samples[n, channels] int32). Walks the chunk list so extra chunks
@@ -131,18 +249,20 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
 
 
 def decode_payload(payload: bytes, kind: str):
-    """Format dispatch on magic bytes. BMP and WAV decode for REAL
-    (dependency-free parsers above); every other codec (JPEG/PNG/MP4/
-    ...) needs libraries NOT present in this container, so those raise
-    — on a production cluster, swap in the actual decoder; everything
-    downstream is format-agnostic."""
+    """Format dispatch on magic bytes. BMP, PNG and WAV decode for REAL
+    (dependency-free parsers above); every other codec (JPEG/MP4/...)
+    needs entropy-coding libraries NOT present in this container, so
+    those raise — on a production cluster, swap in the actual decoder;
+    everything downstream is format-agnostic."""
     if payload is not None and payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload is not None and payload[:8] == PNG_SIG:
+        return decode_png(payload)
     if payload is not None and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
     raise NotImplementedError(
-        "only BMP/WAV decode without codec libs (none present in this environment); "
-        "use fake_decode for plumbing tests of other formats"
+        "only BMP/PNG/WAV decode without codec libs (none present in this "
+        "environment); use fake_decode for plumbing tests of other formats"
     )
 
 
@@ -177,8 +297,12 @@ def media_stats(media: DataFrame) -> DataFrame:
                 row["n_bytes"] = len(payload or b"")
                 row["decoded"] = 0
                 try:
-                    if payload and payload[:2] == b"BM":
-                        w, h, px = decode_bmp(payload)
+                    if payload and (payload[:2] == b"BM" or payload[:8] == PNG_SIG):
+                        w, h, px = (
+                            decode_bmp(payload)
+                            if payload[:2] == b"BM"
+                            else decode_png(payload)
+                        )
                         sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
                         row.update(
                             decoded=1, width=w, height=h, n_pixels=w * h,

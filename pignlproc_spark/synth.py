@@ -40,7 +40,7 @@ from pignlproc_spark.functions.tokenize import tokenize
 from pignlproc_spark.functions.uri import uri_encode
 
 SEED = 42
-GEN_VERSION = "8"  # bump → cached .synthdata regenerates
+GEN_VERSION = "9"  # bump → cached .synthdata regenerates
 MAX_HOPS = 8  # frozen redirect-resolution bound (matches canonicalize)
 URI_LANG = "en"  # URI base is a per-run constant, like the reference's lang param
 
@@ -740,15 +740,17 @@ def generate(sf: float, root: str | Path = None, force: bool = False) -> Path:
         cdx_rows, columns=["path", "offset", "length", "url"]
     )
 
-    # --- multimodal media fixture: REAL 24-bpp BMP + PCM WAV payloads
-    #     and a plan-derived integer-stats golden. The encoders here are
-    #     deliberately independent of operators/multimodal.py (pure
-    #     struct-packing BMP writer + the stdlib `wave` module), so an
+    # --- multimodal media fixture: REAL 24-bpp BMP + PNG + PCM WAV
+    #     payloads and a plan-derived integer-stats golden. The encoders
+    #     here are deliberately independent of operators/multimodal.py
+    #     (pure struct-packing BMP writer, a from-scratch PNG filter
+    #     encoder + stdlib zlib, the stdlib `wave` module), so an
     #     encode/decode bug pair cannot cancel out. -1 = not-applicable
     #     (the engine's established left-outer fill convention).
     import io as _io
     import struct as _struct
     import wave as _wave
+    import zlib as _zlib
 
     def _bmp_bytes(px_rows):  # px_rows: list[list[(r, g, b)]], row 0 = top
         bh, bw = len(px_rows), len(px_rows[0])
@@ -762,12 +764,81 @@ def generate(sf: float, root: str | Path = None, force: bool = False) -> Path:
         hdr += _struct.pack("<IiiHHIIiiII", 40, bw, bh, 1, 24, 0, len(body), 2835, 2835, 0, 0)
         return hdr + body
 
+    def _png_bytes(px_rows, color_type):
+        """Independent PNG encoder (RFC 2083): px_rows of per-pixel
+        tuples sized to the color type's channel count; row y is
+        filtered with type y % 5 so every decoder filter path
+        (None/Sub/Up/Average/Paeth) is exercised by the golden."""
+        nch = {0: 1, 2: 3, 6: 4}[color_type]
+        ph, pw = len(px_rows), len(px_rows[0])
+
+        def chunk(ctype, body):
+            return (
+                _struct.pack(">I", len(body)) + ctype + body
+                + _struct.pack(">I", _zlib.crc32(ctype + body))
+            )
+
+        raw = bytearray()
+        prev = [0] * (pw * nch)
+        for y, row in enumerate(px_rows):
+            cur = [c for pxl in row for c in pxl]
+            f = y % 5
+            raw.append(f)
+            for x in range(len(cur)):
+                a = cur[x - nch] if x >= nch else 0
+                b_ = prev[x]
+                c0 = prev[x - nch] if x >= nch else 0
+                if f == 0:
+                    v = cur[x]
+                elif f == 1:
+                    v = cur[x] - a
+                elif f == 2:
+                    v = cur[x] - b_
+                elif f == 3:
+                    v = cur[x] - (a + b_) // 2
+                else:
+                    p = a + b_ - c0
+                    pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c0)
+                    pred = a if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c0)
+                    v = cur[x] - pred
+                raw.append(v % 256)
+            prev = cur
+        ihdr = _struct.pack(">IIBBBBB", pw, ph, 8, color_type, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", _zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+
     n_media = max(48, int(1200 * sf))
     media_rows, media_stats_rows = [], []
     for i in range(n_media):
         mrng = random.Random(f"{SEED}:media:{i}")
         murl = f"https://media.example/{i}"
-        if i % 3 == 0:  # image: 24-bpp BMP, varying dims incl. row padding
+        if i % 4 == 3:  # image: PNG (cycling grey/RGB/RGBA, all filters)
+            color_type = (0, 2, 6)[(i // 4) % 3]
+            nch = {0: 1, 2: 3, 6: 4}[color_type]
+            pw = 3 + mrng.randrange(10)
+            ph = 5 + mrng.randrange(8)  # ≥5 rows → every filter type used
+            px = [
+                [tuple(mrng.randrange(256) for _ in range(nch)) for _ in range(pw)]
+                for _ in range(ph)
+            ]
+            payload = _png_bytes(px, color_type)
+            flat = [c for row in px for c in row]
+            if color_type == 0:  # grey replicates to RGB in the decoder
+                sr = sg = sb = sum(c[0] for c in flat)
+            else:  # RGBA: alpha dropped, sums over the RGB bytes
+                sr = sum(c[0] for c in flat)
+                sg = sum(c[1] for c in flat)
+                sb = sum(c[2] for c in flat)
+            media_rows.append((murl, "image", payload, pw, ph, None))
+            media_stats_rows.append(
+                (murl, "image", len(payload), 1, pw, ph, pw * ph, sr, sg, sb,
+                 -1, -1, -1, -1)
+            )
+        elif i % 3 == 0:  # image: 24-bpp BMP, varying dims incl. row padding
             bw = 4 + mrng.randrange(12)
             bh = 3 + mrng.randrange(10)
             px = [

@@ -552,26 +552,77 @@ def test_media_stats_real_decode(spark, synth_dir):
             assert (r.sum_abs, r.zero_crossings) == (grow.sum_abs, grow.zero_crossings)
         if grow.kind == "video":
             assert r.decoded == 0 and r.width is None and r.sum_abs is None
-    # corrupt BMP/WAV headers degrade, never raise
+    # both image codecs are represented in the fixture
+    kinds = {
+        (bytes(r.payload)[:2] == b"BM")
+        for r in media.where("kind = 'image'").select("payload").collect()
+    }
+    assert kinds == {True, False}  # BMP rows AND PNG rows
+    # corrupt BMP/PNG/WAV headers degrade, never raise
     bad = spark.createDataFrame(
         [("u1", "image", bytearray(b"BM" + b"\x00" * 20)),
          ("u2", "audio", bytearray(b"RIFF\x00\x00\x00\x00WAVEjunk")),
-         ("u3", "image", None)],
+         ("u3", "image", None),
+         ("u4", "image", bytearray(multimodal.PNG_SIG + b"\x00" * 30))],
         "url string, kind string, payload binary",
     )
     rows = {r.url: r for r in multimodal.media_stats(bad).collect()}
-    assert all(rows[u].decoded == 0 for u in ("u1", "u2", "u3"))
+    assert all(rows[u].decoded == 0 for u in ("u1", "u2", "u3", "u4"))
 
 
-def test_resize_images_real_bmp(spark, synth_dir):
+def test_png_decode_rejects_unsupported_variants():
+    """Palette / 16-bit / interlaced / truncated PNGs raise ValueError
+    (→ the degrade-to-NULL path), never a wrong decode."""
+    import struct as st
+    import zlib
+
+    import pytest as pt
+
+    def png(ihdr_body, idat=b""):
+        def chunk(t, b):
+            return st.pack(">I", len(b)) + t + b + st.pack(">I", zlib.crc32(t + b))
+
+        return (
+            multimodal.PNG_SIG + chunk(b"IHDR", ihdr_body)
+            + chunk(b"IDAT", zlib.compress(idat)) + chunk(b"IEND", b"")
+        )
+
+    ok_rgb = st.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0)
+    w, h, px = multimodal.decode_png(png(ok_rgb, b"\x00" + bytes(6)))
+    assert (w, h) == (2, 1) and px.shape == (1, 2, 3)
+    for bad in (
+        st.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0),   # palette
+        st.pack(">IIBBBBB", 2, 1, 16, 2, 0, 0, 0),  # 16-bit
+        st.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 1),   # Adam7
+        st.pack(">IIBBBBB", 2, 1, 8, 4, 0, 0, 0),   # grey+alpha
+    ):
+        with pt.raises(ValueError):
+            multimodal.decode_png(png(bad, b"\x00" + bytes(8)))
+    with pt.raises(ValueError):  # truncated scanlines
+        multimodal.decode_png(png(ok_rgb, b"\x00" + bytes(2)))
+    with pt.raises(ValueError):  # bad filter type
+        multimodal.decode_png(png(ok_rgb, b"\x07" + bytes(6)))
+
+
+def test_resize_images_real_formats(spark, synth_dir):
+    """resize_image handles BOTH dependency-free image formats (BMP
+    and PNG in, normalized 24-bpp BMP out)."""
     media = spark.read.parquet(str(synth_dir / "media.parquet"))
     out = multimodal.resize_images(
-        media.where("kind = 'image'"), 4, 3, resizer=multimodal.resize_bmp
+        media.where("kind = 'image'"), 4, 3, resizer=multimodal.resize_image
     ).collect()
     assert out
     for r in out:
         w, h, _ = multimodal.decode_bmp(bytes(r.payload))
         assert (w, h) == (4, 3)
+    # nearest-neighbor on a PNG picks the exact source pixels
+    import numpy as np
+
+    src = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    bmp = multimodal.encode_bmp(src)
+    up = multimodal.resize_image(bmp, 4, 4)
+    _, _, big = multimodal.decode_bmp(up)
+    assert (big[0, 0] == src[0, 0]).all() and (big[3, 3] == src[1, 1]).all()
 
 
 def test_salted_text_agg_multiset_equivalent(spark):
