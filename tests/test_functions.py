@@ -318,6 +318,53 @@ def test_tokenize_spark_parity_random_batch(spark):
         assert got == want, f"JVM/Python tokenizer divergence (stop={stop})"
 
 
+def test_tokens_col_unicode_non_nfc_parity(spark):
+    """The hybrid tokenizer (tokens_col_unicode) must equal the exact
+    Python spec on NON-NFC input — the round-2 documented JVM gap,
+    closed by routing NFC-suspect rows through the Python path. The
+    batch mixes decomposed accents, singleton decompositions, Hangul
+    jamo, reordered combining marks, CJK, astral and control chars."""
+    import random
+
+    from pignlproc_spark.functions.tokenize import (
+        NFC_SUSPECT_RANGES,
+        _nfc_suspect_ranges,
+        tokenize,
+        tokens_col_unicode,
+    )
+
+    # the frozen detector table IS this CPython's Unicode database
+    assert NFC_SUSPECT_RANGES == _nfc_suspect_ranges()
+
+    rng = random.Random(20260819)
+    pieces = [
+        "cafe\u0301",          # decomposed e+acute — must compose before \\w runs
+        "C\u0304afe\u0301",    # multiple marks on multiple bases
+        "\u212Bngstro\u0308m",  # singleton ANGSTROM SIGN + decomposed o-diaeresis
+        "\u1100\u1161\u11A8",  # Hangul jamo L+V+T — composes to one syllable
+        "x\u0307\u0323y",      # marks needing canonical REORDERING (ccc 230, 220)
+        "\u01C4upla",          # DZ-caron (NFC-invariant but case-interesting)
+        "\u4e2d\u6587\u0301\u5b57",  # Han + stray combining mark
+        "plain ascii words",
+        "na\u00efve caf\u00e9",  # precomposed (clean JVM path)
+        "\x0bvertical\x0btab",
+        "\U0001d518nicode math",
+        "\ufb01nal ligature",   # fi-ligature: compatibility (NOT canonical) decomposition — NFC keeps it
+        "e\u0301" * 40,         # long run of suspect text
+        "",
+    ]
+    texts = []
+    for _ in range(250):
+        n = rng.randrange(0, 8)
+        texts.append("".join(rng.choice(pieces) + rng.choice([" ", "", "."]) for _ in range(n)))
+    texts += pieces
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    for stop in (True, False):
+        got = [r[0] for r in df.select(tokens_col_unicode("text", apply_stoplist=stop)).collect()]
+        want = [tokenize(t, STOPWORDS if stop else None) for t in texts]
+        assert got == want, f"hybrid/Python tokenizer divergence (stop={stop})"
+
+
 def test_cjk_bigrams_parity_random_batch(spark):
     """Seeded-random differential check of the CJK bigram spec: JVM
     expression vs pure Python on mixed Han/ASCII/punctuation soup."""
