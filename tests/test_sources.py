@@ -300,3 +300,92 @@ def test_warc_gz_corrupt_member_resync(spark, tmp_path):
         r.payload == b"payload-%d" % i
         for i, r in enumerate(sorted(rows, key=lambda r: r.url))
     )
+
+
+def test_dump_split_boundary_invariance(spark, tmp_path):
+    """J1's split-correctness contract: pages straddling file-split
+    boundaries must parse identically at ANY maxPartitionBytes. The
+    fixture is a multi-MB single-file dump with wildly varying page
+    sizes (so dozens of pages straddle 64 KB splits), read at 64 KB,
+    the session default (1 MB), and effectively-unsplit (1 GB) — page
+    count, titles/ids and markup bytes must be invariant, and the
+    split counts must actually differ for the test to bite.
+
+    Why it holds: lineSep delegates to Hadoop's delimited record
+    reader — a task reads PAST its split end to finish the record it
+    started and skips the partial record at its start, the same
+    contract the reference's WikipediaPageInputFormat implements by
+    hand (SURVEY.md §2.1 J1)."""
+    import hashlib
+    import random
+
+    rng = random.Random(20260819)
+    pages, want = [], {}
+    for i in range(500):
+        body = "".join(
+            rng.choice(("lorem ", "ipsum ", "[[Link_%d]] " % i, "&amp;x ", "y<z "))
+            for _ in range(rng.randrange(10, 3000))
+        ).replace("<", "&lt;").replace(">", "&gt;")
+        title = f"Page {i}&amp;tail"
+        pages.append(
+            f"<page>\n  <title>{title}</title>\n  <id>{i}</id>\n"
+            f"  <revision><text xml:space=\"preserve\">{body}</text></revision>\n</page>"
+        )
+        unescaped = body.replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
+        want[(f"Page {i}&tail", i)] = hashlib.md5(unescaped.encode()).hexdigest()
+    xml = "<mediawiki>\n" + "\n".join(pages) + "\n</mediawiki>\n"
+    p = tmp_path / "dump.xml"
+    p.write_text(xml, encoding="utf-8")
+    assert p.stat().st_size > 4 * 64 * 1024  # many 64 KB boundaries
+
+    def rows_at(max_bytes):
+        old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", max_bytes)
+        try:
+            d = wikidump.read_dump(spark, str(p))
+            n_splits = spark.read.text(str(p), lineSep="</page>").rdd.getNumPartitions()
+            rows = {
+                (r.title, r.page_id): r.h
+                for r in d.select(
+                    "title", "page_id", F.md5(F.encode("markup", "UTF-8")).alias("h")
+                ).collect()
+            }
+            return n_splits, rows
+        finally:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+    s64, r64 = rows_at("64k")
+    s1m, r1m = rows_at("1m")
+    sbig, rbig = rows_at("1g")
+    # splits genuinely differ (sbig may still be 2: the planner floors
+    # split size at openCostInBytes-derived bytesPerCore, not 1 file)
+    assert s64 > s1m > sbig >= 1
+    assert r64 == r1m == rbig == want  # parse is split-invariant, byte-exact
+
+
+def test_dump_bz2_replay_matches_plain(spark, tmp_path):
+    """The .bz2 replay path (the format real Wikipedia dumps ship in,
+    and a SPLITTABLE codec on Hadoop): identical rows to the plain-XML
+    read — J1's compressed-input contract."""
+    import bz2
+
+    pages = [
+        f"<page><title>B {i}</title><id>{i}</id>"
+        f"<revision><text>body {i} [[T_{i}|t]]</text></revision></page>"
+        for i in range(200)
+    ]
+    xml = "<mediawiki>\n" + "\n".join(pages) + "\n</mediawiki>\n"
+    (tmp_path / "plain").mkdir()
+    (tmp_path / "packed").mkdir()
+    (tmp_path / "plain" / "dump.xml").write_text(xml, encoding="utf-8")
+    (tmp_path / "packed" / "dump.xml.bz2").write_bytes(bz2.compress(xml.encode()))
+
+    plain = {
+        (r.title, r.page_id, r.markup)
+        for r in wikidump.read_dump(spark, str(tmp_path / "plain")).collect()
+    }
+    packed = {
+        (r.title, r.page_id, r.markup)
+        for r in wikidump.read_dump(spark, str(tmp_path / "packed")).collect()
+    }
+    assert plain == packed and len(plain) == 200
