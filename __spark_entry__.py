@@ -529,6 +529,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _read(spark, sf_dir, "embeddings")
         return similarity.embedding_near_duplicates(emb, min_cos_pct=40)
 
+    def emb_srp_topk_q(spark, sf_dir):
+        # SEARCH twin of emb_srp_pairs: banded integer-SRP bucket
+        # candidates ranked by the integer-cosine key — the rows-only
+        # float srp_lsh_topk upgraded to the hash-exact contract
+        emb = _read(spark, sf_dir, "embeddings")
+        return similarity.srp_topk_q(emb, emb.where(F.col("vec_id") < 10), k=5, dim=64)
+
+    def emb_ivf_topk_q(spark, sf_dir):
+        # IVF tier with the hash-exact contract: all-integer codebook
+        # (floor-mean Lloyd step), integer-dot assignment + probes,
+        # integer-cosine ranking within probed cells
+        emb = _read(spark, sf_dir, "embeddings")
+        return similarity.ivf_topk_q(
+            emb, emb.where(F.col("vec_id") < 10), k=5, n_centroids=8, nprobe=2
+        )
+
     def emb_srp_pairs(spark, sf_dir):
         # the BUCKETED ANN scale tier, oracle-pinned: banded integer
         # SRP-LSH candidates (8 bands x 4 quantized hyperplanes, band
@@ -1387,6 +1403,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb_dot_topk=emb_dot_topk,
         emb_near_dups=emb_near_dups,
         emb_srp_pairs=emb_srp_pairs,
+        emb_srp_topk_q=emb_srp_topk_q,
+        emb_ivf_topk_q=emb_ivf_topk_q,
         emb_semantic_keep=emb_semantic_keep,
         docs_quality_classifier=docs_quality_classifier,
         docs_lang_id=docs_lang_id,
@@ -3375,6 +3393,108 @@ def oracle_sql() -> dict[str, str]:
     )
     SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, dot_q, norm_a, norm_b
     FROM p WHERE dot_q > 0 AND 10000 * dot_q * dot_q >= 1600 * norm_a * norm_b
+    """
+    # emb_srp_topk_q: the SEARCH twin — same banded bucketing (same
+    # plane literals), candidates where the query (vec_id < 10) shares
+    # ANY band code with a corpus vector, ranked by the integer-cosine
+    # key of emb_cosine_topk_q.
+    o["emb_srp_topk_q"] = f"""
+    WITH qv AS (
+      SELECT vec_id, list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS v
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, list_sum(list_transform(v, x -> x * x))::BIGINT AS nrm FROM qv
+      WHERE list_sum(list_transform(v, x -> x * x)) > 0
+    ), pl AS (
+      SELECT * FROM (VALUES {_srp_rows}) AS t(pid, p)
+    ), sg AS (
+      SELECT n.vec_id, pl.pid // {_srp_r} AS band,
+             CASE WHEN list_sum(list_transform(range(1, len(n.v) + 1), i -> n.v[i] * pl.p[i])) >= 0
+                  THEN (1::BIGINT << (pl.pid % {_srp_r})) ELSE 0 END AS bit
+      FROM n CROSS JOIN pl
+    ), code AS (
+      SELECT vec_id, band, sum(bit)::BIGINT AS code FROM sg GROUP BY 1, 2
+    ), cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, t.vec_id AS neighbor_id
+      FROM code q JOIN code t ON q.band = t.band AND q.code = t.code
+      WHERE q.vec_id < 10 AND q.vec_id != t.vec_id
+    ), scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             list_sum(list_transform(range(1, len(nq.v) + 1), i -> nq.v[i] * nt.v[i]))::BIGINT AS dot_q,
+             nq.nrm AS norm_q2, nt.nrm AS norm_n2
+      FROM cand c JOIN n nq ON nq.vec_id = c.query_id JOIN n nt ON nt.vec_id = c.neighbor_id
+    )
+    SELECT query_id::BIGINT AS query_id, neighbor_id::BIGINT AS neighbor_id,
+           dot_q, norm_q2, norm_n2, rank::INT AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY dot_q / sqrt((norm_q2 * norm_n2)::DOUBLE) DESC, neighbor_id ASC
+      ) AS rank FROM scored
+    ) WHERE rank <= 5
+    """
+    # emb_ivf_topk_q: all-integer IVF replay — seeds = 8 lowest-id
+    # quantized vectors, one Lloyd step (integer-dot argmax assignment,
+    # per-dim floor(sum/count) means — floor of an exact-int ratio via
+    # IEEE double is engine-identical), integer-dot probe top-2 cells,
+    # integer-cosine ranking within probed cells.
+    o["emb_ivf_topk_q"] = """
+    WITH qv AS (
+      SELECT vec_id, list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS v
+      FROM embeddings
+    ), n AS MATERIALIZED (
+      SELECT vec_id, v, list_sum(list_transform(v, x -> x * x))::BIGINT AS nrm FROM qv
+      WHERE list_sum(list_transform(v, x -> x * x)) > 0
+    ), seeds AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, v
+      FROM qv ORDER BY vec_id LIMIT 8
+    ), d0 AS MATERIALIZED (
+      SELECT q.vec_id, s.cidx,
+             list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * s.v[i]))::BIGINT AS dot
+      FROM qv q CROSS JOIN seeds s
+    ), a0 AS MATERIALIZED (
+      SELECT vec_id, cidx FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cidx ASC) AS rn
+        FROM d0
+      ) WHERE rn = 1
+    ), m1 AS MATERIALIZED (
+      SELECT a.cidx, u.s['dim'] AS dim,
+             floor(sum(u.s['val'])::DOUBLE / count(*))::BIGINT AS m
+      FROM a0 a JOIN qv q ON q.vec_id = a.vec_id,
+           unnest(list_transform(range(1, len(q.v) + 1), i -> {'dim': i, 'val': q.v[i]})) AS u(s)
+      GROUP BY 1, 2
+    ), cents AS MATERIALIZED (
+      SELECT s.cidx, coalesce(c.v, s.v) AS v
+      FROM seeds s LEFT JOIN (SELECT cidx, list(m ORDER BY dim) AS v FROM m1 GROUP BY cidx) c
+      USING (cidx)
+    ), d1 AS MATERIALIZED (
+      SELECT t.vec_id, c.cidx,
+             list_sum(list_transform(range(1, len(t.v) + 1), i -> t.v[i] * c.v[i]))::BIGINT AS dot
+      FROM n t CROSS JOIN cents c
+    ), a1 AS MATERIALIZED (
+      SELECT vec_id, cidx FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cidx ASC) AS rn
+        FROM d1
+      ) WHERE rn = 1
+    ), pr AS MATERIALIZED (
+      SELECT vec_id AS query_id, cidx FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cidx ASC) AS rn
+        FROM d1 WHERE vec_id < 10
+      ) WHERE rn <= 2
+    ), scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, len(nq.v) + 1), i -> nq.v[i] * nt.v[i]))::BIGINT AS dot_q,
+             nq.nrm AS norm_q2, nt.nrm AS norm_n2
+      FROM pr p JOIN a1 a USING (cidx)
+      JOIN n nq ON nq.vec_id = p.query_id JOIN n nt ON nt.vec_id = a.vec_id
+      WHERE p.query_id != a.vec_id
+    )
+    SELECT query_id::BIGINT AS query_id, neighbor_id::BIGINT AS neighbor_id,
+           dot_q, norm_q2, norm_n2, rank::INT AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY dot_q / sqrt((norm_q2 * norm_n2)::DOUBLE) DESC, neighbor_id ASC
+      ) AS rank FROM scored
+    ) WHERE rank <= 5
     """
     # docs_quality_classifier: CCLogReg v1 training replayed as
     # unrolled materialized-CTE rounds. Cross-engine exactness rests

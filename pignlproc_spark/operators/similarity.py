@@ -327,6 +327,237 @@ def srp_banded_pairs(
     return out
 
 
+def srp_topk_q(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    bands: int = 8,
+    band_planes: int = 4,
+    seed: int = 42,
+    plane_scale: int = 1000,
+    dim: int | None = None,
+) -> DataFrame:
+    """(query_id, neighbor_id, dot_q, norm_q2, norm_n2, rank) — the
+    SEARCH twin of :func:`srp_banded_pairs`: banded integer-SRP bucket
+    candidates (query and corpus vector share at least one band's full
+    sign-code) ranked within the candidate set by the hash-exact
+    integer-cosine key of :func:`cosine_topk_quantized`. This upgrades
+    the float :func:`srp_lsh_topk` (rows-only) to the oracle-exact
+    contract: every hashed column is an integer, the ranking key is
+    the 3-op IEEE double chain both engines compute bit-identically.
+
+    Scale shape: sign rows (id, band, code) equi-join — NO crossJoin;
+    per query the rank window sees only its bucket candidates. Top-k
+    is per-query, so a query whose buckets are sparse returns < k rows
+    (candidates-only contract — recall is the band-count knob).
+    """
+    from pyspark.sql import Window
+
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    planes = srp_planes_q(dim, bands * band_planes, seed, plane_scale)
+
+    def prep(df, name):
+        return (
+            df.select(F.col(id_col).alias(name), _quantize(F.col(vec_col), scale).alias("v"))
+            .withColumn("nrm", _dot_int(F.col("v"), F.col("v")))
+            .where(F.col("nrm") > 0)
+            .withColumn("codes", srp_band_codes("v", planes, band_planes))
+        )
+
+    t = prep(embeddings, "neighbor_id").persist()
+    q = prep(queries, "query_id")
+    t_sig = t.select("neighbor_id", F.posexplode("codes").alias("band", "code"))
+    q_sig = q.select("query_id", F.posexplode("codes").alias("band", "code"))
+    cand = (
+        q_sig.join(t_sig, ["band", "code"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(
+            q.select("query_id", F.col("v").alias("qv"), F.col("nrm").alias("norm_q2")),
+            "query_id",
+        )
+        .join(
+            t.select("neighbor_id", F.col("v").alias("tv"), F.col("nrm").alias("norm_n2")),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            _dot_int(F.col("qv"), F.col("tv")).alias("dot_q"),
+            "norm_q2",
+            "norm_n2",
+        )
+    )
+    key = F.col("dot_q") / F.sqrt((F.col("norm_q2") * F.col("norm_n2")).cast("double"))
+    w = Window.partitionBy("query_id").orderBy(F.desc(key), F.asc("neighbor_id"))
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("bigint"),
+            F.col("neighbor_id").cast("bigint"),
+            "dot_q",
+            "norm_q2",
+            "norm_n2",
+            F.col("rank").cast("int"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    t.unpersist()
+    return out
+
+
+def ivf_centroids_q(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    train_iters: int = 1,
+) -> list[list[int]]:
+    """INTEGER IVF codebook (deterministic, oracle-replayable): seeds =
+    the ``n_centroids`` lowest-id QUANTIZED vectors, refined by
+    ``train_iters`` Lloyd steps where assignment is integer-dot argmax
+    (ties → lowest centroid index) and the new centroid is the
+    per-dimension ``floor(sum / count)`` — floor of an exact-int ratio
+    through an IEEE double is bit-identical in both engines (|sum| ≪
+    2⁵³), so the whole codebook is replayable in SQL. Clusters that
+    lose all members keep their previous centroid. Mean computation is
+    distributed (posexplode + partial/final agg); only the tiny
+    codebook reaches the driver.
+    """
+    n = embeddings.select(
+        F.col(id_col).alias("id"), _quantize(F.col(vec_col), scale).alias("v")
+    )
+    seeds = [list(r.v) for r in n.orderBy("id").limit(n_centroids).select("v").collect()]
+    cents = seeds
+    for _ in range(train_iters):
+        assigned = n.withColumn("cluster", _ivf_assign_q("v", cents))
+        dims = assigned.select("cluster", F.posexplode("v").alias("dim", "val"))
+        means = (
+            dims.groupBy("cluster", "dim")
+            .agg(
+                F.floor(
+                    F.sum("val").cast("double") / F.count(F.lit(1)).cast("double")
+                )
+                .cast("bigint")
+                .alias("m")
+            )
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select("cluster", F.transform("dm", lambda s: s["m"]).alias("v"))
+            .collect()
+        )
+        new = {r.cluster: list(r.v) for r in means}
+        cents = [new.get(i, cents[i]) for i in range(n_centroids)]
+    return cents
+
+
+def _ivf_assign_q(qvec_name: str, centroids_q: list[list[int]]):
+    """INT cluster id: argmax integer dot against the codebook, ties to
+    the lowest index. One SQL expression string (the srp_band_codes
+    py4j lesson); the (-dot, idx) struct array min is the argmax."""
+    entries = ", ".join(
+        "named_struct('d', -aggregate(zip_with("
+        + qvec_name
+        + f", array({', '.join(str(x) + 'L' for x in c)}), (x, y) -> x * y), 0L, (a, p) -> a + p), 'i', {i})"
+        for i, c in enumerate(centroids_q)
+    )
+    return F.expr(f"array_min(array({entries})).i").cast("int")
+
+
+def ivf_topk_q(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    centroids_q: list[list[int]] | None = None,
+) -> DataFrame:
+    """(query_id, neighbor_id, dot_q, norm_q2, norm_n2, rank) — the
+    IVF ANN tier with the hash-exact oracle contract: the all-integer
+    codebook of :func:`ivf_centroids_q`, integer-dot cell assignment,
+    integer-dot probe ranking (a query probes its ``nprobe`` best
+    cells), and the :func:`cosine_topk_quantized` ranking key within
+    the probed cells. Upgrades the float :func:`ivf_topk` (rows-only)
+    the way srp_topk_q upgrades srp_lsh_topk.
+
+    Scale shape: corpus equi-joined on ``cluster`` (store it as a
+    partition column and the probe join becomes partition pruning);
+    the codebook is a driver-bounded literal; no crossJoin.
+    """
+    from pyspark.sql import Window
+
+    if centroids_q is None:
+        centroids_q = ivf_centroids_q(embeddings, n_centroids, id_col, vec_col, scale)
+    t = (
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"), _quantize(F.col(vec_col), scale).alias("tv")
+        )
+        .withColumn("norm_n2", _dot_int(F.col("tv"), F.col("tv")))
+        .where(F.col("norm_n2") > 0)
+        .withColumn("cluster", _ivf_assign_q("tv", centroids_q))
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), _quantize(F.col(vec_col), scale).alias("qv")
+        )
+        .withColumn("norm_q2", _dot_int(F.col("qv"), F.col("qv")))
+        .where(F.col("norm_q2") > 0)
+        .withColumn("probes", _ivf_probes_q("qv", centroids_q, nprobe))
+        .select("query_id", "qv", "norm_q2", F.explode("probes").alias("cluster"))
+    )
+    scored = (
+        q.join(t, "cluster")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _dot_int(F.col("qv"), F.col("tv")).alias("dot_q"),
+            "norm_q2",
+            "norm_n2",
+        )
+    )
+    key = F.col("dot_q") / F.sqrt((F.col("norm_q2") * F.col("norm_n2")).cast("double"))
+    w = Window.partitionBy("query_id").orderBy(F.desc(key), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("bigint"),
+            F.col("neighbor_id").cast("bigint"),
+            "dot_q",
+            "norm_q2",
+            "norm_n2",
+            F.col("rank").cast("int"),
+        )
+    )
+
+
+def _ivf_probes_q(qvec_name: str, centroids_q: list[list[int]], nprobe: int):
+    """ARRAY<INT> of the ``nprobe`` best cells by integer dot (ties to
+    lowest index) — slice of the sorted (-dot, idx) struct array."""
+    entries = ", ".join(
+        "named_struct('d', -aggregate(zip_with("
+        + qvec_name
+        + f", array({', '.join(str(x) + 'L' for x in c)}), (x, y) -> x * y), 0L, (a, p) -> a + p), 'i', {i})"
+        for i, c in enumerate(centroids_q)
+    )
+    return F.expr(
+        f"transform(slice(array_sort(array({entries})), 1, {nprobe}), s -> cast(s.i as int))"
+    )
+
+
 def ivf_centroids(
     embeddings: DataFrame,
     n_centroids: int = 16,

@@ -252,6 +252,13 @@ def test_srp_pairs_bucket_join_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the oracle-pinned ANN search tiers share the contract: bucket /
+    # cell equi-joins plus broadcast-literal codebooks, never a product
+    ivf = plan_of(
+        similarity.ivf_topk_q(emb, emb.where(F.col("vec_id") < 3), k=3, n_centroids=2, nprobe=1)
+    )
+    assert "CartesianProduct" not in ivf and "NestedLoop" not in ivf
+    assert "BatchEvalPython" not in ivf and "ArrowEvalPython" not in ivf
 
 
 def test_rarity_score_one_scan_no_join(spark):

@@ -348,6 +348,77 @@ def test_srp_banded_pairs(spark):
         similarity.srp_banded_pairs(big, min_cos_pct=90, bands=2, band_planes=2)
 
 
+def test_srp_topk_q_candidates_and_values(spark):
+    """srp_topk_q (the oracle-pinned bucketed ANN search tier): every
+    returned neighbor carries the SAME integer dot/norms the brute
+    cosine_topk_quantized computes for that pair, identical-direction
+    vectors are always candidates, and per-query rank order is the
+    brute order restricted to the candidate set."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    brute = {
+        (r.query_id, r.neighbor_id): (r.dot_q, r.norm_q2, r.norm_n2)
+        for r in similarity.cosine_topk_quantized(emb, emb, k=10).collect()
+    }
+    got = similarity.srp_topk_q(emb, emb, k=10, bands=4, band_planes=2).collect()
+    assert got
+    for r in got:
+        assert brute[(r.query_id, r.neighbor_id)] == (r.dot_q, r.norm_q2, r.norm_n2)
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r.query_id, r.rank)):
+        by_q.setdefault(r.query_id, []).append(r.neighbor_id)
+    assert 1 in by_q[0]  # identical vector always shares every band code
+    # rank order within candidates == brute order filtered to candidates
+    brute_rank = {}
+    for r in similarity.cosine_topk_quantized(emb, emb, k=10).collect():
+        brute_rank.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    for qid, neigh in by_q.items():
+        expect = [n for _, n in sorted(brute_rank[qid]) if n in set(neigh)]
+        assert neigh == expect, qid
+
+
+def test_ivf_topk_q_full_probe_equals_brute(spark):
+    """With nprobe == n_centroids the integer-IVF tier degenerates to
+    the exact brute ranking — the candidates-only contract's upper
+    end. With nprobe=1 results are a subset carrying identical values."""
+    import random
+
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.where(F.col("vec_id") < 6)
+    brute = [
+        (r.query_id, r.neighbor_id, r.dot_q, r.norm_q2, r.norm_n2, r.rank)
+        for r in similarity.cosine_topk_quantized(emb, q, k=4)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    full = [
+        (r.query_id, r.neighbor_id, r.dot_q, r.norm_q2, r.norm_n2, r.rank)
+        for r in similarity.ivf_topk_q(emb, q, k=4, n_centroids=4, nprobe=4)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert full == brute
+    brute_vals = {(t[0], t[1]): t[2:5] for t in brute}
+    narrow = similarity.ivf_topk_q(emb, q, k=4, n_centroids=4, nprobe=1).collect()
+    assert narrow
+    exact_all = {
+        (r.query_id, r.neighbor_id): (r.dot_q, r.norm_q2, r.norm_n2)
+        for r in similarity.cosine_topk_quantized(emb, q, k=100).collect()
+    }
+    for r in narrow:
+        assert exact_all[(r.query_id, r.neighbor_id)] == (r.dot_q, r.norm_q2, r.norm_n2)
+
+
 def test_jsonl_shard_export_roundtrip(spark, tmp_path):
     from pignlproc_spark import tables
     from pignlproc_spark.operators.textstats import hash_bucket
