@@ -584,6 +584,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _read(spark, sf_dir, "embeddings")
         return similarity.semantic_dedup_keep(emb, min_cos_pct=40)
 
+    def emb_semantic_keep_banded(spark, sf_dir):
+        # the 100-TB SemDeDup configuration, hash-exact END TO END:
+        # banded integer-SRP candidate pairs (no cross join) → exact
+        # integer cosine verify → transitive closure → min-id keep
+        emb = _read(spark, sf_dir, "embeddings")
+        return similarity.semantic_dedup_keep(
+            emb, min_cos_pct=40, bands=8, band_planes=4, dim=64
+        )
+
     def docs_lang_id(spark, sf_dir):
         return textstats.lang_id(_read(spark, sf_dir, "documents"))
 
@@ -1406,6 +1415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb_srp_topk_q=emb_srp_topk_q,
         emb_ivf_topk_q=emb_ivf_topk_q,
         emb_semantic_keep=emb_semantic_keep,
+        emb_semantic_keep_banded=emb_semantic_keep_banded,
         docs_quality_classifier=docs_quality_classifier,
         docs_lang_id=docs_lang_id,
         docs_quality=docs_quality,
@@ -3562,6 +3572,48 @@ def oracle_sql() -> dict[str, str]:
         AND 10000 * list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
                   * list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
             >= 1600 * a.nrm * b.nrm
+    ), sym AS (
+      SELECT id_a AS u, id_b AS v FROM p
+      UNION SELECT id_b, id_a FROM p
+    ), reach(u, l) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+      UNION
+      SELECT s.v, r.l FROM reach r JOIN sym s ON s.u = r.u
+    ), comp AS (SELECT u AS did, min(l) AS component_id FROM reach GROUP BY u)
+    SELECT e.vec_id::BIGINT AS vec_id,
+           coalesce(c.component_id, e.vec_id)::BIGINT AS component_id,
+           (coalesce(c.component_id, e.vec_id) = e.vec_id)::INT AS keep
+    FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.did
+    """
+
+    # emb_semantic_keep_banded: same closure + keep shape, but the
+    # pair graph is the BANDED integer-SRP candidate set (emb_srp_pairs
+    # bucketing, shared plane literals) — the scale tier end to end.
+    o["emb_semantic_keep_banded"] = f"""
+    WITH RECURSIVE qv AS (
+      SELECT vec_id, list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS v
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, list_sum(list_transform(v, x -> x * x))::BIGINT AS nrm FROM qv
+    ), pl AS (
+      SELECT * FROM (VALUES {_srp_rows}) AS t(pid, p)
+    ), sg AS (
+      SELECT n.vec_id, pl.pid // {_srp_r} AS band,
+             CASE WHEN list_sum(list_transform(range(1, len(n.v) + 1), i -> n.v[i] * pl.p[i])) >= 0
+                  THEN (1::BIGINT << (pl.pid % {_srp_r})) ELSE 0 END AS bit
+      FROM n CROSS JOIN pl
+    ), code AS (
+      SELECT vec_id, band, sum(bit)::BIGINT AS code FROM sg GROUP BY 1, 2
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM code a JOIN code b ON a.band = b.band AND a.code = b.code AND a.vec_id < b.vec_id
+    ), p AS (
+      SELECT c.id_a, c.id_b FROM cand c
+      JOIN n na ON na.vec_id = c.id_a JOIN n nb ON nb.vec_id = c.id_b
+      WHERE list_sum(list_transform(range(1, len(na.v) + 1), i -> na.v[i] * nb.v[i])) > 0
+        AND 10000 * list_sum(list_transform(range(1, len(na.v) + 1), i -> na.v[i] * nb.v[i]))
+                  * list_sum(list_transform(range(1, len(na.v) + 1), i -> na.v[i] * nb.v[i]))
+            >= 1600 * na.nrm * nb.nrm
     ), sym AS (
       SELECT id_a AS u, id_b AS v FROM p
       UNION SELECT id_b, id_a FROM p

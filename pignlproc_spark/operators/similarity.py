@@ -768,6 +768,9 @@ def semantic_dedup_keep(
     scale: int = 1000,
     n_planes: int | None = None,
     seed: int = 42,
+    bands: int | None = None,
+    band_planes: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """(vec_id, component_id, keep INT) — the SemDeDup-style verdict
     (Abbas et al., 2023): embedding-cosine near-duplicate pairs →
@@ -784,12 +787,24 @@ def semantic_dedup_keep(
     {A,B,C} to one kept vector even when A–C was never a candidate
     pair — per-pair filtering alone over-deletes (kills both sides)
     or under-deletes (keeps chains).
+
+    ``bands`` selects the ORACLE-EXACT bucketed scale tier
+    (:func:`srp_banded_pairs` — banded integer SRP, replayable in SQL)
+    instead of the all-pairs / float-single-bucket paths; this is the
+    100-TB SemDeDup configuration with the hash-exact contract end to
+    end (pairs → closure → keep).
     """
     from pignlproc_spark.operators import dedup
 
-    pairs = embedding_near_duplicates(
-        embeddings, min_cos_pct, id_col, vec_col, scale, n_planes, seed
-    )
+    if bands:
+        pairs = srp_banded_pairs(
+            embeddings, min_cos_pct, id_col, vec_col, scale,
+            bands, band_planes, seed, dim=dim,
+        )
+    else:
+        pairs = embedding_near_duplicates(
+            embeddings, min_cos_pct, id_col, vec_col, scale, n_planes, seed
+        )
     out = dedup.dedup_keep_decision(embeddings, pairs, id_col=id_col)
     return out.select(
         F.col(id_col).cast("bigint").alias(id_col), "component_id", "keep"

@@ -481,6 +481,17 @@ def test_semantic_dedup_keep(spark):
     srp = {r.vec_id: r.keep for r in similarity.semantic_dedup_keep(emb, min_cos_pct=95, n_planes=4).collect()}
     assert srp[0] == 1 and srp[1] == 0 and srp[2] == 0
     assert sum(srp.values()) >= sum(k for _, k in out.values())
+    # banded integer-SRP path (the oracle-exact scale tier): same
+    # monotonicity contract, planted identical-direction cluster still
+    # collapses (all band codes shared)
+    banded = {
+        r.vec_id: r.keep
+        for r in similarity.semantic_dedup_keep(
+            emb, min_cos_pct=95, bands=4, band_planes=3
+        ).collect()
+    }
+    assert banded[0] == 1 and banded[1] == 0 and banded[2] == 0
+    assert sum(banded.values()) >= sum(k for _, k in out.values())
 
 
 def test_ivf_topk_recall(spark):
