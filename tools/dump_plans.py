@@ -273,6 +273,31 @@ def main():
         textstats.pii_scrub(docs),
     )
 
+    from pignlproc_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    add(
+        "Banded integer-SRP near-dup pairs (bucket equi-join, no product)",
+        "The oracle-pinned ANN scale tier (emb_srp_pairs): sign rows "
+        "(id, band, code) self-join on band+code — candidates shuffle, "
+        "the corpus doesn't, and there is NO CartesianProduct / "
+        "NestedLoop anywhere; the integer-cosine verify re-joins the "
+        "quantized vectors by id after the distinct.",
+        similarity.srp_banded_pairs(
+            emb, min_cos_pct=40, dim=64, materialize=False
+        ),
+    )
+    add(
+        "Integer IVF top-k (cell equi-join, literal codebook)",
+        "emb_ivf_topk_q: the codebook is a driver-bounded literal "
+        "expression (no centroid table join), corpus rows equi-join on "
+        "their assigned cell, the per-query rank window sees only "
+        "probed-cell candidates — no product, no Python.",
+        similarity.ivf_topk_q(
+            emb, emb.where(F.col("vec_id") < 5), k=3, n_centroids=4, nprobe=2
+        ),
+    )
+
     out = ["# PLANS — physical plans of the key operators\n"]
     out.append(
         "Generated by `python tools/dump_plans.py` (sf0.001 inputs; plans are\n"
