@@ -405,10 +405,17 @@ def connected_components(
     Each round strictly shrinks total path length; at fixpoint the
     edge set is a forest of stars rooted at component minima, read off
     with one groupBy-min. Near-dup graphs converge in 2–3 rounds
-    (components are shallow). Every round ``localCheckpoint``s its
-    (small, strictly shrinking) edge set: the fixpoint check needs two
-    actions anyway, and truncating lineage keeps round k from
-    re-executing rounds 1..k-1.
+    (components are shallow). Every round costs exactly ONE Spark
+    action: a lazy ``localCheckpoint`` (lineage truncation so round k
+    never re-executes rounds 1..k-1) materialized by the fixpoint
+    probe — a (count, exact-decimal-sum-of-xxhash64) multiset
+    fingerprint. Fingerprint equality substitutes for a set-equality
+    diff; the DECIMAL(38) sum is exact and partitioning/order-
+    invariant, and a false fixpoint needs a 64-bit hash-sum collision
+    BETWEEN CONSECUTIVE ROUNDS of a monotone contraction (the
+    oracle-exact CC tests would catch a systematic one). This halves
+    the per-round driver latency vs the checkpoint+count+diff
+    formulation.
 
     Reference parity note: pignlproc has no graph operator — this is a
     "beyond the reference" training-pipeline op (COVERAGE.md), but it
@@ -416,11 +423,23 @@ def connected_components(
     (SURVEY.md §2.2 P12, operators/canonicalize.py).
     """
     e = _norm_pairs(pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v")))
+
+    def _probe(df):
+        # one action: materializes the lazy checkpoint AND returns the
+        # multiset fingerprint. The hash sum runs in DECIMAL(38,0) —
+        # exact (no overflow below ~10¹⁹ rows) and order/partitioning-
+        # invariant, unlike a BIGINT sum which throws under ANSI mode.
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("chk"),
+        ).first()
+        return int(r.n), (0 if r.chk is None else int(r.chk))
+
     # materialize ONCE: round 0 references the edge set 4+ times (sym
     # union, m agg, large join, fixpoint probe) and the upstream
     # lineage is typically the whole LSH pipeline
-    e = e.localCheckpoint(eager=True)
-    e_count = e.count()
+    e = e.localCheckpoint(eager=False)
+    e_count, e_chk = _probe(e)
     for rnd in range(max_rounds):
         if e_count == 0:
             break
@@ -445,15 +464,14 @@ def connected_components(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(m2.select(F.col("u"), F.col("m").alias("v")))
         )
-        small = small.localCheckpoint(eager=True)
-        # fixpoint: edge set unchanged (star forest reached). Counts
-        # are cached across rounds, so a round costs the checkpoint
-        # job + one count + (only on count-match) one anti-diff probe.
-        n = small.count()
-        if n == e_count and small.exceptAll(e).limit(1).count() == 0:
+        small = small.localCheckpoint(eager=False)
+        # fixpoint: edge multiset unchanged (star forest reached) —
+        # detected by fingerprint equality, ONE action per round.
+        n, chk = _probe(small)
+        if (n, chk) == (e_count, e_chk):
             e = small
             break
-        e, e_count = small, n
+        e, e_count, e_chk = small, n, chk
     sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
         e.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
