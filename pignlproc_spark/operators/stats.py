@@ -571,10 +571,12 @@ def hits_q(
         return spark.createDataFrame([], schema)
     # headroom guard: scores ≤ SCALE, so raw ≤ SCALE·Σw and the
     # normalization multiplies by SCALE again — a node whose weighted
-    # degree exceeds 2⁶³/SCALE² would silently wrap BIGINT (Spark is
-    # non-ANSI here) and corrupt every rank. One cheap job on the
-    # persisted edge table; real crawl graphs (jobs/crawl_graph.py
-    # feeds n_links-weighted host edges) CAN hit this on hub hosts.
+    # degree exceeds 2⁶³/SCALE² would fail the job mid-recurrence
+    # under ANSI mode (Spark 4 default) or silently corrupt every
+    # rank without it. One cheap job on the persisted edge table
+    # converts either into a clear error with a rescale hint; real
+    # crawl graphs (jobs/crawl_graph.py feeds n_links-weighted host
+    # edges) CAN hit this on hub hosts.
     limit = (2**63) // HITS_SCALE // HITS_SCALE
     maxdeg = (
         e.select(F.col("src").alias("_n"), "w")
@@ -667,8 +669,9 @@ def trustrank_q(
         raise ValueError("trustrank_q needs a non-empty seed set")
     # headroom guard: per-edge contribution is trust_q·w·85 with
     # trust_q ≤ SCALE, so a single collapsed edge weight above
-    # 2⁶³/(85·SCALE) (~1.08e8) silently wraps BIGINT and corrupts the
-    # ranking. One cheap max() on the persisted edge table.
+    # 2⁶³/(85·SCALE) (~1.08e8) fails the job under ANSI mode (or
+    # silently wraps and corrupts the ranking without it). One cheap
+    # max() on the persisted edge table gives a clear error instead.
     w_limit = (2**63) // (85 * PAGERANK_SCALE)
     max_w = e.agg(F.max("w")).first()[0]
     if max_w is not None and max_w > w_limit:

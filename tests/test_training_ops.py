@@ -2079,10 +2079,10 @@ def test_trustrank_q_matches_dense_reference(spark):
 
 
 def test_graph_scorer_headroom_guards(spark):
-    """hits_q / trustrank_q refuse graphs whose weights would wrap
-    BIGINT mid-recurrence (Spark is non-ANSI — it wraps silently)
-    instead of returning corrupted ranks; just-under-bound graphs
-    still run."""
+    """hits_q / trustrank_q refuse graphs whose weights would overflow
+    BIGINT mid-recurrence (an opaque ANSI ArithmeticException deep in
+    round k, or silent corruption without ANSI) — the guard raises a
+    clear ValueError up front; just-under-bound graphs still run."""
     from pignlproc_spark.operators import stats
 
     hot = spark.createDataFrame([("hub", "x", 10**7)], "s string, d string, c long")
