@@ -108,14 +108,22 @@ def resolve_mapping(
 
 
 def apply_redirects(
-    df: DataFrame, redirects: DataFrame, uri_col: str, max_hops: int = MAX_HOPS
+    df: DataFrame,
+    redirects: DataFrame,
+    uri_col: str,
+    max_hops: int = MAX_HOPS,
+    distributed: bool | None = False,
 ) -> DataFrame:
     """Rewrite ``uri_col`` through the resolved redirect map.
 
     One broadcast join on the (huge) fact side — the per-hop loop runs
     only over the tiny distinct source set (resolve_mapping).
+    ``distributed`` forwards to :func:`resolve_mapping`; the default
+    ``False`` skips the auto-switch row count because broadcasting the
+    MAP below presumes a broadcastable dimension anyway — pass ``None``
+    (auto) or ``True`` when the redirect table might not be.
     """
-    mapping = F.broadcast(resolve_mapping(redirects, max_hops))
+    mapping = F.broadcast(resolve_mapping(redirects, max_hops, distributed))
     out = df.join(mapping, df[uri_col] == mapping["src_uri"], "left")
     return out.withColumn(uri_col, F.coalesce(F.col("resolved_uri"), F.col(uri_col))).drop(
         "src_uri", "resolved_uri"

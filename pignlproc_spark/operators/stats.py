@@ -161,10 +161,12 @@ def capped_surface_forms_ipc(
         .orderBy(F.col("annotated_cnt").desc(), F.col("surface_form"))
         .limit(max_dict_size)
     )
-    norms = (
-        capped.select(normalize_sf_udf()(F.col("surface_form")).alias("norm"))
-        .where((F.col("norm") != "") & (F.size(F.split(F.col("norm"), " ")) <= max_n))
-        .distinct()
+    # NO distinct(): `annotated` is a groupBy output so raw forms are
+    # already unique; normalization collisions are deduped by the
+    # executor-side set build — a full shuffle here would only shave
+    # broadcast bytes (measured: the shuffle costs more than it saves)
+    norms = capped.select(normalize_sf_udf()(F.col("surface_form")).alias("norm")).where(
+        (F.col("norm") != "") & (F.size(F.split(F.col("norm"), " ")) <= max_n)
     )
     return normalized_forms_ipc(norms)
 
