@@ -44,6 +44,13 @@ def run(sf_dir: str, cpus: int, quiet: bool = True, pipeline_only: bool = False,
             t0 = time.time()
             counts[name] = fn()
             runs.append(time.time() - t0)
+            # drop dead DataFrame refs NOW so the ContextCleaner frees
+            # their localCheckpoint blocks before the next measurement
+            # — otherwise storage-memory pressure from earlier queries
+            # bleeds into later ones (measured on the tf-cosine stage)
+            import gc
+
+            gc.collect()
         timings[name] = round(runs[0], 3)
         if len(runs) > 1:
             warm[name] = round(min(runs[1:]), 3)
