@@ -2128,6 +2128,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs_phrase_search=docs_phrase_search,
         docs_bm25_topk=docs_bm25_topk,
     )
+
+    def docs_count_of_counts(spark, sf_dir):
+        # Good-Turing frequency-of-frequencies of the vocabulary +
+        # r* = (r+1)·n_{r+1}/n_r quantized ×1000 (exact integer DIV,
+        # DECIMAL intermediates both engines)
+        return textstats.count_of_counts(_read(spark, sf_dir, "documents"))
+
+    def docs_vocab_growth(spark, sf_dir):
+        # Heaps-law vocabulary-growth curve in 50-doc buckets (the
+        # driver corpus is 500-5000 docs; production picks bucket_docs
+        # so the bucket table stays thousands of rows):
+        # new types = tokens whose smallest containing doc_id falls in
+        # the bucket; cumulative window runs over the bucket table only
+        return textstats.vocab_growth(_read(spark, sf_dir, "documents"), bucket_docs=50)
+
+    def _planted_triples(spark, sf_dir):
+        # shared defect-planting base for the integrity queries: the
+        # md5-bucket selector of kg_incremental_merge (% 50) marks
+        # deterministic rows the oracle re-derives from golden_triples
+        t = _pipeline(spark, sf_dir).triples
+        h = (
+            F.conv(
+                F.substring(F.md5(F.concat_ws("|", "subj", "pred", "obj").cast("binary")), 1, 4),
+                16,
+                10,
+            ).cast("bigint")
+            % 50
+        )
+        return t, t.withColumn("_h", h)
+
+    def kg_graph_audit(spark, sf_dir):
+        # post-materialization KG QA (integrity.graph_audit) over the
+        # pipeline triples with three planted defect families: self-
+        # loops w/ weight 0 (kg:linksTo, h=0), functional violations
+        # (kg:uriCount second object, h=1), exact duplicate triples
+        # (kg:mentions, h=2) — each check provably fires
+        from pignlproc_spark.operators import integrity
+
+        t, th = _planted_triples(spark, sf_dir)
+        loops = th.where((F.col("pred") == "kg:linksTo") & (F.col("_h") == 0)).select(
+            "subj", "pred", F.col("subj").alias("obj"), F.lit(0).cast("long").alias("weight")
+        )
+        fviol = th.where((F.col("pred") == "kg:uriCount") & (F.col("_h") == 1)).select(
+            "subj", "pred", F.concat(F.col("obj"), F.lit("_v2")).alias("obj"), "weight"
+        )
+        dups = th.where((F.col("pred") == "kg:mentions") & (F.col("_h") == 2)).select(
+            "subj", "pred", "obj", "weight"
+        )
+        return integrity.graph_audit(
+            t.unionByName(loops).unionByName(fviol).unionByName(dups)
+        )
+
+    def kg_dangling_refs(spark, sf_dir):
+        # referential-integrity check: kg:mentions objects that no
+        # kg:uriCount row defines, with planted ghost targets (h=3)
+        from pignlproc_spark.operators import integrity
+
+        t, th = _planted_triples(spark, sf_dir)
+        ghosts = th.where((F.col("pred") == "kg:mentions") & (F.col("_h") == 3)).select(
+            "subj", "pred", F.concat(F.col("obj"), F.lit("_ghost")).alias("obj"), "weight"
+        )
+        return integrity.dangling_refs(t.unionByName(ghosts))
+
+    def web_host_split(spark, sf_dir):
+        # leakage-safe train/valid/test assignment at host granularity
+        # (split = frozen md5 bucket of the host string; 80/10/10)
+        from pignlproc_spark.functions.urls import host_split
+
+        return host_split(synth.pages_for(spark, sf_dir), train_pct=80, valid_pct=10)
+
+    q.update(
+        docs_count_of_counts=docs_count_of_counts,
+        docs_vocab_growth=docs_vocab_growth,
+        kg_graph_audit=kg_graph_audit,
+        kg_dangling_refs=kg_dangling_refs,
+        web_host_split=web_host_split,
+    )
     return q
 
 
@@ -4654,6 +4731,95 @@ def oracle_sql() -> dict[str, str]:
     WITH {', '.join(_bb)}
     SELECT rank::INT AS rank, l AS lhs, r AS rhs, cnt AS pair_freq
     FROM accu{_bb_rounds}
+    """
+
+    o["docs_count_of_counts"] = f"""
+    WITH tok AS (
+      SELECT unnest({_tok_sql('text', stop=False)}) AS token FROM documents
+    ), freq AS (
+      SELECT token, count(*)::BIGINT AS r FROM tok GROUP BY token
+    ), cofc AS (
+      SELECT r, count(*)::BIGINT AS n_r FROM freq GROUP BY r
+    )
+    SELECT c.r, c.n_r,
+           ((c.r + 1)::HUGEINT * n2.n_r * 1000 // c.n_r)::BIGINT AS r_star_q
+    FROM cofc c LEFT JOIN cofc n2 ON n2.r = c.r + 1
+    """
+
+    o["docs_vocab_growth"] = f"""
+    WITH tok AS (
+      SELECT doc_id::BIGINT AS d, unnest({_tok_sql('text', stop=False)}) AS token
+      FROM documents
+    ), pb AS (
+      SELECT d // 50 AS bucket, count(*)::BIGINT AS n_tokens FROM tok GROUP BY 1
+    ), fst AS (
+      SELECT token, min(d) AS fd FROM tok GROUP BY token
+    ), nt AS (
+      SELECT fd // 50 AS bucket, count(*)::BIGINT AS new_types FROM fst GROUP BY 1
+    )
+    SELECT pb.bucket::BIGINT AS bucket, pb.n_tokens,
+           coalesce(nt.new_types, 0)::BIGINT AS new_types,
+           sum(coalesce(nt.new_types, 0)) OVER (ORDER BY pb.bucket)::BIGINT AS cum_types,
+           sum(pb.n_tokens) OVER (ORDER BY pb.bucket)::BIGINT AS cum_tokens
+    FROM pb LEFT JOIN nt USING (bucket)
+    """
+
+    # kg_graph_audit / kg_dangling_refs: the planting selector is the
+    # kg_incremental_merge md5-bucket formula with modulus 50
+    _plant = "('0x' || substr(md5(subj || '|' || pred || '|' || obj), 1, 4))::BIGINT % 50"
+    o["kg_graph_audit"] = f"""
+    WITH base AS (SELECT subj, pred, obj, weight FROM {g('golden_triples')}),
+    h AS (SELECT *, {_plant} AS hh FROM base),
+    a AS (
+      SELECT subj, pred, obj, weight FROM base
+      UNION ALL SELECT subj, pred, subj AS obj, 0::BIGINT AS weight
+        FROM h WHERE pred = 'kg:linksTo' AND hh = 0
+      UNION ALL SELECT subj, pred, obj || '_v2' AS obj, weight
+        FROM h WHERE pred = 'kg:uriCount' AND hh = 1
+      UNION ALL SELECT subj, pred, obj, weight
+        FROM h WHERE pred = 'kg:mentions' AND hh = 2
+    ), ps AS (
+      SELECT pred, subj, count(*)::BIGINT AS n, count(DISTINCT obj)::BIGINT AS n_obj,
+             sum(CASE WHEN subj = obj THEN 1 ELSE 0 END)::BIGINT AS selfs,
+             sum(CASE WHEN weight <= 0 THEN 1 ELSE 0 END)::BIGINT AS bad
+      FROM a GROUP BY 1, 2
+    )
+    SELECT pred, sum(n)::BIGINT AS n_triples, count(*)::BIGINT AS n_subj,
+           max(n)::BIGINT AS max_fanout, sum(selfs)::BIGINT AS n_self_loops,
+           sum(bad)::BIGINT AS n_bad_weight, sum(n - n_obj)::BIGINT AS n_dup_triples,
+           sum(CASE WHEN pred IN ('kg:uriCount', 'kg:annotatedCount', 'kg:totalCount')
+                         AND n_obj > 1 THEN 1 ELSE 0 END)::BIGINT AS n_functional_violations
+    FROM ps GROUP BY pred
+    """
+
+    o["kg_dangling_refs"] = f"""
+    WITH base AS (SELECT subj, pred, obj, weight FROM {g('golden_triples')}),
+    h AS (SELECT *, {_plant} AS hh FROM base),
+    refs_in AS (
+      SELECT obj FROM base WHERE pred = 'kg:mentions'
+      UNION ALL SELECT obj || '_ghost' AS obj FROM h WHERE pred = 'kg:mentions' AND hh = 3
+    ), refs AS (
+      SELECT obj, count(*)::BIGINT AS n_refs FROM refs_in GROUP BY obj
+    )
+    SELECT r.obj, r.n_refs FROM refs r
+    WHERE NOT EXISTS (
+      SELECT 1 FROM base d WHERE d.pred = 'kg:uriCount' AND d.subj = r.obj
+    )
+    """
+
+    _hb100 = "(('0x' || substr(md5(host), 1, 4))::BIGINT % 100)"
+    o["web_host_split"] = f"""
+    WITH hosts AS (
+      SELECT lower(regexp_extract(trim(url), '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host,
+             count(*)::BIGINT AS n_pages
+      FROM {g('pages')} GROUP BY 1
+    )
+    SELECT host, {_hb100} AS bucket,
+           CASE WHEN {_hb100} < 80 THEN 'train'
+                WHEN {_hb100} < 90 THEN 'valid'
+                ELSE 'test' END AS split,
+           n_pages
+    FROM hosts
     """
 
     # emb_cosine_topk / emb_srp_lsh_topk / media_features /

@@ -467,3 +467,41 @@ def parse_sitemap_routed(sitemaps, host_col_name: str = "host", body_col: str = 
     return routed.select(
         "host", "kind", F.trim(_xml_entity_decode(F.col("raw_loc"))).alias("loc")
     )
+
+
+def host_split(pages, train_pct: int = 80, valid_pct: int = 10, url_col: str = "url"):
+    """(host, bucket, split, n_pages) — leakage-safe train/valid/test
+    assignment at HOST granularity: the split is a pure function of
+    md5(host) (textstats.hash_bucket's frozen first-4-hex form), so
+    every page of a host lands in the same split by construction —
+    the leakage guard an LLM-data pipeline needs when near-duplicate
+    pages within a site would otherwise straddle train and eval
+    (mirrors the contamination rationale of dedup.decontaminate, but
+    enforced structurally instead of detected after the fact).
+
+    ``train_pct`` / ``valid_pct`` are integer percents (buckets
+    [0, train) → train, [train, train+valid) → valid, rest → test).
+
+    Scale shape: one groupBy(host) count — the entity-dimension
+    aggregate, map-side combined — then the split label is a codegen'd
+    CASE on the md5 bucket. Nothing joins, nothing sorts; downstream
+    writers filter on ``split`` and inherit determinism across reruns
+    and cluster sizes (the hash depends on the host string only).
+    """
+    if not (0 < train_pct and 0 <= valid_pct and train_pct + valid_pct <= 100):
+        raise ValueError("percents must satisfy 0 < train, 0 <= valid, train+valid <= 100")
+    from pignlproc_spark.operators.textstats import hash_bucket
+
+    u = F.col(url_col)
+    hosts = pages.select(host_col(u).alias("host")).groupBy("host").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pages")
+    )
+    bucket = hash_bucket(F.col("host"), 100)
+    split = (
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + valid_pct, "valid")
+        .otherwise("test")
+    )
+    return hosts.select(
+        "host", bucket.cast("bigint").alias("bucket"), split.alias("split"), "n_pages"
+    )

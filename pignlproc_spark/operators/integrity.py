@@ -1,0 +1,93 @@
+"""KG integrity audit — the post-materialization QA pass a production
+graph build runs before publishing a snapshot (referential integrity,
+functional-property and multi-edge checks, weight sanity).
+
+The reference pipeline (SURVEY.md §2.3 — count-table emission via
+names_and_entities.pig and friends) publishes its outputs with no
+validation stage; at 10^12-document scale a silent extraction
+regression (a parser change dropping a namespace, a join key gone
+NULL) corrupts downstream consumers long before a human reads the
+tables. These operators make the audit a first-class relational pass
+over the frozen (subj, pred, obj, weight) embedding
+(operators/triples.py).
+
+All exact integers — oracle hash-matchable against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: preds of the frozen triple embedding (triples.py) that are
+#: functional — exactly one object per subject by construction; >1
+#: distinct objects for a subject is a build defect.
+FUNCTIONAL_PREDS = ("kg:uriCount", "kg:annotatedCount", "kg:totalCount")
+
+
+def graph_audit(triples: DataFrame, functional_preds=FUNCTIONAL_PREDS) -> DataFrame:
+    """One audit row per predicate: (pred, n_triples, n_subj,
+    max_fanout, n_self_loops, n_bad_weight, n_dup_triples,
+    n_functional_violations).
+
+    - ``max_fanout``: largest per-subject row count — the hub-skew
+      signal that decides salting width for the partitioned write.
+    - ``n_self_loops``: subj == obj rows (extraction echo defects).
+    - ``n_bad_weight``: weight <= 0 (counts must be positive).
+    - ``n_dup_triples``: rows beyond the first per (subj, pred, obj)
+      — the bag-union embedding is dedup-free by contract, so
+      duplicates mean an upstream stage double-emitted.
+    - ``n_functional_violations``: subjects of a functional pred with
+      more than one distinct object.
+
+    Scale shape: ONE shuffle on (pred, subj) computing all per-subject
+    partials (row count, distinct-obj count, conditional sums), then a
+    final aggregate on pred whose input is one row per (pred, subj) —
+    the subject dimension, not the triple set — and whose output is
+    one row per relation. No joins, no second pass over the triples.
+    """
+    per_subj = triples.groupBy("pred", "subj").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.count_distinct("obj").cast("bigint").alias("_n_obj"),
+        F.sum(F.when(F.col("subj") == F.col("obj"), 1).otherwise(0)).cast("bigint").alias("_self"),
+        F.sum(F.when(F.col("weight") <= 0, 1).otherwise(0)).cast("bigint").alias("_bad"),
+    )
+    is_func = F.col("pred").isin(*functional_preds)
+    return per_subj.groupBy("pred").agg(
+        F.sum("_n").cast("bigint").alias("n_triples"),
+        F.count(F.lit(1)).cast("bigint").alias("n_subj"),
+        F.max("_n").cast("bigint").alias("max_fanout"),
+        F.sum("_self").cast("bigint").alias("n_self_loops"),
+        F.sum("_bad").cast("bigint").alias("n_bad_weight"),
+        # rows sharing an already-seen obj within (pred, subj) are
+        # duplicate (s, p, o) triples regardless of weight
+        F.sum(F.col("_n") - F.col("_n_obj")).cast("bigint").alias("n_dup_triples"),
+        F.sum(F.when(is_func & (F.col("_n_obj") > 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_functional_violations"),
+    )
+
+
+def dangling_refs(
+    triples: DataFrame, ref_pred: str = "kg:mentions", target_pred: str = "kg:uriCount"
+) -> DataFrame:
+    """(obj, n_refs) — referential-integrity check: objects of
+    ``ref_pred`` edges that no ``target_pred`` row defines as a
+    subject (mentions pointing at entities the entity dimension never
+    materialized — a dropped join input or a canonicalization miss).
+
+    Scale shape: the ref side pre-aggregates to (obj, n_refs) — the
+    entity dimension, not the edge set — before a LEFT ANTI join
+    against the target-pred subject dimension, hashed on the same key.
+    Both anti-join inputs are entity-cardinality; the edges collapse
+    map-side. No broadcast assumption: at 10^12 docs the entity
+    dimension itself is too big to ship, so the equi-key shuffle IS
+    the plan (AQE converts to broadcast when a small snapshot allows).
+    """
+    refs = (
+        triples.where(F.col("pred") == ref_pred)
+        .groupBy("obj")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_refs"))
+    )
+    defined = triples.where(F.col("pred") == target_pred).select(F.col("subj").alias("obj"))
+    return refs.join(defined, "obj", "left_anti")

@@ -1386,3 +1386,88 @@ def readability_signals(df: DataFrame, id_col: str = "doc_id", text_col: str = "
             "+ (1180 * n_vowel_groups) div greatest(n_words, 1) - 1559"
         ).cast("bigint"),
     )
+
+
+def count_of_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(r, n_r, r_star_q) — frequency-of-frequencies of the corpus
+    vocabulary plus the simple Good-Turing adjusted count (Gale &
+    Sampson'95 without smoothing of the n_r curve, the auditable
+    exact form): r* = (r+1)·n_{r+1}/n_r, reported ×1000 floor-divided
+    so the DuckDB oracle hash-matches (``r_star_q``); NULL where
+    n_{r+1} = 0 (no adjustment defined). The (r=1, n_1) row is the
+    unseen-mass numerator an LM/curation pipeline monitors (hapax
+    share), and the n_r curve is the vocabulary profile that detects
+    template/boilerplate corpora (mass piled on a few huge r).
+
+    Scale shape: one tokenize pass → token-count aggregate (the same
+    partial/final shuffle every vocabulary query pays) → a second
+    aggregate on r whose output is tiny (distinct frequency values ~
+    O(thousands) even at 100 TB), then a self-join on r+1 that Spark
+    broadcasts. The corpus never shuffles twice; intermediate products
+    ride DECIMAL(38,0) so ANSI mode cannot overflow-throw on
+    (r+1)·n_{r+1}·1000 at web scale.
+    """
+    toks = df.select(F.explode(tokens_col(F.col(text_col), apply_stoplist=False)).alias("token"))
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("r"))
+    cofc = freq.groupBy("r").agg(F.count(F.lit(1)).cast("bigint").alias("n_r"))
+    nxt = cofc.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_next"))
+    return (
+        cofc.join(F.broadcast(nxt), "r", "left")
+        .select(
+            "r",
+            "n_r",
+            F.expr(
+                "CAST(((CAST(r AS DECIMAL(38,0)) + 1) * n_next * 1000) DIV n_r AS BIGINT)"
+            ).alias("r_star_q"),
+        )
+    )
+
+
+def vocab_growth(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bucket_docs: int = 1000
+) -> DataFrame:
+    """(bucket, n_tokens, new_types, cum_types, cum_tokens) — the
+    Heaps-law vocabulary-growth curve: documents in ``id_col`` order
+    are grouped into buckets of ``bucket_docs``; a type is NEW in the
+    bucket holding the smallest doc id that contains it. cum_types vs
+    cum_tokens is the V(N) curve whose flattening (or refusal to
+    flatten) diagnoses template corpora vs OCR-noise corpora during
+    curation.
+
+    Scale shape: one tokenize pass feeding BOTH aggregates — per-token
+    min(doc_id) (first occurrence) and per-bucket token totals — then
+    the cumulative window runs over the BUCKET table only (rows =
+    docs/bucket_docs; pick bucket_docs so that is thousands at target
+    scale, never the corpus). The single-partition window is on that
+    tiny table, not on data: the 100-TB cost is the two token-keyed
+    aggregates, both map-side combined.
+
+    Buckets whose docs tokenize to nothing produce no row (both
+    aggregates are token-row-derived; the oracle mirrors this).
+    """
+    from pyspark.sql import Window as W
+
+    toks = df.select(
+        F.col(id_col).cast("bigint").alias("_doc"),
+        F.explode(tokens_col(F.col(text_col), apply_stoplist=False)).alias("token"),
+    )
+    per_bucket_tokens = toks.groupBy(
+        F.expr(f"_doc DIV {int(bucket_docs)}").alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"))
+    first = toks.groupBy("token").agg(F.min("_doc").alias("_first"))
+    new_types = first.groupBy(
+        F.expr(f"_first DIV {int(bucket_docs)}").alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("new_types"))
+    joined = per_bucket_tokens.join(new_types, "bucket", "left").select(
+        "bucket",
+        "n_tokens",
+        F.coalesce("new_types", F.lit(0)).cast("bigint").alias("new_types"),
+    )
+    w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return joined.select(
+        "bucket",
+        "n_tokens",
+        "new_types",
+        F.sum("new_types").over(w).cast("bigint").alias("cum_types"),
+        F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
+    )
