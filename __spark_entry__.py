@@ -1485,6 +1485,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return stats.related_entities(_pipeline(spark, sf_dir).mentions, k=5)
 
+    def kg_link_prediction(spark, sf_dir):
+        # KG-completion scoring: top-k missing-edge candidates per
+        # entity, common-neighbor + integer resource-allocation
+        # (Σ 10⁶ DIV deg over common neighbors — exact both engines)
+        from pignlproc_spark.operators import stats
+
+        return stats.link_prediction(_pipeline(spark, sf_dir).mentions, k=5)
+
     def events_rollup(spark, sf_dir):
         # ROLLUP grouping sets on (event_type, hour): subtotals + grand
         # total in ONE pass (Spark expands grouping sets into a single
@@ -2100,6 +2108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs_tf_cosine_pairs=docs_tf_cosine_pairs,
         kg_entity_triangles=kg_entity_triangles,
         kg_related_entities=kg_related_entities,
+        kg_link_prediction=kg_link_prediction,
         kg_entity_hops=kg_entity_hops,
         kg_entity_kcore=kg_entity_kcore,
         tpch_customers_no_orders=tpch_customers_no_orders,
@@ -4200,6 +4209,41 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY cnt_xy / (cnt_x * cnt_y) DESC, related_uri ASC
       ) AS rank
       FROM j
+    ) WHERE rank <= 5
+    """
+
+    o["kg_link_prediction"] = f"""
+    WITH m AS (SELECT DISTINCT url, uri FROM {g('golden_mentions')}),
+    cooc AS (
+      SELECT a.uri AS uri_a, b.uri AS uri_b
+      FROM m a JOIN m b ON a.url = b.url AND a.uri < b.uri
+      GROUP BY 1, 2
+    ), sym AS (
+      SELECT uri_a AS z, uri_b AS n FROM cooc
+      UNION ALL SELECT uri_b AS z, uri_a AS n FROM cooc
+    ), deg AS (
+      SELECT z, count(*)::BIGINT AS deg FROM sym GROUP BY z
+    ), wedges AS (
+      SELECT s1.n AS u, s2.n AS v, d.deg
+      FROM sym s1 JOIN sym s2 ON s1.z = s2.z AND s1.n < s2.n
+      JOIN deg d ON d.z = s1.z
+    ), sc AS (
+      SELECT u, v, count(*)::BIGINT AS n_common,
+             sum(1000000 // deg)::BIGINT AS ra_q
+      FROM wedges GROUP BY u, v
+    ), missing AS (
+      SELECT sc.* FROM sc
+      WHERE NOT EXISTS (
+        SELECT 1 FROM cooc e WHERE e.uri_a = sc.u AND e.uri_b = sc.v
+      )
+    ), symp AS (
+      SELECT u AS uri, v AS cand_uri, n_common, ra_q FROM missing
+      UNION ALL SELECT v AS uri, u AS cand_uri, n_common, ra_q FROM missing
+    )
+    SELECT uri, cand_uri, n_common, ra_q, rank::INT AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY uri ORDER BY ra_q DESC, n_common DESC, cand_uri ASC
+      ) AS rank FROM symp
     ) WHERE rank <= 5
     """
 

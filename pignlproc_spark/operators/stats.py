@@ -878,6 +878,84 @@ def kcore_members(
     )
 
 
+RA_SCALE = 10**6  # resource-allocation quantization (1/deg → SCALE DIV deg)
+
+
+def link_prediction(
+    mentions: DataFrame,
+    k: int = 10,
+    cooc: DataFrame | None = None,
+    max_hub_deg: int | None = None,
+) -> DataFrame:
+    """(uri, cand_uri, n_common, ra_q, rank) — top-``k`` missing-edge
+    candidates per entity over the co-occurrence graph, the classic
+    KG-completion / "entities that should probably be linked" scoring
+    pass. Candidates are NON-adjacent pairs sharing ≥ 1 common
+    neighbor; scores are common-neighbor count (Newman'01) and the
+    resource-allocation index (Zhou et al. '09) in exact integer form:
+    ra_q = Σ_z (10⁶ DIV deg(z)) over common neighbors z — floor
+    division of exact ints in both engines, so the driver oracle
+    hash-matches (no float 1/deg). Ranked (ra_q DESC, n_common DESC,
+    cand_uri ASC); RA's down-weighting of hub intermediaries is what
+    makes it beat raw CN on web-shaped graphs. Beyond the reference
+    (COVERAGE.md).
+
+    Scale shape: one wedge self-join through the common neighbor z —
+    the same (z, u)×(z, v) enumeration entity_triangles uses — with
+    deg(z) attached BEFORE the fanout so the score is a map-side
+    column, then a partial/final (u, v) aggregate, an anti-join that
+    drops existing edges, and a per-uri top-k window carrying only
+    id/score columns. The wedge fanout at a hub z is deg(z)²: pass
+    ``max_hub_deg`` at crawl scale to skip ultra-hubs as
+    *intermediaries* (standard practice, and principled here: a hub's
+    RA contribution is ≤ 10⁶/deg — the pairs it witnesses are exactly
+    the ones RA already discounts to noise). Default None = exact
+    (oracle mode).
+
+    int64 headroom: ra_q ≤ n_common·10⁶ and n_common ≤ max degree, so
+    the sum wraps only past ~9.2×10¹² common neighbors — unreachable.
+    """
+    from pyspark.sql import Window as W
+
+    e = (cooc if cooc is not None else entity_cooccurrence(mentions)).select("uri_a", "uri_b")
+    e = e.localCheckpoint(eager=False)  # wedge sides + degree + anti-join
+    sym = e.select(F.col("uri_a").alias("z"), F.col("uri_b").alias("n")).unionAll(
+        e.select(F.col("uri_b").alias("z"), F.col("uri_a").alias("n"))
+    )
+    deg = sym.groupBy("z").agg(F.count(F.lit(1)).cast("bigint").alias("_deg"))
+    if max_hub_deg is not None:
+        deg = deg.where(F.col("_deg") <= max_hub_deg)
+    symd = sym.join(deg, "z")  # deg rides along; hub filter applied pre-fanout
+    wedges = (
+        symd.select("z", F.col("n").alias("u"), "_deg")
+        .join(sym.select("z", F.col("n").alias("v")), "z")
+        .where(F.col("u") < F.col("v"))
+    )
+    scores = wedges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common"),
+        F.sum(F.expr(f"CAST({RA_SCALE} AS BIGINT) DIV _deg")).cast("bigint").alias("ra_q"),
+    )
+    # keep only MISSING edges: (u, v) is already in uri_a < uri_b order
+    missing = scores.join(
+        e, (F.col("u") == F.col("uri_a")) & (F.col("v") == F.col("uri_b")), "left_anti"
+    )
+    both = missing.select(
+        F.col("u").alias("uri"), F.col("v").alias("cand_uri"), "n_common", "ra_q"
+    ).unionByName(
+        missing.select(
+            F.col("v").alias("uri"), F.col("u").alias("cand_uri"), "n_common", "ra_q"
+        )
+    )
+    w = W.partitionBy("uri").orderBy(
+        F.col("ra_q").desc(), F.col("n_common").desc(), F.col("cand_uri").asc()
+    )
+    return (
+        both.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("uri", "cand_uri", "n_common", "ra_q", F.col("rank").cast("int"))
+    )
+
+
 def label_propagation(
     mentions: DataFrame,
     rounds: int = 4,

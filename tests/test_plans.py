@@ -218,9 +218,16 @@ def test_cosine_triangles_related_are_jvm_only(spark):
     assert "partial_count" in plan or "partial" in plan
 
     m = spark.createDataFrame([("u%d" % (i % 6), "uri%d" % (i % 4)) for i in range(24)], "url string, uri string")
-    for df in (stats.entity_triangles(m), stats.related_entities(m, k=3)):
+    for df in (
+        stats.entity_triangles(m),
+        stats.related_entities(m, k=3),
+        stats.link_prediction(m, k=3),
+    ):
         p = plan_of(df, mode="simple")
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # link_prediction's wedge fanout must be an equi-join on z
+    p = plan_of(stats.link_prediction(m, k=3))
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
 
 
 def test_containment_join_is_equi_not_cartesian(spark):

@@ -1128,6 +1128,31 @@ def test_related_entities(spark):
     assert all(r.rank <= 2 for r in got.values())
 
 
+def test_link_prediction(spark):
+    from pignlproc_spark.operators import stats
+
+    # graph A-B, A-C, B-C, C-D (p5 duplicates A-B; weight is irrelevant)
+    rows = [
+        ("p1", "A"), ("p1", "B"),
+        ("p2", "A"), ("p2", "C"),
+        ("p3", "B"), ("p3", "C"),
+        ("p4", "C"), ("p4", "D"),
+        ("p5", "A"), ("p5", "B"),
+    ]
+    m = spark.createDataFrame(rows, "url string, uri string")
+    got = {(r.uri, r.rank): r for r in stats.link_prediction(m, k=10).collect()}
+    # missing pairs witnessed by a common neighbor: A-D and B-D (via C, deg 3)
+    ra_c = 10**6 // 3
+    assert (got[("A", 1)].cand_uri, got[("A", 1)].n_common, got[("A", 1)].ra_q) == ("D", 1, ra_c)
+    assert got[("B", 1)].cand_uri == "D"
+    # D ties on scores; cand_uri ASC breaks the tie deterministically
+    assert [got[("D", i)].cand_uri for i in (1, 2)] == ["A", "B"]
+    # adjacent pairs never appear; C has no non-adjacent 2-hop neighbor
+    assert set(got) == {("A", 1), ("B", 1), ("D", 1), ("D", 2)}
+    # hub exclusion: dropping C (deg 3) as intermediary removes every wedge
+    assert stats.link_prediction(m, k=10, max_hub_deg=2).count() == 0
+
+
 def test_positional_index(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta alpha gamma"), (2, "beta beta"), (3, "")],
