@@ -40,11 +40,13 @@ def graph_audit(triples: DataFrame, functional_preds=FUNCTIONAL_PREDS) -> DataFr
     - ``n_functional_violations``: subjects of a functional pred with
       more than one distinct object.
 
-    Scale shape: ONE shuffle on (pred, subj) computing all per-subject
-    partials (row count, distinct-obj count, conditional sums), then a
-    final aggregate on pred whose input is one row per (pred, subj) —
-    the subject dimension, not the triple set — and whose output is
-    one row per relation. No joins, no second pass over the triples.
+    Scale shape: the triples shuffle ONCE at data scale — Catalyst
+    rewrites the distinct-obj aggregate into a partial/final pass
+    keyed (pred, subj, obj) (map-side combined, so exact-duplicate
+    triples collapse before the exchange) — and every later aggregate
+    runs on dimensions: (pred, subj, obj) → (pred, subj) → pred, each
+    input strictly smaller. All checks fold into that single cascade;
+    no joins, no second pass over the triple set.
     """
     per_subj = triples.groupBy("pred", "subj").agg(
         F.count(F.lit(1)).cast("bigint").alias("_n"),

@@ -23,7 +23,7 @@ def main():
 
     from pignlproc_spark import synth
     from pignlproc_spark.functions.extract import parse_pages
-    from pignlproc_spark.operators import dedup, linking, stats, textstats
+    from pignlproc_spark.operators import dedup, integrity, linking, stats, textstats
     from pignlproc_spark.operators.canonicalize import apply_redirects
     from pignlproc_spark.plans import pipeline
     from pignlproc_spark.session import get_session
@@ -296,6 +296,24 @@ def main():
         similarity.ivf_topk_q(
             emb, emb.where(F.col("vec_id") < 5), k=3, n_centroids=4, nprobe=2
         ),
+    )
+    add(
+        "Link prediction (wedge equi-join, degree attached pre-fanout)",
+        "kg_link_prediction: the wedge self-join is an equi-join on the "
+        "common neighbor z (no product); deg(z) rides along from BEFORE "
+        "the fanout so the RA score is a map-side column; the existing-"
+        "edge anti-join and the per-uri top-k window carry only "
+        "id/score columns.",
+        stats.link_prediction(res.mentions, k=5),
+    )
+    add(
+        "KG integrity audit (one data-scale shuffle, dimension-only follow-ups)",
+        "kg_graph_audit: the distinct-obj rewrite shuffles the triples "
+        "once, keyed (pred, subj, obj) with map-side-combined partials "
+        "(exact duplicates collapse before the exchange); the (pred, "
+        "subj) and pred aggregates after it run on strictly shrinking "
+        "dimensions, never the triple stream. No joins.",
+        integrity.graph_audit(res.triples),
     )
 
     out = ["# PLANS — physical plans of the key operators\n"]
