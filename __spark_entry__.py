@@ -1493,6 +1493,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return stats.link_prediction(_pipeline(spark, sf_dir).mentions, k=5)
 
+    def kg_entity_salience(spark, sf_dir):
+        # per-(document, entity) salience features: occurrence count,
+        # context spread, earliest surface offset (exact char instr)
+        from pignlproc_spark.operators import stats
+
+        p = _pipeline(spark, sf_dir)
+        return stats.entity_salience(p.mentions, p.parsed.select("url", "text"))
+
     def events_rollup(spark, sf_dir):
         # ROLLUP grouping sets on (event_type, hour): subtotals + grand
         # total in ONE pass (Spark expands grouping sets into a single
@@ -2109,6 +2117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kg_entity_triangles=kg_entity_triangles,
         kg_related_entities=kg_related_entities,
         kg_link_prediction=kg_link_prediction,
+        kg_entity_salience=kg_entity_salience,
         kg_entity_hops=kg_entity_hops,
         kg_entity_kcore=kg_entity_kcore,
         tpch_customers_no_orders=tpch_customers_no_orders,
@@ -4245,6 +4254,26 @@ def oracle_sql() -> dict[str, str]:
         PARTITION BY uri ORDER BY ra_q DESC, n_common DESC, cand_uri ASC
       ) AS rank FROM symp
     ) WHERE rank <= 5
+    """
+
+    o["kg_entity_salience"] = f"""
+    WITH m AS (
+      SELECT url, uri, context, surface_form, cnt FROM {g('golden_mentions')}
+    ), t AS (SELECT url, text FROM {g('golden_text')}),
+    surf AS (SELECT DISTINCT url, uri, surface_form FROM m),
+    offs AS (
+      SELECT s.url, s.uri,
+             min(strpos(t.text, s.surface_form))::BIGINT AS first_off,
+             max(length(t.text))::BIGINT AS doc_len
+      FROM surf s JOIN t USING (url) GROUP BY s.url, s.uri
+    ), c AS (
+      SELECT url, uri, sum(cnt)::BIGINT AS n_mentions,
+             count(DISTINCT context)::BIGINT AS n_contexts
+      FROM m GROUP BY url, uri
+    )
+    SELECT c.url, c.uri, c.n_mentions, c.n_contexts, o.first_off, o.doc_len,
+           ((o.first_off - 1) * 1000 // greatest(o.doc_len, 1))::BIGINT AS first_off_mille
+    FROM c JOIN offs o USING (url, uri)
     """
 
     o["tpch_customers_no_orders"] = """

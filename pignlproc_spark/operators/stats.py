@@ -956,6 +956,58 @@ def link_prediction(
     )
 
 
+def entity_salience(mentions: DataFrame, texts: DataFrame) -> DataFrame:
+    """(url, uri, n_mentions, n_contexts, first_off, doc_len,
+    first_off_mille) — per-(document, entity) salience features, the
+    label/feature set entity-salience models train on (frequency,
+    context spread, and how early the entity first appears: lead
+    position is the single strongest salience signal in news/wiki
+    text): n_mentions = occurrence count, n_contexts = distinct
+    sentences mentioning, first_off = 1-based character offset of the
+    earliest surface form in the extracted text (min over the entity's
+    surfaces), first_off_mille = (first_off−1)·1000 DIV doc_len — a
+    scale-free per-mille position, exact integers end-to-end so the
+    DuckDB oracle hash-matches. Beyond the reference (COVERAGE.md).
+
+    Scale shape: the text joins only the DISTINCT (url, uri,
+    surface_form) triples — per-page surface vocabulary, not the
+    mention stream — so the document body is never replicated per
+    occurrence; offsets then collapse to (url, uri) minima while the
+    counts aggregate runs on the mention stream with map-side combine.
+    The final join is (url, uri)-keyed, dimension-sized on both sides,
+    and co-partitioned with the counts aggregate's own shuffle.
+    """
+    m = mentions.select("url", "uri", "context", "surface_form")
+    t = texts.select("url", "text")
+    surf = m.select("url", "uri", "surface_form").distinct()
+    offs = (
+        surf.join(t, "url")
+        .select(
+            "url",
+            "uri",
+            F.expr("instr(text, surface_form)").cast("bigint").alias("_off"),
+            F.length("text").cast("bigint").alias("_len"),
+        )
+        .groupBy("url", "uri")
+        .agg(F.min("_off").alias("first_off"), F.max("_len").alias("doc_len"))
+    )
+    counts = m.groupBy("url", "uri").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_mentions"),
+        F.count_distinct("context").cast("bigint").alias("n_contexts"),
+    )
+    return counts.join(offs, ["url", "uri"]).select(
+        "url",
+        "uri",
+        "n_mentions",
+        "n_contexts",
+        "first_off",
+        "doc_len",
+        F.expr("CAST((first_off - 1) * 1000 DIV greatest(doc_len, 1) AS BIGINT)").alias(
+            "first_off_mille"
+        ),
+    )
+
+
 def label_propagation(
     mentions: DataFrame,
     rounds: int = 4,

@@ -1153,6 +1153,35 @@ def test_link_prediction(spark):
     assert stats.link_prediction(m, k=10, max_hub_deg=2).count() == 0
 
 
+def test_entity_salience(spark):
+    from pignlproc_spark.operators import stats
+
+    m = spark.createDataFrame(
+        [
+            ("u1", "A", "Alpha met Beta.", "Alpha"),
+            ("u1", "B", "Alpha met Beta.", "Beta"),
+            ("u1", "A", "Alpha won.", "Alpha"),
+            # non-ASCII prefix: offsets must count characters, not bytes
+            ("u2", "B", "héé Beta x", "Beta"),
+        ],
+        "url string, uri string, context string, surface_form string",
+    )
+    t = spark.createDataFrame(
+        [("u1", "Alpha met Beta. Alpha won."), ("u2", "héé Beta x")],
+        "url string, text string",
+    )
+    got = {(r.url, r.uri): r for r in stats.entity_salience(m, t).collect()}
+    a = got[("u1", "A")]
+    assert (a.n_mentions, a.n_contexts, a.first_off, a.doc_len, a.first_off_mille) == (
+        2, 2, 1, 26, 0,
+    )
+    b = got[("u1", "B")]
+    assert (b.n_mentions, b.n_contexts, b.first_off) == (1, 1, 11)
+    assert b.first_off_mille == (11 - 1) * 1000 // 26
+    u = got[("u2", "B")]
+    assert (u.first_off, u.doc_len, u.first_off_mille) == (5, 10, 400)
+
+
 def test_positional_index(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta alpha gamma"), (2, "beta beta"), (3, "")],
