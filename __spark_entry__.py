@@ -2178,10 +2178,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def kg_graph_audit(spark, sf_dir):
         # post-materialization KG QA (integrity.graph_audit) over the
-        # pipeline triples with three planted defect families: self-
+        # pipeline triples with four planted defect families: self-
         # loops w/ weight 0 (kg:linksTo, h=0), functional violations
         # (kg:uriCount second object, h=1), exact duplicate triples
-        # (kg:mentions, h=2) — each check provably fires
+        # (kg:mentions, h=2), NULL objects (kg:annotatedCount, h=4)
+        # — each check provably fires
         from pignlproc_spark.operators import integrity
 
         t, th = _planted_triples(spark, sf_dir)
@@ -2194,8 +2195,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dups = th.where((F.col("pred") == "kg:mentions") & (F.col("_h") == 2)).select(
             "subj", "pred", "obj", "weight"
         )
+        nulls = th.where((F.col("pred") == "kg:annotatedCount") & (F.col("_h") == 4)).select(
+            "subj", "pred", F.lit(None).cast("string").alias("obj"), "weight"
+        )
         return integrity.graph_audit(
-            t.unionByName(loops).unionByName(fviol).unionByName(dups)
+            t.unionByName(loops).unionByName(fviol).unionByName(dups).unionByName(nulls)
         )
 
     def kg_dangling_refs(spark, sf_dir):
@@ -4263,7 +4267,7 @@ def oracle_sql() -> dict[str, str]:
     surf AS (SELECT DISTINCT url, uri, surface_form FROM m),
     offs AS (
       SELECT s.url, s.uri,
-             min(strpos(t.text, s.surface_form))::BIGINT AS first_off,
+             min(nullif(strpos(t.text, s.surface_form), 0))::BIGINT AS first_off,
              max(length(t.text))::BIGINT AS doc_len
       FROM surf s JOIN t USING (url) GROUP BY s.url, s.uri
     ), c AS (
@@ -4851,15 +4855,21 @@ def oracle_sql() -> dict[str, str]:
         FROM h WHERE pred = 'kg:uriCount' AND hh = 1
       UNION ALL SELECT subj, pred, obj, weight
         FROM h WHERE pred = 'kg:mentions' AND hh = 2
+      UNION ALL SELECT subj, pred, NULL AS obj, weight
+        FROM h WHERE pred = 'kg:annotatedCount' AND hh = 4
     ), ps AS (
-      SELECT pred, subj, count(*)::BIGINT AS n, count(DISTINCT obj)::BIGINT AS n_obj,
+      SELECT pred, subj, count(*)::BIGINT AS n,
+             (count(DISTINCT obj)
+              + max(CASE WHEN obj IS NULL THEN 1 ELSE 0 END))::BIGINT AS n_obj,
              sum(CASE WHEN subj = obj THEN 1 ELSE 0 END)::BIGINT AS selfs,
-             sum(CASE WHEN weight <= 0 THEN 1 ELSE 0 END)::BIGINT AS bad
+             sum(CASE WHEN weight <= 0 THEN 1 ELSE 0 END)::BIGINT AS bad,
+             sum(CASE WHEN obj IS NULL THEN 1 ELSE 0 END)::BIGINT AS nulls
       FROM a GROUP BY 1, 2
     )
     SELECT pred, sum(n)::BIGINT AS n_triples, count(*)::BIGINT AS n_subj,
            max(n)::BIGINT AS max_fanout, sum(selfs)::BIGINT AS n_self_loops,
-           sum(bad)::BIGINT AS n_bad_weight, sum(n - n_obj)::BIGINT AS n_dup_triples,
+           sum(bad)::BIGINT AS n_bad_weight, sum(nulls)::BIGINT AS n_null_obj,
+           sum(n - n_obj)::BIGINT AS n_dup_triples,
            sum(CASE WHEN pred IN ('kg:uriCount', 'kg:annotatedCount', 'kg:totalCount')
                          AND n_obj > 1 THEN 1 ELSE 0 END)::BIGINT AS n_functional_violations
     FROM ps GROUP BY pred

@@ -27,18 +27,24 @@ FUNCTIONAL_PREDS = ("kg:uriCount", "kg:annotatedCount", "kg:totalCount")
 
 def graph_audit(triples: DataFrame, functional_preds=FUNCTIONAL_PREDS) -> DataFrame:
     """One audit row per predicate: (pred, n_triples, n_subj,
-    max_fanout, n_self_loops, n_bad_weight, n_dup_triples,
+    max_fanout, n_self_loops, n_bad_weight, n_null_obj, n_dup_triples,
     n_functional_violations).
 
     - ``max_fanout``: largest per-subject row count — the hub-skew
       signal that decides salting width for the partitioned write.
     - ``n_self_loops``: subj == obj rows (extraction echo defects).
     - ``n_bad_weight``: weight <= 0 (counts must be positive).
+    - ``n_null_obj``: NULL objects — the "join key gone NULL" defect
+      this module exists to catch, counted explicitly (and NULL is
+      treated as ONE distinct object value in the dup/functional
+      checks below, so NULL-carrying subjects are audited, not
+      silently miscategorized).
     - ``n_dup_triples``: rows beyond the first per (subj, pred, obj)
       — the bag-union embedding is dedup-free by contract, so
       duplicates mean an upstream stage double-emitted.
     - ``n_functional_violations``: subjects of a functional pred with
-      more than one distinct object.
+      more than one distinct object (NULL counts as a value: a real
+      object plus a NULL is a violation).
 
     Scale shape: the triples shuffle ONCE at data scale — Catalyst
     rewrites the distinct-obj aggregate into a partial/final pass
@@ -50,9 +56,14 @@ def graph_audit(triples: DataFrame, functional_preds=FUNCTIONAL_PREDS) -> DataFr
     """
     per_subj = triples.groupBy("pred", "subj").agg(
         F.count(F.lit(1)).cast("bigint").alias("_n"),
-        F.count_distinct("obj").cast("bigint").alias("_n_obj"),
+        # count_distinct skips NULLs; add the NULL "value" back so 3×
+        # (s, p, NULL) is 2 dups of one object, not 3 phantom dups
+        (F.count_distinct("obj") + F.max(F.when(F.col("obj").isNull(), 1).otherwise(0)))
+        .cast("bigint")
+        .alias("_n_obj"),
         F.sum(F.when(F.col("subj") == F.col("obj"), 1).otherwise(0)).cast("bigint").alias("_self"),
         F.sum(F.when(F.col("weight") <= 0, 1).otherwise(0)).cast("bigint").alias("_bad"),
+        F.sum(F.when(F.col("obj").isNull(), 1).otherwise(0)).cast("bigint").alias("_null"),
     )
     is_func = F.col("pred").isin(*functional_preds)
     return per_subj.groupBy("pred").agg(
@@ -61,6 +72,7 @@ def graph_audit(triples: DataFrame, functional_preds=FUNCTIONAL_PREDS) -> DataFr
         F.max("_n").cast("bigint").alias("max_fanout"),
         F.sum("_self").cast("bigint").alias("n_self_loops"),
         F.sum("_bad").cast("bigint").alias("n_bad_weight"),
+        F.sum("_null").cast("bigint").alias("n_null_obj"),
         # rows sharing an already-seen obj within (pred, subj) are
         # duplicate (s, p, o) triples regardless of weight
         F.sum(F.col("_n") - F.col("_n_obj")).cast("bigint").alias("n_dup_triples"),

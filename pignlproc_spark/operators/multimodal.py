@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -142,8 +143,6 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
     grey+alpha (4), 16-bit and Adam7 raise ValueError — the caller's
     degrade-to-NULL contract handles them like any foreign payload.
     """
-    import zlib
-
     if len(payload) < 8 + 25 or payload[:8] != PNG_SIG:
         raise ValueError("not a PNG")
     pos = 8
@@ -156,6 +155,8 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
         if len(body) < clen:
             raise ValueError("truncated PNG chunk")
         if ctype == b"IHDR":
+            if len(body) < 13:
+                raise ValueError("short IHDR chunk")
             ihdr = struct.unpack(">IIBBBBB", body[:13])
         elif ctype == b"IDAT":
             idat += body
@@ -165,7 +166,9 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
     if ihdr is None or not idat:
         raise ValueError("missing IHDR/IDAT chunk")
     w, h, bit_depth, color_type, compression, filter_method, interlace = ihdr
-    if w <= 0 or h <= 0 or w * h > 1 << 26:
+    # 16M-pixel cap: Average/Paeth rows reconstruct per byte in Python,
+    # so the cap bounds worst-case task time, not just memory
+    if w <= 0 or h <= 0 or w * h > 1 << 24:
         raise ValueError("degenerate PNG dimensions")
     channels = {0: 1, 2: 3, 6: 4}.get(color_type)
     if (
@@ -178,8 +181,11 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
         raise ValueError(
             "unsupported PNG variant (need 8-bit non-interlaced grey/RGB/RGBA)"
         )
-    raw = zlib.decompress(bytes(idat))
     stride = w * channels
+    # bounded inflate: cap output at the scanline budget so a
+    # decompression-bomb IDAT cannot materialize GBs before the
+    # length check runs (deflate allows ~1000:1)
+    raw = zlib.decompressobj().decompress(bytes(idat), (stride + 1) * h)
     if len(raw) < (stride + 1) * h:
         raise ValueError("truncated PNG scanline data")
     out = np.zeros((h, stride), dtype=np.uint8)
@@ -194,15 +200,23 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
             cur = line
         elif ftype == 2:  # Up — vectorized across the row
             cur = (line + prev) & 0xFF
-        elif ftype in (1, 3, 4):  # Sub/Average/Paeth — sequential in x
+        elif ftype == 1:
+            # Sub — cur[x] = line[x] + cur[x-bpp]: a mod-256 running
+            # sum per channel lane; uint8 cumsum wraps exactly mod 256
+            cur = (
+                np.cumsum(
+                    line.astype(np.uint8).reshape(w, channels), axis=0, dtype=np.uint8
+                )
+                .reshape(stride)
+                .astype(np.int64)
+            )
+        elif ftype in (3, 4):  # Average/Paeth — sequential in x
             cur = np.zeros(stride, dtype=np.int64)
             for x in range(stride):
                 a = cur[x - channels] if x >= channels else 0
                 b = prev[x]
                 c = prev[x - channels] if x >= channels else 0
-                if ftype == 1:
-                    cur[x] = (line[x] + a) & 0xFF
-                elif ftype == 3:
+                if ftype == 3:
                     cur[x] = (line[x] + (a + b) // 2) & 0xFF
                 else:
                     cur[x] = (line[x] + _paeth(a, b, c)) & 0xFF
@@ -317,7 +331,10 @@ def media_stats(media: DataFrame) -> DataFrame:
                             sum_abs=int(np.abs(ch0, dtype=np.int64).sum()),
                             zero_crossings=int((neg[1:] != neg[:-1]).sum()),
                         )
-                except (ValueError, NotImplementedError):
+                except (ValueError, NotImplementedError, zlib.error, struct.error):
+                    # corrupt payloads (bad deflate stream, short
+                    # header, malformed chunk) degrade to NULL stats —
+                    # a crawl batch must never kill the job
                     pass  # decoded stays 0, stats stay NULL
                 for k, v in row.items():
                     out[k].append(v)

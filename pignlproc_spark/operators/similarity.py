@@ -276,22 +276,30 @@ def srp_banded_pairs(
     """
     n = embeddings.select(
         F.col(id_col).alias("id"), _quantize(F.col(vec_col), scale).alias("v")
-    ).withColumn("nrm", _dot_int(F.col("v"), F.col("v")))
+    )
+    if materialize:
+        # persist the (id, v) projection BEFORE the guard aggregate so
+        # its action populates the cache — otherwise the guard pays one
+        # full extra scan+quantize pass over the corpus. nrm is NOT in
+        # the cached projection: its int64 multiply must not execute
+        # until the guard has cleared it (ANSI would throw mid-cache).
+        n = n.persist()
     # same wrap-immune overflow guard as embedding_near_duplicates
     nrm_d = F.aggregate(
         F.col("v"), F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
     )
     max_nrm = n.agg(F.max(nrm_d)).collect()[0][0] or 0.0
     if 10000.0 * max_nrm * max_nrm >= float(2**62):
+        if materialize:
+            n.unpersist()
         raise ValueError(
             f"quantized norm^2 up to {max_nrm:.3g} overflows the int64 cosine "
             "test; unit-normalize the embeddings or lower `scale`"
         )
+    n = n.withColumn("nrm", _dot_int(F.col("v"), F.col("v")))
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
     planes = srp_planes_q(dim, bands * band_planes, seed, plane_scale)
-    if materialize:
-        n = n.persist()
     sigs = n.select(
         "id", F.posexplode(srp_band_codes("v", planes, band_planes)).alias("band", "code")
     )
@@ -437,6 +445,10 @@ def ivf_centroids_q(
         F.col(id_col).alias("id"), _quantize(F.col(vec_col), scale).alias("v")
     )
     seeds = [list(r.v) for r in n.orderBy("id").limit(n_centroids).select("v").collect()]
+    if not seeds:
+        raise ValueError("ivf_centroids_q: empty embeddings table")
+    # fewer rows than requested centroids → smaller codebook (the
+    # oracle's LIMIT-n seeding behaves the same way)
     cents = seeds
     for _ in range(train_iters):
         assigned = n.withColumn("cluster", _ivf_assign_q("v", cents))
@@ -456,7 +468,7 @@ def ivf_centroids_q(
             .collect()
         )
         new = {r.cluster: list(r.v) for r in means}
-        cents = [new.get(i, cents[i]) for i in range(n_centroids)]
+        cents = [new.get(i, cents[i]) for i in range(len(cents))]
     return cents
 
 

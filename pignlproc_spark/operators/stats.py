@@ -580,10 +580,14 @@ def hits_q(
     # crawl graphs (jobs/crawl_graph.py feeds n_links-weighted host
     # edges) CAN hit this on hub hosts.
     limit = (2**63) // HITS_SCALE // HITS_SCALE
+    # the recurrence sums per DIRECTION (auth over in-edges, hub over
+    # out-edges), so the binding bound is the max per-direction
+    # weighted degree — pooling both directions would falsely reject
+    # nodes that are safely under the limit on each side
     maxdeg = (
-        e.select(F.col("src").alias("_n"), "w")
-        .unionAll(e.select(F.col("dst").alias("_n"), "w"))
-        .groupBy("_n")
+        e.select(F.col("src").alias("_n"), F.lit(0).alias("_dir"), "w")
+        .unionAll(e.select(F.col("dst").alias("_n"), F.lit(1).alias("_dir"), "w"))
+        .groupBy("_n", "_dir")
         .agg(F.sum("w").alias("_d"))
         .agg(F.max("_d"))
         .first()[0]
@@ -967,7 +971,11 @@ def entity_salience(mentions: DataFrame, texts: DataFrame) -> DataFrame:
     earliest surface form in the extracted text (min over the entity's
     surfaces), first_off_mille = (first_off−1)·1000 DIV doc_len — a
     scale-free per-mille position, exact integers end-to-end so the
-    DuckDB oracle hash-matches. Beyond the reference (COVERAGE.md).
+    DuckDB oracle hash-matches. A surface absent from the text (a
+    truncated text column, a mention stream from another pipeline)
+    contributes NO offset — first_off/first_off_mille are NULL when
+    none of the entity's surfaces occur verbatim, never a fake 0.
+    Beyond the reference (COVERAGE.md).
 
     Scale shape: the text joins only the DISTINCT (url, uri,
     surface_form) triples — per-page surface vocabulary, not the
@@ -985,7 +993,10 @@ def entity_salience(mentions: DataFrame, texts: DataFrame) -> DataFrame:
         .select(
             "url",
             "uri",
-            F.expr("instr(text, surface_form)").cast("bigint").alias("_off"),
+            # instr()=0 means "surface not verbatim in text" (truncated
+            # text column, foreign mention stream): NULL it out so it
+            # can never win the min as a fake lead position
+            F.expr("nullif(instr(text, surface_form), 0)").cast("bigint").alias("_off"),
             F.length("text").cast("bigint").alias("_len"),
         )
         .groupBy("url", "uri")

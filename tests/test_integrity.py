@@ -23,11 +23,17 @@ def test_graph_audit_checks_fire(spark):
             ("d", "kg:mentions", "x", 1),
             ("d", "kg:mentions", "x", 1),  # exact duplicate triple
             ("e", "kg:totalCount", "-1", -1),  # sentinel = bad weight
+            ("f", "kg:annotatedCount", "7", 7),
+            ("f", "kg:annotatedCount", None, 7),  # join key gone NULL
+            ("g", "kg:annotatedCount", None, 1),
+            ("g", "kg:annotatedCount", None, 1),  # dup of the NULL triple
         ],
         TRIPLE_SCHEMA,
     )
     rows = {r.pred: r for r in integrity.graph_audit(t).collect()}
-    assert set(rows) == {"kg:linksTo", "kg:uriCount", "kg:mentions", "kg:totalCount"}
+    assert set(rows) == {
+        "kg:linksTo", "kg:uriCount", "kg:mentions", "kg:totalCount", "kg:annotatedCount",
+    }
     lt = rows["kg:linksTo"]
     assert (lt.n_triples, lt.n_subj, lt.max_fanout) == (2, 1, 2)
     assert (lt.n_self_loops, lt.n_dup_triples, lt.n_functional_violations) == (1, 0, 0)
@@ -37,6 +43,12 @@ def test_graph_audit_checks_fire(spark):
     assert rows["kg:mentions"].n_dup_triples == 1
     assert rows["kg:totalCount"].n_bad_weight == 1
     assert rows["kg:linksTo"].n_bad_weight == 0
+    # NULL objects: counted explicitly, treated as ONE distinct value
+    ac = rows["kg:annotatedCount"]
+    assert ac.n_null_obj == 3
+    assert ac.n_functional_violations == 1  # f: real obj + NULL
+    assert ac.n_dup_triples == 1  # g's second NULL row, not 3 phantoms
+    assert rows["kg:uriCount"].n_null_obj == 0
 
 
 def test_dangling_refs_anti_join(spark):

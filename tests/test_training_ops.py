@@ -419,6 +419,23 @@ def test_ivf_topk_q_full_probe_equals_brute(spark):
         assert exact_all[(r.query_id, r.neighbor_id)] == (r.dot_q, r.norm_q2, r.norm_n2)
 
 
+def test_ivf_codebook_smaller_than_requested(spark):
+    """Fewer rows than n_centroids → a shrunken codebook (matching the
+    oracle's LIMIT-n seeding), not an IndexError; empty input raises a
+    clear ValueError."""
+    import pytest as pt
+
+    rows = [(i, [float(i), 1.0, -1.0, 0.5]) for i in range(5)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = similarity.ivf_centroids_q(emb, n_centroids=8, train_iters=2)
+    assert len(cents) == 5
+    # the search path runs end-to-end on the shrunken codebook
+    out = similarity.ivf_topk_q(emb, emb.where(F.col("vec_id") < 2), k=3, n_centroids=8, nprobe=8)
+    assert out.count() > 0
+    with pt.raises(ValueError):
+        similarity.ivf_centroids_q(emb.where(F.col("vec_id") < 0), n_centroids=4)
+
+
 def test_jsonl_shard_export_roundtrip(spark, tmp_path):
     from pignlproc_spark import tables
     from pignlproc_spark.operators.textstats import hash_bucket
@@ -684,6 +701,42 @@ def test_png_decode_rejects_unsupported_variants():
         multimodal.decode_png(png(ok_rgb, b"\x00" + bytes(2)))
     with pt.raises(ValueError):  # bad filter type
         multimodal.decode_png(png(ok_rgb, b"\x07" + bytes(6)))
+    with pt.raises(ValueError):  # IHDR body shorter than 13 bytes
+        multimodal.decode_png(png(st.pack(">IIB", 2, 1, 8)))
+    with pt.raises(ValueError):  # pixel cap bounds Python-loop work
+        multimodal.decode_png(png(st.pack(">IIBBBBB", 1 << 13, 1 << 13, 8, 2, 0, 0, 0)))
+    with pt.raises(zlib.error):  # garbage deflate stream
+        bomb = (
+            multimodal.PNG_SIG
+            + st.pack(">I", 13) + b"IHDR" + ok_rgb + bytes(4)
+            + st.pack(">I", 8) + b"IDAT" + b"notzlib!" + bytes(4)
+            + st.pack(">I", 0) + b"IEND" + bytes(4)
+        )
+        multimodal.decode_png(bomb)
+
+
+def test_media_stats_survives_corrupt_idat_and_short_ihdr(spark):
+    """zlib.error / struct.error from malformed PNG internals degrade
+    to NULL stats inside media_stats instead of killing the task."""
+    import struct as st
+    import zlib
+
+    def chunk(t, b):
+        return st.pack(">I", len(b)) + t + b + st.pack(">I", zlib.crc32(t + b))
+
+    ok_rgb = st.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0)
+    corrupt_idat = multimodal.PNG_SIG + chunk(b"IHDR", ok_rgb) + chunk(
+        b"IDAT", b"notzlib!"
+    ) + chunk(b"IEND", b"")
+    short_ihdr = multimodal.PNG_SIG + chunk(b"IHDR", b"\x00\x01") + chunk(
+        b"IDAT", zlib.compress(b"\x00" + bytes(6))
+    ) + chunk(b"IEND", b"")
+    bad = spark.createDataFrame(
+        [("c1", "image", bytearray(corrupt_idat)), ("c2", "image", bytearray(short_ihdr))],
+        "url string, kind string, payload binary",
+    )
+    rows = {r.url: r for r in multimodal.media_stats(bad).collect()}
+    assert all(rows[u].decoded == 0 and rows[u].width is None for u in ("c1", "c2"))
 
 
 def test_resize_images_real_formats(spark, synth_dir):
@@ -1180,6 +1233,18 @@ def test_entity_salience(spark):
     assert b.first_off_mille == (11 - 1) * 1000 // 26
     u = got[("u2", "B")]
     assert (u.first_off, u.doc_len, u.first_off_mille) == (5, 10, 400)
+    # a surface absent from the text contributes no offset: with one
+    # found + one missing surface the found one wins; with none found
+    # the position columns are NULL, never a fake 0/negative
+    m2 = spark.createDataFrame(
+        [("u3", "C", "s1", "Ghost"), ("u3", "C", "s1", "won"),
+         ("u4", "D", "s1", "Ghost")],
+        "url string, uri string, context string, surface_form string",
+    )
+    t2 = spark.createDataFrame([("u3", "it won"), ("u4", "it won")], "url string, text string")
+    g2 = {r.url: r for r in stats.entity_salience(m2, t2).collect()}
+    assert (g2["u3"].first_off, g2["u3"].first_off_mille) == (4, 500)
+    assert g2["u4"].first_off is None and g2["u4"].first_off_mille is None
 
 
 def test_positional_index(spark):
@@ -2144,6 +2209,13 @@ def test_graph_scorer_headroom_guards(spark):
         stats.hits_q(hot, src="s", dst="d", weight="c", iterations=1)
     ok = spark.createDataFrame([("hub", "x", 9 * 10**6)], "s string, d string, c long")
     assert stats.hits_q(ok, src="s", dst="d", weight="c", iterations=1).count() == 2
+    # the bound is per DIRECTION: in-weight 6e6 + out-weight 6e6 on one
+    # node is fine (auth sums in-edges only, hub sums out-edges only)
+    two_sided = spark.createDataFrame(
+        [("a", "hub", 6 * 10**6), ("hub", "b", 6 * 10**6)],
+        "s string, d string, c long",
+    )
+    assert stats.hits_q(two_sided, src="s", dst="d", weight="c", iterations=1).count() == 3
 
     seeds = spark.createDataFrame([("hub",)], "node string")
     heavy = spark.createDataFrame([("hub", "x", 2 * 10**8)], "s string, d string, c long")
