@@ -888,6 +888,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return host_link_edges(with_html)
 
+    def web_link_reciprocity(spark, sf_dir):
+        # per-host link reciprocity over the CCLink host graph — the
+        # structural link-exchange/link-farm signal (exact ints)
+        from pignlproc_spark.operators import stats
+
+        return stats.link_reciprocity(web_link_graph(spark, sf_dir))
+
+    def web_degree_histogram(spark, sf_dir):
+        # degree distribution of the undirected host graph (distinct
+        # neighbor pairs): the power-law / template-link diagnostic
+        from pignlproc_spark.operators import stats
+
+        e = web_link_graph(spark, sf_dir)
+        und = (
+            e.select(
+                F.least("src_host", "dst_host").alias("a"),
+                F.greatest("src_host", "dst_host").alias("b"),
+            )
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        return stats.degree_histogram(und, src="a", dst="b")
+
     def web_hits_q(spark, sf_dir):
         # Kleinberg HITS over the host link graph in fixed-point
         # integer arithmetic (stats.hits_q, SCALE=1e6, max-normalized
@@ -1194,6 +1217,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         web_url_templates=web_url_templates,
         web_frontier_gap=web_frontier_gap,
         web_link_graph=web_link_graph,
+        web_link_reciprocity=web_link_reciprocity,
+        web_degree_histogram=web_degree_histogram,
         web_hits_q=web_hits_q,
         web_trustrank_q=web_trustrank_q,
         web_page_metadata=web_page_metadata,
@@ -2965,6 +2990,36 @@ def oracle_sql() -> dict[str, str]:
            count(*)::BIGINT AS n_links
     FROM res WHERE r IS NOT NULL GROUP BY 1, 2
     """
+    o["web_link_reciprocity"] = f"""
+    WITH lg AS ({o['web_link_graph']}),
+    e AS (
+      SELECT DISTINCT src_host AS s, dst_host AS d FROM lg WHERE src_host <> dst_host
+    ), rec AS (
+      SELECT e.s, e.d FROM e
+      WHERE EXISTS (SELECT 1 FROM e r WHERE r.s = e.d AND r.d = e.s)
+    ), outc AS (SELECT s AS host, count(*)::BIGINT AS n_out FROM e GROUP BY 1),
+    inc AS (SELECT d AS host, count(*)::BIGINT AS n_in FROM e GROUP BY 1),
+    recc AS (SELECT s AS host, count(*)::BIGINT AS n_reciprocal FROM rec GROUP BY 1)
+    SELECT coalesce(outc.host, inc.host) AS host,
+           coalesce(n_out, 0)::BIGINT AS n_out,
+           coalesce(n_in, 0)::BIGINT AS n_in,
+           coalesce(n_reciprocal, 0)::BIGINT AS n_reciprocal,
+           (coalesce(n_reciprocal, 0) * 1000 // greatest(coalesce(n_out, 0), 1))::BIGINT
+             AS reciprocity_mille
+    FROM outc FULL JOIN inc ON outc.host = inc.host
+    LEFT JOIN recc ON coalesce(outc.host, inc.host) = recc.host
+    """
+
+    o["web_degree_histogram"] = f"""
+    WITH lg AS ({o['web_link_graph']}),
+    und AS (
+      SELECT DISTINCT least(src_host, dst_host) AS a, greatest(src_host, dst_host) AS b
+      FROM lg WHERE src_host <> dst_host
+    ), nodes AS (SELECT a AS node FROM und UNION ALL SELECT b FROM und),
+    deg AS (SELECT node, count(*)::BIGINT AS deg FROM nodes GROUP BY node)
+    SELECT deg, count(*)::BIGINT AS n_nodes FROM deg GROUP BY deg
+    """
+
     # HITS — the same host edges fed through the unrolled fixed-point
     # recurrence (MATERIALIZED CTEs; see _hits_q_sql)
     o["web_hits_q"] = (

@@ -960,6 +960,79 @@ def link_prediction(
     )
 
 
+def link_reciprocity(
+    edges: DataFrame, src: str = "src_host", dst: str = "dst_host"
+) -> DataFrame:
+    """(host, n_out, n_in, n_reciprocal, reciprocity_mille) — per-node
+    reciprocity over a directed (src, dst) edge set: how many of a
+    host's distinct out-neighbors link back. High reciprocity across a
+    cluster of hosts is the classic link-exchange / link-farm spam
+    signature (TrustRank's complement: structural, not seed-based);
+    near-zero reciprocity marks pure content sinks. All exact ints;
+    reciprocity_mille = 1000·n_reciprocal DIV max(n_out, 1).
+
+    Scale shape: edges dedup once (the same (src, dst) partial/final
+    any edge consumer pays), the reciprocal probe is a LEFT SEMI
+    self-join on the flipped key — no fanout, candidates ≤ edges —
+    and the three per-host counts are map-side-combined aggregates
+    joined on the host dimension.
+    """
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .where(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint(eager=False)  # out/in counts + both semi-join sides
+    )
+    rec = e.join(
+        e.select(F.col("d").alias("s"), F.col("s").alias("d")), ["s", "d"], "left_semi"
+    )
+    outc = e.groupBy(F.col("s").alias("host")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_out")
+    )
+    inc = e.groupBy(F.col("d").alias("host")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_in")
+    )
+    recc = rec.groupBy(F.col("s").alias("host")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_reciprocal")
+    )
+    return (
+        outc.join(inc, "host", "full")
+        .join(recc, "host", "left")
+        .select(
+            "host",
+            F.coalesce("n_out", F.lit(0)).cast("bigint").alias("n_out"),
+            F.coalesce("n_in", F.lit(0)).cast("bigint").alias("n_in"),
+            F.coalesce("n_reciprocal", F.lit(0)).cast("bigint").alias("n_reciprocal"),
+        )
+        .withColumn(
+            "reciprocity_mille",
+            F.expr("CAST(n_reciprocal * 1000 DIV greatest(n_out, 1) AS BIGINT)"),
+        )
+    )
+
+
+def degree_histogram(
+    edges: DataFrame, src: str = "uri_a", dst: str = "uri_b"
+) -> DataFrame:
+    """(deg, n_nodes) — the degree distribution of an undirected edge
+    set: for each observed degree value, how many nodes have it. THE
+    power-law diagnostic for a web/KG graph (a healthy crawl graph is
+    heavy-tailed; a flat or spiked distribution means template link
+    blocks or a link farm), and the count-of-counts dual of
+    :func:`textstats.count_of_counts` on the graph side.
+
+    Scale shape: two map-side-combined aggregates — per-node degree
+    (the data-scale shuffle), then the histogram over the node
+    dimension whose OUTPUT is tiny (distinct degree values are
+    O(thousands) even at web scale). Nothing else moves.
+    """
+    nodes = edges.select(F.col(src).alias("node")).unionAll(
+        edges.select(F.col(dst).alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    return deg.groupBy("deg").agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+
+
 def entity_salience(mentions: DataFrame, texts: DataFrame) -> DataFrame:
     """(url, uri, n_mentions, n_contexts, first_off, doc_len,
     first_off_mille) — per-(document, entity) salience features, the

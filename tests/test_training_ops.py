@@ -1181,6 +1181,30 @@ def test_related_entities(spark):
     assert all(r.rank <= 2 for r in got.values())
 
 
+def test_link_reciprocity_and_degree_histogram(spark):
+    from pignlproc_spark.operators import stats
+
+    e = spark.createDataFrame(
+        [("a", "b", 3), ("b", "a", 1), ("a", "c", 2), ("c", "d", 1),
+         ("a", "a", 9),  # self loop dropped
+         ("a", "b", 7)],  # duplicate edge deduped
+        "src_host string, dst_host string, n_links long",
+    )
+    got = {r.host: r for r in stats.link_reciprocity(e).collect()}
+    assert (got["a"].n_out, got["a"].n_in, got["a"].n_reciprocal) == (2, 1, 1)
+    assert got["a"].reciprocity_mille == 500
+    assert (got["b"].n_out, got["b"].n_reciprocal, got["b"].reciprocity_mille) == (1, 1, 1000)
+    assert (got["c"].n_out, got["c"].n_reciprocal) == (1, 0)
+    # pure sink: appears via the full join with n_out=0
+    assert (got["d"].n_out, got["d"].n_in, got["d"].reciprocity_mille) == (0, 1, 0)
+
+    und = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("c", "d")], "a string, b string"
+    )
+    hist = {r.deg: r.n_nodes for r in stats.degree_histogram(und, src="a", dst="b").collect()}
+    assert hist == {1: 2, 2: 2}
+
+
 def test_link_prediction(spark):
     from pignlproc_spark.operators import stats
 
