@@ -2190,15 +2190,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # shared defect-planting base for the integrity queries: the
         # md5-bucket selector of kg_incremental_merge (% 50) marks
         # deterministic rows the oracle re-derives from golden_triples
+        from pignlproc_spark.operators.textstats import hash_bucket
+
         t = _pipeline(spark, sf_dir).triples
-        h = (
-            F.conv(
-                F.substring(F.md5(F.concat_ws("|", "subj", "pred", "obj").cast("binary")), 1, 4),
-                16,
-                10,
-            ).cast("bigint")
-            % 50
-        )
+        h = hash_bucket(F.concat_ws("|", "subj", "pred", "obj"), 50)
         return t, t.withColumn("_h", h)
 
     def kg_graph_audit(spark, sf_dir):
@@ -4917,7 +4912,7 @@ def oracle_sql() -> dict[str, str]:
              (count(DISTINCT obj)
               + max(CASE WHEN obj IS NULL THEN 1 ELSE 0 END))::BIGINT AS n_obj,
              sum(CASE WHEN subj = obj THEN 1 ELSE 0 END)::BIGINT AS selfs,
-             sum(CASE WHEN weight <= 0 THEN 1 ELSE 0 END)::BIGINT AS bad,
+             sum(CASE WHEN weight <= 0 OR weight IS NULL THEN 1 ELSE 0 END)::BIGINT AS bad,
              sum(CASE WHEN obj IS NULL THEN 1 ELSE 0 END)::BIGINT AS nulls
       FROM a GROUP BY 1, 2
     )

@@ -33,7 +33,10 @@ def graph_audit(triples: DataFrame, functional_preds=FUNCTIONAL_PREDS) -> DataFr
     - ``max_fanout``: largest per-subject row count — the hub-skew
       signal that decides salting width for the partitioned write.
     - ``n_self_loops``: subj == obj rows (extraction echo defects).
-    - ``n_bad_weight``: weight <= 0 (counts must be positive).
+    - ``n_bad_weight``: weight <= 0 OR NULL (counts must be positive;
+      a NULL weight is the aggregate-gone-NULL twin of the NULL-object
+      defect and must not slip through the <= comparison's
+      NULL-propagation).
     - ``n_null_obj``: NULL objects — the "join key gone NULL" defect
       this module exists to catch, counted explicitly (and NULL is
       treated as ONE distinct object value in the dup/functional
@@ -62,7 +65,9 @@ def graph_audit(triples: DataFrame, functional_preds=FUNCTIONAL_PREDS) -> DataFr
         .cast("bigint")
         .alias("_n_obj"),
         F.sum(F.when(F.col("subj") == F.col("obj"), 1).otherwise(0)).cast("bigint").alias("_self"),
-        F.sum(F.when(F.col("weight") <= 0, 1).otherwise(0)).cast("bigint").alias("_bad"),
+        F.sum(F.when((F.col("weight") <= 0) | F.col("weight").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("_bad"),
         F.sum(F.when(F.col("obj").isNull(), 1).otherwise(0)).cast("bigint").alias("_null"),
     )
     is_func = F.col("pred").isin(*functional_preds)

@@ -296,6 +296,7 @@ def srp_banded_pairs(
             f"quantized norm^2 up to {max_nrm:.3g} overflows the int64 cosine "
             "test; unit-normalize the embeddings or lower `scale`"
         )
+    base = n  # the persisted projection — unpersist THIS, not a derived plan
     n = n.withColumn("nrm", _dot_int(F.col("v"), F.col("v")))
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
@@ -331,7 +332,7 @@ def srp_banded_pairs(
     )
     if materialize:
         out = out.localCheckpoint(eager=True)
-        n.unpersist()
+        base.unpersist()
     return out
 
 

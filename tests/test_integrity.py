@@ -27,6 +27,7 @@ def test_graph_audit_checks_fire(spark):
             ("f", "kg:annotatedCount", None, 7),  # join key gone NULL
             ("g", "kg:annotatedCount", None, 1),
             ("g", "kg:annotatedCount", None, 1),  # dup of the NULL triple
+            ("h", "kg:totalCount", "2", None),  # weight gone NULL = bad
         ],
         TRIPLE_SCHEMA,
     )
@@ -41,7 +42,7 @@ def test_graph_audit_checks_fire(spark):
     assert (uc.n_triples, uc.n_subj, uc.n_functional_violations) == (3, 2, 1)
     assert uc.n_dup_triples == 0  # distinct objects are multi-edges, not dups
     assert rows["kg:mentions"].n_dup_triples == 1
-    assert rows["kg:totalCount"].n_bad_weight == 1
+    assert rows["kg:totalCount"].n_bad_weight == 2  # -1 sentinel + NULL
     assert rows["kg:linksTo"].n_bad_weight == 0
     # NULL objects: counted explicitly, treated as ONE distinct value
     ac = rows["kg:annotatedCount"]

@@ -330,6 +330,7 @@ def test_srp_banded_pairs(spark):
         (r.id_a, r.id_b): (r.dot_q, r.norm_a, r.norm_b)
         for r in similarity.embedding_near_duplicates(emb, min_cos_pct=90).collect()
     }
+    spark.catalog.clearCache()  # isolate the leak assertion below
     srp = {
         (r.id_a, r.id_b): (r.dot_q, r.norm_a, r.norm_b)
         for r in similarity.srp_banded_pairs(
@@ -341,6 +342,10 @@ def test_srp_banded_pairs(spark):
         assert brute[k] == v  # same integer dot/norm values, not re-derived
     assert {(0, 1), (0, 2), (1, 2)} <= set(srp)
     assert not any(5 in k for k in srp)
+    # the persisted quantized projection must be released on return —
+    # a leaked entry accumulates a corpus-sized cache per invocation
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    assert jcm.isEmpty(), "srp_banded_pairs leaked its persisted projection"
     big = spark.createDataFrame(
         [(0, [4.0e6, 0.0]), (1, [4.0e6, 1.0])], "vec_id long, embedding array<float>"
     )
