@@ -1518,6 +1518,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return stats.link_prediction(_pipeline(spark, sf_dir).mentions, k=5)
 
+    def kg_sf_ambiguity(spark, sf_dir):
+        # per-surface-form ambiguity profile (target count, prior-only
+        # ceiling, integer Gini impurity) over the anchor pair counts
+        from pignlproc_spark.operators import stats
+
+        return stats.sf_ambiguity(_pipeline(spark, sf_dir).pair_counts)
+
     def kg_entity_salience(spark, sf_dir):
         # per-(document, entity) salience features: occurrence count,
         # context spread, earliest surface offset (exact char instr)
@@ -2143,6 +2150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kg_related_entities=kg_related_entities,
         kg_link_prediction=kg_link_prediction,
         kg_entity_salience=kg_entity_salience,
+        kg_sf_ambiguity=kg_sf_ambiguity,
         kg_entity_hops=kg_entity_hops,
         kg_entity_kcore=kg_entity_kcore,
         tpch_customers_no_orders=tpch_customers_no_orders,
@@ -4308,6 +4316,17 @@ def oracle_sql() -> dict[str, str]:
         PARTITION BY uri ORDER BY ra_q DESC, n_common DESC, cand_uri ASC
       ) AS rank FROM symp
     ) WHERE rank <= 5
+    """
+
+    o["kg_sf_ambiguity"] = f"""
+    SELECT surface_form,
+           count(*)::BIGINT AS n_targets,
+           sum(cnt)::BIGINT AS total_cnt,
+           max(cnt)::BIGINT AS top_cnt,
+           (max(cnt)::HUGEINT * 1000 // sum(cnt)::HUGEINT)::BIGINT AS top_share_mille,
+           ((sum(cnt)::HUGEINT * sum(cnt) - sum(cnt::HUGEINT * cnt)) * 1000
+            // (sum(cnt)::HUGEINT * sum(cnt)))::BIGINT AS gini_mille
+    FROM {g('golden_pair_counts')} GROUP BY surface_form
     """
 
     o["kg_entity_salience"] = f"""

@@ -960,6 +960,46 @@ def link_prediction(
     )
 
 
+def sf_ambiguity(
+    pair_counts: DataFrame, sf_col: str = "surface_form", cnt_col: str = "cnt"
+) -> DataFrame:
+    """(surface_form, n_targets, total_cnt, top_cnt, top_share_mille,
+    gini_mille) — the per-surface-form ambiguity profile over the
+    (surface_form, uri, cnt) anchor table: how many targets a mention
+    string can resolve to, how dominant the top target is
+    (top_share_mille = 1000·max DIV Σ — the accuracy a prior-only
+    disambiguator achieves on that surface), and the Gini impurity of
+    the target distribution ×1000 (gini = 1 − Σcntᵢ²/total²). The
+    difficulty map an entity-linking pipeline uses to route surfaces:
+    near-0 gini → prior lookup suffices; high gini → spend context
+    evidence. All exact integers (impurity via exact DIV, DECIMAL(38)
+    intermediates so Σcnt² cannot overflow-throw at web-scale anchor
+    totals). Beyond the reference (COVERAGE.md).
+
+    Scale shape: ONE map-side-combined aggregate keyed on the surface
+    form — the same shuffle sf_total_counts already pays — emitting
+    counts, max, and the decimal square-sum together; no joins, no
+    second pass.
+    """
+    c = F.col(cnt_col).cast("bigint")
+    agg = pair_counts.groupBy(F.col(sf_col).alias("surface_form")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_targets"),
+        F.sum(c).cast("decimal(38,0)").alias("_total"),
+        F.max(c).cast("bigint").alias("top_cnt"),
+        F.sum(c.cast("decimal(38,0)") * c).cast("decimal(38,0)").alias("_sumsq"),
+    )
+    return agg.select(
+        "surface_form",
+        "n_targets",
+        F.col("_total").cast("bigint").alias("total_cnt"),
+        "top_cnt",
+        F.expr("CAST((top_cnt * 1000) DIV _total AS BIGINT)").alias("top_share_mille"),
+        F.expr(
+            "CAST(((_total * _total - _sumsq) * 1000) DIV (_total * _total) AS BIGINT)"
+        ).alias("gini_mille"),
+    )
+
+
 def link_reciprocity(
     edges: DataFrame, src: str = "src_host", dst: str = "dst_host"
 ) -> DataFrame:

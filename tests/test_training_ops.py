@@ -1186,6 +1186,22 @@ def test_related_entities(spark):
     assert all(r.rank <= 2 for r in got.values())
 
 
+def test_sf_ambiguity(spark):
+    from pignlproc_spark.operators import stats
+
+    pc = spark.createDataFrame(
+        [("jaguar", "u:Cat", 3), ("jaguar", "u:Car", 1), ("paris", "u:Paris", 5)],
+        "surface_form string, uri string, cnt long",
+    )
+    got = {r.surface_form: r for r in stats.sf_ambiguity(pc).collect()}
+    j = got["jaguar"]
+    assert (j.n_targets, j.total_cnt, j.top_cnt) == (2, 4, 3)
+    assert j.top_share_mille == 750
+    assert j.gini_mille == (16 - 10) * 1000 // 16  # 375
+    p = got["paris"]
+    assert (p.n_targets, p.top_share_mille, p.gini_mille) == (1, 1000, 0)
+
+
 def test_link_reciprocity_and_degree_histogram(spark):
     from pignlproc_spark.operators import stats
 
