@@ -352,7 +352,10 @@ def near_duplicates(
     once the candidate set is materialized, and the verify step's
     token sets are computed once (lazy localCheckpoint) instead of
     once per join side; at cluster scale both are the stages you'd
-    checkpoint to tables instead."""
+    checkpoint to tables instead. The returned DataFrame is an
+    eagerly-materialized checkpoint: every intermediate cache is
+    RELEASED before return (a long-lived driver calling this per
+    batch must not accumulate pinned candidate sets)."""
     from pyspark.storagelevel import StorageLevel
 
     sigs = minhash_signatures(df, id_col, text_col, bands=bands).persist(StorageLevel.MEMORY_AND_DISK)
@@ -363,6 +366,8 @@ def near_duplicates(
     sigs.unpersist()
     toks = _token_sets(df, id_col, text_col).localCheckpoint(eager=False)
     out = jaccard_pairs(df, id_col, text_col, min_jaccard_pct, pairs=cands, toks=toks)
+    out = out.localCheckpoint(eager=True)
+    cands.unpersist()
     return out
 
 
@@ -472,6 +477,16 @@ def connected_components(
             e = small
             break
         e, e_count, e_chk = small, n, chk
+    else:
+        if e_count > 0:
+            # reading off a non-star-forest edge set would silently
+            # SPLIT true components (multiple "survivors" per dup
+            # cluster) — fail loudly, like the k-core peel
+            raise RuntimeError(
+                f"connected_components did not reach its fixpoint in "
+                f"{max_rounds} rounds ({e_count} edges still moving); "
+                "raise max_rounds (rounds needed ~ O(log^2 diameter))"
+            )
     sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
         e.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
@@ -546,8 +561,6 @@ def duplicate_spans(
     the tokenization pass with other consumers (strip_duplicate_spans
     does — Spark reuses exchanges, not arbitrary subplans).
     """
-    from pyspark.sql import Window as W
-
     if toks is None:
         toks = df.select(F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("_toks"))
     wins = toks.select("doc_id", F.posexplode(F.expr(window_expr(window))).alias("pos", "w")).select(
@@ -840,7 +853,15 @@ def simhash_hamming_pairs(
     dedups the pair, and upstream exact-dedup keeps such clusters
     small.
     """
-    b = bands if bands is not None else max_hamming + 1
+    if bands is None:
+        # smallest divisor of 16 that is >= max_hamming + 1 — the
+        # literal max_hamming + 1 (e.g. 3, 5, 6) need not divide 16,
+        # and the pigeonhole guarantee only needs >=
+        b = next((d for d in (1, 2, 4, 8, 16) if d >= max_hamming + 1), None)
+        if b is None:
+            raise ValueError("max_hamming must be < 16 for a 16-bit fingerprint")
+    else:
+        b = bands
     if b < max_hamming + 1:
         raise ValueError("bands must be >= max_hamming + 1 for recall=1")
     if 16 % b != 0:
@@ -953,10 +974,13 @@ def bloom_might_contain(
         .cast("int")
         .alias("hit"),
     )
+    # min over probe rows: 1 iff EVERY probe bit is set — robust to
+    # duplicate key rows (a sum == n_hashes test would see 2·n_hashes
+    # for a doubled key and silently report a seen key as a miss)
     return (
         hits.groupBy(key_col)
-        .agg(F.sum("hit").alias("_nhit"))
-        .where(F.col("_nhit") == n_hashes)
+        .agg(F.min("hit").alias("_hit"))
+        .where(F.col("_hit") == 1)
         .select(key_col)
     )
 

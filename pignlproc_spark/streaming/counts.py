@@ -175,15 +175,15 @@ def maintain_mention_stats(
 
     # guard against a stats root written before token profiles were
     # maintained: resuming on it would produce truncated profiles and
-    # silently prior-biased link decisions. A root is "legacy" if the
-    # pair table has history beyond THIS batch (other batch ids or a
-    # fold) while token_counts has no manifest — a crash between this
-    # very batch's pair and token appends is NOT legacy and replays
-    # cleanly.
+    # silently prior-biased link decisions. token_counts is appended
+    # FIRST below, so on any root this code version ever touched the
+    # pair table cannot have history while token_counts lacks a
+    # manifest — pair history without one is therefore truly legacy,
+    # and a crash anywhere inside a batch (including a compact_every=1
+    # fold of the first batch's own delta) replays cleanly.
     if not (Path(stats_root) / "token_counts" / MANIFEST).exists():
         pm = _read_manifest(f"{stats_root}/pair_counts")
-        own = f"delta-{batch_id:08d}"
-        if pm["folded_through"] >= 0 or any(d != own for d in pm["live"]):
+        if pm["folded_through"] >= 0 or pm["live"]:
             raise ValueError(
                 f"{stats_root} has count history but no token_counts manifest — it "
                 "predates token-profile maintenance; backfill token_counts from the "
@@ -192,15 +192,17 @@ def maintain_mention_stats(
 
     spark = batch_mentions.sparkSession
     tables = {
+        # per-entity token profile — keeps the incremental linker's
+        # evidence term fresh (same frozen tokenizer as the batch
+        # build). MUST stay first: the legacy guard above relies on
+        # token_counts having a manifest before pair_counts has history
+        "token_counts": (stats.token_counts(batch_mentions, lang=lang, analysis=analysis), ["uri", "token"]),
         "pair_counts": (stats.pair_counts(batch_mentions), ["surface_form", "uri"]),
         "uri_counts": (stats.uri_counts(batch_mentions), ["uri"]),
         "sf_counts": (
             stats.annotated_sf_counts(batch_mentions).withColumnRenamed("annotated_cnt", "cnt"),
             ["surface_form"],
         ),
-        # per-entity token profile — keeps the incremental linker's
-        # evidence term fresh (same frozen tokenizer as the batch build)
-        "token_counts": (stats.token_counts(batch_mentions, lang=lang, analysis=analysis), ["uri", "token"]),
     }
     for name, (delta, keys) in tables.items():
         append_delta(delta, f"{stats_root}/{name}", batch_id)

@@ -139,7 +139,11 @@ def run_incremental(
     ``link_decisions`` (requires ``stats_root``): after updating the
     stats, run the Spotlight-style disambiguation for THIS batch's
     mentions against the merged-to-date dictionaries and write the
-    top-1 decision per mention to ``<out_dir>/decisions/batch=N`` —
+    top-1 decision per mention to the SIBLING root
+    ``<out_dir>_decisions/batch=N`` (never nested inside the fact
+    table: leaf files at mixed depths break a wholesale
+    ``spark.read.parquet(out_dir)`` with conflicting partition
+    structures) —
     the incremental linker: new pages are linked with statistics that
     include everything ingested so far (self-inclusive, matching the
     batch operator's semantics; a single availableNow batch is exactly
@@ -187,7 +191,7 @@ def run_incremental(
                 pair = read_counts(spark_b, f"{stats_root}/pair_counts", ["surface_form", "uri"])
                 toks = read_counts(spark_b, f"{stats_root}/token_counts", ["uri", "token"])
                 dec = linking.disambiguate(out, pair, toks, k=1, lang=lang)
-                dec.write.mode("overwrite").parquet(f"{out_dir}/decisions/batch={batch_id}")
+                dec.write.mode("overwrite").parquet(f"{out_dir}_decisions/batch={batch_id}")
         finally:
             # unpersist even when the write/stats raise — foreachBatch
             # retries would otherwise layer a leaked cache per attempt

@@ -57,22 +57,34 @@ TOKS_SCHEMA = "doc_id long, tok array<string>"
 _append_facts = append_delta
 
 
-def _check_meta(root: str, bands: int) -> None:
+def _check_meta(root: str, bands: int, min_jaccard_pct: int) -> None:
     """Pin the store's LSH config: probing 8-band signatures against
-    4-band history silently halves recall — refuse instead."""
+    4-band history silently halves recall, and a threshold change
+    mid-stream makes read_pairs a mishmash that equals batch
+    near_duplicates at NO single threshold — refuse both."""
     import json
     import os
     from pathlib import Path
 
     p = Path(root) / "_meta.json"
     if p.exists():
-        stored = json.loads(p.read_text())["bands"]
-        if stored != bands:
+        meta = json.loads(p.read_text())
+        if meta["bands"] != bands:
             raise ValueError(
-                f"near-dup store {root} was built with bands={stored}; "
+                f"near-dup store {root} was built with bands={meta['bands']}; "
                 f"restarting with bands={bands} would silently degrade "
                 "probe recall against history — rebuild the store or "
                 "keep the original setting"
+            )
+        # stores written before the threshold pin lack the key; accept
+        # them (can't know their history) but never a known mismatch
+        stored_pct = meta.get("min_jaccard_pct")
+        if stored_pct is not None and stored_pct != min_jaccard_pct:
+            raise ValueError(
+                f"near-dup store {root} was built at "
+                f"min_jaccard_pct={stored_pct}; restarting at "
+                f"{min_jaccard_pct} would mix thresholds in read_pairs "
+                "— rebuild the store or keep the original setting"
             )
         return
     # a store with signature history but no meta predates the pin (or
@@ -85,7 +97,7 @@ def _check_meta(root: str, bands: int) -> None:
         )
     Path(root).mkdir(parents=True, exist_ok=True)
     tmp = p.with_suffix(".json.tmp")
-    tmp.write_text(json.dumps({"bands": bands}))
+    tmp.write_text(json.dumps({"bands": bands, "min_jaccard_pct": min_jaccard_pct}))
     os.replace(tmp, p)  # atomic: a crash mid-write must not brick the stream
 
 
@@ -118,7 +130,7 @@ def process_batch(
     from pyspark.storagelevel import StorageLevel
 
     spark = batch_docs.sparkSession
-    _check_meta(root, bands)
+    _check_meta(root, bands, min_jaccard_pct)
     sigs_hist = _read_facts(spark, f"{root}/signatures", SIGS_SCHEMA, exclude_batch=batch_id)
     toks_hist = _read_facts(spark, f"{root}/token_sets", TOKS_SCHEMA, exclude_batch=batch_id)
     # upstream RE-DELIVERY guard (distinct from Spark's own replay,
@@ -132,8 +144,10 @@ def process_batch(
         .persist(StorageLevel.MEMORY_AND_DISK)  # the history anti-join runs once,
         # not once per derived frame (sigs + toks both materialize it)
     )
-    sigs_new = dedup.minhash_signatures(batch_docs, id_col, text_col, bands).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sigs_new = (
+        dedup.minhash_signatures(batch_docs, id_col, text_col, bands)
+        .withColumnRenamed(id_col, "doc_id")  # store schema is doc_id regardless of caller's id
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     toks_new = (
         dedup._token_sets(batch_docs, id_col, text_col)
@@ -152,28 +166,17 @@ def process_batch(
             F.least(F.col("n.doc_id"), F.col("h.doc_id")).alias("id_a"),
             F.greatest(F.col("n.doc_id"), F.col("h.doc_id")).alias("id_b"),
         ).where(F.col("id_a") != F.col("id_b"))
-        a = sigs_new.alias("a")
-        b = sigs_new.alias("b")
-        cand_new = (
-            a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")))
-            .where(F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        )
+        # new×new candidates and the exact-Jaccard verify are the BATCH
+        # operators called through their injection points (sigs=/pairs=/
+        # toks=) — the tested streaming==batch equivalence contract
+        # depends on one code path, not a hand-kept copy
+        cand_new = dedup.lsh_candidate_pairs(batch_docs, sigs=sigs_new)
         cands = cand_hist.union(cand_new).distinct()
-
-        all_toks = toks_hist.union(toks_new)
-        ta = all_toks.select(F.col("doc_id").alias("id_a"), F.col("tok").alias("tok_a"))
-        tb = all_toks.select(F.col("doc_id").alias("id_b"), F.col("tok").alias("tok_b"))
-        verified = (
-            cands.join(ta, "id_a")
-            .join(tb, "id_b")
-            .withColumn("inter_cnt", F.size(F.array_intersect("tok_a", "tok_b")).cast("bigint"))
-            .withColumn(
-                "union_cnt",
-                (F.size("tok_a") + F.size("tok_b") - F.col("inter_cnt")).cast("bigint"),
-            )
-            .where(F.col("inter_cnt") * 100 >= F.col("union_cnt") * min_jaccard_pct)
-            .select("id_a", "id_b", "inter_cnt", "union_cnt")
+        verified = dedup.jaccard_pairs(
+            batch_docs,
+            min_jaccard_pct=min_jaccard_pct,
+            pairs=cands,
+            toks=toks_hist.union(toks_new),
         )
         # pairs first (overwrite = replay-safe), then the store appends —
         # a crash at any point replays into the identical final state

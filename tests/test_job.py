@@ -63,7 +63,7 @@ def test_ingest_stream_job_end_to_end(spark, synth_dir, tmp_path):
     )
     assert rc == 0
     assert spark.read.parquet(f"{out}/batch=*").count() > 0
-    assert spark.read.parquet(f"{out}/decisions").where(F.col("rank") != 1).count() == 0
+    assert spark.read.parquet(f"{out}_decisions").where(F.col("rank") != 1).count() == 0
     assert read_counts(spark, f"{stats}/pair_counts", ["surface_form", "uri"]).count() > 0
 
 

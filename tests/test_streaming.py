@@ -116,7 +116,7 @@ def test_incremental_link_decisions(spark, synth_dir, tmp_path):
         redirects=red, stats_root=str(tmp_path / "st1"), link_decisions=True,
     )
     q.awaitTermination(180)
-    got = spark.read.parquet(f"{out1}/decisions/batch=0")
+    got = spark.read.parquet(f"{out1}_decisions/batch=0")
     m = spark.read.parquet(f"{out1}/batch=0")
     want = linking.disambiguate(m, stats.pair_counts(m), stats.token_counts(m), k=1)
     cols = ["url", "surface_form", "mention_id", "uri", "evidence", "overlap_cnt", "prior_cnt", "rank"]
@@ -135,9 +135,9 @@ def test_incremental_link_decisions(spark, synth_dir, tmp_path):
     q2.awaitTermination(180)
     import os
 
-    batches = [d for d in os.listdir(f"{out2}/decisions") if d.startswith("batch=")]
+    batches = [d for d in os.listdir(f"{out2}_decisions") if d.startswith("batch=")]
     assert len(batches) >= 2
-    dec = spark.read.parquet(f"{out2}/decisions")
+    dec = spark.read.parquet(f"{out2}_decisions")
     assert dec.where(F.col("rank") != 1).count() == 0
     # merged pair counts over all batches equal the batch-global counts
     pc = counts.read_counts(spark, str(tmp_path / "st2" / "pair_counts"), ["surface_form", "uri"])
@@ -176,6 +176,49 @@ def test_maintain_stats_auto_compaction(spark, tmp_path):
     counts.maintain_mention_stats(m2, root, batch_id=2, compact_every=2)
     man2 = counts._read_manifest(f"{root}/pair_counts")
     assert sorted(man2["live"]) == ["base-00000000", "delta-00000002"]
+
+
+def test_maintain_stats_first_batch_crash_replay(spark, tmp_path, monkeypatch):
+    """A crash mid-first-batch — even with compact_every=1, which folds
+    the batch's own delta before the later tables append — must replay
+    cleanly, not trip the legacy-store guard and brick the stream."""
+    from pignlproc_spark.operators import stats as stats_mod
+    from pignlproc_spark.streaming import counts
+
+    root = str(tmp_path / "stats")
+    m = spark.createDataFrame(
+        [("u1", "sf_a", "U1", "river words")],
+        "url string, surface_form string, uri string, context string",
+    )
+    import pytest as pt
+
+    real_append = counts.append_delta
+    calls = {"n": 0}
+
+    def crashy(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 2:  # token_counts (1st) landed + compacted; die before pair
+            raise RuntimeError("simulated crash mid-batch")
+        return real_append(*a, **k)
+
+    monkeypatch.setattr(counts, "append_delta", crashy)
+    with pt.raises(RuntimeError, match="simulated crash"):
+        counts.maintain_mention_stats(m, root, batch_id=0, compact_every=1)
+    monkeypatch.setattr(counts, "append_delta", real_append)
+    # foreachBatch retry: same batch id, fresh attempt — must succeed
+    counts.maintain_mention_stats(m, root, batch_id=0, compact_every=1)
+    pc = {(r.surface_form, r.uri): r.cnt for r in counts.read_counts(
+        spark, f"{root}/pair_counts", ["surface_form", "uri"]).collect()}
+    assert pc == {("sf_a", "U1"): 1}
+    uc = {r.uri: r.cnt for r in counts.read_counts(spark, f"{root}/uri_counts", ["uri"]).collect()}
+    assert uc == {"U1": 1}
+
+    # a TRULY legacy root (pair history, no token manifest) still raises
+    legacy = str(tmp_path / "legacy")
+    real_append(spark.createDataFrame([("sf", "U", 1)], "surface_form string, uri string, cnt long"),
+                f"{legacy}/pair_counts", 0)
+    with pt.raises(ValueError, match="token_counts manifest"):
+        counts.maintain_mention_stats(m, legacy, batch_id=1, compact_every=0)
 
 
 def test_streaming_exact_dedup_stateful(spark, tmp_path):
@@ -343,6 +386,30 @@ def test_incremental_near_dup(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="bands"):
         neardup.process_batch(replay_docs, root, last_batch + 2, bands=8)
+
+
+def test_near_dup_custom_id_col_and_threshold_pin(spark, tmp_path):
+    """process_batch works with a non-default id column (store schema
+    stays doc_id), and a restart at a different Jaccard threshold is
+    refused instead of mixing thresholds in read_pairs."""
+    import pytest as pt
+
+    from pignlproc_spark.streaming import neardup
+
+    root = str(tmp_path / "nd")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),
+         (3, "totally different words here now ok")],
+        "page_id long, text string",
+    )
+    neardup.process_batch(docs, root, 0, id_col="page_id", min_jaccard_pct=60)
+    pairs = neardup.read_pairs(spark, root).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+    sigs = neardup._read_facts(spark, f"{root}/signatures", neardup.SIGS_SCHEMA)
+    assert sigs.columns[0] == "doc_id" and sigs.where("doc_id IS NULL").count() == 0
+    with pt.raises(ValueError, match="min_jaccard_pct"):
+        neardup.process_batch(docs, root, 1, id_col="page_id", min_jaccard_pct=80)
 
 
 def test_incremental_near_dup_crash_window(spark, tmp_path, monkeypatch):
