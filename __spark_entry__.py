@@ -2304,10 +2304,12 @@ def _robots_tagged_sql(pages_rel: str) -> str:
         FROM (SELECT host, regexp_split_to_array(body, '\r?\n') AS L FROM rob)
       )
     ), kv AS (
-      SELECT host, line_no,
-             lower(trim(regexp_extract(line, '^([A-Za-z-]+):', 1))) AS key,
-             trim(regexp_extract(line, '^[A-Za-z-]+:(.*)$', 1)) AS value
-      FROM lines
+      SELECT * FROM (
+        SELECT host, line_no,
+               lower(trim(regexp_extract(line, '^([A-Za-z-]+):', 1))) AS key,
+               trim(regexp_extract(line, '^[A-Za-z-]+:(.*)$', 1)) AS value
+        FROM lines
+      ) WHERE key <> ''
     ), tagged AS (
       SELECT host, line_no, key, value,
              last_value(ua_start IGNORE NULLS) OVER (PARTITION BY host ORDER BY line_no) AS group_start
@@ -4507,7 +4509,7 @@ def oracle_sql() -> dict[str, str]:
     )
     SELECT tok_a, tok_b, cnt_xy, x.cnt AS cnt_x, y.cnt AS cnt_y
     FROM bi JOIN uni x ON bi.tok_a = x.tok JOIN uni y ON bi.tok_b = y.tok
-    ORDER BY cnt_xy / (x.cnt * y.cnt) DESC, tok_a ASC, tok_b ASC
+    ORDER BY cnt_xy / (x.cnt::DOUBLE * y.cnt::DOUBLE) DESC, tok_a ASC, tok_b ASC
     LIMIT 100
     """
 

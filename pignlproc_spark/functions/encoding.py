@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from pignlproc_spark.functions.html import _sq  # one SQL-literal escaper, shared
+
 #: Characters whose mojibake forms CCMoji v1 repairs: the common
 #: Western-European accented letters plus the cp1252 "smart
 #: punctuation" range that dominates real-world damage.
@@ -82,10 +84,6 @@ def mojibake_fix_col(text: Column) -> Column:
     for damaged, repaired in MOJIBAKE_TABLE:
         c = F.replace(c, F.lit(damaged), F.lit(repaired))
     return c
-
-
-def _sq(s: str) -> str:
-    return s.replace("'", "''")
 
 
 def mojibake_count_sql(expr: str) -> str:

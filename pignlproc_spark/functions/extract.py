@@ -18,9 +18,11 @@ CCWikiText v1 spec (FROZEN — never change without regenerating
 2. A page whose body (after stripping leading whitespace) starts with
    ``#REDIRECT [[Target]]`` (case-insensitive, optional colon) is a
    redirect: ``text = ""``, ``redirect`` = normalized target title.
-3. Strip, in order: HTML comments ``<!-- -->``; ``<ref>..</ref>`` /
-   ``<ref/>``; ``<script>``/``<style>`` blocks with content;
-   ``{{templates}}`` (innermost-out, bounded nesting).
+3. Strip, in order: HTML comments ``<!-- -->``; ``<script>``/
+   ``<style>`` blocks with content; ``<ref>..</ref>`` / ``<ref/>``;
+   ``{{templates}}`` (innermost-out, bounded nesting). The order is
+   observable on pathological overlaps and is NORMATIVE — it matches
+   the implementation and the pinned goldens.
 4. Block structure: ``<h1..6>`` → header block; ``<p>`` → paragraph
    block; any stray top-level text run becomes a paragraph. Blocks are
    joined with ``"\n\n"``; final text has no trailing newline.
@@ -30,8 +32,10 @@ CCWikiText v1 spec (FROZEN — never change without regenerating
    (0-based, [begin, end), Pig SUBSTRING convention — SURVEY.md §2.2
    P18). All other tags are dropped, keeping inner text. Entities
    ``&amp; &lt; &gt; &quot; &apos; &nbsp; &#N; &#xH;`` are decoded
-   (``&nbsp;`` → regular space). Whitespace runs collapse to one
-   space; block edges are trimmed.
+   (``&nbsp;`` → regular space); invalid numeric references — malformed
+   digits, codepoints > 0x10FFFF, or surrogates U+D800–U+DFFF (which
+   no UTF-8 sink could encode) — stay literal text. Whitespace runs
+   collapse to one space; block edges are trimmed.
 6. Headers additionally record ``(level, begin, end, title)``;
    paragraphs record ``(begin, end)``. Link targets are normalized
    titles (percent-unescaped, ``_``-joined, first char uppercased —
@@ -111,12 +115,29 @@ def _decode_entity(raw: str) -> str:
     body = raw[1:-1]
     if body.startswith("#x") or body.startswith("#X"):
         try:
-            return chr(int(body[2:], 16))
+            cp = int(body[2:], 16)
+        except ValueError:
+            return raw
+        # surrogate NCRs (&#xD800;-&#xDFFF;) decode to lone surrogates
+        # that cannot be UTF-8/Arrow-encoded — ONE such entity on one
+        # crawled page would kill the whole batch at serialization.
+        # Treat them like any other invalid reference: literal text.
+        # (chr() itself raises for > 0x10FFFF → same raw fallback.)
+        if 0xD800 <= cp <= 0xDFFF:
+            return raw
+        try:
+            return chr(cp)
         except ValueError:
             return raw
     if body.startswith("#"):
         try:
-            return chr(int(body[1:]))
+            cp = int(body[1:])
+        except ValueError:
+            return raw
+        if 0xD800 <= cp <= 0xDFFF:
+            return raw
+        try:
+            return chr(cp)
         except ValueError:
             return raw
     return _ENTITIES.get(body.lower(), raw)

@@ -205,11 +205,15 @@ def _robots_groups(robots, host_col_name: str, body_col: str):
         "line_no",
         F.lower(F.trim(F.regexp_extract("line", "^([A-Za-z-]+):", 1))).alias("key"),
         F.trim(F.regexp_extract("line", "^[A-Za-z-]+:(.*)$", 1)).alias("value"),
-    )
+    ).where(F.col("key") != "")
     # a rule line belongs to the most recent user-agent run above it.
     # RFC 9309 groups several consecutive User-agent lines: a UA line
     # directly preceded by another UA line continues the same group,
     # so the group key is the line_no of the run's FIRST UA line.
+    # Blank/comment/garbage lines (key = '') are dropped BEFORE the
+    # adjacency test — RFC 9309 ignores them entirely, and a comment
+    # between two UA lines must not split the run (it would silently
+    # detach the rules from the '*' group).
     w = Window.partitionBy("host").orderBy("line_no")
     tagged = kv.withColumn(
         "_ua_line", F.when(F.col("key") == "user-agent", F.col("line_no"))

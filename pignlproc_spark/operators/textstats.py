@@ -99,9 +99,13 @@ def quality_signals(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
         (F.size(toks) - F.size(stop_toks)).cast("bigint").alias("n_stopword_hits"),
         F.size(F.regexp_extract_all(t, F.lit(r"[.,;:!?]"), 0)).cast("bigint").alias("n_punct"),
         F.size(F.regexp_extract_all(t, F.lit(r"[0-9]"), 0)).cast("bigint").alias("n_digits"),
+        # summed token lengths == length of the concatenation: a
+        # codegen'd projection, not an interpreted aggregate lambda
+        # (CLAUDE.md plan-shape rule — this runs per document on the
+        # whole corpus)
         F.when(
             F.size(toks) > 0,
-            F.floor(F.aggregate(toks, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x)) * 100 / F.size(toks)),
+            F.floor(F.length(F.array_join(toks, "")) * 100 / F.size(toks)),
         )
         .otherwise(F.lit(0))
         .cast("bigint")
@@ -591,6 +595,11 @@ def chunk_token_windows(
     """
     if stride <= 0 or window <= 0:
         raise ValueError("window and stride must be positive")
+    if stride > window:
+        # gaps of (stride - window) tokens between chunks would
+        # silently drop text from the training corpus — the docstring
+        # promises every token is covered
+        raise ValueError("stride must be <= window (every token covered)")
     toks = tokens_col(F.col(text_col), apply_stoplist=False)
     base = df.select(F.col(id_col).cast("bigint").alias("doc_id"), toks.alias("toks")).withColumn(
         "n", F.size("toks").cast("bigint")
@@ -939,7 +948,11 @@ def collocations(
     j = bi.join(
         uni.select(F.col("tok").alias("tok_a"), F.col("cnt").alias("cnt_x")), "tok_a"
     ).join(uni.select(F.col("tok").alias("tok_b"), F.col("cnt").alias("cnt_y")), "tok_b")
-    score = F.col("cnt_xy") / (F.col("cnt_x") * F.col("cnt_y"))
+    # the ordering product runs in DOUBLE: BIGINT·BIGINT wraps (or
+    # ANSI-throws) past ~4.3e9-count tokens at web scale, while the
+    # double chain (convert, multiply, divide — each correctly rounded)
+    # is bit-identical in both engines and cannot overflow
+    score = F.col("cnt_xy") / (F.col("cnt_x").cast("double") * F.col("cnt_y").cast("double"))
     return (
         j.orderBy(score.desc(), F.col("tok_a").asc(), F.col("tok_b").asc())
         .limit(k)

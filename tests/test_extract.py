@@ -97,3 +97,9 @@ def test_robustness_probes():
     assert extract(None).text == ""
     assert extract(b"\xff\xfe<p>ok</p>").text.endswith("ok")
     assert extract(b"<p>x &#x1F600; y</p>").text == "x \U0001F600 y"
+    # surrogate / out-of-range NCRs stay literal text (a decoded lone
+    # surrogate cannot be UTF-8/Arrow-encoded and would kill the batch)
+    assert extract(b"<p>a &#xD800; b</p>").text == "a &#xD800; b"
+    assert extract(b"<p>a &#55296; b</p>").text == "a &#55296; b"
+    assert extract(b"<p>a &#x110000; b</p>").text == "a &#x110000; b"
+    extract(b"<p>a &#xD800; b</p>").text.encode("utf-8")  # must not raise

@@ -547,6 +547,14 @@ def test_parse_robots_group_scoping(spark):
     got = {(r.allow, r.path_prefix) for r in rules}
     assert got == {(0, "/x"), (1, "/x/pub")}  # badbot's and c's rules excluded
 
+    # a comment (or blank) line BETWEEN consecutive User-agent lines
+    # must not split the run (RFC 9309 ignores comment lines entirely)
+    body2 = "User-agent: *\n# note\nUser-agent: badbot\nDisallow: /private\n"
+    rules2 = parse_robots(
+        spark.createDataFrame([("h2.example", body2)], "host string, body string")
+    ).collect()
+    assert {(r.allow, r.path_prefix) for r in rules2} == {(0, "/private")}
+
 
 def test_robots_filter_longest_match(spark):
     """RFC 9309 verdicts: longest prefix wins, Allow wins length ties,
