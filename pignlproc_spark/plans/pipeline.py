@@ -50,12 +50,22 @@ def run(
     ckpt: CheckpointManager | None = None,
     source_id: str = "pages",
     input_partitions: int | None = None,
+    redirects_id: str | None = None,
 ) -> PipelineResult:
     """pages + redirects dimension → all stats + triples.
 
     With ``ckpt``: parsed/mentions land as fingerprinted checkpoint
     stages (resume skips completed fingerprints). Without: in-memory
     persist only (fastest for benchmarks).
+
+    ``redirects_id`` names the redirects snapshot and is folded into
+    the MENTIONS stage fingerprint (mentions embed the resolved
+    redirect targets, so a redirects refresh must invalidate that
+    stage — a fingerprint keyed on pages alone would silently serve
+    stale resolution on resume). Default None means ``source_id``
+    already identifies BOTH inputs (one corpus snapshot, the synth
+    case); pass the real snapshot/commit id whenever the redirect
+    table can change independently of the pages.
 
     ``input_partitions``: the parse stage is CPU-bound per page, so it
     needs fine-grained input splits. Default (None) trusts the scan:
@@ -66,6 +76,9 @@ def run(
     blob).
     """
     fp = input_fingerprint(spark, source_id, SPEC_VERSION)
+    fp_mentions = input_fingerprint(
+        spark, source_id, SPEC_VERSION, f"redirects={redirects_id or source_id}"
+    )
 
     if input_partitions:
         pages = pages.repartition(input_partitions)
@@ -90,7 +103,7 @@ def run(
     articles = parsed.where(F.col("redirect").isNull())
     mentions = mentions_from_fused(articles, redirects)
     if ckpt:
-        mentions = ckpt.stage(mentions, "mentions", fp)
+        mentions = ckpt.stage(mentions, "mentions", fp_mentions)
     else:
         mentions = mentions.persist(StorageLevel.MEMORY_AND_DISK)
 

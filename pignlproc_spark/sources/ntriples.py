@@ -31,10 +31,18 @@ def read_uri_uri(
     ).where((F.col("subj") != "") & (F.col("pred") == property_uri))
     out = parsed.select("subj", "obj")
     if strip_prefix:
-        out = out.select(
-            F.regexp_replace("subj", f"^{strip_prefix}", "").alias("subj"),
-            F.regexp_replace("obj", f"^{strip_prefix}", "").alias("obj"),
-        )
+        # LITERAL prefix strip (the reference's startsWith semantics):
+        # splicing the prefix into a regex would let '.' in any URI
+        # prefix match arbitrary chars and '(' / '+' throw
+        # PatternSyntaxException at execution time
+        n = len(strip_prefix)
+
+        def _strip(c):
+            return F.when(
+                F.col(c).startswith(strip_prefix), F.substring(F.col(c), n + 1, 1 << 30)
+            ).otherwise(F.col(c))
+
+        out = out.select(_strip("subj").alias("subj"), _strip("obj").alias("obj"))
     return out
 
 

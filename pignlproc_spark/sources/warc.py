@@ -46,6 +46,16 @@ from pyspark.sql import functions as F
 
 _SEP = "\r\n\r\n"
 
+#: sanity cap on a single WARC record body (Common Crawl truncates
+#: payloads at 1 MiB; 1 GiB tolerates exotic archives while bounding
+#: what a corrupt Content-Length can make the parser buffer)
+_MAX_RECORD_BYTES = 1 << 30
+
+#: rows per emitted Arrow batch from the .warc.gz readers — bounds
+#: resident decompressed payload per task (a ~1 GB CC file holds ~50k
+#: records; buffering them all before the first yield would OOM)
+_BATCH_ROWS = 512
+
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """WARC file(s) → one row per *response* record:
@@ -70,7 +80,10 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
         F.regexp_extract(warc_hdr, r"(?m)^WARC-Date:\s*(\S+)", 1)
         .cast("timestamp")
         .alias("warc_ts"),
-        F.regexp_extract(http_hdr, r"^HTTP/\d\.\d\s+(\d{3})", 1)
+        # \S+ not \d\.\d: modern captures record "HTTP/2 200" verbatim
+        # (single-digit version) — the byte-faithful reader's
+        # _split_http already accepts it, so the two paths must agree
+        F.regexp_extract(http_hdr, r"^HTTP/\S+\s+(\d{3})", 1)
         .cast("int")
         .alias("http_status"),
         F.regexp_extract(http_hdr, r"(?mi)^Content-Type:\s*([^\r\n;]+)", 1).alias(
@@ -193,7 +206,13 @@ def _parse_warc_records(chunks: Iterable[bytes]) -> Iterator[tuple[dict, bytes]]
             try:
                 length = int(headers.get("content-length", ""))
             except ValueError:
-                # unframed garbage — resync at the next version line
+                length = -1
+            # a negative OR absurd length is damage (partially-inflated
+            # garbage can parse as a numeric header): without the cap
+            # the parser would buffer the entire remaining stream
+            # waiting for a body that never completes, dropping every
+            # record after the damage at EOF — resync instead
+            if not 0 <= length <= _MAX_RECORD_BYTES:
                 nxt = buf.find(b"WARC/", end_hdr)
                 if nxt < 0:
                     pos = len(buf)
@@ -266,15 +285,19 @@ def read_warc_gz(spark: SparkSession, path: str) -> DataFrame:
         .load(path)
         .select("path")  # column pruning drops `content` from the scan
     )
-    # one task per file: the listing is tiny, the work is per-file
-    files = files.repartition(max(files.count(), 1), "path")
+    # one task per file: keyless repartition round-robins N rows into
+    # N partitions exactly one each (hashing paths would leave ~37 %
+    # of partitions empty and stack 3-4 files on the stragglers)
+    files = files.repartition(max(files.count(), 1))
     return files.mapInPandas(_files_to_records, WARC_GZ_SCHEMA)
 
 
 def _files_to_records(batches) -> Iterator["pd.DataFrame"]:
     """mapInPandas kernel shared by the batch reader and
     ``streaming/ingest.py::read_warc_stream``: path rows in, parsed
-    response records out; one streaming decompression pass per file."""
+    response records out; one streaming decompression pass per file,
+    flushed every ``_BATCH_ROWS`` records so the task never holds a
+    whole archive's decompressed payloads resident."""
     for pdf in batches:
         rows = []
         for p in pdf["path"]:
@@ -284,7 +307,11 @@ def _files_to_records(batches) -> Iterator["pd.DataFrame"]:
                     row = _response_row(p, headers, body)
                     if row is not None:
                         rows.append(row)
-        yield _rows_to_pdf(rows)
+                    if len(rows) >= _BATCH_ROWS:
+                        yield _rows_to_pdf(rows)
+                        rows = []
+        if rows:
+            yield _rows_to_pdf(rows)
 
 
 def _rows_to_pdf(rows: list[dict]):
@@ -326,15 +353,31 @@ def read_warc_gz_indexed(
     )
 
     def _read_slices(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        handles: dict[str, object] = {}
+        from collections import OrderedDict
+
+        # LRU-capped handle cache: an index partition may span
+        # thousands of distinct archives (repartitioned by record
+        # count), and an unbounded dict exhausts the fd ulimit
+        handles: OrderedDict[str, object] = OrderedDict()
+        max_handles = 64
+
+        def _handle(local: str):
+            f = handles.get(local)
+            if f is not None:
+                handles.move_to_end(local)
+                return f
+            if len(handles) >= max_handles:
+                _, old = handles.popitem(last=False)
+                old.close()
+            f = handles[local] = _open_input(local)
+            return f
+
         try:
             for pdf in batches:
                 rows = []
                 for p, off, ln in zip(pdf["path"], pdf["offset"], pdf["length"]):
                     local = p[5:] if p.startswith("file:") and "://" not in p else p
-                    f = handles.get(local)
-                    if f is None:
-                        f = handles[local] = _open_input(local)
+                    f = _handle(local)
                     f.seek(int(off))
                     blob = f.read(int(ln))
                     raw = zlib.decompress(blob, wbits=32 + 15)  # auto-detect gzip/zlib
@@ -342,7 +385,11 @@ def read_warc_gz_indexed(
                         row = _response_row(p, headers, body)
                         if row is not None:
                             rows.append(row)
-                yield _rows_to_pdf(rows)
+                    if len(rows) >= _BATCH_ROWS:
+                        yield _rows_to_pdf(rows)
+                        rows = []
+                if rows:
+                    yield _rows_to_pdf(rows)
         finally:
             for f in handles.values():
                 f.close()

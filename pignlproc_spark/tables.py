@@ -212,8 +212,11 @@ def write_jsonl_shards(
     A ``_MANIFEST.json`` records per shard: row count, byte size of the
     serialized lines, and an order-independent content checksum (sum of
     the first-8-hex-chars of each line's md5, as int — pure aggregation,
-    no per-shard sort or collect, so the manifest costs one pass at any
-    scale; driver holds only n_shards rows). :func:`verify_jsonl_shards`
+    no per-shard sort or collect; computed from a READ-BACK of the
+    written files, one cheap aggregation pass over the export, so the
+    manifest always describes what is on disk even when the upstream
+    plan is nondeterministic; driver holds only n_shards rows).
+    :func:`verify_jsonl_shards`
     recomputes all three from a read-back and raises on mismatch —
     the integrity check for resumable multi-job exports.
 
@@ -232,7 +235,12 @@ def write_jsonl_shards(
     jdf.repartition(n_shards, F.col("shard")).write.partitionBy("shard").mode(
         "overwrite"
     ).json(path)
-    manifest = _jsonl_manifest(jdf, cols)
+    # the manifest must describe the FILES, so it is computed from a
+    # read-back of the written path (exactly what the verifier reads)
+    # — re-running the upstream lineage would record different data if
+    # any upstream stage is nondeterministic (sample(), changed source)
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    manifest = _jsonl_manifest(read_jsonl_shards(df.sparkSession, path, ddl), cols)
     payload = {
         "n_shards": n_shards,
         "shard_key": shard_key,

@@ -98,3 +98,36 @@ def test_fingerprint_stability(spark):
     a = input_fingerprint(spark, "x", "v1")
     assert a == input_fingerprint(spark, "x", "v1")
     assert a != input_fingerprint(spark, "x", "v2")
+
+
+def test_redirects_refresh_invalidates_mentions_stage(spark, synth_dir, tmp_path):
+    """A redirects snapshot change (new redirects_id) must recompute
+    the mentions stage — serving the cached one would silently carry
+    stale redirect resolution into every downstream count."""
+    from pyspark.sql import functions as F
+
+    pages = spark.read.parquet(str(synth_dir / "pages.parquet"))
+    red = spark.read.parquet(str(synth_dir / "redirects.parquet"))
+    root = tmp_path / "ckr"
+    r1 = pipeline.run(spark, pages, red, ckpt=CheckpointManager(root),
+                      source_id="p1", redirects_id="red-v1")
+    n1 = r1.mentions.count()
+    # same ids → both stages resume
+    ck2 = CheckpointManager(root)
+    pipeline.run(spark, pages, red, ckpt=ck2, source_id="p1",
+                 redirects_id="red-v1").mentions.count()
+    assert [(e["stage"], e["resumed"]) for e in ck2.events] == [
+        ("parsed", True), ("mentions", True)]
+    # refreshed redirects (empty snapshot, new id) → parsed resumes,
+    # mentions recomputes against the NEW table
+    ck3 = CheckpointManager(root)
+    r3 = pipeline.run(spark, pages, red.limit(0), ckpt=ck3, source_id="p1",
+                      redirects_id="red-v2")
+    assert [(e["stage"], e["resumed"]) for e in ck3.events] == [
+        ("parsed", True), ("mentions", False)]
+    # and the recompute actually reflects the new snapshot: without
+    # redirects, redirect-source uris stay unresolved
+    assert r3.mentions.count() == n1  # row count is resolution-invariant
+    u1 = {r.uri for r in r1.mentions.select("uri").distinct().collect()}
+    u3 = {r.uri for r in r3.mentions.select("uri").distinct().collect()}
+    assert u1 != u3

@@ -93,6 +93,19 @@ def test_prefix_stripping(spark, tmp_path):
     p.write_text("<http://x/A> <http://p> <http://x/B> .\n")
     rows = ntriples.read_uri_uri(spark, str(p), "http://p", strip_prefix="http://x/").collect()
     assert [(rows[0].subj, rows[0].obj)] == [("A", "B")]
+    # the strip is LITERAL: a regex-metachar prefix must neither crash
+    # nor over-match ('.' may not match arbitrary chars), and a
+    # non-matching URI passes through untouched
+    p2 = tmp_path / "z.nt"
+    p2.write_text(
+        "<http://x(1)/A> <http://p> <http://xZ1)/B> .\n"
+        "<http://other/C> <http://p> <http://x(1)/D> .\n"
+    )
+    r2 = {
+        (r.subj, r.obj)
+        for r in ntriples.read_uri_uri(spark, str(p2), "http://p", strip_prefix="http://x(1)/").collect()
+    }
+    assert r2 == {("A", "http://xZ1)/B"), ("http://other/C", "D")}
 
 
 def test_warc_replay(spark, tmp_path):
