@@ -101,7 +101,18 @@ def main(argv=None):
         root=args.out,
         salt_buckets="auto" if args.auto_salt else 8,
     )
-    n = spark.read.parquet(graph_path).count() if graph_path.startswith("/") else res.triples.count()
+    # count the WRITTEN table, never re-execute the five-way triple
+    # union: local parquet reads back by path; a catalog identifier
+    # (Iceberg gate) or relative path reads back via spark.table /
+    # a relative parquet read before falling back
+    try:
+        n = (
+            spark.read.parquet(graph_path).count()
+            if "/" in graph_path or graph_path.startswith(".")
+            else spark.table(graph_path).count()
+        )
+    except Exception:
+        n = res.triples.count()
     outputs = {"triples": graph_path}
     if args.link_decisions:
         from pignlproc_spark.operators import linking

@@ -141,7 +141,9 @@ def main(argv=None):
             if not part:
                 continue
             k, sep, v = part.partition("=")
-            if not sep or not k.strip() or not v.strip().lstrip("-").isdigit() or int(v) < 0:
+            # isdigit() directly: negatives are rejected anyway, and
+            # lstrip('-') let '--5' through to int() as a raw traceback
+            if not sep or not k.strip() or not v.strip().isdigit():
                 ap.error(f"--mix entry {part!r} must be 'source=NONNEG_PERCENT'")
             mix_weights[k.strip()] = int(v)
         if not mix_weights:

@@ -263,7 +263,11 @@ def main(argv=None):
         from pignlproc_spark.operators.dedup import dedup_against_history
 
         hist = spark.read.parquet(args.history)
-        verdict = dedup_against_history(docs.select("doc_id", "text"), hist)
+        # persist: the verdict (Bloom digest over the whole history +
+        # exact confirm join + the upstream extraction) feeds BOTH the
+        # n_seen count and the final write — same hazard the noindex
+        # gate caches against above
+        verdict = dedup_against_history(docs.select("doc_id", "text"), hist).persist()
         n_seen = verdict.where(F.col("keep") == 0).count()
         docs = docs.join(
             verdict.where(F.col("keep") == 1).select("doc_id"), "doc_id", "left_semi"
@@ -284,6 +288,8 @@ def main(argv=None):
     docs.write.mode("overwrite").parquet(args.out)
     if _gate_cache is not None:
         _gate_cache.unpersist()
+    if args.history:
+        verdict.unpersist()
 
     out_w = spark.read.parquet(args.out)
     n_docs = out_w.count()

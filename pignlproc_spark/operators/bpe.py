@@ -121,6 +121,31 @@ def word_freqs(
     return freqs
 
 
+
+def _pair_counts(vocab):
+    """(l, r, cnt) — frequency-weighted adjacent-symbol pair counts of
+    a (syms ARRAY, freq) vocab table. THE per-round statistic both BPE
+    specs (CCBpe v1 sequential, CCBpeB v1 batched) define identically —
+    single-sourced so the two learners cannot drift. Adjacent-pair
+    ARRAY CONSTRUCTION feeds an immediate explode (the accepted
+    plan-invariant exception); the aggregation sits after the explode
+    as a partial/final sum."""
+    return (
+        vocab.where(F.size("syms") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1),"
+                    " j -> named_struct('l', syms[j-1], 'r', syms[j]))"
+                )
+            ).alias("p"),
+        )
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
 def learn_bpe(
     df: DataFrame,
     n_merges: int = 10,
@@ -141,23 +166,7 @@ def learn_bpe(
     )
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
-        pairs = (
-            vocab.where(F.size("syms") >= 2)
-            .select(
-                "freq",
-                # adjacent-pair ARRAY CONSTRUCTION feeding an immediate
-                # explode — the accepted plan-invariant exception; the
-                # aggregation sits after the explode as partial/final sum
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(syms) - 1),"
-                        " j -> named_struct('l', syms[j-1], 'r', syms[j]))"
-                    )
-                ).alias("p"),
-            )
-            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-            .agg(F.sum("freq").alias("cnt"))
-        )
+        pairs = _pair_counts(vocab)
         best = pairs.orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc()).limit(1).collect()
         if not best:
             break
@@ -261,20 +270,7 @@ def learn_bpe_batched(
     merges: list[tuple[int, str, str, int]] = []
     rounds = 0
     while len(merges) < n_merges:
-        pairs = (
-            vocab.where(F.size("syms") >= 2)
-            .select(
-                "freq",
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(syms) - 1),"
-                        " j -> named_struct('l', syms[j-1], 'r', syms[j]))"
-                    )
-                ).alias("p"),
-            )
-            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-            .agg(F.sum("freq").alias("cnt"))
-        )
+        pairs = _pair_counts(vocab)
         top = (
             pairs.orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc())
             .limit(window)
@@ -296,6 +292,19 @@ def learn_bpe_batched(
     return BpeModel(merges=merges_df, vocab=vocab, rounds=rounds)
 
 
+
+def _count_pairs_py(syms: dict, freqs: dict) -> dict:
+    """Frequency-weighted adjacent-pair counts — the pure-Python twin
+    of :func:`_pair_counts`, shared by both reference learners so the
+    two specs' per-round statistic cannot drift."""
+    counts: dict[tuple[str, str], int] = {}
+    for w, s in syms.items():
+        f = freqs[w]
+        for a, b in zip(s, s[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + f
+    return counts
+
+
 def learn_bpe_batched_reference(
     word_freqs_list: list[tuple[str, int]],
     n_merges: int,
@@ -308,11 +317,7 @@ def learn_bpe_batched_reference(
     freqs = dict(word_freqs_list)
     merges: list[tuple[int, str, str, int]] = []
     while len(merges) < n_merges:
-        counts: dict[tuple[str, str], int] = {}
-        for w, s in syms.items():
-            f = freqs[w]
-            for a, b in zip(s, s[1:]):
-                counts[(a, b)] = counts.get((a, b), 0) + f
+        counts = _count_pairs_py(syms, freqs)
         if not counts:
             break
         ranked = sorted(
@@ -410,11 +415,7 @@ def learn_bpe_reference(word_freqs_list: list[tuple[str, int]], n_merges: int) -
     freqs = dict(word_freqs_list)
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
-        counts: dict[tuple[str, str], int] = {}
-        for w, s in syms.items():
-            f = freqs[w]
-            for a, b in zip(s, s[1:]):
-                counts[(a, b)] = counts.get((a, b), 0) + f
+        counts = _count_pairs_py(syms, freqs)
         if not counts:
             break
         (left, right), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))

@@ -96,6 +96,14 @@ def resolve_mapping(
     to remember the flag to avoid a driver-OOM collect. The count on
     the dimension is one cheap job; pass an explicit bool to skip it.
     """
+    # FUNCTIONAL-IZE first: a source with several targets is a data
+    # defect for redirects but routine for category DAGs fed through
+    # broader_closure — resolve through the lexicographically-smallest
+    # target on BOTH code paths, so the result is deterministic and
+    # identical whichever path the row count selects (a raw dict-build
+    # would keep an arbitrary collect-order winner; the join path
+    # would fan out one row per parent per hop)
+    redirects = redirects.groupBy("src_uri").agg(F.min("dst_uri").alias("dst_uri"))
     if distributed is None:
         distributed = redirects.count() >= AUTO_DISTRIBUTED_ROWS
     if distributed:

@@ -80,7 +80,10 @@ def grounded_topics(article_categories: DataFrame, min_articles: int = 3) -> Dat
 def broader_closure(skos_broader: DataFrame, max_hops: int = MAX_HOPS) -> DataFrame:
     """(category, root) — transitive skos:broader resolution, bounded
     and cycle-safe: the redirects pointer-chase applied to the
-    category graph (single-parent hierarchy)."""
+    category graph. Multi-parent categories (the real Wikipedia case —
+    skos:broader is a DAG) resolve through the lexicographically-
+    smallest parent chain, deterministically on both resolve_mapping
+    code paths; single-parent hierarchies are unaffected."""
     edges = skos_broader.select(F.col("category").alias("src_uri"), F.col("parent").alias("dst_uri"))
     m = resolve_mapping(edges, max_hops=max_hops)
     return m.select(F.col("src_uri").alias("category"), F.col("resolved_uri").alias("root"))

@@ -16,7 +16,11 @@ Semantics (frozen):
   P(uri|sf) numerator), tie-broken by uri asc — per-group top-k via a
   window (SURVEY.md §2.2 P15 / J13 FirstNtuples).
 - mention scoring: broadcast-join mentions to candidates (P11
-  'replicated' join), score = candidate anchor share × link prob.
+  'replicated' join), score = candidate anchor share — the P(uri|sf)
+  estimate alone; :func:`link_probability` supplies P(link|sf) as a
+  separate column for consumers that want the product (the two factors
+  are kept apart so annotation-confidence thresholds can tune them
+  independently, as DBpedia Spotlight does).
 """
 
 from __future__ import annotations

@@ -86,6 +86,12 @@ def hll_registers(df: DataFrame, item, groups: tuple[str, ...] = ()) -> DataFram
         *groups,
         F.substring(h, 1, 2).alias("register"),
         _rho_col(F.substring(h, 3, 30)).alias("_rho"),
+    ).where(
+        # md5(NULL) is NULL: without the filter a NULL item mints a
+        # phantom (register=NULL, rho=NULL) row that inflates the
+        # register count while adding nothing to the harmonic sum —
+        # NULL items are "no observation", exactly like in count(col)
+        F.col("register").isNotNull()
     )
     return keyed.groupBy(*groups, "register").agg(F.max("_rho").alias("rho"))
 
@@ -223,7 +229,7 @@ def cms_registers(df: DataFrame, item, groups: tuple[str, ...] = ()) -> DataFram
         item = F.col(item)
     keyed = df.select(
         *groups, F.posexplode(_cms_buckets(item)).alias("hrow", "bucket")
-    )
+    ).where(F.col("bucket").isNotNull())  # NULL item = no observation (as in hll)
     return keyed.groupBy(*groups, "hrow", "bucket").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )

@@ -57,6 +57,11 @@ def asof_join(
             f"'{ts_col}{suffix}' match-timestamp column"
         )
     out_names = set(lcols) | {f"{c}{suffix}" for c in [ts_col, *right_cols]}
+    if not right_cols:
+        raise ValueError(
+            "asof_join needs at least one right_cols entry (the first doubles "
+            "as the frozen deterministic tie-break id)"
+        )
     if len(out_names) != len(lcols) + 1 + len(right_cols):
         raise ValueError("asof_join output column names collide; change suffix")
     payload = F.struct(

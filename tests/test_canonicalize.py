@@ -76,6 +76,24 @@ def test_resolve_mapping_both_paths_identical(spark, monkeypatch):
     assert auto == collect_path
 
 
+def test_resolve_mapping_multi_parent_deterministic(spark):
+    """A source with several targets (a skos:broader DAG) resolves via
+    the lexicographically-smallest parent chain — deterministic and
+    IDENTICAL through both code paths (the raw dict-build used to keep
+    an arbitrary collect-order winner; the join path fanned out)."""
+    red = spark.createDataFrame(
+        [("cat", "pa"), ("cat", "pb"), ("pa", "root_a"), ("pb", "root_b")],
+        "src_uri string, dst_uri string",
+    )
+    want = {"cat": "root_a", "pa": "root_a", "pb": "root_b"}
+    for dist in (False, True):
+        got = {
+            r.src_uri: r.resolved_uri
+            for r in resolve_mapping(red, distributed=dist).collect()
+        }
+        assert got == want, f"distributed={dist}"
+
+
 def test_expand_disambiguations(spark):
     dabs = spark.createDataFrame([("d1", "c1"), ("d1", "c2")], "dab_uri string, candidate_uri string")
     facts = spark.createDataFrame([("d1", 1), ("plain", 2)], "uri string, v int")

@@ -135,6 +135,29 @@ def _freq_df(spark, n_rows: int, n_distinct: int, n_groups: int = 1):
     )
 
 
+def test_null_items_are_no_observation(spark):
+    """NULL items mint no register: the estimate over a column with
+    NULLs equals the estimate over the non-NULL subset, an all-NULL
+    group estimates 0 registers (not a NULL estimate), and CMS skips
+    NULLs the same way."""
+    from pignlproc_spark.operators import sketches
+
+    mixed = spark.createDataFrame(
+        [("g", f"u{i}") for i in range(50)] + [("g", None)] * 7 + [("h", None)],
+        "grp string, url string",
+    )
+    regs = sketches.hll_registers(mixed, "url", groups=("grp",))
+    assert regs.where("register IS NULL").count() == 0
+    assert regs.where("grp = 'h'").count() == 0  # all-NULL group: empty sketch
+    clean = sketches.hll_registers(mixed.where("url IS NOT NULL"), "url", groups=("grp",))
+    est_m = {r.grp: r.est_distinct for r in sketches.hll_estimate(regs, ("grp",)).collect()}
+    est_c = {r.grp: r.est_distinct for r in sketches.hll_estimate(clean, ("grp",)).collect()}
+    assert est_m == est_c
+    cms = sketches.cms_registers(mixed, "url", groups=("grp",))
+    assert cms.where("bucket IS NULL").count() == 0
+    assert cms.where("grp = 'h'").count() == 0
+
+
 def test_cms_never_underestimates_and_bound(spark):
     """est ≥ exact for EVERY probe (the CMS guarantee is one-sided),
     and the mean overestimate sits far below the ε·N = e/4096·N
