@@ -3504,7 +3504,7 @@ def oracle_sql() -> dict[str, str]:
            dot_q, norm_q2, norm_n2, rank::INT AS rank FROM (
       SELECT *, row_number() OVER (
         PARTITION BY query_id
-        ORDER BY dot_q / sqrt((norm_q2 * norm_n2)::DOUBLE) DESC, neighbor_id ASC
+        ORDER BY dot_q / (sqrt(norm_q2::DOUBLE) * sqrt(norm_n2::DOUBLE)) DESC, neighbor_id ASC
       ) AS rank
       FROM scored
     ) WHERE rank <= 5
@@ -3597,7 +3597,7 @@ def oracle_sql() -> dict[str, str]:
            dot_q, norm_q2, norm_n2, rank::INT AS rank FROM (
       SELECT *, row_number() OVER (
         PARTITION BY query_id
-        ORDER BY dot_q / sqrt((norm_q2 * norm_n2)::DOUBLE) DESC, neighbor_id ASC
+        ORDER BY dot_q / (sqrt(norm_q2::DOUBLE) * sqrt(norm_n2::DOUBLE)) DESC, neighbor_id ASC
       ) AS rank FROM scored
     ) WHERE rank <= 5
     """
@@ -3661,7 +3661,7 @@ def oracle_sql() -> dict[str, str]:
            dot_q, norm_q2, norm_n2, rank::INT AS rank FROM (
       SELECT *, row_number() OVER (
         PARTITION BY query_id
-        ORDER BY dot_q / sqrt((norm_q2 * norm_n2)::DOUBLE) DESC, neighbor_id ASC
+        ORDER BY dot_q / (sqrt(norm_q2::DOUBLE) * sqrt(norm_n2::DOUBLE)) DESC, neighbor_id ASC
       ) AS rank FROM scored
     ) WHERE rank <= 5
     """

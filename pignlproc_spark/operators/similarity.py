@@ -94,15 +94,16 @@ def cosine_topk_quantized(
     cosine doesn't).
 
     Exactness argument: dot and squared norms are exact BIGINTs; the
-    ranking key ``dot_q / sqrt(norm_q2 · norm_n2)`` is a three-op IEEE
-    double chain (int→double conversion, multiply inside the exact
-    range, correctly-rounded sqrt and divide), so both engines compute
+    ranking key ``dot_q / (sqrt(norm_q2) · sqrt(norm_n2))`` is a
+    four-op IEEE double chain (per-side int→double conversion,
+    correctly-rounded sqrt, multiply, divide), so both engines compute
     the bit-identical double and row_number order matches; remaining
     exact-equal scores break on neighbor_id. Every HASHED column is an
-    integer — the float never leaves the sort key. Requires
-    ``norm_q2 · norm_n2 < 2^53`` (unit-ish vectors at scale=1000 up to
-    ~dim 1000 qualify); zero-norm vectors are excluded (cosine
-    undefined, and NaN sort order is engine-specific).
+    integer — the float never leaves the sort key. Taking the sqrt per
+    SIDE (not of the product) means no int64 product exists to wrap on
+    non-unit-normalized embeddings — the norms convert independently.
+    Zero-norm vectors are excluded (cosine undefined, and NaN sort
+    order is engine-specific).
 
     Scale shape: same as dot_topk_quantized — bounded query set ×
     corpus cross join (the brute-force baseline; LSH/IVF are the scale
@@ -130,7 +131,9 @@ def cosine_topk_quantized(
             "norm_n2",
         )
     )
-    score = F.col("dot_q") / F.sqrt((F.col("norm_q2") * F.col("norm_n2")).cast("double"))
+    score = F.col("dot_q") / (
+        F.sqrt(F.col("norm_q2").cast("double")) * F.sqrt(F.col("norm_n2").cast("double"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc(score), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -404,7 +407,9 @@ def srp_topk_q(
             "norm_n2",
         )
     )
-    key = F.col("dot_q") / F.sqrt((F.col("norm_q2") * F.col("norm_n2")).cast("double"))
+    key = F.col("dot_q") / (
+        F.sqrt(F.col("norm_q2").cast("double")) * F.sqrt(F.col("norm_n2").cast("double"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc(key), F.asc("neighbor_id"))
     out = (
         scored.withColumn("rank", F.row_number().over(w))
@@ -541,7 +546,9 @@ def ivf_topk_q(
             "norm_n2",
         )
     )
-    key = F.col("dot_q") / F.sqrt((F.col("norm_q2") * F.col("norm_n2")).cast("double"))
+    key = F.col("dot_q") / (
+        F.sqrt(F.col("norm_q2").cast("double")) * F.sqrt(F.col("norm_n2").cast("double"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc(key), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
