@@ -65,6 +65,22 @@ def main(argv=None):
         action="store_true",
         help="also emit entity co-occurrence and PageRank-salience tables",
     )
+    ap.add_argument(
+        "--link-prediction",
+        action="store_true",
+        help="also emit top-k missing-edge candidates (resource-allocation index) "
+        "over the co-occurrence graph",
+    )
+    ap.add_argument(
+        "--max-hub-deg",
+        type=int,
+        default=10_000,
+        help="link prediction: skip co-occurrence hubs above this degree as wedge "
+        "intermediaries (the deg(z)^2 fanout guard — at web scale a 1e5-degree hub "
+        "otherwise enumerates 1e10 wedges whose RA weight is <= 10/hub anyway). "
+        "Dropped pairs are exactly those witnessed ONLY by hubs. 0 = exact/unbounded "
+        "(oracle mode; safe at moderate scale only)",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -119,15 +135,24 @@ def main(argv=None):
 
         decisions = linking.disambiguate(res.mentions, res.pair_counts, res.token_counts, k=1)
         outputs["link_decisions"] = tables.write_table(decisions, "stats/link_decisions", root=args.out)
-    if args.graph_stats:
+    if args.graph_stats or args.link_prediction:
         from pignlproc_spark.operators import stats as S
 
-        # persist: the quadratic co-occurrence self-join feeds both the
-        # table write and (twice, internally) the PageRank build
+        # persist: the quadratic co-occurrence self-join feeds the table
+        # write, (twice, internally) the PageRank build, and the
+        # link-prediction wedge enumeration
         cooc = S.entity_cooccurrence(res.mentions, max_entities_per_page=512).persist()
-        outputs["cooccurrence"] = tables.write_table(cooc, "stats/cooccurrence", root=args.out)
-        pr = S.entity_pagerank(res.mentions, cooc=cooc)
-        outputs["pagerank"] = tables.write_table(pr, "stats/pagerank", root=args.out)
+        if args.graph_stats:
+            outputs["cooccurrence"] = tables.write_table(cooc, "stats/cooccurrence", root=args.out)
+            pr = S.entity_pagerank(res.mentions, cooc=cooc)
+            outputs["pagerank"] = tables.write_table(pr, "stats/pagerank", root=args.out)
+        if args.link_prediction:
+            lp = S.link_prediction(
+                res.mentions,
+                cooc=cooc,
+                max_hub_deg=args.max_hub_deg if args.max_hub_deg > 0 else None,
+            )
+            outputs["link_prediction"] = tables.write_table(lp, "stats/link_prediction", root=args.out)
         cooc.unpersist()
     for name, df in (
         ("pair_counts", res.pair_counts),

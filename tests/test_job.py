@@ -22,6 +22,7 @@ def test_build_kg_job_end_to_end(spark, tmp_path):
             "--link-decisions",
             "--auto-salt",
             "--graph-stats",
+            "--link-prediction",
         ]
     )
     assert rc == 0
@@ -39,6 +40,11 @@ def test_build_kg_job_end_to_end(spark, tmp_path):
     pr = spark.read.parquet(f"{out}/stats/pagerank")
     total = pr.agg(F.sum("rank")).collect()[0][0]
     assert abs(total - 1.0) < 1e-6
+    # --link-prediction artifact: top-k missing-edge candidates, ranked
+    lp = spark.read.parquet(f"{out}/stats/link_prediction")
+    assert lp.count() > 0
+    assert set(lp.columns) == {"uri", "cand_uri", "n_common", "ra_q", "rank"}
+    assert lp.where((F.col("rank") < 1) | (F.col("rank") > 10)).count() == 0
 
 
 def test_ingest_stream_job_end_to_end(spark, synth_dir, tmp_path):

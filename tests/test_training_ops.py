@@ -1251,6 +1251,44 @@ def test_link_prediction(spark):
     assert stats.link_prediction(m, k=10, max_hub_deg=2).count() == 0
 
 
+def test_link_prediction_hub_cap_recall_bound(spark):
+    """The documented recall bound of the ``max_hub_deg`` guard
+    (build_kg --max-hub-deg, default 10^4): the capped path drops
+    EXACTLY the candidate pairs whose every common neighbor is a hub;
+    any pair with >= 1 low-degree witness survives, scored over its
+    non-hub witnesses only. Hubs are filtered as *intermediaries* —
+    they can still appear as candidate endpoints."""
+    from pignlproc_spark.operators import stats
+
+    # hub H—{A,B,C,D} (deg 4); low-degree witness W—{A,B} (deg 2)
+    cooc = spark.createDataFrame(
+        [("A", "H"), ("B", "H"), ("C", "H"), ("D", "H"), ("A", "W"), ("B", "W")],
+        "uri_a string, uri_b string",
+    )
+    m_unused = spark.createDataFrame([], "url string, uri string")
+
+    def pairs(df):
+        return {
+            tuple(sorted((r.uri, r.cand_uri))): (r.n_common, r.ra_q)
+            for r in df.collect()
+        }
+
+    exact = pairs(stats.link_prediction(m_unused, k=10, cooc=cooc))
+    capped = pairs(stats.link_prediction(m_unused, k=10, cooc=cooc, max_hub_deg=3))
+    # exact: A-B via {H deg4, W deg2}; H-W via {A, B} (deg 2 each);
+    # {A,B}x{C,D} and C-D via H only
+    assert exact[("A", "B")] == (2, 10**6 // 4 + 10**6 // 2)
+    assert exact[("H", "W")] == (2, 10**6 // 2 + 10**6 // 2)
+    hub_only = {("A", "C"), ("A", "D"), ("B", "C"), ("B", "D"), ("C", "D")}
+    assert set(exact) == {("A", "B"), ("H", "W")} | hub_only
+    # capped drops the hub-only-witnessed pairs and nothing else...
+    assert set(capped) == set(exact) - hub_only
+    # ...and rescores survivors over non-hub witnesses only: A-B keeps
+    # just W; H-W is untouched (H is an endpoint, not an intermediary)
+    assert capped[("A", "B")] == (1, 10**6 // 2)
+    assert capped[("H", "W")] == exact[("H", "W")]
+
+
 def test_entity_salience(spark):
     from pignlproc_spark.operators import stats
 
