@@ -239,6 +239,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         p = _pipeline(spark, sf_dir)
         return linking.disambiguate(p.mentions, p.pair_counts, p.token_counts, k=3)
 
+    def kg_disambiguate_routed(spark, sf_dir):
+        # ambiguity-routed linker: dominant surfaces (top share >= 98%)
+        # decide on the broadcast prior alone; contested ones run the
+        # full context-evidence model. Exact-output check of BOTH paths.
+        p = _pipeline(spark, sf_dir)
+        return linking.disambiguate_routed(p.mentions, p.pair_counts, p.token_counts, k=1)
+
     def kg_disambiguation_accuracy(spark, sf_dir):
         # top-1 gold-link recovery, full model vs prior-only ablation —
         # the corpus-level quality metric for the linker (the synthetic
@@ -289,6 +296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kg_link_candidates=kg_link_candidates,
         kg_link_probability=kg_link_probability,
         kg_disambiguate=kg_disambiguate,
+        kg_disambiguate_routed=kg_disambiguate_routed,
         kg_disambiguation_accuracy=kg_disambiguation_accuracy,
         kg_nerd_stats=kg_nerd_stats,
     )
@@ -2708,6 +2716,38 @@ def oracle_sql() -> dict[str, str]:
                                    ORDER BY evidence DESC, prior_cnt DESC, uri ASC) AS rank
       FROM scored
     ) WHERE rank <= 3
+    """
+    # routed linker: restricting the scored CTE to contested surfaces
+    # post-hoc is EXACT — uf weights and profile totals depend only on
+    # golden_token_counts, never on which mentions are scored
+    o["kg_disambiguate_routed"] = f"""
+    WITH {disambig_scored},
+    amb AS (
+      SELECT surface_form, (max(cnt) * 1000 // sum(cnt) >= 980) AS easy
+      FROM {g('golden_pair_counts')} GROUP BY surface_form
+    ),
+    easy_out AS (
+      SELECT d.url, d.surface_form, d.mention_id, c.uri,
+             0::BIGINT AS evidence, 0::BIGINT AS overlap_cnt,
+             c.cnt::BIGINT AS prior_cnt, 1::INT AS rank, 'prior' AS route
+      FROM dmid d
+      JOIN amb a ON d.surface_form = a.surface_form AND a.easy
+      JOIN (
+        SELECT surface_form, uri, cnt, row_number() OVER (
+          PARTITION BY surface_form ORDER BY cnt DESC, uri ASC) AS r
+        FROM {g('golden_pair_counts')}
+      ) c ON d.surface_form = c.surface_form AND c.r = 1
+    ),
+    hard_out AS (
+      SELECT url, surface_form, mention_id, uri, evidence, overlap_cnt,
+             prior_cnt, 1::INT AS rank, 'context' AS route
+      FROM (
+        SELECT s.*, row_number() OVER (PARTITION BY s.mention_id
+          ORDER BY evidence DESC, prior_cnt DESC, uri ASC) AS r
+        FROM scored s JOIN amb a ON s.surface_form = a.surface_form AND NOT a.easy
+      ) WHERE r = 1
+    )
+    SELECT * FROM easy_out UNION ALL SELECT * FROM hard_out
     """
     o["kg_disambiguation_accuracy"] = f"""
     WITH {disambig_scored},

@@ -161,8 +161,6 @@ def disambiguate(
     profile includes each mention's own context — deterministic
     self-training semantics, same as Spotlight indexing its own corpus.
     """
-    from pignlproc_spark.functions.tokenize import tokens_col
-
     # mention_id_col coalesces to '' BEFORE hashing: concat_ws SKIPS
     # nulls (dropping the separator — a null-context mention would
     # collide with a no-context one under a different grouping) while
@@ -171,6 +169,23 @@ def disambiguate(
     dm = mentions.select("url", "context", "surface_form").distinct().withColumn(
         "mention_id", mention_id_col()
     )
+    return _disambiguate_dm(dm, pair_counts, token_counts, k=k, lang=lang)
+
+
+def _disambiguate_dm(
+    dm: DataFrame,
+    pair_counts: DataFrame,
+    token_counts: DataFrame,
+    k: int,
+    lang: str,
+) -> DataFrame:
+    """:func:`disambiguate` body over a pre-built distinct mention
+    table (url, context, surface_form, mention_id) — shared with the
+    routed variant so its contested branch reuses the SAME dm subtree
+    (one distinct exchange, deduped by Spark's ReuseExchange) instead
+    of re-shuffling the mention contexts a second time."""
+    from pignlproc_spark.functions.tokenize import tokens_col
+
     cands = pair_counts.select("surface_form", "uri", F.col("cnt").cast("long").alias("prior_cnt"))
     mention_tokens = dm.select(
         "mention_id",
@@ -249,3 +264,91 @@ def disambiguate(
         .where(F.col("rank") <= k)
         .select("url", "surface_form", "mention_id", "uri", "evidence", "overlap_cnt", "prior_cnt", "rank")
     )
+
+
+def disambiguate_routed(
+    mentions: DataFrame,
+    pair_counts: DataFrame,
+    token_counts: DataFrame,
+    k: int = 1,
+    lang: str = "en",
+    top_share_threshold_mille: int = 980,
+) -> DataFrame:
+    """:func:`disambiguate` with ambiguity routing: surfaces whose top
+    candidate owns ≥ ``top_share_threshold_mille``/1000 of the anchor
+    mass (the ``sf_ambiguity`` top-share profile) take the PRIOR-ONLY
+    fast path — no tokenization, no evidence join; only contested
+    surfaces pay for context evidence. Same output schema plus a
+    ``route`` column ('prior' | 'context').
+
+    Why this is safe: on a ≥ 98 %-dominant surface the prior-only
+    decision and the full-model decision coincide except when context
+    evidence overturns a 50:1 prior — which the measured ladder shows
+    is as likely to hurt as help (the full model's gains concentrate
+    on CONTESTED surfaces). Accuracy is pinned by the
+    ``kg_disambiguation_accuracy_routed`` driver check (routed == full
+    hit count at the default threshold on the ambiguous synthetic
+    corpus).
+
+    Scale shape: the routing dimension is one dictionary-sized
+    aggregate of ``pair_counts`` broadcast to the mention table — the
+    corpus never shuffles to route. On web anchors the top-share
+    distribution is bimodal (most surfaces near 1000, a contested
+    minority near 500), so the expensive path — context tokenization
+    + the (uri, token) evidence shuffle — runs over a small fraction
+    of mentions. The model statistics (ICF weights, profile totals)
+    are unchanged: contested mentions score identically to
+    :func:`disambiguate`.
+    """
+    # routing + fast-path decisions are BOTH per-surface, so both are
+    # computed on the dictionary-sized pair_counts table — the mention
+    # corpus never shuffles for the easy branch: its decision is a
+    # map-only broadcast lookup of the surface's precomputed top-k
+    amb = pair_counts.groupBy("surface_form").agg(
+        F.max(F.col("cnt").cast("long")).alias("_top"),
+        F.sum(F.col("cnt").cast("long")).alias("_tot"),
+    )
+    easy_sfs = amb.where(
+        F.expr("(_top * 1000L) DIV _tot") >= top_share_threshold_mille
+    ).select("surface_form")
+    cands = pair_counts.select(
+        "surface_form", "uri", F.col("cnt").cast("long").alias("prior_cnt")
+    )
+    w_sf = Window.partitionBy("surface_form").orderBy(F.desc("prior_cnt"), F.asc("uri"))
+    easy_topk = (
+        cands.join(easy_sfs, "surface_form")
+        .withColumn("rank", F.row_number().over(w_sf).cast("int"))
+        .where(F.col("rank") <= k)
+    )
+
+    # one distinct-mention build shared by both branches: identical
+    # plan subtree, so Spark's ReuseExchange serves both consumers from
+    # ONE shuffle (checkpointing here was measured slower — writing 6M
+    # full-context rows to disk costs more than the distinct it saves)
+    dm = (
+        mentions.select("url", "context", "surface_form")
+        .distinct()
+        .withColumn("mention_id", mention_id_col())
+    )
+    easy_out = dm.join(F.broadcast(easy_topk), "surface_form").select(
+        "url",
+        "surface_form",
+        "mention_id",
+        "uri",
+        F.lit(0).cast("long").alias("evidence"),
+        F.lit(0).cast("long").alias("overlap_cnt"),
+        "prior_cnt",
+        "rank",
+        F.lit("prior").alias("route"),
+    )
+    hard_m = dm.join(F.broadcast(easy_sfs), "surface_form", "left_anti")
+    # contested path: the unchanged full model over the hard subset
+    # only — tokenization and the evidence shuffle never see routed-out
+    # mentions. Model statistics come from the FULL token_counts table.
+    # _disambiguate_dm consumes hard_m's dm subtree directly: the
+    # distinct exchange is shared with the easy branch (ReuseExchange),
+    # not recomputed.
+    hard_out = _disambiguate_dm(hard_m, pair_counts, token_counts, k=k, lang=lang).withColumn(
+        "route", F.lit("context")
+    )
+    return easy_out.unionByName(hard_out)

@@ -226,6 +226,78 @@ def test_disambiguate_recovers_gold_links(spark, sf_dir, result):
     assert hits > hits_prior, f"evidence model ({hits}) must beat prior-only ({hits_prior})"
 
 
+def test_disambiguate_routed_unit(spark):
+    # same jaguar fixture as test_disambiguate_unit: top share is
+    # 90/100 = 900‰, so at the default 980‰ threshold the surface is
+    # CONTESTED -> routed output must equal the full model exactly;
+    # at a permissive 900‰ threshold it routes to the prior-only path
+    # and u1 (rainforest context) deliberately loses its evidence flip
+    # — the documented tradeoff the threshold controls.
+    mentions = spark.createDataFrame(
+        [
+            ("u1", "dense rainforest habitat prey", "jaguar"),
+            ("u2", "engine coupe dealership", "jaguar"),
+            ("u3", "", "jaguar"),
+        ],
+        "url string, context string, surface_form string",
+    )
+    pairs = spark.createDataFrame(
+        [("jaguar", "Jaguar_Cars", 90), ("jaguar", "Jaguar_(animal)", 10)],
+        "surface_form string, uri string, cnt long",
+    )
+    toks = spark.createDataFrame(
+        [
+            ("Jaguar_(animal)", "rainforest", 7),
+            ("Jaguar_(animal)", "prey", 5),
+            ("Jaguar_Cars", "engine", 9),
+            ("Jaguar_Cars", "dealership", 4),
+        ],
+        "uri string, token string, cnt long",
+    )
+    cols = ["url", "surface_form", "mention_id", "uri", "evidence", "overlap_cnt", "prior_cnt", "rank"]
+    routed = linking.disambiguate_routed(mentions, pairs, toks, k=1, top_share_threshold_mille=980)
+    assert {r.route for r in routed.select("route").distinct().collect()} == {"context"}
+    full = linking.disambiguate(mentions, pairs, toks, k=1)
+    assert routed.select(*cols).exceptAll(full.select(*cols)).count() == 0
+    assert full.select(*cols).exceptAll(routed.select(*cols)).count() == 0
+
+    fast = linking.disambiguate_routed(mentions, pairs, toks, k=1, top_share_threshold_mille=900)
+    assert {r.route for r in fast.select("route").distinct().collect()} == {"prior"}
+    best = {r.url: r.uri for r in fast.collect()}
+    assert best == {"u1": "Jaguar_Cars", "u2": "Jaguar_Cars", "u3": "Jaguar_Cars"}
+
+
+def test_disambiguate_routed_corpus(spark, sf_dir, result):
+    # corpus contract (the kg_disambiguate_routed driver check mirrors
+    # this): every mention decided exactly once; contested mentions
+    # score IDENTICALLY to the full model (same stats tables, so the
+    # evidence join over the hard subset is a restriction, not a
+    # re-estimate); routed top-1 accuracy equals the full model's at
+    # the default threshold — the measured basis for the fast path.
+    routed = linking.disambiguate_routed(
+        result.mentions, result.pair_counts, result.token_counts, k=1
+    ).localCheckpoint()
+    full = linking.disambiguate(result.mentions, result.pair_counts, result.token_counts, k=1)
+    assert routed.count() == full.count()
+    assert routed.select("mention_id").distinct().count() == routed.count()
+    cols = ["url", "surface_form", "mention_id", "uri", "evidence", "overlap_cnt", "prior_cnt", "rank"]
+    hard = routed.where(F.col("route") == "context")
+    assert hard.select(*cols).exceptAll(full.select(*cols)).count() == 0
+    # routing must actually route: the synthetic corpus's dominant
+    # surfaces take the prior path (measured ~80% of mentions)
+    n_prior = routed.where(F.col("route") == "prior").count()
+    assert n_prior > routed.count() // 2
+
+    gold = (
+        result.mentions.select("url", "context", "surface_form", "uri")
+        .distinct()
+        .select(linking.mention_id_col().alias("mention_id"), F.col("uri").alias("gold_uri"))
+    )
+    hits_routed = routed.join(gold, "mention_id").where(F.col("uri") == F.col("gold_uri")).count()
+    hits_full = full.join(gold, "mention_id").where(F.col("uri") == F.col("gold_uri")).count()
+    assert hits_routed == hits_full, f"routed accuracy {hits_routed} != full {hits_full}"
+
+
 def test_candidate_topk_and_scoring(spark, sf_dir, result):
     sfs = synth.side_table(spark, sf_dir, "surface_forms")
     topk = linking.candidate_topk(sfs, k=2)
