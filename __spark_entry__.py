@@ -277,6 +277,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def kg_disambiguation_accuracy_routed(spark, sf_dir):
+        # accuracy parity of the routed fast path: gold-link hit counts
+        # of routed vs full model, plus how many mentions rode the
+        # prior-only route — the driver-visible basis for the claim
+        # that routing is accuracy-neutral at the default threshold
+        p = _pipeline(spark, sf_dir)
+        gold = (
+            p.mentions.select("url", "context", "surface_form", "uri")
+            .distinct()
+            .select(
+                linking.mention_id_col().alias("mention_id"),
+                F.col("uri").alias("gold_uri"),
+            )
+        )
+        routed = linking.disambiguate_routed(
+            p.mentions, p.pair_counts, p.token_counts, k=1
+        ).select("mention_id", F.col("uri").alias("pred_routed"), "route")
+        full = linking.disambiguate(p.mentions, p.pair_counts, p.token_counts, k=1).select(
+            "mention_id", F.col("uri").alias("pred_full")
+        )
+        return (
+            gold.join(routed, "mention_id")
+            .join(full, "mention_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_gold"),
+                F.sum((F.col("pred_routed") == F.col("gold_uri")).cast("long"))
+                .cast("bigint")
+                .alias("n_hit_routed"),
+                F.sum((F.col("pred_full") == F.col("gold_uri")).cast("long"))
+                .cast("bigint")
+                .alias("n_hit_full"),
+                F.sum((F.col("route") == "prior").cast("long")).cast("bigint").alias("n_prior_routed"),
+            )
+        )
+
     def kg_nerd_stats(spark, sf_dir):
         from pignlproc_spark.operators.stats import nerd_stats
 
@@ -298,6 +333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kg_disambiguate=kg_disambiguate,
         kg_disambiguate_routed=kg_disambiguate_routed,
         kg_disambiguation_accuracy=kg_disambiguation_accuracy,
+        kg_disambiguation_accuracy_routed=kg_disambiguation_accuracy_routed,
         kg_nerd_stats=kg_nerd_stats,
     )
 
@@ -2770,6 +2806,45 @@ def oracle_sql() -> dict[str, str]:
            count(*) FILTER (WHERE b.uri = gold.uri)::BIGINT AS n_hit,
            count(*) FILTER (WHERE p.uri = gold.uri)::BIGINT AS n_hit_prior
     FROM gold JOIN best b USING (mention_id) JOIN best_prior p USING (mention_id)
+    """
+    o["kg_disambiguation_accuracy_routed"] = f"""
+    WITH {disambig_scored},
+    amb AS (
+      SELECT surface_form, (max(cnt) * 1000 // sum(cnt) >= 980) AS easy
+      FROM {g('golden_pair_counts')} GROUP BY surface_form
+    ),
+    routed AS (
+      SELECT d.mention_id, c.uri, 'prior' AS route
+      FROM dmid d
+      JOIN amb a ON d.surface_form = a.surface_form AND a.easy
+      JOIN (
+        SELECT surface_form, uri, row_number() OVER (
+          PARTITION BY surface_form ORDER BY cnt DESC, uri ASC) AS r
+        FROM {g('golden_pair_counts')}
+      ) c ON d.surface_form = c.surface_form AND c.r = 1
+      UNION ALL
+      SELECT mention_id, uri, 'context' AS route FROM (
+        SELECT s.mention_id, s.uri, row_number() OVER (PARTITION BY s.mention_id
+          ORDER BY evidence DESC, prior_cnt DESC, uri ASC) AS r
+        FROM scored s JOIN amb a ON s.surface_form = a.surface_form AND NOT a.easy
+      ) WHERE r = 1
+    ),
+    best_full AS (
+      SELECT mention_id, uri FROM (
+        SELECT mention_id, uri, row_number() OVER (PARTITION BY mention_id
+          ORDER BY evidence DESC, prior_cnt DESC, uri ASC) AS r FROM scored
+      ) WHERE r = 1
+    ),
+    gold AS (
+      SELECT md5(coalesce(url, '') || chr(31) || coalesce(context, '')
+                 || chr(31) || coalesce(surface_form, '')) AS mention_id, uri
+      FROM (SELECT DISTINCT url, context, surface_form, uri FROM {g('golden_mentions')})
+    )
+    SELECT count(*)::BIGINT AS n_gold,
+           count(*) FILTER (WHERE r.uri = gold.uri)::BIGINT AS n_hit_routed,
+           count(*) FILTER (WHERE f.uri = gold.uri)::BIGINT AS n_hit_full,
+           count(*) FILTER (WHERE r.route = 'prior')::BIGINT AS n_prior_routed
+    FROM gold JOIN routed r USING (mention_id) JOIN best_full f USING (mention_id)
     """
     o["kg_nerd_stats"] = f"""
     SELECT p.surface_form, p.uri, p.cnt,

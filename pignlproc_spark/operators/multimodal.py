@@ -7,21 +7,24 @@ run as Arrow-batched ``mapInPandas`` stages.
 Two decode tiers:
 
 - **Real, dependency-free codecs** for the formats a header+payload
-  parse can handle with stdlib + numpy: 24-bpp uncompressed **BMP**
-  (:func:`decode_bmp`, :func:`encode_bmp`, nearest-neighbor
-  :func:`resize_bmp`), **PNG** (:func:`decode_png` — stdlib zlib
-  inflate + full None/Sub/Up/Average/Paeth filter reconstruction;
-  8-bit grey/RGB/RGBA non-interlaced) and **PCM WAV**
-  (:func:`decode_wav`). These feed :func:`media_stats`, whose
-  integer-exact output (pixel channel sums, sample abs-sums, zero
-  crossings) is oracle-checkable — corrupt or foreign payloads degrade
-  to NULL stats instead of killing the job, which is the behavior you
-  want on a 100-TB crawl.
-- **Stubbed codecs** for everything else (JPEG/MP4/...): entropy
-  coding is out of dependency-free scope, so :func:`decode_payload`
-  raises for those formats and tests exercise the Spark plumbing —
-  schema, partitioning, UDF signature, batch shape — against
-  :func:`fake_decode` (deterministic md5-derived pseudo-features).
+  parse (plus, for JPEG, a from-scratch entropy decoder) can handle
+  with stdlib + numpy: 24-bpp uncompressed **BMP** (:func:`decode_bmp`,
+  :func:`encode_bmp`, nearest-neighbor :func:`resize_bmp`), **PNG**
+  (:func:`decode_png` — stdlib zlib inflate + full
+  None/Sub/Up/Average/Paeth filter reconstruction; 8-bit grey/RGB/RGBA
+  non-interlaced), **baseline JPEG** (:func:`decode_jpeg` — real
+  Huffman decode + the frozen CCJpegRecon v1 integer IDCT/upsample/
+  color-convert spec; SOF0, 4:4:4 / 4:2:2 / 4:2:0 / greyscale, restart
+  markers) and **PCM WAV** (:func:`decode_wav`). These feed
+  :func:`media_stats`, whose integer-exact output (pixel channel sums,
+  sample abs-sums, zero crossings) is oracle-checkable — corrupt or
+  foreign payloads degrade to NULL stats instead of killing the job,
+  which is the behavior you want on a 100-TB crawl.
+- **Stubbed codecs** for everything else (MP4, progressive JPEG, ...):
+  :func:`decode_payload` raises for those formats and tests exercise
+  the Spark plumbing — schema, partitioning, UDF signature, batch
+  shape — against :func:`fake_decode` (deterministic md5-derived
+  pseudo-features).
 
 Scale notes: payload bytes stay columnar end-to-end (Parquet binary →
 Arrow buffer → pandas bytes); featurization is embarrassingly
@@ -105,12 +108,14 @@ def resize_bmp(payload: bytes, target_w: int, target_h: int) -> bytes:
 
 
 def resize_image(payload: bytes, target_w: int, target_h: int) -> bytes:
-    """REAL image resize across the dependency-free formats: BMP or
-    PNG in, nearest-neighbor resample, 24-bpp BMP out (the one format
-    we can *encode* without libs — normalizing to a single storage
-    format is what a curation pipeline does anyway)."""
+    """REAL image resize across the dependency-free formats: BMP, PNG
+    or baseline JPEG in, nearest-neighbor resample, 24-bpp BMP out
+    (the one format we can *encode* without libs — normalizing to a
+    single storage format is what a curation pipeline does anyway)."""
     if payload is not None and payload[:8] == PNG_SIG:
         w, h, px = decode_png(payload)
+    elif payload is not None and payload[:2] == b"\xff\xd8":
+        w, h, px = decode_jpeg(payload)
     else:
         w, h, px = decode_bmp(payload)
     xs = (np.arange(target_w) * w) // target_w
@@ -232,6 +237,296 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
     return w, h, px.copy()
 
 
+# ---------------------------------------------------------------------------
+# baseline JPEG (SOF0) — dependency-free Huffman + integer IDCT
+# ---------------------------------------------------------------------------
+#
+# Reconstruction is pinned by the FROZEN "CCJpegRecon v1" spec so the
+# synth-side golden (an independent scalar implementation over the
+# quantized coefficients) hashes identically:
+#
+# - zigzag: the ISO 10918-1 diagonal walk (generated, not memorized).
+# - IDCT: integer fixed-point. ct[u][x] = round(2^14 · k(u) ·
+#   cos((2x+1)uπ/16)) with k(0)=1/(2√2), k(u>0)=1/2; sample(y,x) =
+#   ((Σ_{v,u} coef[v,u]·ct[v][y]·ct[u][x] + 2^27) >> 28) + 128,
+#   clipped to [0,255]. int64-exact: |coef| ≤ 255·2047, |ct| ≤ 8192 ⇒
+#   |Σ| ≤ 64·255·2047·8192² < 2^62.
+# - chroma upsample: pixel replication (nearest), factor hmax/h_i ×
+#   vmax/v_i.
+# - YCbCr→RGB: libjpeg's 2^16 fixed-point constants with arithmetic
+#   shift, e.g. R = clip(Y + ((91881·(Cr−128) + 32768) >> 16)).
+#
+# Decode supports: baseline sequential (SOF0), 8-bit, 1 or 3
+# components, sampling factors whose max is 1 or 2 (4:4:4, 4:2:2,
+# 4:2:0), restart markers, byte stuffing. Progressive (SOF2),
+# arithmetic coding, 12-bit and hierarchical raise ValueError —
+# degrade-to-NULL at the media_stats layer, same as PNG variants.
+
+_JPEG_IDCT_SCALE = 14
+
+
+def _jpeg_zigzag() -> list[int]:
+    """Zigzag position i → natural (row-major) index, via the diagonal
+    walk: even diagonals run bottom-left→top-right, odd ones reverse."""
+    order = []
+    for s in range(15):
+        rng = range(s, -1, -1) if s % 2 == 0 else range(s + 1)
+        for r in rng:
+            c = s - r
+            if r < 8 and c < 8:
+                order.append(r * 8 + c)
+    return order
+
+
+def _jpeg_idct_tab() -> np.ndarray:
+    """ct[u][x] per CCJpegRecon v1 (int64 8×8)."""
+    import math
+
+    ct = np.zeros((8, 8), dtype=np.int64)
+    for u in range(8):
+        k = (1 / (2 * math.sqrt(2))) if u == 0 else 0.5
+        for x in range(8):
+            ct[u][x] = round((1 << _JPEG_IDCT_SCALE) * k * math.cos((2 * x + 1) * u * math.pi / 16))
+    return ct
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over the entropy-coded segment: un-stuffs
+    0xFF00, stops at any other marker (position left AT the 0xFF)."""
+
+    __slots__ = ("data", "pos", "bitbuf", "bitcnt")
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.bitcnt = 0
+
+    def _fill(self):
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("truncated JPEG entropy data")
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                # a real marker: feed 0 bits (spec: the decoder must
+                # have hit EOB by now; extra reads are padding)
+                self.bitbuf = (self.bitbuf << 8) & 0xFFFFFFFF
+                self.bitcnt += 8
+                return
+        else:
+            self.pos += 1
+        self.bitbuf = ((self.bitbuf << 8) | b) & 0xFFFFFFFF
+        self.bitcnt += 8
+
+    def bits(self, n: int) -> int:
+        while self.bitcnt < n:
+            self._fill()
+        self.bitcnt -= n
+        return (self.bitbuf >> self.bitcnt) & ((1 << n) - 1)
+
+    def align_and_expect_rst(self, idx: int):
+        """Byte-align and consume the next RSTn marker (n = idx mod 8)."""
+        self.bitcnt = 0
+        d = self.data
+        p = self.pos
+        while p + 1 < len(d) and not (d[p] == 0xFF and d[p + 1] != 0x00):
+            p += 1
+        if p + 1 >= len(d) or d[p + 1] != 0xD0 + (idx % 8):
+            raise ValueError("missing JPEG restart marker")
+        self.pos = p + 2
+
+
+def _huff_decoder(bits_counts: list[int], values: bytes):
+    """Canonical Huffman (ISO 10918-1 F.16): per-length mincode/maxcode
+    /valptr arrays → decode() walks one bit at a time."""
+    mincode, maxcode, valptr = [0] * 17, [-1] * 17, [0] * 17
+    code, k = 0, 0
+    for length in range(1, 17):
+        n = bits_counts[length - 1]
+        if n:
+            valptr[length] = k
+            mincode[length] = code
+            code += n
+            maxcode[length] = code - 1
+            k += n
+        code <<= 1
+
+    def decode(rd: _JpegBitReader) -> int:
+        code = rd.bits(1)
+        length = 1
+        while length <= 16:
+            if maxcode[length] >= 0 and code <= maxcode[length]:
+                return values[valptr[length] + code - mincode[length]]
+            code = (code << 1) | rd.bits(1)
+            length += 1
+        raise ValueError("invalid JPEG Huffman code")
+
+    return decode
+
+
+def _jpeg_extend(bits: int, size: int) -> int:
+    """F.12 sign extension: 'size' raw bits → signed coefficient."""
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Dependency-free baseline JPEG → (width, height, pixels[h, w, 3]
+    uint8 RGB, row 0 = top). Real Huffman entropy decode + the frozen
+    integer IDCT / upsample / color convert above. Non-baseline frames
+    (progressive, arithmetic, 12-bit) raise ValueError.
+
+    Scale note: entropy decode is per-coefficient Python, so the pixel
+    cap is tighter than PNG's (2^20); a production cluster swaps in
+    libjpeg-turbo behind the same ``decode_payload`` dispatch, and the
+    stats contract (CCJpegRecon v1) stays the truth the golden checks.
+    """
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    zz = _jpeg_zigzag()
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], object] = {}
+    frame = None
+    restart_interval = 0
+    pos = 2
+    scan = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = payload[pos + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # SOI/RSTn: bare
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT
+            at = 0
+            while at < len(body):
+                pq, tq = body[at] >> 4, body[at] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                tab = np.zeros(64, dtype=np.int64)
+                for i in range(64):
+                    tab[zz[i]] = body[at + 1 + i]
+                qt[tq] = tab.reshape(8, 8)
+                at += 65
+        elif marker == 0xC4:  # DHT
+            at = 0
+            while at < len(body):
+                tc, th = body[at] >> 4, body[at] & 0xF
+                counts = list(body[at + 1 : at + 17])
+                n = sum(counts)
+                huff[(tc, th)] = _huff_decoder(counts, body[at + 17 : at + 17 + n])
+                at += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
+            if prec != 8 or nc not in (1, 3):
+                raise ValueError("unsupported JPEG frame (need 8-bit, 1 or 3 components)")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG unsupported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan = [(body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0xF) for i in range(ns)]
+            pos += 2 + seglen
+            break  # entropy-coded data follows
+        pos += 2 + seglen
+    if frame is None or scan is None:
+        raise ValueError("missing JPEG SOF0/SOS")
+    h, w, comps = frame
+    if w <= 0 or h <= 0 or w * h > 1 << 20:
+        raise ValueError("degenerate or oversized JPEG dimensions")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax not in (1, 2) or vmax not in (1, 2):
+        raise ValueError("unsupported JPEG sampling factors")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    scan_by_cid = {cid: (dcid, acid) for cid, dcid, acid in scan}
+
+    # per-component coefficient stores: [n_blocks_y, n_blocks_x, 8, 8]
+    stores = []
+    for cid, hi, vi, tq in comps:
+        if (cid not in scan_by_cid) or (tq not in qt):
+            raise ValueError("JPEG scan/quant table mismatch")
+        stores.append(np.zeros((mcuy * vi, mcux * hi, 8, 8), dtype=np.int64))
+
+    rd = _JpegBitReader(payload, pos)
+    dc_pred = [0] * len(comps)
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            rd.align_and_expect_rst(m // restart_interval - 1)
+            dc_pred = [0] * len(comps)
+        my, mx = divmod(m, mcux)
+        for ci, (cid, hi, vi, tq) in enumerate(comps):
+            dct, act = scan_by_cid[cid]
+            dec_dc = huff[(0, dct)]
+            dec_ac = huff[(1, act)]
+            for by in range(vi):
+                for bx in range(hi):
+                    blk = np.zeros(64, dtype=np.int64)
+                    size = dec_dc(rd)
+                    if size > 11:
+                        raise ValueError("bad JPEG DC size")
+                    dc_pred[ci] += _jpeg_extend(rd.bits(size), size) if size else 0
+                    blk[0] = dc_pred[ci]
+                    k = 1
+                    while k < 64:
+                        rs = dec_ac(rd)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC run overflow")
+                        blk[zz[k]] = _jpeg_extend(rd.bits(s), s)
+                        k += 1
+                    stores[ci][my * vi + by, mx * hi + bx] = blk.reshape(8, 8)
+
+    # dequantize + vectorized integer IDCT per component, then
+    # replicate-upsample each plane to the full MCU grid and crop
+    ct = _jpeg_idct_tab()
+    planes = []
+    for (cid, hi, vi, tq), coefs in zip(comps, stores):
+        dq = coefs * qt[tq]  # broadcast over the block grid
+        s = np.einsum("yxvu,vi,uj->yxij", dq, ct, ct)
+        px = (((s + (1 << 27)) >> 28) + 128).clip(0, 255)
+        nby, nbx = px.shape[:2]
+        plane = px.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        fy, fx = vmax // vi, hmax // hi
+        if fy > 1 or fx > 1:
+            plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        grey = planes[0].astype(np.uint8)
+        return w, h, np.repeat(grey[:, :, None], 3, axis=2)
+    y, cb, cr = planes
+    cb_, cr_ = cb - 128, cr - 128
+    r = y + ((91881 * cr_ + 32768) >> 16)
+    g = y - ((22554 * cb_ + 46802 * cr_ + 32768) >> 16)
+    b = y + ((116130 * cb_ + 32768) >> 16)
+    rgb = np.stack([r, g, b], axis=2).clip(0, 255).astype(np.uint8)
+    return w, h, rgb
+
+
 def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     """RIFF/WAVE PCM (8- or 16-bit, any channel count) → (sample_rate,
     samples[n, channels] int32). Walks the chunk list so extra chunks
@@ -272,11 +567,14 @@ def decode_payload(payload: bytes, kind: str):
         return decode_bmp(payload)
     if payload is not None and payload[:8] == PNG_SIG:
         return decode_png(payload)
+    if payload is not None and payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)
     if payload is not None and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
     raise NotImplementedError(
-        "only BMP/PNG/WAV decode without codec libs (none present in this "
-        "environment); use fake_decode for plumbing tests of other formats"
+        "only BMP/PNG/JPEG(baseline)/WAV decode without codec libs (none "
+        "present in this environment); use fake_decode for plumbing tests "
+        "of other formats (MP4/progressive JPEG/...)"
     )
 
 
@@ -311,12 +609,15 @@ def media_stats(media: DataFrame) -> DataFrame:
                 row["n_bytes"] = len(payload or b"")
                 row["decoded"] = 0
                 try:
-                    if payload and (payload[:2] == b"BM" or payload[:8] == PNG_SIG):
-                        w, h, px = (
-                            decode_bmp(payload)
-                            if payload[:2] == b"BM"
-                            else decode_png(payload)
-                        )
+                    if payload and (
+                        payload[:2] in (b"BM", b"\xff\xd8") or payload[:8] == PNG_SIG
+                    ):
+                        if payload[:2] == b"BM":
+                            w, h, px = decode_bmp(payload)
+                        elif payload[:2] == b"\xff\xd8":
+                            w, h, px = decode_jpeg(payload)
+                        else:
+                            w, h, px = decode_png(payload)
                         sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
                         row.update(
                             decoded=1, width=w, height=h, n_pixels=w * h,

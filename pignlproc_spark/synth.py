@@ -40,7 +40,7 @@ from pignlproc_spark.functions.tokenize import tokenize
 from pignlproc_spark.functions.uri import uri_encode
 
 SEED = 42
-GEN_VERSION = "9"  # bump → cached .synthdata regenerates
+GEN_VERSION = "10"  # bump → cached .synthdata regenerates
 MAX_HOPS = 8  # frozen redirect-resolution bound (matches canonicalize)
 URI_LANG = "en"  # URI base is a per-run constant, like the reference's lang param
 
@@ -458,6 +458,281 @@ class Corpus:
 # ---------------------------------------------------------------------------
 # parquet materialization
 # ---------------------------------------------------------------------------
+
+
+import math
+import struct
+
+
+def jpeg_bytes(px_rows, mode, restart_interval=0):
+    """Independent baseline JFIF encoder + CCJpegRecon v1 expected
+    pixels (multimodal.py's frozen reconstruction spec, re-derived
+    here with scalar Python ints — no numpy, no shared code).
+
+    mode: '444' (YCbCr 1×1), '420' (Y 2×2, chroma 1×1, 2×2-mean
+    downsample), 'grey' (single component). Returns (payload,
+    expected_rgb_rows) where expected is what ANY spec-conforming
+    decoder must produce from these exact bytes — JPEG is lossy vs
+    the input, but decode-of-encode is pinned by the spec.
+
+    Huffman tables are self-constructed canonical fixed-length
+    codes (DC: 12 symbols @ 4 bits; AC: 162 symbols @ 8 bits)
+    written into DHT — legal baseline JPEG, chosen so correctness
+    never depends on transcribing the Annex K example tables; the
+    decoder must build whatever the stream declares.
+    """
+    # zigzag via diagonal sort — different algorithm than the
+    # decoder's walk, same ISO sequence
+    zzag = sorted(
+        range(64),
+        key=lambda i: (
+            i // 8 + i % 8,
+            (i // 8) if (i // 8 + i % 8) % 2 else -(i // 8),
+        ),
+    )
+    qlum = [
+        16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+    ]
+    qchrom = [
+        17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    ] + [99] * 32
+    grey = mode == "grey"
+    ph, pw = len(px_rows), len(px_rows[0])
+
+    # --- color convert + plane build (encoder-side choices) ---
+    def _clip8(v):
+        return 0 if v < 0 else (255 if v > 255 else v)
+
+    if grey:
+        yp = [[px_rows[y][x][0] for x in range(pw)] for y in range(ph)]
+        planes = {"Y": yp}
+    else:
+        yp, cbp, crp = [], [], []
+        for row in px_rows:
+            ry, rcb, rcr = [], [], []
+            for r_, g_, b_ in row:
+                ry.append(_clip8(round(0.299 * r_ + 0.587 * g_ + 0.114 * b_)))
+                rcb.append(_clip8(round(-0.168736 * r_ - 0.331264 * g_ + 0.5 * b_ + 128)))
+                rcr.append(_clip8(round(0.5 * r_ - 0.418688 * g_ - 0.081312 * b_ + 128)))
+            yp.append(ry)
+            cbp.append(rcb)
+            crp.append(rcr)
+        if mode == "420":
+            ch, cw = (ph + 1) // 2, (pw + 1) // 2
+
+            def _down(p):
+                out = []
+                for cy in range(ch):
+                    orow = []
+                    for cx in range(cw):
+                        vals = [
+                            p[min(2 * cy + dy, ph - 1)][min(2 * cx + dx, pw - 1)]
+                            for dy in (0, 1)
+                            for dx in (0, 1)
+                        ]
+                        orow.append((sum(vals) + 2) // 4)
+                    out.append(orow)
+                return out
+
+            cbp, crp = _down(cbp), _down(crp)
+        planes = {"Y": yp, "Cb": cbp, "Cr": crp}
+
+    # sampling geometry
+    if grey:
+        comps = [("Y", 1, 1, 1, 0)]  # (plane, cid, h, v, qid)... cid set below
+        hmax = vmax = 1
+    elif mode == "420":
+        comps = [("Y", 1, 2, 2, 0), ("Cb", 2, 1, 1, 1), ("Cr", 3, 1, 1, 1)]
+        hmax = vmax = 2
+    else:
+        comps = [("Y", 1, 1, 1, 0), ("Cb", 2, 1, 1, 1), ("Cr", 3, 1, 1, 1)]
+        hmax = vmax = 1
+    mcux = -(-pw // (8 * hmax))
+    mcuy = -(-ph // (8 * vmax))
+
+    def _pad(plane, tw, th):
+        h0, w0 = len(plane), len(plane[0])
+        return [
+            [plane[min(y, h0 - 1)][min(x, w0 - 1)] for x in range(tw)]
+            for y in range(th)
+        ]
+
+    padded = {}
+    for pname, cid, hi, vi, qid in comps:
+        padded[pname] = _pad(planes[pname], mcux * hi * 8, mcuy * vi * 8)
+
+    # --- forward DCT + quantize (encoder-side float is fine: the
+    #     TRUTH is defined downstream of the quantized ints) ---
+    cosx = [[math.cos((2 * x + 1) * u * math.pi / 16) for x in range(8)] for u in range(8)]
+    cu = [1 / math.sqrt(2)] + [1.0] * 7
+
+    def _fdct_quant(plane, bx, by, qtab):
+        out = [0] * 64
+        for v in range(8):
+            for u in range(8):
+                s = 0.0
+                for y in range(8):
+                    for x in range(8):
+                        s += (plane[by * 8 + y][bx * 8 + x] - 128) * cosx[u][x] * cosx[v][y]
+                out[v * 8 + u] = round(0.25 * cu[u] * cu[v] * s / qtab[v * 8 + u])
+        return out
+
+    # --- canonical fixed-length Huffman tables ---
+    dc_syms = list(range(12))
+    ac_syms = [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    ac_syms = sorted(set(ac_syms))  # 162 symbols
+    dc_codes = {sym: (4, i) for i, sym in enumerate(dc_syms)}
+    ac_codes = {sym: (8, i) for i, sym in enumerate(ac_syms)}
+    dc_bits = [0] * 16
+    dc_bits[3] = len(dc_syms)  # all length 4
+    ac_bits = [0] * 16
+    ac_bits[7] = len(ac_syms)  # all length 8
+
+    # --- entropy encode (interleaved MCUs, byte stuffing, RSTn) ---
+    bitbuf, bitcnt, body = 0, 0, bytearray()
+
+    def _emit(code, length):
+        nonlocal bitbuf, bitcnt
+        bitbuf = (bitbuf << length) | code
+        bitcnt += length
+        while bitcnt >= 8:
+            bitcnt -= 8
+            byte = (bitbuf >> bitcnt) & 0xFF
+            body.append(byte)
+            if byte == 0xFF:
+                body.append(0x00)
+
+    def _flush():
+        nonlocal bitbuf, bitcnt
+        if bitcnt:
+            _emit((1 << (8 - bitcnt)) - 1, 8 - bitcnt)
+
+    def _magnitude(v):
+        size = abs(v).bit_length()
+        bits = v if v >= 0 else v + (1 << size) - 1
+        return size, bits
+
+    qtabs = {0: qlum, 1: qchrom}
+    coeffs = {pname: {} for pname, *_ in comps}  # (bx,by) -> 64 ints
+    dc_pred = {pname: 0 for pname, *_ in comps}
+    rst_n = 0
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            _flush()
+            body.extend((0xFF, 0xD0 + rst_n % 8))
+            rst_n += 1
+            dc_pred = {pname: 0 for pname, *_ in comps}
+        my, mx = divmod(m, mcux)
+        for pname, cid, hi, vi, qid in comps:
+            for by in range(vi):
+                for bx in range(hi):
+                    blk = _fdct_quant(padded[pname], mx * hi + bx, my * vi + by, qtabs[qid])
+                    coeffs[pname][(mx * hi + bx, my * vi + by)] = blk
+                    diff = blk[0] - dc_pred[pname]
+                    dc_pred[pname] = blk[0]
+                    size, bits = _magnitude(diff)
+                    ln, code = dc_codes[size]
+                    _emit(code, ln)
+                    if size:
+                        _emit(bits, size)
+                    zrun = 0
+                    for k in range(1, 64):
+                        val = blk[zzag[k]]
+                        if val == 0:
+                            zrun += 1
+                            continue
+                        while zrun >= 16:
+                            ln, code = ac_codes[0xF0]
+                            _emit(code, ln)
+                            zrun -= 16
+                        size, bits = _magnitude(val)
+                        ln, code = ac_codes[(zrun << 4) | size]
+                        _emit(code, ln)
+                        _emit(bits, size)
+                        zrun = 0
+                    if zrun:
+                        ln, code = ac_codes[0x00]
+                        _emit(code, ln)
+    _flush()
+
+    # --- segment assembly ---
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tq in (0,) if grey else (0, 1):
+        zzq = bytes(qtabs[tq][zzag[i]] for i in range(64))
+        out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + bytes([tq]) + zzq
+    nc = len(comps)
+    sof = bytearray(struct.pack(">BHHB", 8, ph, pw, nc))
+    for pname, cid, hi, vi, qid in comps:
+        sof += bytes([cid, (hi << 4) | vi, qid])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for tc, (bits_, syms) in ((0, (dc_bits, dc_syms)), (1, (ac_bits, ac_syms))):
+        for th in (0,) if grey else (0, 1):
+            seg = bytes([(tc << 4) | th]) + bytes(bits_) + bytes(syms)
+            out += b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytearray([nc])
+    for pname, cid, hi, vi, qid in comps:
+        td_ta = 0 if grey else (0 if pname == "Y" else 0x11)
+        sos += bytes([cid, td_ta])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += body + b"\xff\xd9"
+
+    # --- expected pixels per CCJpegRecon v1 (scalar ints) ---
+    ict = [
+        [
+            round((1 << 14) * ((1 / (2 * math.sqrt(2))) if u == 0 else 0.5) * math.cos((2 * x + 1) * u * math.pi / 16))
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+    recon = {}
+    for pname, cid, hi, vi, qid in comps:
+        qtab = qtabs[qid]
+        wpix, hpix = mcux * hi * 8, mcuy * vi * 8
+        plane = [[0] * wpix for _ in range(hpix)]
+        for (bx, by), blk in coeffs[pname].items():
+            dq = [blk[i] * qtab[i] for i in range(64)]
+            for y in range(8):
+                for x in range(8):
+                    s = 0
+                    for v in range(8):
+                        for u in range(8):
+                            s += dq[v * 8 + u] * ict[v][y] * ict[u][x]
+                    plane[by * 8 + y][bx * 8 + x] = _clip8(((s + (1 << 27)) >> 28) + 128)
+        fy, fx = vmax // vi, hmax // hi
+        if fy > 1 or fx > 1:
+            plane = [
+                [plane[y // fy][x // fx] for x in range(wpix * fx)]
+                for y in range(hpix * fy)
+            ]
+        recon[pname] = [row[:pw] for row in plane[:ph]]
+    expected = []
+    if grey:
+        for row in recon["Y"]:
+            expected.append([(v, v, v) for v in row])
+    else:
+        for y in range(ph):
+            erow = []
+            for x in range(pw):
+                yv = recon["Y"][y][x]
+                cb_ = recon["Cb"][y][x] - 128
+                cr_ = recon["Cr"][y][x] - 128
+                erow.append(
+                    (
+                        _clip8(yv + ((91881 * cr_ + 32768) >> 16)),
+                        _clip8(yv - ((22554 * cb_ + 46802 * cr_ + 32768) >> 16)),
+                        _clip8(yv + ((116130 * cb_ + 32768) >> 16)),
+                    )
+                )
+            expected.append(erow)
+    return bytes(out), expected
 
 
 def synth_dir(sf: float, root: str | Path = None) -> Path:
@@ -879,6 +1154,27 @@ def generate(sf: float, root: str | Path = None, force: bool = False) -> Path:
             media_stats_rows.append(
                 (murl, "audio", len(payload), 1, -1, -1, -1, -1, -1, -1,
                  rate, n_s, sum(abs(v) for v in ch0), zc)
+            )
+        elif i % 24 in (2, 8, 17):  # image: baseline JPEG (444/420/grey × DRI)
+            mode = {2: "444", 8: "420", 17: "grey"}[i % 24]
+            rst = 2 if (i // 24) % 2 else 0
+            pw = 9 + mrng.randrange(16)
+            ph = 7 + mrng.randrange(14)  # non-multiples of 8/16 → pad+crop paths
+            nch = 1 if mode == "grey" else 3
+            px = [
+                [tuple(mrng.randrange(256) for _ in range(nch)) for _ in range(pw)]
+                for _ in range(ph)
+            ]
+            payload, expected = jpeg_bytes(px, mode, restart_interval=rst)
+            # golden sums over the CCJpegRecon v1 expected pixels — the
+            # spec-pinned decode-of-encode output, NOT the (lossy) input
+            sr = sum(p[0] for row in expected for p in row)
+            sg = sum(p[1] for row in expected for p in row)
+            sb = sum(p[2] for row in expected for p in row)
+            media_rows.append((murl, "image", payload, pw, ph, None))
+            media_stats_rows.append(
+                (murl, "image", len(payload), 1, pw, ph, pw * ph, sr, sg, sb,
+                 -1, -1, -1, -1)
             )
         else:  # video: opaque payload no dependency-free codec can read
             payload = _hashlib.md5(f"video:{i}".encode()).digest() * (3 + i % 5)

@@ -32,6 +32,10 @@ def test_build_kg_job_end_to_end(spark, tmp_path):
     dec = spark.read.parquet(f"{out}/stats/link_decisions")
     assert dec.count() > 0
     assert dec.where(F.col("rank") != 1).count() == 0
+    # ambiguity routing is the job default: both routes present, every
+    # mention decided exactly once
+    assert {r.route for r in dec.select("route").distinct().collect()} == {"prior", "context"}
+    assert dec.select("mention_id").distinct().count() == dec.count()
     for t in ("pair_counts", "uri_counts", "sf_total_counts", "token_counts"):
         assert spark.read.parquet(f"{out}/stats/{t}").count() > 0
     # --graph-stats artifacts: co-occurrence pairs + normalized ranks

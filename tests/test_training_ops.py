@@ -656,22 +656,24 @@ def test_media_stats_real_decode(spark, synth_dir):
             assert (r.sum_abs, r.zero_crossings) == (grow.sum_abs, grow.zero_crossings)
         if grow.kind == "video":
             assert r.decoded == 0 and r.width is None and r.sum_abs is None
-    # both image codecs are represented in the fixture
+    # all three image codecs are represented in the fixture
     kinds = {
-        (bytes(r.payload)[:2] == b"BM")
+        b"BM" if bytes(r.payload)[:2] == b"BM"
+        else (b"\xff\xd8" if bytes(r.payload)[:2] == b"\xff\xd8" else b"PNG")
         for r in media.where("kind = 'image'").select("payload").collect()
     }
-    assert kinds == {True, False}  # BMP rows AND PNG rows
-    # corrupt BMP/PNG/WAV headers degrade, never raise
+    assert kinds == {b"BM", b"\xff\xd8", b"PNG"}
+    # corrupt BMP/PNG/JPEG/WAV headers degrade, never raise
     bad = spark.createDataFrame(
         [("u1", "image", bytearray(b"BM" + b"\x00" * 20)),
          ("u2", "audio", bytearray(b"RIFF\x00\x00\x00\x00WAVEjunk")),
          ("u3", "image", None),
-         ("u4", "image", bytearray(multimodal.PNG_SIG + b"\x00" * 30))],
+         ("u4", "image", bytearray(multimodal.PNG_SIG + b"\x00" * 30)),
+         ("u5", "image", bytearray(b"\xff\xd8\xff\xe0\x00\x04aa\xff\xd9"))],
         "url string, kind string, payload binary",
     )
     rows = {r.url: r for r in multimodal.media_stats(bad).collect()}
-    assert all(rows[u].decoded == 0 for u in ("u1", "u2", "u3", "u4"))
+    assert all(rows[u].decoded == 0 for u in ("u1", "u2", "u3", "u4", "u5"))
 
 
 def test_png_decode_rejects_unsupported_variants():
@@ -720,6 +722,51 @@ def test_png_decode_rejects_unsupported_variants():
         multimodal.decode_png(bomb)
 
 
+def test_jpeg_decode_spec_exact_and_rejects_nonbaseline():
+    """decode_jpeg must reproduce the CCJpegRecon v1 expected pixels
+    BIT-EXACTLY from the independent synth encoder's bytes, across
+    4:4:4 / 4:2:0 / greyscale × restart-interval variants, and must
+    reject non-baseline frames (progressive) rather than mis-decode."""
+    import random as rnd
+
+    import numpy as np
+    import pytest as pt
+
+    from pignlproc_spark.synth import jpeg_bytes
+
+    rng = rnd.Random(11)
+    for mode in ("444", "420", "grey"):
+        for rst in (0, 3):
+            pw, ph = 9 + rng.randrange(16), 7 + rng.randrange(14)
+            nch = 1 if mode == "grey" else 3
+            px = [
+                [tuple(rng.randrange(256) for _ in range(nch)) for _ in range(pw)]
+                for _ in range(ph)
+            ]
+            payload, expected = jpeg_bytes(px, mode, restart_interval=rst)
+            w, h, got = multimodal.decode_jpeg(payload)
+            assert (w, h) == (pw, ph)
+            assert np.array_equal(got.astype(np.int64), np.array(expected, dtype=np.int64))
+            # lossy-but-faithful: decoded output approximates the INPUT
+            # (catches spec-consistent-but-wrong pairs, e.g. transposed)
+            if nch == 3:
+                err = np.abs(got.astype(np.int64) - np.array(px, dtype=np.int64))
+                assert err.mean() < 64  # random noise compresses badly but not absurdly
+    # progressive (SOF2) must raise, not mis-decode
+    payload, _ = jpeg_bytes([[(1, 2, 3)] * 8] * 8, "444")
+    sof0_at = payload.index(b"\xff\xc0")
+    prog = payload[:sof0_at] + b"\xff\xc2" + payload[sof0_at + 2 :]
+    with pt.raises(ValueError):
+        multimodal.decode_jpeg(prog)
+    # oversized dimensions bound the Python entropy-decode loop
+    big = bytearray(payload)
+    import struct as st
+
+    st.pack_into(">HH", big, sof0_at + 5, 4096, 4096)
+    with pt.raises(ValueError):
+        multimodal.decode_jpeg(bytes(big))
+
+
 def test_media_stats_survives_corrupt_idat_and_short_ihdr(spark):
     """zlib.error / struct.error from malformed PNG internals degrade
     to NULL stats inside media_stats instead of killing the task."""
@@ -745,8 +792,9 @@ def test_media_stats_survives_corrupt_idat_and_short_ihdr(spark):
 
 
 def test_resize_images_real_formats(spark, synth_dir):
-    """resize_image handles BOTH dependency-free image formats (BMP
-    and PNG in, normalized 24-bpp BMP out)."""
+    """resize_image handles ALL dependency-free image formats (BMP,
+    PNG and baseline JPEG in — the synth media table carries all
+    three — normalized 24-bpp BMP out)."""
     media = spark.read.parquet(str(synth_dir / "media.parquet"))
     out = multimodal.resize_images(
         media.where("kind = 'image'"), 4, 3, resizer=multimodal.resize_image
