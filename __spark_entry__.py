@@ -597,6 +597,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _read(spark, sf_dir, "embeddings")
         return similarity.srp_banded_pairs(emb, min_cos_pct=40, dim=64)
 
+    def emb_pq_adc_topk_q(spark, sf_dir):
+        # PQ-ADC tier with the hash-exact contract: all-integer
+        # subspace codebooks (squared-L2 argmin assignment, floor-mean
+        # Lloyd step), m=8 codes per vector, query-side exact-integer
+        # LUT, approximate dot = BIGINT sum of m LUT entries.
+        # Completes the ANN family: brute / SRP-LSH / IVF / PQ.
+        emb = _read(spark, sf_dir, "embeddings")
+        return similarity.pq_adc_topk_q(
+            emb, emb.where(F.col("vec_id") < 10), k=5, m=8, ks=4
+        )
+
+    def emb_ivfpq_topk_q(spark, sf_dir):
+        # the PRODUCTION ANN configuration, hash-exact end to end:
+        # IVF restricts the scan (integer-dot probes), PQ compresses it
+        # (m=8 codes + exact-integer query LUT); non-residual variant
+        # so both codebooks replay independently in SQL
+        emb = _read(spark, sf_dir, "embeddings")
+        return similarity.ivfpq_topk_q(
+            emb, emb.where(F.col("vec_id") < 10), k=5,
+            n_centroids=8, nprobe=2, m=8, ks=4,
+        )
+
     def docs_quality_classifier(spark, sf_dir):
         # CCLogReg v1: bit-deterministic distributed training of a
         # hashed bag-of-words quality classifier (hard-sigmoid GD,
@@ -1441,6 +1463,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             *[F.coalesce(F.col(c), F.lit(-1)).cast("bigint").alias(c) for c in ints],
         )
 
+    def media_audio_frames(spark, sf_dir):
+        # CCAudioFrames v1: windowed per-frame integer features over
+        # the REAL WAV decode (frame 32 / hop 16, channel 0); golden
+        # computed from the plan's sample list by an independent
+        # pure-python path
+        p = synth.generate(synth.sf_of_dir(sf_dir))
+        m = spark.read.parquet(str(p / "media.parquet"))
+        s = multimodal.audio_frames(m.select("url", "kind", "payload"))
+        return s.select(
+            "url",
+            F.col("frame_idx").cast("bigint").alias("frame_idx"),
+            F.col("frame_start").cast("bigint").alias("frame_start"),
+            "energy", "sum_abs", "zero_crossings", "peak",
+        )
+
+    def media_dhash(spark, sf_dir):
+        # CCDHash v1 perceptual hash over the REAL decodes (BMP / PNG /
+        # baseline JPEG); golden computed from the plan pixels by an
+        # independent pure-python path — identical pixels in different
+        # containers hash identically (the planted cross-format twins)
+        p = synth.generate(synth.sf_of_dir(sf_dir))
+        m = spark.read.parquet(str(p / "media.parquet"))
+        return multimodal.image_dhash(m.select("url", "kind", "payload"))
+
+    def media_dhash_pairs(spark, sf_dir):
+        # perceptual image near-dup retrieval: 4x16-bit pigeonhole
+        # banding (perfect recall at hamming<=3) + exact bit_count
+        # verify — the SimHash shape applied to image payloads
+        p = synth.generate(synth.sf_of_dir(sf_dir))
+        m = spark.read.parquet(str(p / "media.parquet"))
+        return multimodal.dhash_near_duplicates(
+            m.select("url", "kind", "payload"), max_hamming=3
+        )
+
     def ner_opennlp_sentences(spark, sf_dir):
         from pignlproc_spark.operators.corpus import ner_training_sentences
 
@@ -1483,6 +1539,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb_srp_pairs=emb_srp_pairs,
         emb_srp_topk_q=emb_srp_topk_q,
         emb_ivf_topk_q=emb_ivf_topk_q,
+        emb_pq_adc_topk_q=emb_pq_adc_topk_q,
+        emb_ivfpq_topk_q=emb_ivfpq_topk_q,
         emb_semantic_keep=emb_semantic_keep,
         emb_semantic_keep_banded=emb_semantic_keep_banded,
         docs_quality_classifier=docs_quality_classifier,
@@ -1498,6 +1556,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb_ivf_topk=emb_ivf_topk,
         media_features=media_features,
         media_stats_real=media_stats_real,
+        media_audio_frames=media_audio_frames,
+        media_dhash=media_dhash,
+        media_dhash_pairs=media_dhash_pairs,
         ner_opennlp_sentences=ner_opennlp_sentences,
         kg_paragraph_contexts=kg_paragraph_contexts,
     )
@@ -3780,6 +3841,181 @@ def oracle_sql() -> dict[str, str]:
       ) AS rank FROM scored
     ) WHERE rank <= 5
     """
+    # emb_pq_adc_topk_q: full PQ replay — seeds = 4 lowest-id quantized
+    # vectors sliced into 8 subspaces of 8 dims, one Lloyd step
+    # (integer squared-L2 argmin assignment with ties to the lowest
+    # codeword, per-dim floor(sum/count) means), corpus re-encoded to
+    # (sub, code), query LUT = exact integer partial dots, approximate
+    # dot = BIGINT sum of the 8 LUT entries. All hashed columns
+    # integers; ranking key is an integer.
+    o["emb_pq_adc_topk_q"] = """
+    WITH qv AS (
+      SELECT vec_id, list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS v
+      FROM embeddings
+    ), seeds AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, v
+      FROM qv ORDER BY vec_id LIMIT 4
+    ), subs AS (SELECT unnest(range(0, 8))::INT AS sub
+    ), sc0 AS MATERIALIZED (
+      SELECT m.sub, s.cidx, list_transform(range(1, 9), i -> s.v[m.sub * 8 + i]) AS sv
+      FROM seeds s CROSS JOIN subs m
+    ), d0 AS MATERIALIZED (
+      SELECT q.vec_id, c.sub, c.cidx,
+             list_sum(list_transform(range(1, 9), i ->
+               (q.v[c.sub * 8 + i] - c.sv[i]) * (q.v[c.sub * 8 + i] - c.sv[i])))::BIGINT AS dist
+      FROM qv q CROSS JOIN sc0 c
+    ), a0 AS MATERIALIZED (
+      SELECT vec_id, sub, cidx FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist ASC, cidx ASC) AS rn
+        FROM d0
+      ) WHERE rn = 1
+    ), m1 AS MATERIALIZED (
+      -- pre-project the subvector, THEN lateral-unnest with a
+      -- len()-dependent range: DuckDB 1.0 fails to bind outer tables
+      -- in a lateral whose list_transform range is a pure constant
+      SELECT x.sub, x.cidx, u.s['dim'] AS dim,
+             floor(sum(u.s['val'])::DOUBLE / count(*))::BIGINT AS mval
+      FROM (
+        SELECT a.sub, a.cidx, list_transform(range(1, 9), i -> q.v[a.sub * 8 + i]) AS sv8
+        FROM a0 a JOIN qv q ON q.vec_id = a.vec_id
+      ) x, unnest(list_transform(range(1, len(x.sv8) + 1), i -> {'dim': i, 'val': x.sv8[i]})) AS u(s)
+      GROUP BY 1, 2, 3
+    ), cents AS MATERIALIZED (
+      SELECT s0.sub, s0.cidx, coalesce(c.sv, s0.sv) AS sv
+      FROM sc0 s0 LEFT JOIN (
+        SELECT sub, cidx, list(mval ORDER BY dim) AS sv FROM m1 GROUP BY 1, 2
+      ) c USING (sub, cidx)
+    ), d1 AS MATERIALIZED (
+      SELECT t.vec_id, c.sub, c.cidx,
+             list_sum(list_transform(range(1, 9), i ->
+               (t.v[c.sub * 8 + i] - c.sv[i]) * (t.v[c.sub * 8 + i] - c.sv[i])))::BIGINT AS dist
+      FROM qv t CROSS JOIN cents c
+    ), codes AS MATERIALIZED (
+      SELECT vec_id, sub, cidx AS code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist ASC, cidx ASC) AS rn
+        FROM d1
+      ) WHERE rn = 1
+    ), lut AS MATERIALIZED (
+      SELECT q.vec_id AS query_id, c.sub, c.cidx AS code,
+             list_sum(list_transform(range(1, 9), i -> q.v[c.sub * 8 + i] * c.sv[i]))::BIGINT AS part
+      FROM qv q CROSS JOIN cents c WHERE q.vec_id < 10
+    ), scored AS (
+      SELECT l.query_id, co.vec_id AS neighbor_id, sum(l.part)::BIGINT AS adc_q
+      FROM codes co JOIN lut l ON l.sub = co.sub AND l.code = co.code
+      WHERE l.query_id != co.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id::BIGINT AS query_id, neighbor_id::BIGINT AS neighbor_id,
+           adc_q, rank::INT AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_q DESC, neighbor_id ASC
+      ) AS rank FROM scored
+    ) WHERE rank <= 5
+    """
+    # emb_ivfpq_topk_q: BOTH codebook trainings replayed (the IVF
+    # chain of emb_ivf_topk_q without the norm filter — ADC needs no
+    # norms — plus the PQ chain of emb_pq_adc_topk_q), then probes ×
+    # cell-restricted codes × query LUT; approximate dot = BIGINT sum.
+    o["emb_ivfpq_topk_q"] = """
+    WITH qv AS (
+      SELECT vec_id, list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS v
+      FROM embeddings
+    ), iseeds AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, v
+      FROM qv ORDER BY vec_id LIMIT 8
+    ), id0 AS MATERIALIZED (
+      SELECT q.vec_id, s.cidx,
+             list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * s.v[i]))::BIGINT AS dot
+      FROM qv q CROSS JOIN iseeds s
+    ), ia0 AS MATERIALIZED (
+      SELECT vec_id, cidx FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cidx ASC) AS rn
+        FROM id0
+      ) WHERE rn = 1
+    ), im1 AS MATERIALIZED (
+      SELECT a.cidx, u.s['dim'] AS dim,
+             floor(sum(u.s['val'])::DOUBLE / count(*))::BIGINT AS m
+      FROM ia0 a JOIN qv q ON q.vec_id = a.vec_id,
+           unnest(list_transform(range(1, len(q.v) + 1), i -> {'dim': i, 'val': q.v[i]})) AS u(s)
+      GROUP BY 1, 2
+    ), icents AS MATERIALIZED (
+      SELECT s.cidx, coalesce(c.v, s.v) AS v
+      FROM iseeds s LEFT JOIN (SELECT cidx, list(m ORDER BY dim) AS v FROM im1 GROUP BY cidx) c
+      USING (cidx)
+    ), id1 AS MATERIALIZED (
+      SELECT t.vec_id, c.cidx,
+             list_sum(list_transform(range(1, len(t.v) + 1), i -> t.v[i] * c.v[i]))::BIGINT AS dot
+      FROM qv t CROSS JOIN icents c
+    ), ia1 AS MATERIALIZED (
+      SELECT vec_id, cidx FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cidx ASC) AS rn
+        FROM id1
+      ) WHERE rn = 1
+    ), ipr AS MATERIALIZED (
+      SELECT vec_id AS query_id, cidx FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cidx ASC) AS rn
+        FROM id1 WHERE vec_id < 10
+      ) WHERE rn <= 2
+    ), pseeds AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, v
+      FROM qv ORDER BY vec_id LIMIT 4
+    ), psubs AS (SELECT unnest(range(0, 8))::INT AS sub
+    ), psc0 AS MATERIALIZED (
+      SELECT m.sub, s.cidx, list_transform(range(1, 9), i -> s.v[m.sub * 8 + i]) AS sv
+      FROM pseeds s CROSS JOIN psubs m
+    ), pd0 AS MATERIALIZED (
+      SELECT q.vec_id, c.sub, c.cidx,
+             list_sum(list_transform(range(1, 9), i ->
+               (q.v[c.sub * 8 + i] - c.sv[i]) * (q.v[c.sub * 8 + i] - c.sv[i])))::BIGINT AS dist
+      FROM qv q CROSS JOIN psc0 c
+    ), pa0 AS MATERIALIZED (
+      SELECT vec_id, sub, cidx FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist ASC, cidx ASC) AS rn
+        FROM pd0
+      ) WHERE rn = 1
+    ), pm1 AS MATERIALIZED (
+      SELECT x.sub, x.cidx, u.s['dim'] AS dim,
+             floor(sum(u.s['val'])::DOUBLE / count(*))::BIGINT AS mval
+      FROM (
+        SELECT a.sub, a.cidx, list_transform(range(1, 9), i -> q.v[a.sub * 8 + i]) AS sv8
+        FROM pa0 a JOIN qv q ON q.vec_id = a.vec_id
+      ) x, unnest(list_transform(range(1, len(x.sv8) + 1), i -> {'dim': i, 'val': x.sv8[i]})) AS u(s)
+      GROUP BY 1, 2, 3
+    ), pcents AS MATERIALIZED (
+      SELECT s0.sub, s0.cidx, coalesce(c.sv, s0.sv) AS sv
+      FROM psc0 s0 LEFT JOIN (
+        SELECT sub, cidx, list(mval ORDER BY dim) AS sv FROM pm1 GROUP BY 1, 2
+      ) c USING (sub, cidx)
+    ), pd1 AS MATERIALIZED (
+      SELECT t.vec_id, c.sub, c.cidx,
+             list_sum(list_transform(range(1, 9), i ->
+               (t.v[c.sub * 8 + i] - c.sv[i]) * (t.v[c.sub * 8 + i] - c.sv[i])))::BIGINT AS dist
+      FROM qv t CROSS JOIN pcents c
+    ), pcodes AS MATERIALIZED (
+      SELECT vec_id, sub, cidx AS code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist ASC, cidx ASC) AS rn
+        FROM pd1
+      ) WHERE rn = 1
+    ), lut AS MATERIALIZED (
+      SELECT q.vec_id AS query_id, c.sub, c.cidx AS code,
+             list_sum(list_transform(range(1, 9), i -> q.v[c.sub * 8 + i] * c.sv[i]))::BIGINT AS part
+      FROM qv q CROSS JOIN pcents c WHERE q.vec_id < 10
+    ), scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id, sum(l.part)::BIGINT AS adc_q
+      FROM ipr p
+      JOIN ia1 a ON a.cidx = p.cidx
+      JOIN pcodes co ON co.vec_id = a.vec_id
+      JOIN lut l ON l.query_id = p.query_id AND l.sub = co.sub AND l.code = co.code
+      WHERE p.query_id != a.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id::BIGINT AS query_id, neighbor_id::BIGINT AS neighbor_id,
+           adc_q, rank::INT AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_q DESC, neighbor_id ASC
+      ) AS rank FROM scored
+    ) WHERE rank <= 5
+    """
     # docs_quality_classifier: CCLogReg v1 training replayed as
     # unrolled materialized-CTE rounds. Cross-engine exactness rests
     # on: integer weight/gradient state, integer sums only across
@@ -4161,6 +4397,35 @@ def oracle_sql() -> dict[str, str]:
         "sum_abs::BIGINT AS sum_abs, zero_crossings::BIGINT AS zero_crossings "
         f"FROM {g('golden_media_stats')}"
     )
+    o["media_audio_frames"] = (
+        "SELECT url, frame_idx::BIGINT AS frame_idx, frame_start::BIGINT AS frame_start, "
+        "energy::BIGINT AS energy, sum_abs::BIGINT AS sum_abs, "
+        "zero_crossings::BIGINT AS zero_crossings, peak::BIGINT AS peak "
+        f"FROM {g('golden_audio_frames')}"
+    )
+    o["media_dhash"] = f"SELECT url, dhash FROM {g('golden_image_dhash')}"
+    # media_dhash_pairs: the same 4x16-bit pigeonhole banding + exact
+    # bit_count(xor) verify replayed over the golden dhash table (band
+    # values are 16-bit non-negative ints — no signed-shift semantics)
+    _dh_ham = " + ".join(
+        f"bit_count(xor(('0x' || substr(ha, {1 + 4 * b}, 4))::BIGINT, "
+        f"('0x' || substr(hb, {1 + 4 * b}, 4))::BIGINT))"
+        for b in range(4)
+    )
+    o["media_dhash_pairs"] = f"""
+    WITH h AS (SELECT url, dhash FROM {g('golden_image_dhash')}),
+    bands AS (SELECT unnest(range(0, 4))::INT AS band),
+    b AS (
+      SELECT url, dhash, band, substr(dhash, 1 + 4 * band, 4) AS code
+      FROM h CROSS JOIN bands
+    ), cand AS (
+      SELECT DISTINCT a.url AS url_a, a.dhash AS ha, t.url AS url_b, t.dhash AS hb
+      FROM b a JOIN b t ON a.band = t.band AND a.code = t.code AND a.url < t.url
+    )
+    SELECT url_a, url_b, hamming FROM (
+      SELECT url_a, url_b, ({_dh_ham})::BIGINT AS hamming FROM cand
+    ) WHERE hamming <= 3
+    """
 
     # ---- ner/topic corpus ----
     o["ner_typed_mention_counts"] = f"""

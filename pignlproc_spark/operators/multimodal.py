@@ -42,6 +42,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 MEDIA_SCHEMA = "url string, kind string, payload binary, width int, height int, duration_ms int"
 FEATURE_SCHEMA = (
@@ -650,6 +651,176 @@ def media_stats(media: DataFrame) -> DataFrame:
             yield pdf_out
 
     return media.mapInPandas(gen, schema=MEDIA_STATS_SCHEMA)
+
+
+AUDIO_FRAMES_SCHEMA = (
+    "url string, frame_idx int, frame_start int, energy bigint, sum_abs bigint, "
+    "zero_crossings bigint, peak bigint"
+)
+
+
+def audio_frames(media: DataFrame, frame: int = 32, hop: int = 16) -> DataFrame:
+    """Windowed per-frame audio features over the REAL WAV decode —
+    frozen "CCAudioFrames v1": channel 0 only; frame ``f`` covers
+    samples ``[f·hop, f·hop + frame)`` and is emitted iff fully inside
+    the clip; per frame the exact integers energy = Σv², sum_abs =
+    Σ|v|, zero_crossings = sign flips over consecutive in-frame pairs
+    (the media_stats convention, frame-local), peak = max|v|. Rows
+    whose payload is not decodable PCM WAV produce nothing — the
+    windowed analogue of media_stats' degrade-don't-kill contract.
+
+    Plan shape: one embarrassingly-parallel mapInPandas fan-out (a few
+    frame rows per clip), no shuffle; numpy builds all frames of a clip
+    in one strided view, so Python cost is per-clip, not per-sample.
+    16-bit PCM ⇒ |v| < 2¹⁵, so energy < frame·2³⁰ — int64-safe for any
+    real frame length."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, fidx, starts, energy, sabs, zc, peak = [], [], [], [], [], [], []
+            for url, payload in zip(pdf["url"], pdf["payload"]):
+                if not (payload and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"):
+                    continue
+                try:
+                    _, samples = decode_wav(payload)
+                except (ValueError, struct.error):
+                    continue
+                ch0 = samples[:, 0].astype(np.int64)
+                n_frames = (len(ch0) - frame) // hop + 1 if len(ch0) >= frame else 0
+                if n_frames <= 0:
+                    continue
+                idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
+                w = ch0[idx]  # (n_frames, frame)
+                neg = w < 0
+                urls.extend([url] * n_frames)
+                fidx.extend(range(n_frames))
+                starts.extend((hop * np.arange(n_frames)).tolist())
+                energy.extend((w * w).sum(axis=1).tolist())
+                sabs.extend(np.abs(w).sum(axis=1).tolist())
+                zc.extend((neg[:, 1:] != neg[:, :-1]).sum(axis=1).tolist())
+                peak.extend(np.abs(w).max(axis=1).tolist())
+            yield pd.DataFrame(
+                {
+                    "url": pd.Series(urls, dtype="string"),
+                    "frame_idx": pd.Series(fidx, dtype="int32"),
+                    "frame_start": pd.Series(starts, dtype="int32"),
+                    "energy": pd.Series(energy, dtype="int64"),
+                    "sum_abs": pd.Series(sabs, dtype="int64"),
+                    "zero_crossings": pd.Series(zc, dtype="int64"),
+                    "peak": pd.Series(peak, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(gen, schema=AUDIO_FRAMES_SCHEMA)
+
+
+DHASH_SCHEMA = "url string, dhash string"
+
+
+def dhash_hex(px: "np.ndarray") -> str:
+    """Frozen "CCDHash v1" difference hash of an RGB pixel array
+    (h, w, 3 uint8): integer luma ``(299r + 587g + 114b) // 1000``,
+    nearest-neighbor resample to a 9×8 grid with the resize_bmp index
+    rule (``xs[j] = j·w // 9``, ``ys[i] = i·h // 8``), then one bit per
+    horizontally-adjacent pair — ``1`` iff ``left > right`` (strict) —
+    packed row-major as bit ``y·8 + x`` and rendered as 16 lowercase
+    hex chars. Pure integer arithmetic end to end, so the plan-side
+    golden generator reproduces it bit-for-bit from the pixel lists.
+    Identical pixels hash identically regardless of the container
+    format — the cross-format perceptual-dedup key."""
+    h_px, w_px = px.shape[:2]
+    luma = (
+        299 * px[:, :, 0].astype(np.int64)
+        + 587 * px[:, :, 1].astype(np.int64)
+        + 114 * px[:, :, 2].astype(np.int64)
+    ) // 1000
+    xs = (np.arange(9) * w_px) // 9
+    ys = (np.arange(8) * h_px) // 8
+    g = luma[ys][:, xs]
+    bits = g[:, :-1] > g[:, 1:]  # (8, 8)
+    h = 0
+    for y in range(8):
+        for x in range(8):
+            if bits[y, x]:
+                h |= 1 << (y * 8 + x)
+    return format(h, "016x")
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """(url, dhash) for every payload the real codecs decode (BMP /
+    PNG / baseline JPEG); undecodable rows emit nothing. One
+    embarrassingly-parallel mapInPandas, no shuffle — the hash is the
+    64-bit perceptual key downstream dedup joins on."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, hashes = [], []
+            for url, payload in zip(pdf["url"], pdf["payload"]):
+                try:
+                    if payload and payload[:2] == b"BM":
+                        _, _, px = decode_bmp(payload)
+                    elif payload and payload[:8] == PNG_SIG:
+                        _, _, px = decode_png(payload)
+                    elif payload and payload[:2] == b"\xff\xd8":
+                        _, _, px = decode_jpeg(payload)
+                    else:
+                        continue
+                except (ValueError, NotImplementedError, zlib.error, struct.error):
+                    continue
+                urls.append(url)
+                hashes.append(dhash_hex(px))
+            yield pd.DataFrame(
+                {"url": pd.Series(urls, dtype="string"), "dhash": pd.Series(hashes, dtype="string")}
+            )
+
+    return media.mapInPandas(gen, schema=DHASH_SCHEMA)
+
+
+def dhash_near_duplicates(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(url_a, url_b, hamming) — perceptual image near-dup pairs: the
+    pigeonhole-banding retrieval of dedup.simhash_hamming_pairs applied
+    to CCDHash keys. Four 16-bit bands (4 hex chars each); a pair with
+    hamming ≤ 3 < 4 bands must agree on SOME whole band (pigeonhole),
+    so the band equi-join has perfect recall and the exact
+    ``bit_count(xor)`` verify over the four bands keeps precision. Band
+    values are 16-bit non-negative ints, so hex→int→xor→bit_count is
+    engine-portable (no signed-shift semantics anywhere).
+
+    Scale shape: NO crossJoin — candidates come from the (band, code)
+    equi-join over 4 rows per image; the verify re-joins the two hex
+    keys by url. Exactly the MinHash-LSH / SimHash shape the text side
+    uses, which is what you want when the corpus is 10¹⁰ crawl images.
+    """
+    hashed = image_dhash(media)
+    band = hashed.select(
+        "url",
+        "dhash",
+        F.posexplode(
+            F.array(*[F.substring("dhash", 1 + 4 * b, 4) for b in range(4)])
+        ).alias("band", "code"),
+    )
+    cand = (
+        band.select(F.col("url").alias("url_a"), F.col("dhash").alias("ha"), "band", "code")
+        .join(
+            band.select(F.col("url").alias("url_b"), F.col("dhash").alias("hb"), "band", "code"),
+            ["band", "code"],
+        )
+        .where(F.col("url_a") < F.col("url_b"))
+        .select("url_a", "url_b", "ha", "hb")
+        .distinct()
+    )
+    ham = sum(
+        F.bit_count(
+            F.conv(F.substring("ha", 1 + 4 * b, 4), 16, 10).cast("bigint")
+            .bitwiseXOR(F.conv(F.substring("hb", 1 + 4 * b, 4), 16, 10).cast("bigint"))
+        )
+        for b in range(4)
+    )
+    return (
+        cand.withColumn("hamming", ham.cast("bigint"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("url_a", "url_b", "hamming")
+    )
 
 
 def fake_decode(payload: bytes, kind: str) -> tuple[list[float], int]:

@@ -872,3 +872,288 @@ def srp_lsh_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric distance computation (ADC)
+# ---------------------------------------------------------------------------
+
+
+def _pq_sub_dist_structs(qvec_name: str, sub_idx: int, sub: int, cents_j: list[list[int]]) -> str:
+    """SQL fragment: the ks named_structs ('d' = integer squared L2 of
+    subvector ``sub_idx`` of the quantized vector column ``qvec_name``
+    against one codeword, 'i' = codeword index). One expression string
+    per subspace (the srp_band_codes py4j lesson)."""
+    off = sub_idx * sub
+    entries = []
+    for ci, c in enumerate(cents_j):
+        lits = ", ".join(f"{x}L" for x in c)
+        entries.append(
+            f"named_struct('d', aggregate(zip_with(slice({qvec_name}, {off + 1}, {sub}), "
+            f"array({lits}), (x, y) -> (x - y) * (x - y)), 0L, (a, p) -> a + p), 'i', {ci})"
+        )
+    return ", ".join(entries)
+
+
+def _pq_code_col(qvec_name: str, sub_idx: int, sub: int, cents_j: list[list[int]]):
+    """INT code for subspace ``sub_idx``: argmin integer squared L2
+    against the subspace codebook, ties to the lowest codeword index
+    (the (dist, idx) struct-array min IS the argmin)."""
+    return F.expr(
+        f"array_min(array({_pq_sub_dist_structs(qvec_name, sub_idx, sub, cents_j)})).i"
+    ).cast("int")
+
+
+def pq_codebooks_q(
+    embeddings: DataFrame,
+    m: int = 8,
+    ks: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    train_iters: int = 1,
+) -> list[list[list[int]]]:
+    """INTEGER product-quantization codebooks (deterministic,
+    oracle-replayable), one per subspace: ``[m][ks][dim/m]``.
+
+    Same replayable-training contract as :func:`ivf_centroids_q`:
+    seeds = the ``ks`` lowest-id QUANTIZED vectors' subvectors, refined
+    by ``train_iters`` Lloyd steps where assignment is integer
+    squared-L2 argmin (ties → lowest codeword index) and the new
+    codeword is the per-dimension ``floor(sum / count)`` — floor of an
+    exact-int ratio through an IEEE double is bit-identical in both
+    engines (|sum| ≪ 2⁵³). Codewords that lose all members keep their
+    previous value. Mean computation is distributed; only the tiny
+    ``m·ks·(dim/m)``-int codebook reaches the driver. At 100 TB, train
+    on a bounded sample (PQ codebooks converge on ~10⁵ vectors) and
+    encode the full corpus with the frozen literals.
+    """
+    head = embeddings.select(vec_col).first()
+    if head is None:
+        raise ValueError("pq_codebooks_q: empty embeddings table")
+    dim = len(head[0])
+    if dim % m != 0:
+        raise ValueError(f"pq_codebooks_q: dim {dim} not divisible by m={m}")
+    sub = dim // m
+    n = embeddings.select(
+        F.col(id_col).alias("id"), _quantize(F.col(vec_col), scale).alias("v")
+    )
+    seeds = [list(r.v) for r in n.orderBy("id").limit(ks).select("v").collect()]
+    if not seeds:
+        raise ValueError("pq_codebooks_q: empty embeddings table")
+    books = [[s[j * sub : (j + 1) * sub] for s in seeds] for j in range(m)]
+    for _ in range(train_iters):
+        assigned = n.select(
+            "v", *[_pq_code_col("v", j, sub, books[j]).alias(f"c{j}") for j in range(m)]
+        )
+        # one union branch per subspace: no join, each branch is a
+        # columnar projection of the same cached-scan assignment
+        parts = [
+            assigned.select(
+                F.lit(j).alias("sub"),
+                F.col(f"c{j}").alias("code"),
+                F.posexplode(F.slice("v", j * sub + 1, sub)).alias("dim", "val"),
+            )
+            for j in range(m)
+        ]
+        dims = parts[0]
+        for p in parts[1:]:
+            dims = dims.unionByName(p)
+        means = (
+            dims.groupBy("sub", "code", "dim")
+            .agg(
+                F.floor(F.sum("val").cast("double") / F.count(F.lit(1)).cast("double"))
+                .cast("bigint")
+                .alias("mval")
+            )
+            .groupBy("sub", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "mval"))).alias("dm"))
+            .select("sub", "code", F.transform("dm", lambda s: s["mval"]).alias("sv"))
+            .collect()
+        )
+        new = {(r.sub, r.code): list(r.sv) for r in means}
+        books = [
+            [new.get((j, ci), books[j][ci]) for ci in range(ks)] for j in range(m)
+        ]
+    return books
+
+
+def pq_adc_topk_q(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ks: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    codebooks: list[list[list[int]]] | None = None,
+) -> DataFrame:
+    """(query_id, neighbor_id, adc_q, rank) — the PQ-ADC ANN tier with
+    the hash-exact oracle contract (Jégou et al., TPAMI 2011): each
+    corpus vector is compressed to ``m`` codes (integer squared-L2
+    argmin per subspace against :func:`pq_codebooks_q`), the query side
+    precomputes the ``m·ks`` exact-integer partial dot products
+    LUT(sub, code) = <q_sub, codeword>, and the approximate inner
+    product is the exact BIGINT sum of ``m`` LUT entries — so the
+    ranking (adc_q DESC, neighbor_id ASC) is bit-identical in SQL.
+
+    Completes the ANN family: brute (dot/cosine_topk_quantized), LSH
+    (srp_topk_q), IVF (ivf_topk_q), PQ (this).
+
+    Scale shape — the PQ story at 100 TB: after encoding, a scored scan
+    touches ``m`` small ints per vector, not ``dim`` floats; here that
+    is a broadcast of the nq·m·ks-row LUT onto the (neighbor_id, sub,
+    code) projection, with the per-(query, neighbor) sum partially
+    aggregated map-side (each neighbor's m rows are co-located, so one
+    row per pair crosses the shuffle). No crossJoin; the codebook is a
+    driver-bounded literal. Production pairs this with the IVF cell
+    restriction (ivf_topk_q's cluster column) to scan a fraction of the
+    codes; the full-scan form is the exactness-pinned baseline.
+    """
+    from pyspark.sql import Window
+
+    if codebooks is None:
+        codebooks = pq_codebooks_q(embeddings, m, ks, id_col, vec_col, scale)
+    sub = len(codebooks[0][0])
+    t = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), _quantize(F.col(vec_col), scale).alias("tv")
+    )
+    codes = t.select(
+        "neighbor_id",
+        F.posexplode(
+            F.array(*[_pq_code_col("tv", j, sub, codebooks[j]) for j in range(m)])
+        ).alias("sub", "code"),
+    )
+
+    def part_dot_sql(j: int, c: list[int]) -> str:
+        lits = ", ".join(f"{x}L" for x in c)
+        return (
+            f"aggregate(zip_with(slice(qv, {j * sub + 1}, {sub}), array({lits}), "
+            f"(x, y) -> x * y), 0L, (a, p) -> a + p)"
+        )
+
+    lut_entries = ", ".join(
+        f"named_struct('sub', {j}, 'code', {ci}, 'part', {part_dot_sql(j, c)})"
+        for j in range(m)
+        for ci, c in enumerate(codebooks[j])
+    )
+    lut = (
+        queries.select(
+            F.col(id_col).alias("query_id"), _quantize(F.col(vec_col), scale).alias("qv")
+        )
+        .select("query_id", F.explode(F.expr(f"array({lut_entries})")).alias("e"))
+        .select("query_id", F.col("e.sub").alias("sub"), F.col("e.code").alias("code"), F.col("e.part").alias("part"))
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("part").alias("adc_q"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_q"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("bigint"),
+            F.col("neighbor_id").cast("bigint"),
+            F.col("adc_q").cast("bigint"),
+            F.col("rank").cast("int"),
+        )
+    )
+
+
+def ivfpq_topk_q(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    ks: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    centroids_q: list[list[int]] | None = None,
+    codebooks: list[list[list[int]]] | None = None,
+) -> DataFrame:
+    """(query_id, neighbor_id, adc_q, rank) — the PRODUCTION ANN
+    configuration with the hash-exact oracle contract: IVF restricts
+    the scan (a query only scores vectors in its ``nprobe`` best cells,
+    assignment/probing by integer-dot argmax against
+    :func:`ivf_centroids_q`'s replayable codebook) and PQ compresses it
+    (each vector scored from its ``m`` codes through the query's
+    exact-integer LUT, :func:`pq_adc_topk_q`'s contract). Classical
+    IVFADC (Jégou et al., TPAMI 2011) encodes RESIDUALS against the
+    cell centroid; this variant encodes the raw vectors so both
+    codebooks stay independently frozen-replayable in SQL — a
+    documented simplification that trades some quantization error for
+    oracle-exactness of the whole training + search chain.
+
+    Scale shape: corpus carries (cluster, m codes) only; the query side
+    is a driver-bounded broadcast of nq·nprobe·m·ks LUT rows; scoring
+    is ONE broadcast equi-join on (cluster, sub, code) + a partial
+    aggregate — no crossJoin, and the cluster key means a query scans
+    |probed cells| / |corpus| of the codes (store cluster as a
+    partition column and the join becomes partition pruning)."""
+    from pyspark.sql import Window
+
+    if centroids_q is None:
+        centroids_q = ivf_centroids_q(embeddings, n_centroids, id_col, vec_col, scale)
+    if codebooks is None:
+        codebooks = pq_codebooks_q(embeddings, m, ks, id_col, vec_col, scale)
+    sub = len(codebooks[0][0])
+    t = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), _quantize(F.col(vec_col), scale).alias("tv")
+    ).withColumn("cluster", _ivf_assign_q("tv", centroids_q))
+    codes = t.select(
+        "neighbor_id",
+        "cluster",
+        F.posexplode(
+            F.array(*[_pq_code_col("tv", j, sub, codebooks[j]) for j in range(m)])
+        ).alias("sub", "code"),
+    )
+
+    def part_dot_sql(j: int, c: list[int]) -> str:
+        lits = ", ".join(f"{x}L" for x in c)
+        return (
+            f"aggregate(zip_with(slice(qv, {j * sub + 1}, {sub}), array({lits}), "
+            f"(x, y) -> x * y), 0L, (a, p) -> a + p)"
+        )
+
+    lut_entries = ", ".join(
+        f"named_struct('sub', {j}, 'code', {ci}, 'part', {part_dot_sql(j, c)})"
+        for j in range(m)
+        for ci, c in enumerate(codebooks[j])
+    )
+    lut = (
+        queries.select(
+            F.col(id_col).alias("query_id"), _quantize(F.col(vec_col), scale).alias("qv")
+        )
+        .withColumn("probes", _ivf_probes_q("qv", centroids_q, nprobe))
+        .select("query_id", "qv", F.explode("probes").alias("cluster"))
+        .select("query_id", "cluster", F.explode(F.expr(f"array({lut_entries})")).alias("e"))
+        .select(
+            "query_id", "cluster",
+            F.col("e.sub").alias("sub"), F.col("e.code").alias("code"),
+            F.col("e.part").alias("part"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["cluster", "sub", "code"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("part").alias("adc_q"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_q"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("bigint"),
+            F.col("neighbor_id").cast("bigint"),
+            F.col("adc_q").cast("bigint"),
+            F.col("rank").cast("int"),
+        )
+    )

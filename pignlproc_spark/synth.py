@@ -40,7 +40,7 @@ from pignlproc_spark.functions.tokenize import tokenize
 from pignlproc_spark.functions.uri import uri_encode
 
 SEED = 42
-GEN_VERSION = "10"  # bump → cached .synthdata regenerates
+GEN_VERSION = "12"  # bump → cached .synthdata regenerates
 MAX_HOPS = 8  # frozen redirect-resolution bound (matches canonicalize)
 URI_LANG = "en"  # URI base is a per-run constant, like the reference's lang param
 
@@ -762,6 +762,8 @@ TABLES = [
     "golden_warc_cdx",
     "media",
     "golden_media_stats",
+    "golden_audio_frames",
+    "golden_image_dhash",
 ]
 
 
@@ -1087,7 +1089,23 @@ def generate(sf: float, root: str | Path = None, force: bool = False) -> Path:
         )
 
     n_media = max(48, int(1200 * sf))
-    media_rows, media_stats_rows = [], []
+    media_rows, media_stats_rows, audio_frame_rows = [], [], []
+    dhash_src, bmp_twin_src = [], []
+
+    def _plan_dhash(px_rgb):
+        # CCDHash v1 replayed in pure python from the plan's pixel
+        # lists (independent of the operator's numpy path): integer
+        # luma, 9x8 nearest-neighbor grid, left>right bits, hex
+        H, W = len(px_rgb), len(px_rgb[0])
+        luma = [[(299 * r + 587 * g + 114 * b) // 1000 for (r, g, b) in row] for row in px_rgb]
+        xs = [(j * W) // 9 for j in range(9)]
+        ys = [(i_ * H) // 8 for i_ in range(8)]
+        h = 0
+        for y in range(8):
+            for x in range(8):
+                if luma[ys[y]][xs[x]] > luma[ys[y]][xs[x + 1]]:
+                    h |= 1 << (y * 8 + x)
+        return format(h, "016x")
     for i in range(n_media):
         mrng = random.Random(f"{SEED}:media:{i}")
         murl = f"https://media.example/{i}"
@@ -1113,6 +1131,11 @@ def generate(sf: float, root: str | Path = None, force: bool = False) -> Path:
                 (murl, "image", len(payload), 1, pw, ph, pw * ph, sr, sg, sb,
                  -1, -1, -1, -1)
             )
+            rgb = [
+                [((c[0],) * 3 if color_type == 0 else c[:3]) for c in row]
+                for row in px
+            ]
+            dhash_src.append((murl, rgb))
         elif i % 3 == 0:  # image: 24-bpp BMP, varying dims incl. row padding
             bw = 4 + mrng.randrange(12)
             bh = 3 + mrng.randrange(10)
@@ -1128,6 +1151,9 @@ def generate(sf: float, root: str | Path = None, force: bool = False) -> Path:
                  sum(c[0] for c in flat), sum(c[1] for c in flat), sum(c[2] for c in flat),
                  -1, -1, -1, -1)
             )
+            dhash_src.append((murl, px))
+            if i % 12 == 0:
+                bmp_twin_src.append((i, px))
         elif i % 3 == 1:  # audio: PCM WAV (8-bit mono / 16-bit mono or stereo)
             rate = (8000, 16000, 22050)[(i // 3) % 3]
             n_s = 40 + mrng.randrange(160)
@@ -1155,6 +1181,19 @@ def generate(sf: float, root: str | Path = None, force: bool = False) -> Path:
                 (murl, "audio", len(payload), 1, -1, -1, -1, -1, -1, -1,
                  rate, n_s, sum(abs(v) for v in ch0), zc)
             )
+            # CCAudioFrames v1 golden from the plan's ch0 (pure-python
+            # path, independent of the operator's numpy striding):
+            # frame 32 / hop 16, frames fully inside the clip only
+            _fr, _hp = 32, 16
+            for _f in range((n_s - _fr) // _hp + 1 if n_s >= _fr else 0):
+                _w = ch0[_f * _hp : _f * _hp + _fr]
+                audio_frame_rows.append(
+                    (murl, _f, _f * _hp,
+                     sum(v * v for v in _w),
+                     sum(abs(v) for v in _w),
+                     sum(1 for a, b_ in zip(_w, _w[1:]) if (a < 0) != (b_ < 0)),
+                     max(abs(v) for v in _w))
+                )
         elif i % 24 in (2, 8, 17):  # image: baseline JPEG (444/420/grey × DRI)
             mode = {2: "444", 8: "420", 17: "grey"}[i % 24]
             rst = 2 if (i // 24) % 2 else 0
@@ -1176,12 +1215,44 @@ def generate(sf: float, root: str | Path = None, force: bool = False) -> Path:
                 (murl, "image", len(payload), 1, pw, ph, pw * ph, sr, sg, sb,
                  -1, -1, -1, -1)
             )
+            dhash_src.append((murl, [list(row) for row in expected]))
         else:  # video: opaque payload no dependency-free codec can read
             payload = _hashlib.md5(f"video:{i}".encode()).digest() * (3 + i % 5)
             media_rows.append((murl, "video", payload, None, None, 1000 * (1 + i % 20)))
             media_stats_rows.append(
                 (murl, "video", len(payload), 0, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1)
             )
+    # perceptual twins: the SAME plan pixels shipped in a second
+    # container (PNG for a BMP original) -> identical CCDHash, the
+    # planted cross-format near-dup pair; plus a one-pixel-perturbed
+    # BMP copy whose hamming distance the golden decides. No new RNG:
+    # both derive arithmetically from already-generated pixels.
+    for ti, px in bmp_twin_src:
+        h_, w_ = len(px), len(px[0])
+        flat = [c for row in px for c in row]
+        turl = f"https://media.example/{ti}/twin"
+        tpayload = _png_bytes(px, 2)
+        media_rows.append((turl, "image", tpayload, w_, h_, None))
+        media_stats_rows.append(
+            (turl, "image", len(tpayload), 1, w_, h_, w_ * h_,
+             sum(c[0] for c in flat), sum(c[1] for c in flat), sum(c[2] for c in flat),
+             -1, -1, -1, -1)
+        )
+        dhash_src.append((turl, px))
+        px_n = [list(row) for row in px]
+        r0, g0, b0 = px_n[0][0]
+        px_n[0][0] = (min(255, r0 + 16), g0, b0)
+        nflat = [c for row in px_n for c in row]
+        nurl = f"https://media.example/{ti}/near"
+        npayload = _bmp_bytes(px_n)
+        media_rows.append((nurl, "image", npayload, w_, h_, None))
+        media_stats_rows.append(
+            (nurl, "image", len(npayload), 1, w_, h_, w_ * h_,
+             sum(c[0] for c in nflat), sum(c[1] for c in nflat), sum(c[2] for c in nflat),
+             -1, -1, -1, -1)
+        )
+        dhash_src.append((nurl, px_n))
+
     frames["media"] = pd.DataFrame(
         media_rows, columns=["url", "kind", "payload", "width", "height", "duration_ms"]
     )
@@ -1190,6 +1261,15 @@ def generate(sf: float, root: str | Path = None, force: bool = False) -> Path:
         columns=["url", "kind", "n_bytes", "decoded", "width", "height", "n_pixels",
                  "sum_r", "sum_g", "sum_b", "sample_rate", "n_samples", "sum_abs",
                  "zero_crossings"],
+    )
+    frames["golden_image_dhash"] = pd.DataFrame(
+        [(u, _plan_dhash(px)) for u, px in dhash_src],
+        columns=["url", "dhash"],
+    )
+    frames["golden_audio_frames"] = pd.DataFrame(
+        audio_frame_rows,
+        columns=["url", "frame_idx", "frame_start", "energy", "sum_abs",
+                 "zero_crossings", "peak"],
     )
 
     import pyarrow as pa

@@ -266,6 +266,14 @@ def test_srp_pairs_bucket_join_no_cartesian(spark):
     )
     assert "CartesianProduct" not in ivf and "NestedLoop" not in ivf
     assert "BatchEvalPython" not in ivf and "ArrowEvalPython" not in ivf
+    # PQ-ADC: scoring must be a broadcast equi-join of the query LUT
+    # onto the code projection — never a product over raw vectors
+    pq = plan_of(
+        similarity.pq_adc_topk_q(emb, emb.where(F.col("vec_id") < 3), k=3, m=2, ks=2)
+    )
+    assert "CartesianProduct" not in pq and "NestedLoop" not in pq
+    assert "BroadcastHashJoin" in pq
+    assert "BatchEvalPython" not in pq and "ArrowEvalPython" not in pq
 
 
 def test_rarity_score_one_scan_no_join(spark):

@@ -2408,3 +2408,325 @@ def test_temperature_mix_flattens_sqrt_exact(spark):
     for bad in (50.5, True, -1):
         with pytest.raises(ValueError):
             textstats.temperature_mix(df, budget_pct=bad)
+
+
+# ---------------------------------------------------------------------------
+# PQ-ADC ANN tier
+# ---------------------------------------------------------------------------
+
+
+def _pq_reference(vec_rows, m, ks, query_ids, k):
+    """Independent pure-python replay of the frozen PQ-ADC algorithm
+    (quantize → seed → one Lloyd step → encode → LUT-sum → rank)."""
+    import math
+
+    import numpy as np
+
+    def rq(x):
+        # the engines' quantization exactly: the stored float32 widened
+        # to double, scaled, then round-half-away-from-zero
+        v = float(np.float32(x)) * 1000.0
+        return int(math.floor(v + 0.5)) if v >= 0 else -int(math.floor(-v + 0.5))
+
+    q = {i: [rq(x) for x in v] for i, v in vec_rows}
+    dim = len(next(iter(q.values())))
+    sub = dim // m
+    seed_ids = sorted(q)[:ks]
+    books = [[q[i][j * sub : (j + 1) * sub] for i in seed_ids] for j in range(m)]
+
+    def assign(v, j, book):
+        dists = [
+            (sum((a - b) ** 2 for a, b in zip(v[j * sub : (j + 1) * sub], c)), ci)
+            for ci, c in enumerate(book)
+        ]
+        return min(dists)[1]
+
+    # one Lloyd step: floor(sum/count) per dim, empty keeps seed
+    sums = {}
+    for i, v in q.items():
+        for j in range(m):
+            ci = assign(v, j, books[j])
+            s, c = sums.setdefault((j, ci), ([0] * sub, 0))
+            for d in range(sub):
+                s[d] += v[j * sub + d]
+            sums[(j, ci)] = (s, c + 1)
+    books = [
+        [
+            [math.floor(s / sums[(j, ci)][1]) for s in sums[(j, ci)][0]]
+            if (j, ci) in sums
+            else books[j][ci]
+            for ci in range(ks)
+        ]
+        for j in range(m)
+    ]
+    codes = {i: [assign(v, j, books[j]) for j in range(m)] for i, v in q.items()}
+    out = []
+    for qi in query_ids:
+        scored = []
+        for ni, cs in codes.items():
+            if ni == qi:
+                continue
+            adc = sum(
+                sum(a * b for a, b in zip(q[qi][j * sub : (j + 1) * sub], books[j][cs[j]]))
+                for j in range(m)
+            )
+            scored.append((-adc, ni))
+        for rank, (nadc, ni) in enumerate(sorted(scored)[:k], 1):
+            out.append((qi, ni, -nadc, rank))
+    return sorted(out)
+
+
+@pytest.fixture(scope="module")
+def pq_vecs(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [float(rng.uniform(-1, 1)) for _ in range(16)])
+        for i in range(40)
+    ]
+    return rows, spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_pq_adc_topk_matches_reference(spark, pq_vecs):
+    """pq_adc_topk_q == the independent pure-python replay of the same
+    frozen spec (seeding, tie rules, floor-mean, LUT sum, ranking)."""
+    rows, df = pq_vecs
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.adc_q, r.rank)
+        for r in similarity.pq_adc_topk_q(
+            df, df.where(F.col("vec_id") < 5), k=3, m=4, ks=4
+        ).collect()
+    )
+    want = _pq_reference(rows, m=4, ks=4, query_ids=range(5), k=3)
+    assert got == want
+
+
+def test_pq_adc_partitioning_invariant(spark, pq_vecs):
+    """Same result at 1 and 7 input partitions — the codebook collect,
+    encode and LUT join are all deterministic under repartitioning."""
+    rows, df = pq_vecs
+    out = [
+        sorted(
+            (r.query_id, r.neighbor_id, r.adc_q, r.rank)
+            for r in similarity.pq_adc_topk_q(
+                d, d.where(F.col("vec_id") < 5), k=3, m=4, ks=4
+            ).collect()
+        )
+        for d in (df.repartition(1), df.repartition(7))
+    ]
+    assert out[0] == out[1]
+
+
+def test_pq_codebooks_validation(spark, pq_vecs):
+    _, df = pq_vecs
+    with pytest.raises(ValueError):
+        similarity.pq_codebooks_q(df, m=5)  # 16 % 5 != 0
+    empty = df.where(F.col("vec_id") < 0)
+    with pytest.raises(ValueError):
+        similarity.pq_codebooks_q(empty, m=4)
+
+
+def test_pq_adc_ranks_clusters_above_noise(spark):
+    """Sanity on structured data: with two well-separated clusters the
+    ADC approximation still ranks same-cluster vectors first."""
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(30):
+        base = 1.0 if i % 2 == 0 else -1.0
+        rows.append(
+            (i, [base + rng.uniform(-0.05, 0.05) for _ in range(8)])
+        )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.pq_adc_topk_q(df, df.where(F.col("vec_id") < 2), k=5, m=4, ks=2)
+    for r in out.collect():
+        assert r.neighbor_id % 2 == r.query_id % 2, (r.query_id, r.neighbor_id)
+
+
+# ---------------------------------------------------------------------------
+# CCAudioFrames v1
+# ---------------------------------------------------------------------------
+
+
+def test_audio_frames_real(spark, synth_dir):
+    """audio_frames over the synth media table equals the plan-derived
+    golden exactly; non-audio and corrupt payloads emit nothing."""
+    media = spark.read.parquet(str(synth_dir / "media.parquet"))
+    got = sorted(
+        (r.url, r.frame_idx, r.frame_start, r.energy, r.sum_abs, r.zero_crossings, r.peak)
+        for r in multimodal.audio_frames(media.select("url", "kind", "payload")).collect()
+    )
+    gold = sorted(
+        (r.url, r.frame_idx, r.frame_start, r.energy, r.sum_abs, r.zero_crossings, r.peak)
+        for r in spark.read.parquet(str(synth_dir / "golden_audio_frames.parquet")).collect()
+    )
+    assert got == gold and len(gold) > 0
+    # corrupt/short/foreign payloads: zero rows, no exception
+    bad = spark.createDataFrame(
+        [("u1", "audio", bytearray(b"RIFF\x00\x00\x00\x00WAVEjunk")),
+         ("u2", "image", bytearray(b"BM" + b"\x00" * 60)),
+         ("u3", "audio", None)],
+        "url string, kind string, payload binary",
+    )
+    assert multimodal.audio_frames(bad).count() == 0
+
+
+def test_audio_frames_windowing(spark):
+    """Frame/hop edge cases against hand-computed values, through the
+    real operator with non-default frame/hop."""
+    import io
+    import struct as st
+    import wave
+
+    vals = [100, -100, 200, -200, 300]
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(8000)
+        wv.writeframes(b"".join(st.pack("<h", v) for v in vals))
+    df = spark.createDataFrame(
+        [("a", "audio", bytearray(bio.getvalue()))],
+        "url string, kind string, payload binary",
+    )
+    got = sorted(
+        (r.frame_idx, r.frame_start, r.energy, r.sum_abs, r.zero_crossings, r.peak)
+        for r in multimodal.audio_frames(df, frame=2, hop=2).collect()
+    )
+    # [100,-100]: energy 2*100^2, one sign flip; [200,-200] likewise;
+    # the trailing 300 never fills a frame and is dropped
+    assert got == [(0, 0, 20000, 200, 1, 100), (1, 2, 80000, 400, 1, 200)]
+    # overlapping hop: frame 2 / hop 1 -> 4 frames
+    assert multimodal.audio_frames(df, frame=2, hop=1).count() == 4
+    # clip shorter than one frame -> nothing
+    assert multimodal.audio_frames(df, frame=8, hop=4).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# CCDHash v1
+# ---------------------------------------------------------------------------
+
+
+def _uniform_img(w, h, rgb):
+    import numpy as np
+
+    px = np.zeros((h, w, 3), dtype=np.uint8)
+    px[:, :] = rgb
+    return px
+
+
+def test_dhash_known_answers():
+    import numpy as np
+
+    # uniform image: no strict left>right anywhere -> all-zero hash
+    assert multimodal.dhash_hex(_uniform_img(9, 8, (100, 100, 100))) == "0" * 16
+    # strictly decreasing left-to-right luma: every bit set
+    px = np.zeros((8, 9, 3), dtype=np.uint8)
+    for x in range(9):
+        px[:, x] = 200 - 20 * x
+    assert multimodal.dhash_hex(px) == "f" * 16
+    # brightness shift (no clamping) leaves the hash unchanged —
+    # dhash keys on luma DIFFERENCES, the perceptual-invariance point
+    base = np.random.default_rng(5).integers(20, 200, (12, 15, 3)).astype(np.uint8)
+    assert multimodal.dhash_hex(base) == multimodal.dhash_hex(base + 10)
+
+
+def test_dhash_pairs_crafted_distances(spark):
+    """Banding retrieval + exact verify on constructed BMP payloads
+    with known pairwise hamming distances."""
+    import numpy as np
+
+    a = _uniform_img(9, 8, (100, 100, 100))
+    b = _uniform_img(9, 8, (150, 150, 150))  # same (all-zero) hash as a
+    d = _uniform_img(9, 8, (100, 100, 100)).copy()
+    d[0, 0] = (200, 200, 200)  # exactly one grid comparison flips
+    far = np.zeros((8, 9, 3), dtype=np.uint8)
+    for x in range(9):
+        far[:, x] = 200 - 20 * x  # hamming 64 from the uniforms
+    rows = [
+        ("u/a", "image", bytearray(multimodal.encode_bmp(a))),
+        ("u/b", "image", bytearray(multimodal.encode_bmp(b))),
+        ("u/d", "image", bytearray(multimodal.encode_bmp(d))),
+        ("u/far", "image", bytearray(multimodal.encode_bmp(far))),
+        ("u/audio", "audio", bytearray(b"RIFF\x00\x00\x00\x00WAVEjunk")),
+    ]
+    df = spark.createDataFrame(rows, "url string, kind string, payload binary")
+    got = {
+        (r.url_a, r.url_b): r.hamming
+        for r in multimodal.dhash_near_duplicates(df, max_hamming=3).collect()
+    }
+    assert got[("u/a", "u/b")] == 0
+    assert got[("u/a", "u/d")] == 1 and got[("u/b", "u/d")] == 1
+    assert not any("u/far" in k[0] or "u/far" in k[1] for k in got)
+    # widening the threshold never changes existing pair distances, and
+    # the all-bits-different image stays invisible to banding (no band
+    # can agree) — the documented recall bound is hamming <= 3
+    wide = {
+        (r.url_a, r.url_b): r.hamming
+        for r in multimodal.dhash_near_duplicates(df, max_hamming=64).collect()
+    }
+    assert all(wide[k] == v for k, v in got.items())
+    assert not any("u/far" in k[0] or "u/far" in k[1] for k in wide)
+
+
+def test_dhash_synth_twins(spark, synth_dir):
+    """The planted cross-format twins (same pixels, PNG container vs
+    the BMP original) are found at hamming 0, and every dhash matches
+    the plan-derived golden."""
+    media = spark.read.parquet(str(synth_dir / "media.parquet"))
+    got = {
+        r.url: r.dhash
+        for r in multimodal.image_dhash(media.select("url", "kind", "payload")).collect()
+    }
+    gold = {
+        r.url: r.dhash
+        for r in spark.read.parquet(str(synth_dir / "golden_image_dhash.parquet")).collect()
+    }
+    assert got == gold and len(gold) > 0
+    pairs = {
+        (r.url_a, r.url_b): r.hamming
+        for r in multimodal.dhash_near_duplicates(
+            media.select("url", "kind", "payload")
+        ).collect()
+    }
+    twins = [u for u in gold if u.endswith("/twin")]
+    assert twins
+    for t in twins:
+        orig = t[: -len("/twin")]
+        key = (orig, t) if orig < t else (t, orig)
+        assert pairs.get(key) == 0, f"twin pair missing for {orig}"
+
+
+def test_ivfpq_full_probe_equals_pq_brute(spark, pq_vecs):
+    """With nprobe = n_centroids the IVF restriction vanishes and
+    ivfpq_topk_q must equal pq_adc_topk_q EXACTLY (same codebook spec,
+    same LUT, same ranking) — the IVF tier's full-probe invariant
+    carried over to the composed operator."""
+    rows, df = pq_vecs
+    q = df.where(F.col("vec_id") < 5)
+    full = sorted(
+        (r.query_id, r.neighbor_id, r.adc_q, r.rank)
+        for r in similarity.ivfpq_topk_q(
+            df, q, k=3, n_centroids=4, nprobe=4, m=4, ks=4
+        ).collect()
+    )
+    brute = sorted(
+        (r.query_id, r.neighbor_id, r.adc_q, r.rank)
+        for r in similarity.pq_adc_topk_q(df, q, k=3, m=4, ks=4).collect()
+    )
+    assert full == brute
+    # narrow probe: a SUBSET of the brute candidates with identical
+    # adc values for every returned pair
+    narrow = {
+        (r.query_id, r.neighbor_id): r.adc_q
+        for r in similarity.ivfpq_topk_q(
+            df, q, k=3, n_centroids=4, nprobe=1, m=4, ks=4
+        ).collect()
+    }
+    all_adc = {
+        (r.query_id, r.neighbor_id): r.adc_q
+        for r in similarity.pq_adc_topk_q(df, q, k=40, m=4, ks=4).collect()
+    }
+    assert narrow and all(all_adc[k] == v for k, v in narrow.items())
