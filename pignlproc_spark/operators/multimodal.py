@@ -791,7 +791,10 @@ def dhash_near_duplicates(media: DataFrame, max_hamming: int = 3) -> DataFrame:
     keys by url. Exactly the MinHash-LSH / SimHash shape the text side
     uses, which is what you want when the corpus is 10¹⁰ crawl images.
     """
-    hashed = image_dhash(media)
+    # persist the (url, dhash) projection: the band self-join reads it
+    # twice, and without the cache each side would re-run the Python
+    # image decode over every payload
+    hashed = image_dhash(media).persist()
     band = hashed.select(
         "url",
         "dhash",
@@ -816,11 +819,14 @@ def dhash_near_duplicates(media: DataFrame, max_hamming: int = 3) -> DataFrame:
         )
         for b in range(4)
     )
-    return (
+    out = (
         cand.withColumn("hamming", ham.cast("bigint"))
         .where(F.col("hamming") <= max_hamming)
         .select("url_a", "url_b", "hamming")
+        .localCheckpoint(eager=True)
     )
+    hashed.unpersist()
+    return out
 
 
 def fake_decode(payload: bytes, kind: str) -> tuple[list[float], int]:

@@ -943,11 +943,12 @@ def pq_codebooks_q(
         raise ValueError("pq_codebooks_q: empty embeddings table")
     books = [[s[j * sub : (j + 1) * sub] for s in seeds] for j in range(m)]
     for _ in range(train_iters):
+        # persist the assignment: the union below reads it once per
+        # subspace, and without the cache each branch would re-run the
+        # quantize + m argmin expressions over the full training set
         assigned = n.select(
             "v", *[_pq_code_col("v", j, sub, books[j]).alias(f"c{j}") for j in range(m)]
-        )
-        # one union branch per subspace: no join, each branch is a
-        # columnar projection of the same cached-scan assignment
+        ).persist()
         parts = [
             assigned.select(
                 F.lit(j).alias("sub"),
@@ -971,6 +972,7 @@ def pq_codebooks_q(
             .select("sub", "code", F.transform("dm", lambda s: s["mval"]).alias("sv"))
             .collect()
         )
+        assigned.unpersist()
         new = {(r.sub, r.code): list(r.sv) for r in means}
         books = [
             [new.get((j, ci), books[j][ci]) for ci in range(ks)] for j in range(m)
