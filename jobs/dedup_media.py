@@ -1,0 +1,106 @@
+"""spark-submit entrypoint: perceptual media dedup — a media parquet
+directory of (url, kind, payload) rows → CCDHash keys over the real
+image decodes → banded near-dup pairs → transitive clusters → one
+survivor per cluster, written with the rest of the table untouched.
+
+The media counterpart of jobs/curate_corpus.py's text dedup: a crawl
+stores the same image under many URLs and containers (PNG here, the
+same pixels re-encoded as BMP/JPEG there); CCDHash keys on luma
+DIFFERENCES, so identical pixels collide at hamming 0 regardless of
+container and brightness-shifted copies still land within the banded
+radius. Non-image rows (audio/video) and payloads the dependency-free
+codecs cannot read pass through untouched — dedup must never eat what
+it cannot see.
+
+Scale shape: decode cost is paid ONCE (the hash table is persisted and
+shared by the pair join and the survivor join); candidates come from
+the 4×16-bit band equi-join, never a cross join; clustering is the
+same alternating large-star/small-star used for text near-dup
+(string node ids via out_type=None).
+
+Cluster usage:
+
+    spark-submit --py-files dist/pignlproc_spark.zip \\
+      jobs/dedup_media.py --media /crawl/media \\
+      --out /warehouse/media_dedup --max-hamming 3
+
+Local smoke: tests/test_job.py::test_dedup_media_job_end_to_end.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--media", required=True, help="parquet dir of (url, kind, payload)")
+    ap.add_argument("--out", required=True, help="survivor table output path")
+    ap.add_argument("--max-hamming", type=int, default=3)
+    ap.add_argument("--pairs-out", help="optional: also write the verified pair table")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from pignlproc_spark.operators import dedup, multimodal
+    from pignlproc_spark.session import get_session
+
+    spark = SparkSession.getActiveSession() or get_session(app_name="dedup-media")
+    t0 = time.time()
+
+    media = spark.read.parquet(args.media)
+    n_in = media.count()
+
+    hashed = multimodal.image_dhash(media.select("url", "kind", "payload")).persist()
+    n_hashed = hashed.count()
+
+    pairs = multimodal.dhash_near_duplicates(
+        None, max_hamming=args.max_hamming, hashed=hashed
+    ).localCheckpoint(eager=True)
+    n_pairs = pairs.count()
+    if args.pairs_out:
+        pairs.write.mode("overwrite").parquet(args.pairs_out)
+
+    # transitive clusters over the pair graph; survivors = the min-url
+    # member of each cluster plus every row that never paired at all
+    cc = dedup.connected_components(
+        pairs, src_col="url_a", dst_col="url_b", out_type=None
+    )
+    drop = cc.where(F.col("doc_id") != F.col("component_id")).select(
+        F.col("doc_id").alias("url")
+    )
+    n_drop = drop.count()
+    # left-anti on url; AQE picks broadcast when the drop set is small
+    # (forcing broadcast would be wrong at crawl scale if the dup rate
+    # is high)
+    survivors = media.join(drop, "url", "left_anti")
+    survivors.write.mode("overwrite").parquet(args.out)
+    n_out = spark.read.parquet(args.out).count()
+    hashed.unpersist()
+
+    print(
+        json.dumps(
+            {
+                "job": "dedup_media",
+                "n_in": n_in,
+                "n_images_hashed": n_hashed,
+                "n_pairs": n_pairs,
+                "n_dropped": n_drop,
+                "n_out": n_out,
+                "max_hamming": args.max_hamming,
+                "sec": round(time.time() - t0, 1),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -776,7 +776,9 @@ def image_dhash(media: DataFrame) -> DataFrame:
     return media.mapInPandas(gen, schema=DHASH_SCHEMA)
 
 
-def dhash_near_duplicates(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+def dhash_near_duplicates(
+    media: DataFrame | None, max_hamming: int = 3, hashed: DataFrame | None = None
+) -> DataFrame:
     """(url_a, url_b, hamming) — perceptual image near-dup pairs: the
     pigeonhole-banding retrieval of dedup.simhash_hamming_pairs applied
     to CCDHash keys. Four 16-bit bands (4 hex chars each); a pair with
@@ -793,8 +795,12 @@ def dhash_near_duplicates(media: DataFrame, max_hamming: int = 3) -> DataFrame:
     """
     # persist the (url, dhash) projection: the band self-join reads it
     # twice, and without the cache each side would re-run the Python
-    # image decode over every payload
-    hashed = image_dhash(media).persist()
+    # image decode over every payload. Callers that already hold the
+    # hash table (jobs/dedup_media.py) pass it via ``hashed`` and keep
+    # ownership of its lifecycle.
+    own = hashed is None
+    if own:
+        hashed = image_dhash(media).persist()
     band = hashed.select(
         "url",
         "dhash",
@@ -823,9 +829,10 @@ def dhash_near_duplicates(media: DataFrame, max_hamming: int = 3) -> DataFrame:
         cand.withColumn("hamming", ham.cast("bigint"))
         .where(F.col("hamming") <= max_hamming)
         .select("url_a", "url_b", "hamming")
-        .localCheckpoint(eager=True)
     )
-    hashed.unpersist()
+    if own:
+        out = out.localCheckpoint(eager=True)
+        hashed.unpersist()
     return out
 
 

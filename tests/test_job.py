@@ -740,3 +740,37 @@ def test_crawl_graph_job_end_to_end(spark, tmp_path, capsys):
     assert rc2 == 0
     tr = spark.read.parquet(str(tmp_path / "s2"))
     assert tr.count() == len(want) and tr.where(F.col("score") < 0).count() == 0
+
+
+def test_dedup_media_job_end_to_end(spark, synth_dir, tmp_path, capsys):
+    """media table with planted cross-format twins -> survivor table:
+    twins collapse to the min-url original, non-image rows untouched."""
+    import json
+
+    from jobs import dedup_media
+
+    out = str(tmp_path / "media_out")
+    pairs_out = str(tmp_path / "media_pairs")
+    rc = dedup_media.main(
+        ["--media", str(synth_dir / "media.parquet"), "--out", out,
+         "--pairs-out", pairs_out, "--max-hamming", "3"]
+    )
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    media = spark.read.parquet(str(synth_dir / "media.parquet"))
+    survivors = spark.read.parquet(out)
+    urls_in = {r.url for r in media.select("url").collect()}
+    urls_out = {r.url for r in survivors.select("url").collect()}
+    # every planted twin/near copy is a non-minimal cluster member and
+    # must be dropped; their originals must survive
+    twins = {u for u in urls_in if u.endswith("/twin") or u.endswith("/near")}
+    assert twins and twins.isdisjoint(urls_out)
+    assert {u.rsplit("/", 1)[0] for u in twins} <= urls_out
+    # non-image rows pass through untouched
+    others = {r.url for r in media.where("kind != 'image'").select("url").collect()}
+    assert others <= urls_out
+    assert report["n_in"] == len(urls_in) and report["n_out"] == len(urls_out)
+    assert report["n_dropped"] == len(urls_in) - len(urls_out) >= len(twins)
+    # pair table written and consistent with the dhash operator
+    pairs = spark.read.parquet(pairs_out)
+    assert pairs.count() == report["n_pairs"] > 0
