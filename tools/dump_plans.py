@@ -298,6 +298,52 @@ def main():
         ),
     )
     add(
+        "Integer PQ-ADC top-k (code equi-join, literal LUT)",
+        "emb_pq_adc_topk_q: the trained codebooks are driver-bounded "
+        "literal expressions (m × ks integer centroids — no codebook "
+        "table join); each corpus vector carries m small codes, the "
+        "query side builds its LUT as a projected literal array, and "
+        "the approximate dot is a codegen'd sum of m LUT lookups — "
+        "the full vectors never join, no product, no Python.",
+        similarity.pq_adc_topk_q(
+            emb, emb.where(F.col("vec_id") < 5), k=3, m=4, ks=4
+        ),
+    )
+    add(
+        "IVF+PQ production ANN (cell equi-join over compressed codes)",
+        "emb_ivfpq_topk_q: IVF restricts the scan (query equi-joins "
+        "only its nprobe probed cells) and PQ compresses it (the "
+        "joined rows carry m codes, not vectors); both codebooks are "
+        "driver-bounded literals, the ADC score is a codegen'd LUT "
+        "sum, the per-query rank window sees only probed-cell "
+        "candidates. The 100-TB retrieval shape: shuffle = codes, "
+        "scan = nprobe/n_centroids of the corpus.",
+        similarity.ivfpq_topk_q(
+            emb, emb.where(F.col("vec_id") < 5), k=3,
+            n_centroids=4, nprobe=2, m=4, ks=4,
+        ),
+    )
+    from pignlproc_spark.operators import multimodal
+
+    media = spark.read.parquet(str(p / "media.parquet"))
+    add(
+        "Perceptual image near-dup pairs (band equi-join over dhash keys)",
+        "media_dhash_pairs: ONE Arrow-batched decode stage computes the "
+        "CCDHash key per image; candidates come from the 4×16-bit band "
+        "equi-self-join (pigeonhole: hamming≤3 < 4 bands must share a "
+        "band — perfect recall), the exact bit_count(xor) verify is a "
+        "codegen'd integer predicate above the join. No CartesianProduct; "
+        "images pair only through shared bands, payloads never shuffle. "
+        "(Plan dumped from the pre-hashed table, as jobs/dedup_media.py "
+        "holds it — the owning path persists the hash table and "
+        "localCheckpoints the result, which would hide the join shape "
+        "behind an ExistingRDD scan.)",
+        multimodal.dhash_near_duplicates(
+            None, max_hamming=3,
+            hashed=multimodal.image_dhash(media.select("url", "kind", "payload")),
+        ),
+    )
+    add(
         "Link prediction (wedge equi-join, degree attached pre-fanout)",
         "kg_link_prediction: the wedge self-join is an equi-join on the "
         "common neighbor z (no product); deg(z) rides along from BEFORE "
