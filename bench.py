@@ -61,9 +61,6 @@ def run(sf_dir: str, cpus: int, quiet: bool = True, pipeline_only: bool = False,
     from pignlproc_spark.session import get_session
 
     synth.generate(synth.sf_of_dir(sf_dir))  # corpus gen outside the timed region
-    # host-noise probe BEFORE the JVM starts: recorded in the JSON so a
-    # degraded window is visible next to the numbers it degraded
-    envelope = None if pipeline_only else cpu_envelope(cpus)
     spark = get_session(app_name=f"bench-{cpus}", cpus=cpus)
     timings: dict[str, float] = {}  # cold: first run (plan + codegen compile included)
     warm: dict[str, float] = {}  # min of the repeat runs (compile amortized)
@@ -257,8 +254,6 @@ def run(sf_dir: str, cpus: int, quiet: bool = True, pipeline_only: bool = False,
         out["value_warm"] = round(sum(warm.values()), 3)
         out["triples_per_sec_warm"] = round(n_triples / warm["kg_pipeline_triples"], 1)
         out["repeat"] = repeat
-    if envelope is not None:
-        out["envelope"] = envelope
     res.unpersist()
     spark.stop()
 
@@ -278,6 +273,14 @@ def run(sf_dir: str, cpus: int, quiet: bool = True, pipeline_only: bool = False,
         out["tf_cosine_standalone"] = {"cold": runs[0], "warm": min(runs[1:])}
         spark2.stop()
         shutil.rmtree(pages_dir, ignore_errors=True)
+        # host-noise probe AFTER every timed stage: recorded in the JSON
+        # so a degraded window is visible next to the numbers it
+        # degraded. It must run LAST — the all-core md5 burn itself
+        # throttles this box for the next ~minute (measured: with the
+        # probe immediately before the JVM, kg_pipeline_triples cold
+        # read 37-45 s across two windows vs 10.3 s without it), so a
+        # leading probe poisons the first stages it is meant to explain.
+        out["envelope"] = cpu_envelope(cpus)
     return out
 
 
