@@ -294,8 +294,14 @@ def main():
         except (IndexError, ValueError):
             print("usage: bench.py [--pipeline-only] [--repeat N]", file=sys.stderr)
             return 2
-    out = run(sf_dir, cpus, pipeline_only="--pipeline-only" in sys.argv, repeat=repeat)
-    print(json.dumps(out))
+    pipeline_only = "--pipeline-only" in sys.argv
+    out = run(sf_dir, cpus, pipeline_only=pipeline_only, repeat=repeat)
+    print(json.dumps(out), flush=True)
+    if not pipeline_only:
+        # idle cooldown AFTER emitting the JSON: a back-to-back
+        # re-invocation (the driver runs bench.py up to 3x) must not
+        # start inside the trailing envelope probe's throttle window
+        time.sleep(75)
 
 
 if __name__ == "__main__":
