@@ -84,6 +84,19 @@ def main():
         linking.disambiguate(res.mentions, res.pair_counts, res.token_counts),
     )
     add(
+        "Ambiguity-routed disambiguation (map-only easy branch, shared distinct)",
+        "Routing is a dictionary-sized aggregate of pair_counts broadcast onto the "
+        "mention table: the ~74% easy branch is a BroadcastHashJoin lookup of the "
+        "surface's precomputed top-k — no tokenization, no evidence exchange, no "
+        "top-1 aggregation. The contested branch (left-anti on the same broadcast) "
+        "runs the unchanged full model; both branches build their distinct-mention "
+        "table from the SAME cached mention relation (one parse, statically shared "
+        "— note the repeated InMemoryRelation node id), and AQE exchange reuse "
+        "dedupes the identical distinct exchanges at runtime. An eager checkpoint "
+        "here measured 0.81x at sf4.0, so the plan shares instead of materializing.",
+        linking.disambiguate_routed(res.mentions, res.pair_counts, res.token_counts),
+    )
+    add(
         "Repetition signals (exploded n-grams, two-level partial/final agg)",
         "Per-(doc, gram) counts then per-doc aggregates — map-side combine absorbs "
         "the n-gram fanout; nothing wider than (doc_id, gram) shuffles; the per-doc "
