@@ -1450,7 +1450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return multimodal.extract_media_features(multimodal.fake_media_df(spark, 64)).drop("feature")
 
     def media_stats_real(spark, sf_dir):
-        # REAL dependency-free BMP/WAV decode → integer-exact stats;
+        # REAL dependency-free BMP/PNG/JPEG/WAV decode → integer-exact stats;
         # undecodable payloads (the video rows) degrade to decoded=0
         # with -1 fills instead of killing the job
         p = synth.generate(synth.sf_of_dir(sf_dir))
@@ -1480,7 +1480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def media_dhash(spark, sf_dir):
         # CCDHash v1 perceptual hash over the REAL decodes (BMP / PNG /
-        # baseline JPEG); golden computed from the plan pixels by an
+        # JPEG, baseline + progressive); golden computed from the plan pixels by an
         # independent pure-python path — identical pixels in different
         # containers hash identically (the planted cross-format twins)
         p = synth.generate(synth.sf_of_dir(sf_dir))

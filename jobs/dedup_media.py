@@ -7,8 +7,11 @@ The media counterpart of jobs/curate_corpus.py's text dedup: a crawl
 stores the same image under many URLs and containers (PNG here, the
 same pixels re-encoded as BMP/JPEG there); CCDHash keys on luma
 DIFFERENCES, so identical pixels collide at hamming 0 regardless of
-container and brightness-shifted copies still land within the banded
-radius. Non-image rows (audio/video) and payloads the dependency-free
+container, and JPEG-recompressed copies land within the banded radius
+(pinned by tests/test_training_ops.py::test_dhash_synth_twins's
+planted gradient-BMP-vs-JPEG twins — baseline AND progressive — and
+brightness-shifted copies in the same test family). Non-image rows
+(audio/video) and payloads the dependency-free
 codecs cannot read pass through untouched — dedup must never eat what
 it cannot see.
 
@@ -82,7 +85,8 @@ def main(argv=None):
     # is high)
     survivors = media.join(drop, "url", "left_anti")
     survivors.write.mode("overwrite").parquet(args.out)
-    n_out = spark.read.parquet(args.out).count()
+    # count from the write-side arithmetic, not a re-scan of the output
+    n_out = n_in - n_drop
     hashed.unpersist()
 
     print(

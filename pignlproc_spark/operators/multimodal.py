@@ -12,15 +12,17 @@ Two decode tiers:
   :func:`encode_bmp`, nearest-neighbor :func:`resize_bmp`), **PNG**
   (:func:`decode_png` — stdlib zlib inflate + full
   None/Sub/Up/Average/Paeth filter reconstruction; 8-bit grey/RGB/RGBA
-  non-interlaced), **baseline JPEG** (:func:`decode_jpeg` — real
+  non-interlaced), **JPEG** (:func:`decode_jpeg` — real
   Huffman decode + the frozen CCJpegRecon v1 integer IDCT/upsample/
-  color-convert spec; SOF0, 4:4:4 / 4:2:2 / 4:2:0 / greyscale, restart
-  markers) and **PCM WAV** (:func:`decode_wav`). These feed
+  color-convert spec; baseline SOF0 AND progressive SOF2 with
+  spectral selection + successive approximation; 4:4:4 / 4:2:2 /
+  4:2:0 / greyscale, restart markers) and **PCM WAV**
+  (:func:`decode_wav`). These feed
   :func:`media_stats`, whose integer-exact output (pixel channel sums,
   sample abs-sums, zero crossings) is oracle-checkable — corrupt or
   foreign payloads degrade to NULL stats instead of killing the job,
   which is the behavior you want on a 100-TB crawl.
-- **Stubbed codecs** for everything else (MP4, progressive JPEG, ...):
+- **Stubbed codecs** for everything else (MP4, ...):
   :func:`decode_payload` raises for those formats and tests exercise
   the Spark plumbing — schema, partitioning, UDF signature, batch
   shape — against :func:`fake_decode` (deterministic md5-derived
@@ -257,11 +259,12 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
 # - YCbCr→RGB: libjpeg's 2^16 fixed-point constants with arithmetic
 #   shift, e.g. R = clip(Y + ((91881·(Cr−128) + 32768) >> 16)).
 #
-# Decode supports: baseline sequential (SOF0), 8-bit, 1 or 3
-# components, sampling factors whose max is 1 or 2 (4:4:4, 4:2:2,
-# 4:2:0), restart markers, byte stuffing. Progressive (SOF2),
-# arithmetic coding, 12-bit and hierarchical raise ValueError —
-# degrade-to-NULL at the media_stats layer, same as PNG variants.
+# Decode supports: baseline sequential (SOF0) AND progressive (SOF2,
+# spectral selection + successive approximation, Annex G), 8-bit,
+# 1 or 3 components, sampling factors whose max is 1 or 2 (4:4:4,
+# 4:2:2, 4:2:0), restart markers, byte stuffing. Arithmetic coding,
+# 12-bit and hierarchical raise ValueError — degrade-to-NULL at the
+# media_stats layer, same as PNG variants.
 
 _JPEG_IDCT_SCALE = 14
 
@@ -376,11 +379,191 @@ def _jpeg_extend(bits: int, size: int) -> int:
     return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
 
 
+def _jpeg_scan_units(
+    rd,
+    scan,
+    comps,
+    huff,
+    stores,
+    zz,
+    geom,
+    restart_interval,
+    progressive,
+    band,
+):
+    """Decode ONE entropy-coded scan into the coefficient ``stores``.
+
+    ``scan``: [(ci, td, ta)] over frame-component indices; ``geom`` is
+    (w, h, hmax, vmax, mcux, mcuy); ``band`` is (Ss, Se, Ah, Al) —
+    (0, 63, 0, 0) for a baseline sequential scan. Implements all four
+    progressive scan families of ISO 10918-1 Annex G: DC first,
+    DC successive-approximation refinement (raw bits), AC
+    spectral-selection first (with EOB-run coding) and AC refinement
+    (correction bits). Interleaved MCU order when the scan carries >1
+    component; single-component scans walk the component's OWN block
+    raster — ceil(ceil(w·hi/hmax)/8) wide, which is NOT the padded
+    interleaved grid (the classic off-by-one-block trap when
+    hi < hmax and the image width sits between the two paddings).
+    """
+    w, h, hmax, vmax, mcux, mcuy = geom
+    Ss, Se, Ah, Al = band
+    if Ss == 0 and Se != 0 and progressive:
+        raise ValueError("progressive DC scan must have Se=0")
+    if Ss > 0 and len(scan) != 1:
+        raise ValueError("progressive AC scans carry exactly one component")
+    interleaved = len(scan) > 1
+    if interleaved:
+        units = mcux * mcuy
+    else:
+        ci = scan[0][0]
+        _, hi, vi, _ = comps[ci]
+        bw = -(-(-(-w * hi // hmax)) // 8)
+        bh = -(-(-(-h * vi // vmax)) // 8)
+        units = bw * bh
+
+    def blocks_of(u):
+        """Yield (ci, by_abs, bx_abs) for scan unit u in spec order."""
+        if interleaved:
+            my, mx = divmod(u, mcux)
+            for ci, td, ta in scan:
+                _, hi, vi, _ = comps[ci]
+                for by in range(vi):
+                    for bx in range(hi):
+                        yield ci, my * vi + by, mx * hi + bx
+        else:
+            yield scan[0][0], u // bw, u % bw
+
+    dc_pred = {ci: 0 for ci, _, _ in scan}
+    eobrun = 0
+    tbl = {}
+    for ci, td, ta in scan:
+        if not progressive:
+            if (0, td) not in huff or (1, ta) not in huff:
+                raise ValueError("missing JPEG Huffman table")
+            tbl[ci] = (huff[(0, td)], huff[(1, ta)])
+        elif Ss == 0 and Ah == 0:
+            if (0, td) not in huff:
+                raise ValueError("missing JPEG DC Huffman table")
+            tbl[ci] = huff[(0, td)]
+        elif Ss > 0:
+            if (1, ta) not in huff:
+                raise ValueError("missing JPEG AC Huffman table")
+            tbl[ci] = huff[(1, ta)]
+    p1 = 1 << Al
+    for u in range(units):
+        if restart_interval and u and u % restart_interval == 0:
+            rd.align_and_expect_rst(u // restart_interval - 1)
+            dc_pred = {ci: 0 for ci, _, _ in scan}
+            eobrun = 0
+        for ci, by, bx in blocks_of(u):
+            blk = stores[ci][by, bx]
+            if Ss == 0 and not progressive:
+                # baseline sequential: DC diff + full AC band per block
+                dec_dc, dec_ac = tbl[ci]
+                size = dec_dc(rd)
+                if size > 11:
+                    raise ValueError("bad JPEG DC size")
+                dc_pred[ci] += _jpeg_extend(rd.bits(size), size) if size else 0
+                blk[0] = dc_pred[ci]
+                k = 1
+                while k < 64:
+                    rs = dec_ac(rd)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("JPEG AC run overflow")
+                    blk[zz[k]] = _jpeg_extend(rd.bits(s), s)
+                    k += 1
+            elif Ss == 0 and Ah == 0:
+                # progressive DC first: diff in the point-transformed
+                # domain, stored left-shifted by Al
+                size = tbl[ci](rd)
+                if size > 11:
+                    raise ValueError("bad JPEG DC size")
+                dc_pred[ci] += _jpeg_extend(rd.bits(size), size) if size else 0
+                blk[0] = dc_pred[ci] << Al
+            elif Ss == 0:
+                # DC refinement: one raw bit per block ORs in bit Al
+                # (Python bitwise-or is two's-complement-correct for
+                # negative stored values)
+                if rd.bits(1):
+                    blk[0] = int(blk[0]) | p1
+            elif Ah == 0:
+                # AC first scan over band [Ss, Se] with EOB-run coding
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                dec_ac = tbl[ci]
+                k = Ss
+                while k <= Se:
+                    rs = dec_ac(rd)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << r) + (rd.bits(r) if r else 0) - 1
+                        break  # current block is the run's first member
+                    k += r
+                    if k > Se:
+                        raise ValueError("JPEG AC run overflow")
+                    blk[zz[k]] = _jpeg_extend(rd.bits(s), s) << Al
+                    k += 1
+            else:
+                # AC refinement (G.1.2.3): newly-significant coefs
+                # arrive as ±1<<Al; already-nonzero ones take one
+                # correction bit each, including inside ZRL spans and
+                # EOB runs
+                dec_ac = tbl[ci]
+                m1 = -p1
+                k = Ss
+                if eobrun == 0:
+                    while k <= Se:
+                        rs = dec_ac(rd)
+                        r, s = rs >> 4, rs & 0xF
+                        if s:
+                            if s != 1:
+                                raise ValueError("bad JPEG refinement magnitude")
+                            s = p1 if rd.bits(1) else m1
+                        elif r != 15:
+                            eobrun = (1 << r) + (rd.bits(r) if r else 0)
+                            break  # tail handled by the sweep below
+                        # advance over history: zero-history positions
+                        # consume the run r, nonzero ones a correction bit
+                        while k <= Se:
+                            c = int(blk[zz[k]])
+                            if c != 0:
+                                if rd.bits(1) and (c & p1) == 0:
+                                    blk[zz[k]] = c + (p1 if c >= 0 else m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if s and k <= Se:
+                            blk[zz[k]] = s
+                        k += 1
+                if eobrun > 0:
+                    while k <= Se:
+                        c = int(blk[zz[k]])
+                        if c != 0 and rd.bits(1) and (c & p1) == 0:
+                            blk[zz[k]] = c + (p1 if c >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
+
+
 def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """Dependency-free baseline JPEG → (width, height, pixels[h, w, 3]
-    uint8 RGB, row 0 = top). Real Huffman entropy decode + the frozen
-    integer IDCT / upsample / color convert above. Non-baseline frames
-    (progressive, arithmetic, 12-bit) raise ValueError.
+    """Dependency-free JPEG → (width, height, pixels[h, w, 3] uint8
+    RGB, row 0 = top). Real Huffman entropy decode — baseline
+    sequential (SOF0) AND progressive (SOF2, spectral selection +
+    successive approximation, Annex G) — + the frozen integer IDCT /
+    upsample / color convert above. Arithmetic-coded, 12-bit,
+    hierarchical and lossless frames raise ValueError.
 
     Scale note: entropy decode is per-coefficient Python, so the pixel
     cap is tighter than PNG's (2^20); a production cluster swaps in
@@ -393,9 +576,12 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], object] = {}
     frame = None
+    progressive = False
     restart_interval = 0
+    stores = None
+    geom = None
+    got_scan = False
     pos = 2
-    scan = None
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
@@ -428,7 +614,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                 n = sum(counts)
                 huff[(tc, th)] = _huff_decoder(counts, body[at + 17 : at + 17 + n])
                 at += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            if frame is not None:
+                raise ValueError("multiple JPEG frames")
+            progressive = marker == 0xC2
             prec, h, w, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
             if prec != 8 or nc not in (1, 3):
                 raise ValueError("unsupported JPEG frame (need 8-bit, 1 or 3 components)")
@@ -437,76 +626,70 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
             frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("non-baseline JPEG unsupported")
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("unsupported JPEG frame type (arithmetic/12-bit/hierarchical)")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS: decode this scan's entropy data now
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            h, w, comps = frame
+            if stores is None:
+                if w <= 0 or h <= 0 or w * h > 1 << 20:
+                    raise ValueError("degenerate or oversized JPEG dimensions")
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                if hmax not in (1, 2) or vmax not in (1, 2):
+                    raise ValueError("unsupported JPEG sampling factors")
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                geom = (w, h, hmax, vmax, mcux, mcuy)
+                # per-component natural-order coefficient stores,
+                # padded to the interleaved MCU grid
+                stores = [
+                    np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64)
+                    for _, hi, vi, _ in comps
+                ]
             ns = body[0]
-            scan = [(body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0xF) for i in range(ns)]
-            pos += 2 + seglen
-            break  # entropy-coded data follows
+            by_cid = {c[0]: i for i, c in enumerate(comps)}
+            scan = []
+            for i in range(ns):
+                cs = body[1 + 2 * i]
+                if cs not in by_cid:
+                    raise ValueError("JPEG scan references unknown component")
+                scan.append((by_cid[cs], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0xF))
+            band = (body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0xF)
+            if not progressive:
+                band = (0, 63, 0, 0)
+                if len(scan) != len(comps):
+                    raise ValueError("baseline JPEG scan must carry every component")
+            rd = _JpegBitReader(payload, pos + 2 + seglen)
+            _jpeg_scan_units(
+                rd, scan, comps, huff, stores, zz, geom, restart_interval, progressive, band
+            )
+            got_scan = True
+            # resync the marker loop at the next real marker
+            p = rd.pos
+            while p + 1 < len(payload) and not (payload[p] == 0xFF and payload[p + 1] != 0x00):
+                p += 1
+            pos = p
+            continue
         pos += 2 + seglen
-    if frame is None or scan is None:
-        raise ValueError("missing JPEG SOF0/SOS")
+    if frame is None or not got_scan:
+        raise ValueError("missing JPEG SOF/SOS")
     h, w, comps = frame
-    if w <= 0 or h <= 0 or w * h > 1 << 20:
-        raise ValueError("degenerate or oversized JPEG dimensions")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    if hmax not in (1, 2) or vmax not in (1, 2):
-        raise ValueError("unsupported JPEG sampling factors")
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    scan_by_cid = {cid: (dcid, acid) for cid, dcid, acid in scan}
-
-    # per-component coefficient stores: [n_blocks_y, n_blocks_x, 8, 8]
-    stores = []
-    for cid, hi, vi, tq in comps:
-        if (cid not in scan_by_cid) or (tq not in qt):
+    for _, _, _, tq in comps:
+        if tq not in qt:
             raise ValueError("JPEG scan/quant table mismatch")
-        stores.append(np.zeros((mcuy * vi, mcux * hi, 8, 8), dtype=np.int64))
-
-    rd = _JpegBitReader(payload, pos)
-    dc_pred = [0] * len(comps)
-    for m in range(mcux * mcuy):
-        if restart_interval and m and m % restart_interval == 0:
-            rd.align_and_expect_rst(m // restart_interval - 1)
-            dc_pred = [0] * len(comps)
-        my, mx = divmod(m, mcux)
-        for ci, (cid, hi, vi, tq) in enumerate(comps):
-            dct, act = scan_by_cid[cid]
-            dec_dc = huff[(0, dct)]
-            dec_ac = huff[(1, act)]
-            for by in range(vi):
-                for bx in range(hi):
-                    blk = np.zeros(64, dtype=np.int64)
-                    size = dec_dc(rd)
-                    if size > 11:
-                        raise ValueError("bad JPEG DC size")
-                    dc_pred[ci] += _jpeg_extend(rd.bits(size), size) if size else 0
-                    blk[0] = dc_pred[ci]
-                    k = 1
-                    while k < 64:
-                        rs = dec_ac(rd)
-                        r, s = rs >> 4, rs & 0xF
-                        if s == 0:
-                            if r == 15:  # ZRL
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("JPEG AC run overflow")
-                        blk[zz[k]] = _jpeg_extend(rd.bits(s), s)
-                        k += 1
-                    stores[ci][my * vi + by, mx * hi + bx] = blk.reshape(8, 8)
 
     # dequantize + vectorized integer IDCT per component, then
     # replicate-upsample each plane to the full MCU grid and crop
     ct = _jpeg_idct_tab()
     planes = []
     for (cid, hi, vi, tq), coefs in zip(comps, stores):
+        coefs = coefs.reshape(coefs.shape[0], coefs.shape[1], 8, 8)
         dq = coefs * qt[tq]  # broadcast over the block grid
         s = np.einsum("yxvu,vi,uj->yxij", dq, ct, ct)
         px = (((s + (1 << 27)) >> 28) + 128).clip(0, 255)
@@ -573,9 +756,9 @@ def decode_payload(payload: bytes, kind: str):
     if payload is not None and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
     raise NotImplementedError(
-        "only BMP/PNG/JPEG(baseline)/WAV decode without codec libs (none "
-        "present in this environment); use fake_decode for plumbing tests "
-        "of other formats (MP4/progressive JPEG/...)"
+        "only BMP/PNG/JPEG(baseline+progressive)/WAV decode without codec "
+        "libs (none present in this environment); use fake_decode for "
+        "plumbing tests of other formats (MP4/...)"
     )
 
 

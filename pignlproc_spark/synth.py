@@ -40,7 +40,7 @@ from pignlproc_spark.functions.tokenize import tokenize
 from pignlproc_spark.functions.uri import uri_encode
 
 SEED = 42
-GEN_VERSION = "12"  # bump → cached .synthdata regenerates
+GEN_VERSION = "13"  # bump → cached .synthdata regenerates
 MAX_HOPS = 8  # frozen redirect-resolution bound (matches canonicalize)
 URI_LANG = "en"  # URI base is a per-run constant, like the reference's lang param
 
@@ -464,22 +464,54 @@ import math
 import struct
 
 
-def jpeg_bytes(px_rows, mode, restart_interval=0):
-    """Independent baseline JFIF encoder + CCJpegRecon v1 expected
-    pixels (multimodal.py's frozen reconstruction spec, re-derived
-    here with scalar Python ints — no numpy, no shared code).
+class _JpegBitWriter:
+    """MSB-first bit emitter with 0xFF byte stuffing and 1-padded
+    flush — shared by the baseline and progressive entropy coders."""
+
+    def __init__(self):
+        self.buf = 0
+        self.cnt = 0
+        self.body = bytearray()
+
+    def emit(self, code, length):
+        self.buf = (self.buf << length) | code
+        self.cnt += length
+        while self.cnt >= 8:
+            self.cnt -= 8
+            byte = (self.buf >> self.cnt) & 0xFF
+            self.body.append(byte)
+            if byte == 0xFF:
+                self.body.append(0x00)
+
+    def flush(self):
+        if self.cnt:
+            self.emit((1 << (8 - self.cnt)) - 1, 8 - self.cnt)
+
+
+def _jpeg_magnitude(v):
+    """F.12 magnitude category: value → (size, size-bit raw code)."""
+    size = abs(v).bit_length()
+    bits = v if v >= 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _jpeg_plan(px_rows, mode):
+    """Shared encoder front half: color convert, chroma downsample,
+    MCU padding, forward DCT + quantize — everything UPSTREAM of the
+    entropy coder, so baseline and progressive streams carry the SAME
+    quantized coefficients (and therefore the same CCJpegRecon v1
+    expected pixels from :func:`_jpeg_expected`).
 
     mode: '444' (YCbCr 1×1), '420' (Y 2×2, chroma 1×1, 2×2-mean
-    downsample), 'grey' (single component). Returns (payload,
-    expected_rgb_rows) where expected is what ANY spec-conforming
-    decoder must produce from these exact bytes — JPEG is lossy vs
-    the input, but decode-of-encode is pinned by the spec.
+    downsample), 'grey' (single component).
 
-    Huffman tables are self-constructed canonical fixed-length
-    codes (DC: 12 symbols @ 4 bits; AC: 162 symbols @ 8 bits)
-    written into DHT — legal baseline JPEG, chosen so correctness
-    never depends on transcribing the Annex K example tables; the
-    decoder must build whatever the stream declares.
+    Huffman tables are self-constructed canonical fixed-length codes
+    (DC: 12 symbols @ 4 bits; AC baseline: 162 symbols @ 8 bits;
+    AC progressive: all 176 (run, size) symbols @ 8 bits so the EOBn
+    run-length symbols 0x10..0xE0 exist) written into DHT — legal
+    JPEG, chosen so correctness never depends on transcribing the
+    Annex K example tables; the decoder must build whatever the
+    stream declares.
     """
     # zigzag via diagonal sort — different algorithm than the
     # decoder's walk, same ISO sequence
@@ -581,64 +613,98 @@ def jpeg_bytes(px_rows, mode, restart_interval=0):
                 out[v * 8 + u] = round(0.25 * cu[u] * cu[v] * s / qtab[v * 8 + u])
         return out
 
+    qtabs = {0: qlum, 1: qchrom}
+    coeffs = {pname: {} for pname, *_ in comps}  # (bx,by) -> 64 ints
+    for pname, cid, hi, vi, qid in comps:
+        for by in range(mcuy * vi):
+            for bx in range(mcux * hi):
+                coeffs[pname][(bx, by)] = _fdct_quant(padded[pname], bx, by, qtabs[qid])
+
     # --- canonical fixed-length Huffman tables ---
     dc_syms = list(range(12))
     ac_syms = [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
-    ac_syms = sorted(set(ac_syms))  # 162 symbols
-    dc_codes = {sym: (4, i) for i, sym in enumerate(dc_syms)}
-    ac_codes = {sym: (8, i) for i, sym in enumerate(ac_syms)}
+    ac_syms = sorted(set(ac_syms))  # 162 symbols (baseline)
+    ac_syms_prog = sorted((r << 4) | s for r in range(16) for s in range(11))  # + EOBn
     dc_bits = [0] * 16
     dc_bits[3] = len(dc_syms)  # all length 4
     ac_bits = [0] * 16
     ac_bits[7] = len(ac_syms)  # all length 8
+    ac_bits_prog = [0] * 16
+    ac_bits_prog[7] = len(ac_syms_prog)
+
+    return {
+        "zzag": zzag, "qtabs": qtabs, "grey": grey, "ph": ph, "pw": pw,
+        "comps": comps, "hmax": hmax, "vmax": vmax, "mcux": mcux, "mcuy": mcuy,
+        "coeffs": coeffs,
+        "dc_syms": dc_syms, "dc_bits": dc_bits,
+        "dc_codes": {sym: (4, i) for i, sym in enumerate(dc_syms)},
+        "ac_syms": ac_syms, "ac_bits": ac_bits,
+        "ac_codes": {sym: (8, i) for i, sym in enumerate(ac_syms)},
+        "ac_syms_prog": ac_syms_prog, "ac_bits_prog": ac_bits_prog,
+        "ac_codes_prog": {sym: (8, i) for i, sym in enumerate(ac_syms_prog)},
+    }
+
+
+def _jpeg_headers(plan, sof_marker, restart_interval, progressive_ac=False):
+    """SOI / APP0 / DQT / SOFn / DHT / DRI segment assembly (everything
+    before the first SOS)."""
+    zzag, qtabs, grey, comps = plan["zzag"], plan["qtabs"], plan["grey"], plan["comps"]
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tq in (0,) if grey else (0, 1):
+        zzq = bytes(qtabs[tq][zzag[i]] for i in range(64))
+        out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + bytes([tq]) + zzq
+    nc = len(comps)
+    sof = bytearray(struct.pack(">BHHB", 8, plan["ph"], plan["pw"], nc))
+    for pname, cid, hi, vi, qid in comps:
+        sof += bytes([cid, (hi << 4) | vi, qid])
+    out += bytes((0xFF, sof_marker)) + struct.pack(">H", 2 + len(sof)) + sof
+    ac_tab = ("ac_bits_prog", "ac_syms_prog") if progressive_ac else ("ac_bits", "ac_syms")
+    for tc, (bits_, syms) in ((0, (plan["dc_bits"], plan["dc_syms"])), (1, (plan[ac_tab[0]], plan[ac_tab[1]]))):
+        for th in (0,) if grey else (0, 1):
+            seg = bytes([(tc << 4) | th]) + bytes(bits_) + bytes(syms)
+            out += b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    return out
+
+
+def jpeg_bytes(px_rows, mode, restart_interval=0):
+    """Independent baseline JFIF encoder + CCJpegRecon v1 expected
+    pixels (multimodal.py's frozen reconstruction spec, re-derived
+    here with scalar Python ints — no numpy, no shared code). Returns
+    (payload, expected_rgb_rows) where expected is what ANY
+    spec-conforming decoder must produce from these exact bytes —
+    JPEG is lossy vs the input, but decode-of-encode is pinned by the
+    spec. See :func:`_jpeg_plan` for modes and table construction."""
+    plan = _jpeg_plan(px_rows, mode)
+    zzag, comps, coeffs = plan["zzag"], plan["comps"], plan["coeffs"]
+    mcux, mcuy = plan["mcux"], plan["mcuy"]
+    dc_codes, ac_codes = plan["dc_codes"], plan["ac_codes"]
+    grey = plan["grey"]
 
     # --- entropy encode (interleaved MCUs, byte stuffing, RSTn) ---
-    bitbuf, bitcnt, body = 0, 0, bytearray()
-
-    def _emit(code, length):
-        nonlocal bitbuf, bitcnt
-        bitbuf = (bitbuf << length) | code
-        bitcnt += length
-        while bitcnt >= 8:
-            bitcnt -= 8
-            byte = (bitbuf >> bitcnt) & 0xFF
-            body.append(byte)
-            if byte == 0xFF:
-                body.append(0x00)
-
-    def _flush():
-        nonlocal bitbuf, bitcnt
-        if bitcnt:
-            _emit((1 << (8 - bitcnt)) - 1, 8 - bitcnt)
-
-    def _magnitude(v):
-        size = abs(v).bit_length()
-        bits = v if v >= 0 else v + (1 << size) - 1
-        return size, bits
-
-    qtabs = {0: qlum, 1: qchrom}
-    coeffs = {pname: {} for pname, *_ in comps}  # (bx,by) -> 64 ints
+    wtr = _JpegBitWriter()
     dc_pred = {pname: 0 for pname, *_ in comps}
     rst_n = 0
     for m in range(mcux * mcuy):
         if restart_interval and m and m % restart_interval == 0:
-            _flush()
-            body.extend((0xFF, 0xD0 + rst_n % 8))
+            wtr.flush()
+            wtr.body.extend((0xFF, 0xD0 + rst_n % 8))
             rst_n += 1
             dc_pred = {pname: 0 for pname, *_ in comps}
         my, mx = divmod(m, mcux)
         for pname, cid, hi, vi, qid in comps:
             for by in range(vi):
                 for bx in range(hi):
-                    blk = _fdct_quant(padded[pname], mx * hi + bx, my * vi + by, qtabs[qid])
-                    coeffs[pname][(mx * hi + bx, my * vi + by)] = blk
+                    blk = coeffs[pname][(mx * hi + bx, my * vi + by)]
                     diff = blk[0] - dc_pred[pname]
                     dc_pred[pname] = blk[0]
-                    size, bits = _magnitude(diff)
+                    size, bits = _jpeg_magnitude(diff)
                     ln, code = dc_codes[size]
-                    _emit(code, ln)
+                    wtr.emit(code, ln)
                     if size:
-                        _emit(bits, size)
+                        wtr.emit(bits, size)
                     zrun = 0
                     for k in range(1, 64):
                         val = blk[zzag[k]]
@@ -647,44 +713,219 @@ def jpeg_bytes(px_rows, mode, restart_interval=0):
                             continue
                         while zrun >= 16:
                             ln, code = ac_codes[0xF0]
-                            _emit(code, ln)
+                            wtr.emit(code, ln)
                             zrun -= 16
-                        size, bits = _magnitude(val)
+                        size, bits = _jpeg_magnitude(val)
                         ln, code = ac_codes[(zrun << 4) | size]
-                        _emit(code, ln)
-                        _emit(bits, size)
+                        wtr.emit(code, ln)
+                        wtr.emit(bits, size)
                         zrun = 0
                     if zrun:
                         ln, code = ac_codes[0x00]
-                        _emit(code, ln)
-    _flush()
+                        wtr.emit(code, ln)
+    wtr.flush()
 
-    # --- segment assembly ---
-    out = bytearray(b"\xff\xd8")
-    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-    for tq in (0,) if grey else (0, 1):
-        zzq = bytes(qtabs[tq][zzag[i]] for i in range(64))
-        out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + bytes([tq]) + zzq
+    out = _jpeg_headers(plan, 0xC0, restart_interval)
     nc = len(comps)
-    sof = bytearray(struct.pack(">BHHB", 8, ph, pw, nc))
-    for pname, cid, hi, vi, qid in comps:
-        sof += bytes([cid, (hi << 4) | vi, qid])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
-    for tc, (bits_, syms) in ((0, (dc_bits, dc_syms)), (1, (ac_bits, ac_syms))):
-        for th in (0,) if grey else (0, 1):
-            seg = bytes([(tc << 4) | th]) + bytes(bits_) + bytes(syms)
-            out += b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg
-    if restart_interval:
-        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     sos = bytearray([nc])
     for pname, cid, hi, vi, qid in comps:
         td_ta = 0 if grey else (0 if pname == "Y" else 0x11)
         sos += bytes([cid, td_ta])
     sos += b"\x00\x3f\x00"
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
-    out += body + b"\xff\xd9"
+    out += wtr.body + b"\xff\xd9"
+    return bytes(out), _jpeg_expected(plan)
 
-    # --- expected pixels per CCJpegRecon v1 (scalar ints) ---
+
+def _jpeg_prog_scan(plan, scan_comps, ss, se, ah, al, restart_interval):
+    """One progressive (SOF2) scan: returns (sos_segment, entropy_body).
+
+    Implements the four Annex G scan families from the ENCODER side,
+    independently of the decoder's transcription: DC first (diffs of
+    the arithmetic-shifted DC), DC refinement (one raw bit per block),
+    AC first over the spectral band [ss, se] with EOB-run accumulation
+    (point transform truncates toward zero: shift of the magnitude),
+    and AC refinement (G.1.2.3 — newly-significant coefficients as
+    run-terminated ±1 symbols, buffered correction bits for
+    already-significant ones, EOB runs carrying the buffered bits).
+    Single-component scans walk the component's OWN block raster
+    (ceil(ceil(w·hi/hmax)/8) wide); multi-component scans interleave
+    MCUs. Restart markers flush the EOB run + bit buffer and reset DC
+    predictions, exactly every ``restart_interval`` units.
+    """
+    zzag, comps, coeffs = plan["zzag"], plan["comps"], plan["coeffs"]
+    mcux, mcuy = plan["mcux"], plan["mcuy"]
+    hmax, vmax = plan["hmax"], plan["vmax"]
+    pw, ph, grey = plan["pw"], plan["ph"], plan["grey"]
+    dc_codes, ac_codes = plan["dc_codes"], plan["ac_codes_prog"]
+    interleaved = len(scan_comps) > 1
+    if interleaved:
+        units = mcux * mcuy
+        bw = bh = None
+    else:
+        pname, cid, hi, vi, qid = scan_comps[0]
+        bw = -(-(-(-pw * hi // hmax)) // 8)
+        bh = -(-(-(-ph * vi // vmax)) // 8)
+        units = bw * bh
+
+    def blocks_of(u):
+        if interleaved:
+            my, mx = divmod(u, mcux)
+            for pname, cid, hi, vi, qid in scan_comps:
+                for by in range(vi):
+                    for bx in range(hi):
+                        yield pname, mx * hi + bx, my * vi + by
+        else:
+            yield scan_comps[0][0], u % bw, u // bw
+
+    wtr = _JpegBitWriter()
+    dc_pred = {pname: 0 for pname, *_ in scan_comps}
+    state = {"eobrun": 0, "pend": []}  # pend: correction bits owed to the run
+
+    def flush_eobrun():
+        if state["eobrun"] > 0:
+            nbits = state["eobrun"].bit_length() - 1
+            ln, code = ac_codes[nbits << 4]
+            wtr.emit(code, ln)
+            if nbits:
+                wtr.emit(state["eobrun"] & ((1 << nbits) - 1), nbits)
+            state["eobrun"] = 0
+            for b in state["pend"]:
+                wtr.emit(b, 1)
+            state["pend"] = []
+
+    rst_n = 0
+    for u in range(units):
+        if restart_interval and u and u % restart_interval == 0:
+            flush_eobrun()
+            wtr.flush()
+            wtr.body.extend((0xFF, 0xD0 + rst_n % 8))
+            rst_n += 1
+            dc_pred = {pname: 0 for pname, *_ in scan_comps}
+        for pname, bx, by in blocks_of(u):
+            blk = coeffs[pname][(bx, by)]
+            if ss == 0 and ah == 0:  # DC first (arithmetic shift by al)
+                v = blk[0] >> al
+                diff = v - dc_pred[pname]
+                dc_pred[pname] = v
+                size, bits = _jpeg_magnitude(diff)
+                ln, code = dc_codes[size]
+                wtr.emit(code, ln)
+                if size:
+                    wtr.emit(bits, size)
+            elif ss == 0:  # DC refinement: bit al of the DC
+                wtr.emit((blk[0] >> al) & 1, 1)
+            elif ah == 0:  # AC first over [ss, se], toward-zero shift
+                r = 0
+                for k in range(ss, se + 1):
+                    v = blk[zzag[k]]
+                    t = (abs(v) >> al) * (1 if v >= 0 else -1)
+                    if t == 0:
+                        r += 1
+                        continue
+                    flush_eobrun()
+                    while r > 15:
+                        ln, code = ac_codes[0xF0]
+                        wtr.emit(code, ln)
+                        r -= 16
+                    size, bits = _jpeg_magnitude(t)
+                    ln, code = ac_codes[(r << 4) | size]
+                    wtr.emit(code, ln)
+                    wtr.emit(bits, size)
+                    r = 0
+                if r > 0:
+                    state["eobrun"] += 1
+                    if state["eobrun"] == 0x7FFF:
+                        flush_eobrun()
+            else:  # AC refinement (G.1.2.3)
+                absv = {k: abs(blk[zzag[k]]) >> al for k in range(ss, se + 1)}
+                eobpos = ss - 1
+                for k in range(ss, se + 1):
+                    if absv[k] == 1:
+                        eobpos = k  # last NEWLY-significant coefficient
+                r, br = 0, []
+                for k in range(ss, se + 1):
+                    t = absv[k]
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15 and k <= eobpos:
+                        flush_eobrun()
+                        ln, code = ac_codes[0xF0]
+                        wtr.emit(code, ln)
+                        r -= 16
+                        for b in br:
+                            wtr.emit(b, 1)
+                        br = []
+                    if t > 1:  # already significant: one correction bit
+                        br.append(t & 1)
+                        continue
+                    flush_eobrun()
+                    ln, code = ac_codes[(r << 4) | 1]
+                    wtr.emit(code, ln)
+                    wtr.emit(1 if blk[zzag[k]] >= 0 else 0, 1)
+                    for b in br:
+                        wtr.emit(b, 1)
+                    br = []
+                    r = 0
+                if r > 0 or br:
+                    state["eobrun"] += 1
+                    state["pend"].extend(br)
+                    if state["eobrun"] == 0x7FFF or len(state["pend"]) > 900:
+                        flush_eobrun()
+    flush_eobrun()
+    wtr.flush()
+
+    sos = bytearray([len(scan_comps)])
+    for pname, cid, hi, vi, qid in scan_comps:
+        td_ta = 0 if grey else (0 if pname == "Y" else 0x11)
+        sos += bytes([cid, td_ta])
+    sos += bytes([ss, se, (ah << 4) | al])
+    return b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + bytes(sos), bytes(wtr.body)
+
+
+def jpeg_progressive_bytes(px_rows, mode, restart_interval=0):
+    """Independent PROGRESSIVE (SOF2) JFIF encoder + CCJpegRecon v1
+    expected pixels — the same quantized coefficients and golden as
+    :func:`jpeg_bytes`, shipped as a multi-scan stream exercising
+    spectral selection (DC scan, AC band 1–5, AC band 6–63) AND
+    successive approximation (everything first sent at Al=1, then a
+    refinement pass at Ah=1/Al=0 for DC and both AC bands). A
+    spec-conforming decoder must reconstruct the FULL-precision
+    coefficients from the completed scan script, so the expected
+    pixels are identical to the baseline container's — that identity
+    is what pins the decoder's Annex G paths (EOB runs, ZRL-in-first,
+    correction bits, non-interleaved block geometry when hi < hmax)."""
+    plan = _jpeg_plan(px_rows, mode)
+    comps = plan["comps"]
+    out = _jpeg_headers(plan, 0xC2, restart_interval, progressive_ac=True)
+    script = [(comps, 0, 0, 0, 1)]  # DC first, interleaved, Al=1
+    for c in comps:  # AC first scans: two spectral bands per component
+        script.append(([c], 1, 5, 0, 1))
+        script.append(([c], 6, 63, 0, 1))
+    script.append((comps, 0, 0, 1, 0))  # DC refinement
+    for c in comps:  # AC refinement scans
+        script.append(([c], 1, 5, 1, 0))
+        script.append(([c], 6, 63, 1, 0))
+    for scan_comps, ss, se, ah, al in script:
+        sos, body = _jpeg_prog_scan(plan, scan_comps, ss, se, ah, al, restart_interval)
+        out += sos + body
+    out += b"\xff\xd9"
+    return bytes(out), _jpeg_expected(plan)
+
+
+def _jpeg_expected(plan):
+    """Expected pixels per CCJpegRecon v1 (scalar ints) from the
+    quantized coefficients — entropy-coding-agnostic, so baseline and
+    progressive containers of the same plan share one golden."""
+    comps, coeffs, qtabs = plan["comps"], plan["coeffs"], plan["qtabs"]
+    mcux, mcuy = plan["mcux"], plan["mcuy"]
+    hmax, vmax = plan["hmax"], plan["vmax"]
+    ph, pw, grey = plan["ph"], plan["pw"], plan["grey"]
+
+    def _clip8(v):
+        return 0 if v < 0 else (255 if v > 255 else v)
+
     ict = [
         [
             round((1 << 14) * ((1 / (2 * math.sqrt(2))) if u == 0 else 0.5) * math.cos((2 * x + 1) * u * math.pi / 16))
@@ -732,7 +973,7 @@ def jpeg_bytes(px_rows, mode, restart_interval=0):
                     )
                 )
             expected.append(erow)
-    return bytes(out), expected
+    return expected
 
 
 def synth_dir(sf: float, root: str | Path = None) -> Path:
@@ -1194,8 +1435,16 @@ def generate(sf: float, root: str | Path = None, force: bool = False) -> Path:
                      sum(1 for a, b_ in zip(_w, _w[1:]) if (a < 0) != (b_ < 0)),
                      max(abs(v) for v in _w))
                 )
-        elif i % 24 in (2, 8, 17):  # image: baseline JPEG (444/420/grey × DRI)
-            mode = {2: "444", 8: "420", 17: "grey"}[i % 24]
+        elif i % 24 in (2, 8, 17, 5, 14):  # image: JPEG — baseline (444/420/grey
+            # × DRI) on slots 2/8/17, PROGRESSIVE (SOF2, spectral selection +
+            # successive approximation) on slots 5/14; same CCJpegRecon v1 golden
+            prog = i % 24 in (5, 14)
+            if i % 24 == 5:
+                mode = ("444", "grey")[(i // 24) % 2]
+            elif i % 24 == 14:
+                mode = "420"
+            else:
+                mode = {2: "444", 8: "420", 17: "grey"}[i % 24]
             rst = 2 if (i // 24) % 2 else 0
             pw = 9 + mrng.randrange(16)
             ph = 7 + mrng.randrange(14)  # non-multiples of 8/16 → pad+crop paths
@@ -1204,7 +1453,8 @@ def generate(sf: float, root: str | Path = None, force: bool = False) -> Path:
                 [tuple(mrng.randrange(256) for _ in range(nch)) for _ in range(pw)]
                 for _ in range(ph)
             ]
-            payload, expected = jpeg_bytes(px, mode, restart_interval=rst)
+            enc = jpeg_progressive_bytes if prog else jpeg_bytes
+            payload, expected = enc(px, mode, restart_interval=rst)
             # golden sums over the CCJpegRecon v1 expected pixels — the
             # spec-pinned decode-of-encode output, NOT the (lossy) input
             sr = sum(p[0] for row in expected for p in row)
@@ -1252,6 +1502,51 @@ def generate(sf: float, root: str | Path = None, force: bool = False) -> Path:
              -1, -1, -1, -1)
         )
         dhash_src.append((nurl, px_n))
+    # LOSSY cross-container twins: a smooth-gradient BMP and the SAME
+    # pixels re-encoded as JPEG (baseline AND progressive) — pins
+    # jobs/dedup_media.py's claim that CCDHash survives JPEG
+    # quantization noise. dhash keys on 9x8 resampled luma
+    # DIFFERENCES, which are large on a gradient (~ slope x cell
+    # width) while quantization error on smooth content stays a few
+    # units, so the planted pair must land inside the banding recall
+    # bound; the golden (computed from the CCJpegRecon v1 expected
+    # pixels) decides the exact hamming. Deterministic, no RNG.
+    if n_media >= 12:
+        for gi, (jenc, jtag) in enumerate(
+            ((jpeg_bytes, "jpeg"), (jpeg_progressive_bytes, "jpeg-prog"))
+        ):
+            gw, gh = 24 + 8 * gi, 18 + 6 * gi
+            gpx = [
+                [
+                    (
+                        min(255, 16 + (176 * x) // gw + (24 * y) // gh),
+                        min(255, 24 + (160 * x) // gw + (32 * y) // gh),
+                        min(255, 8 + (144 * x) // gw + (16 * y) // gh),
+                    )
+                    for x in range(gw)
+                ]
+                for y in range(gh)
+            ]
+            gurl = f"https://media.example/grad{gi}"
+            gpayload = _bmp_bytes(gpx)
+            gflat = [c for row in gpx for c in row]
+            media_rows.append((gurl, "image", gpayload, gw, gh, None))
+            media_stats_rows.append(
+                (gurl, "image", len(gpayload), 1, gw, gh, gw * gh,
+                 sum(c[0] for c in gflat), sum(c[1] for c in gflat),
+                 sum(c[2] for c in gflat), -1, -1, -1, -1)
+            )
+            dhash_src.append((gurl, gpx))
+            jpayload, jexp = jenc(gpx, "444")
+            jurl = f"{gurl}/{jtag}twin"
+            jflat = [c for row in jexp for c in row]
+            media_rows.append((jurl, "image", jpayload, gw, gh, None))
+            media_stats_rows.append(
+                (jurl, "image", len(jpayload), 1, gw, gh, gw * gh,
+                 sum(c[0] for c in jflat), sum(c[1] for c in jflat),
+                 sum(c[2] for c in jflat), -1, -1, -1, -1)
+            )
+            dhash_src.append((jurl, [list(row) for row in jexp]))
 
     frames["media"] = pd.DataFrame(
         media_rows, columns=["url", "kind", "payload", "width", "height", "duration_ms"]

@@ -722,42 +722,51 @@ def test_png_decode_rejects_unsupported_variants():
         multimodal.decode_png(bomb)
 
 
-def test_jpeg_decode_spec_exact_and_rejects_nonbaseline():
+def test_jpeg_decode_spec_exact_and_rejects_unsupported():
     """decode_jpeg must reproduce the CCJpegRecon v1 expected pixels
-    BIT-EXACTLY from the independent synth encoder's bytes, across
-    4:4:4 / 4:2:0 / greyscale × restart-interval variants, and must
-    reject non-baseline frames (progressive) rather than mis-decode."""
+    BIT-EXACTLY from the independent synth encoder's bytes — baseline
+    AND progressive containers, across 4:4:4 / 4:2:0 / greyscale ×
+    restart-interval variants — and must reject frame types it cannot
+    decode (arithmetic coding) rather than mis-decode."""
     import random as rnd
 
     import numpy as np
     import pytest as pt
 
-    from pignlproc_spark.synth import jpeg_bytes
+    from pignlproc_spark.synth import jpeg_bytes, jpeg_progressive_bytes
 
     rng = rnd.Random(11)
-    for mode in ("444", "420", "grey"):
-        for rst in (0, 3):
-            pw, ph = 9 + rng.randrange(16), 7 + rng.randrange(14)
-            nch = 1 if mode == "grey" else 3
-            px = [
-                [tuple(rng.randrange(256) for _ in range(nch)) for _ in range(pw)]
-                for _ in range(ph)
-            ]
-            payload, expected = jpeg_bytes(px, mode, restart_interval=rst)
-            w, h, got = multimodal.decode_jpeg(payload)
-            assert (w, h) == (pw, ph)
-            assert np.array_equal(got.astype(np.int64), np.array(expected, dtype=np.int64))
-            # lossy-but-faithful: decoded output approximates the INPUT
-            # (catches spec-consistent-but-wrong pairs, e.g. transposed)
-            if nch == 3:
-                err = np.abs(got.astype(np.int64) - np.array(px, dtype=np.int64))
-                assert err.mean() < 64  # random noise compresses badly but not absurdly
-    # progressive (SOF2) must raise, not mis-decode
+    for enc in (jpeg_bytes, jpeg_progressive_bytes):
+        for mode in ("444", "420", "grey"):
+            for rst in (0, 3):
+                pw, ph = 9 + rng.randrange(16), 7 + rng.randrange(14)
+                nch = 1 if mode == "grey" else 3
+                px = [
+                    [tuple(rng.randrange(256) for _ in range(nch)) for _ in range(pw)]
+                    for _ in range(ph)
+                ]
+                payload, expected = enc(px, mode, restart_interval=rst)
+                w, h, got = multimodal.decode_jpeg(payload)
+                assert (w, h) == (pw, ph)
+                assert np.array_equal(got.astype(np.int64), np.array(expected, dtype=np.int64))
+                # lossy-but-faithful: decoded output approximates the INPUT
+                # (catches spec-consistent-but-wrong pairs, e.g. transposed)
+                if nch == 3:
+                    err = np.abs(got.astype(np.int64) - np.array(px, dtype=np.int64))
+                    assert err.mean() < 64  # random noise compresses badly but not absurdly
+    # baseline and progressive containers of the SAME pixels share one
+    # expected-pixel golden (the CCJpegRecon v1 contract)
+    px = [[(10 * x % 256, 7 * y % 256, (x + y) % 256) for x in range(17)] for y in range(19)]
+    pb, eb = jpeg_bytes(px, "420")
+    pp, ep = jpeg_progressive_bytes(px, "420")
+    assert eb == ep
+    assert np.array_equal(multimodal.decode_jpeg(pb)[2], multimodal.decode_jpeg(pp)[2])
+    # arithmetic-coded (SOF9) must raise, not mis-decode
     payload, _ = jpeg_bytes([[(1, 2, 3)] * 8] * 8, "444")
     sof0_at = payload.index(b"\xff\xc0")
-    prog = payload[:sof0_at] + b"\xff\xc2" + payload[sof0_at + 2 :]
+    arith = payload[:sof0_at] + b"\xff\xc9" + payload[sof0_at + 2 :]
     with pt.raises(ValueError):
-        multimodal.decode_jpeg(prog)
+        multimodal.decode_jpeg(arith)
     # oversized dimensions bound the Python entropy-decode loop
     big = bytearray(payload)
     import struct as st
@@ -2697,6 +2706,16 @@ def test_dhash_synth_twins(spark, synth_dir):
         orig = t[: -len("/twin")]
         key = (orig, t) if orig < t else (t, orig)
         assert pairs.get(key) == 0, f"twin pair missing for {orig}"
+    # LOSSY cross-container twins: a smooth-gradient BMP and the SAME
+    # pixels JPEG-recompressed (baseline AND progressive) must land
+    # within the banding recall bound (max_hamming=3) — dedup_media's
+    # documented quantization-noise robustness, as a tested contract
+    lossy = [u for u in gold if "/jpeg" in u and u.endswith("twin")]
+    assert len(lossy) == 2
+    for t in lossy:
+        orig = t.rsplit("/", 1)[0]
+        key = (orig, t) if orig < t else (t, orig)
+        assert key in pairs and pairs[key] <= 3, f"lossy twin pair missing for {orig}"
 
 
 def test_ivfpq_full_probe_equals_pq_brute(spark, pq_vecs):
