@@ -619,6 +619,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n_centroids=8, nprobe=2, m=8, ks=4,
         )
 
+    def emb_ivfpq_residual_topk_q(spark, sf_dir):
+        # CLASSICAL IVFADC, hash-exact: PQ codebooks trained on the
+        # exact-integer residuals v_q - centroid_q[cluster]; the
+        # inner-product ranking decomposes as <q,c> (per-(query,cell)
+        # base term) + BIGINT sum of m residual-LUT entries. Measured
+        # recall gain over the raw-vector tier: BASELINE.md "ANN
+        # retrieval quality"
+        emb = _read(spark, sf_dir, "embeddings")
+        return similarity.ivfpq_residual_topk_q(
+            emb, emb.where(F.col("vec_id") < 10), k=5,
+            n_centroids=8, nprobe=2, m=8, ks=4,
+        )
+
     def docs_quality_classifier(spark, sf_dir):
         # CCLogReg v1: bit-deterministic distributed training of a
         # hashed bag-of-words quality classifier (hard-sigmoid GD,
@@ -1541,6 +1554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb_ivf_topk_q=emb_ivf_topk_q,
         emb_pq_adc_topk_q=emb_pq_adc_topk_q,
         emb_ivfpq_topk_q=emb_ivfpq_topk_q,
+        emb_ivfpq_residual_topk_q=emb_ivfpq_residual_topk_q,
         emb_semantic_keep=emb_semantic_keep,
         emb_semantic_keep_banded=emb_semantic_keep_banded,
         docs_quality_classifier=docs_quality_classifier,
@@ -4007,6 +4021,122 @@ def oracle_sql() -> dict[str, str]:
       JOIN pcodes co ON co.vec_id = a.vec_id
       JOIN lut l ON l.query_id = p.query_id AND l.sub = co.sub AND l.code = co.code
       WHERE p.query_id != a.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id::BIGINT AS query_id, neighbor_id::BIGINT AS neighbor_id,
+           adc_q, rank::INT AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_q DESC, neighbor_id ASC
+      ) AS rank FROM scored
+    ) WHERE rank <= 5
+    """
+    # emb_ivfpq_residual_topk_q: the CLASSICAL IVFADC replay — the IVF
+    # chain of emb_ivfpq_topk_q, then exact-integer residuals
+    # rv = v - icents[cluster], the PQ chain retrained ON the
+    # residuals, and the ranking key <q,c> + sum(residual-LUT): the
+    # base term is constant within a (query, cluster) group, folded
+    # with min() on both engines.
+    o["emb_ivfpq_residual_topk_q"] = """
+    WITH qv AS (
+      SELECT vec_id, list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS v
+      FROM embeddings
+    ), iseeds AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, v
+      FROM qv ORDER BY vec_id LIMIT 8
+    ), id0 AS MATERIALIZED (
+      SELECT q.vec_id, s.cidx,
+             list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * s.v[i]))::BIGINT AS dot
+      FROM qv q CROSS JOIN iseeds s
+    ), ia0 AS MATERIALIZED (
+      SELECT vec_id, cidx FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cidx ASC) AS rn
+        FROM id0
+      ) WHERE rn = 1
+    ), im1 AS MATERIALIZED (
+      SELECT a.cidx, u.s['dim'] AS dim,
+             floor(sum(u.s['val'])::DOUBLE / count(*))::BIGINT AS m
+      FROM ia0 a JOIN qv q ON q.vec_id = a.vec_id,
+           unnest(list_transform(range(1, len(q.v) + 1), i -> {'dim': i, 'val': q.v[i]})) AS u(s)
+      GROUP BY 1, 2
+    ), icents AS MATERIALIZED (
+      SELECT s.cidx, coalesce(c.v, s.v) AS v
+      FROM iseeds s LEFT JOIN (SELECT cidx, list(m ORDER BY dim) AS v FROM im1 GROUP BY cidx) c
+      USING (cidx)
+    ), id1 AS MATERIALIZED (
+      SELECT t.vec_id, c.cidx,
+             list_sum(list_transform(range(1, len(t.v) + 1), i -> t.v[i] * c.v[i]))::BIGINT AS dot
+      FROM qv t CROSS JOIN icents c
+    ), ia1 AS MATERIALIZED (
+      SELECT vec_id, cidx FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cidx ASC) AS rn
+        FROM id1
+      ) WHERE rn = 1
+    ), ipr AS MATERIALIZED (
+      SELECT vec_id AS query_id, cidx FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cidx ASC) AS rn
+        FROM id1 WHERE vec_id < 10
+      ) WHERE rn <= 2
+    ), res AS MATERIALIZED (
+      SELECT t.vec_id, a.cidx AS cluster,
+             list_transform(range(1, len(t.v) + 1), i -> t.v[i] - c.v[i]) AS rv
+      FROM qv t JOIN ia1 a USING (vec_id) JOIN icents c ON c.cidx = a.cidx
+    ), pseeds AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, rv AS v
+      FROM res ORDER BY vec_id LIMIT 4
+    ), psubs AS (SELECT unnest(range(0, 8))::INT AS sub
+    ), psc0 AS MATERIALIZED (
+      SELECT m.sub, s.cidx, list_transform(range(1, 9), i -> s.v[m.sub * 8 + i]) AS sv
+      FROM pseeds s CROSS JOIN psubs m
+    ), pd0 AS MATERIALIZED (
+      SELECT q.vec_id, c.sub, c.cidx,
+             list_sum(list_transform(range(1, 9), i ->
+               (q.rv[c.sub * 8 + i] - c.sv[i]) * (q.rv[c.sub * 8 + i] - c.sv[i])))::BIGINT AS dist
+      FROM res q CROSS JOIN psc0 c
+    ), pa0 AS MATERIALIZED (
+      SELECT vec_id, sub, cidx FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist ASC, cidx ASC) AS rn
+        FROM pd0
+      ) WHERE rn = 1
+    ), pm1 AS MATERIALIZED (
+      SELECT x.sub, x.cidx, u.s['dim'] AS dim,
+             floor(sum(u.s['val'])::DOUBLE / count(*))::BIGINT AS mval
+      FROM (
+        SELECT a.sub, a.cidx, list_transform(range(1, 9), i -> q.rv[a.sub * 8 + i]) AS sv8
+        FROM pa0 a JOIN res q ON q.vec_id = a.vec_id
+      ) x, unnest(list_transform(range(1, len(x.sv8) + 1), i -> {'dim': i, 'val': x.sv8[i]})) AS u(s)
+      GROUP BY 1, 2, 3
+    ), pcents AS MATERIALIZED (
+      SELECT s0.sub, s0.cidx, coalesce(c.sv, s0.sv) AS sv
+      FROM psc0 s0 LEFT JOIN (
+        SELECT sub, cidx, list(mval ORDER BY dim) AS sv FROM pm1 GROUP BY 1, 2
+      ) c USING (sub, cidx)
+    ), pd1 AS MATERIALIZED (
+      SELECT t.vec_id, c.sub, c.cidx,
+             list_sum(list_transform(range(1, 9), i ->
+               (t.rv[c.sub * 8 + i] - c.sv[i]) * (t.rv[c.sub * 8 + i] - c.sv[i])))::BIGINT AS dist
+      FROM res t CROSS JOIN pcents c
+    ), pcodes AS MATERIALIZED (
+      SELECT vec_id, sub, cidx AS code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist ASC, cidx ASC) AS rn
+        FROM pd1
+      ) WHERE rn = 1
+    ), lut AS MATERIALIZED (
+      SELECT q.vec_id AS query_id, c.sub, c.cidx AS code,
+             list_sum(list_transform(range(1, 9), i -> q.v[c.sub * 8 + i] * c.sv[i]))::BIGINT AS part
+      FROM qv q CROSS JOIN pcents c WHERE q.vec_id < 10
+    ), qbase AS MATERIALIZED (
+      SELECT p.query_id, p.cidx,
+             list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]))::BIGINT AS base
+      FROM ipr p JOIN qv q ON q.vec_id = p.query_id JOIN icents c ON c.cidx = p.cidx
+    ), scored AS (
+      SELECT p.query_id, r.vec_id AS neighbor_id,
+             (sum(l.part) + min(b.base))::BIGINT AS adc_q
+      FROM ipr p
+      JOIN res r ON r.cluster = p.cidx
+      JOIN pcodes co ON co.vec_id = r.vec_id
+      JOIN lut l ON l.query_id = p.query_id AND l.sub = co.sub AND l.code = co.code
+      JOIN qbase b ON b.query_id = p.query_id AND b.cidx = p.cidx
+      WHERE p.query_id != r.vec_id
       GROUP BY 1, 2
     )
     SELECT query_id::BIGINT AS query_id, neighbor_id::BIGINT AS neighbor_id,

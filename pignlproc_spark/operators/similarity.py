@@ -912,9 +912,12 @@ def pq_codebooks_q(
     vec_col: str = "embedding",
     scale: int = 1000,
     train_iters: int = 1,
+    pre_quantized: bool = False,
 ) -> list[list[list[int]]]:
     """INTEGER product-quantization codebooks (deterministic,
     oracle-replayable), one per subspace: ``[m][ks][dim/m]``.
+    ``pre_quantized=True`` skips the float→int quantization — the
+    residual IVFADC tier trains on already-integer residual vectors.
 
     Same replayable-training contract as :func:`ivf_centroids_q`:
     seeds = the ``ks`` lowest-id QUANTIZED vectors' subvectors, refined
@@ -935,9 +938,8 @@ def pq_codebooks_q(
     if dim % m != 0:
         raise ValueError(f"pq_codebooks_q: dim {dim} not divisible by m={m}")
     sub = dim // m
-    n = embeddings.select(
-        F.col(id_col).alias("id"), _quantize(F.col(vec_col), scale).alias("v")
-    )
+    vcol = F.col(vec_col) if pre_quantized else _quantize(F.col(vec_col), scale)
+    n = embeddings.select(F.col(id_col).alias("id"), vcol.alias("v"))
     seeds = [list(r.v) for r in n.orderBy("id").limit(ks).select("v").collect()]
     if not seeds:
         raise ValueError("pq_codebooks_q: empty embeddings table")
@@ -1147,6 +1149,140 @@ def ivfpq_topk_q(
         .where(F.col("query_id") != F.col("neighbor_id"))
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("part").alias("adc_q"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_q"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("bigint"),
+            F.col("neighbor_id").cast("bigint"),
+            F.col("adc_q").cast("bigint"),
+            F.col("rank").cast("int"),
+        )
+    )
+
+
+def _cents_lit_sql(centroids_q: list[list[int]]) -> str:
+    """SQL literal: array-of-arrays of the integer IVF codebook,
+    indexable by ``element_at(..., cluster + 1)``."""
+    return (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{x}L" for x in c) + ")" for c in centroids_q
+        )
+        + ")"
+    )
+
+
+def ivfpq_residual_topk_q(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    ks: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    centroids_q: list[list[int]] | None = None,
+    codebooks: list[list[list[int]]] | None = None,
+) -> DataFrame:
+    """(query_id, neighbor_id, adc_q, rank) — CLASSICAL IVFADC (Jégou
+    et al., TPAMI 2011) with the hash-exact oracle contract: unlike
+    :func:`ivfpq_topk_q` (which PQ-encodes the raw vectors so the two
+    codebooks replay independently), this tier encodes the RESIDUAL
+    ``r = v_q − centroid_q[cluster]`` — an exact integer vector, so
+    the whole chain (IVF training → residual → residual-PQ training →
+    encode → LUT) stays replayable in SQL. For the inner-product
+    ranking the centroid contribution separates exactly:
+    ``<q, v> ≈ <q, c> + <q, r̂>`` where ``<q, c>`` is an exact-integer
+    per-(query, probed cell) base term and ``<q, r̂>`` is the BIGINT
+    sum of ``m`` residual-LUT entries. Residuals have smaller spread
+    than raw vectors, so the same (m, ks) budget quantizes finer —
+    the measured recall gain over the raw-vector tier lives in
+    tests/test_training_ops.py::test_ann_recall_tiers and BASELINE.md.
+
+    Scale shape: identical to :func:`ivfpq_topk_q` — corpus carries
+    (cluster, m codes); ONE broadcast equi-join on (cluster, sub,
+    code) + partial aggregate; the base term rides the broadcast LUT
+    rows (constant within a (query, cluster) group, folded in with
+    ``min``). The centroid literal is driver-bounded by design."""
+    from pyspark.sql import Window
+
+    if centroids_q is None:
+        centroids_q = ivf_centroids_q(embeddings, n_centroids, id_col, vec_col, scale)
+    cents_lit = _cents_lit_sql(centroids_q)
+    t = (
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"), _quantize(F.col(vec_col), scale).alias("tv")
+        )
+        .withColumn("cluster", _ivf_assign_q("tv", centroids_q))
+        .withColumn(
+            "rv",
+            F.expr(f"zip_with(tv, element_at({cents_lit}, cluster + 1), (x, y) -> x - y)"),
+        )
+    )
+    if codebooks is None:
+        codebooks = pq_codebooks_q(
+            t.select("neighbor_id", "rv"),
+            m,
+            ks,
+            id_col="neighbor_id",
+            vec_col="rv",
+            scale=scale,
+            pre_quantized=True,
+        )
+    sub = len(codebooks[0][0])
+    codes = t.select(
+        "neighbor_id",
+        "cluster",
+        F.posexplode(
+            F.array(*[_pq_code_col("rv", j, sub, codebooks[j]) for j in range(m)])
+        ).alias("sub", "code"),
+    )
+
+    def part_dot_sql(j: int, c: list[int]) -> str:
+        lits = ", ".join(f"{x}L" for x in c)
+        return (
+            f"aggregate(zip_with(slice(qv, {j * sub + 1}, {sub}), array({lits}), "
+            f"(x, y) -> x * y), 0L, (a, p) -> a + p)"
+        )
+
+    lut_entries = ", ".join(
+        f"named_struct('sub', {j}, 'code', {ci}, 'part', {part_dot_sql(j, c)})"
+        for j in range(m)
+        for ci, c in enumerate(codebooks[j])
+    )
+    lut = (
+        queries.select(
+            F.col(id_col).alias("query_id"), _quantize(F.col(vec_col), scale).alias("qv")
+        )
+        .withColumn("probes", _ivf_probes_q("qv", centroids_q, nprobe))
+        .select("query_id", "qv", F.explode("probes").alias("cluster"))
+        .withColumn(
+            "base",
+            F.expr(
+                f"aggregate(zip_with(qv, element_at({cents_lit}, cluster + 1), "
+                "(x, y) -> x * y), 0L, (a, p) -> a + p)"
+            ),
+        )
+        .select(
+            "query_id", "cluster", "base",
+            F.explode(F.expr(f"array({lut_entries})")).alias("e"),
+        )
+        .select(
+            "query_id", "cluster", "base",
+            F.col("e.sub").alias("sub"), F.col("e.code").alias("code"),
+            F.col("e.part").alias("part"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["cluster", "sub", "code"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg((F.sum("part") + F.min("base")).alias("adc_q"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("adc_q"), F.asc("neighbor_id"))
     return (

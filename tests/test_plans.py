@@ -274,6 +274,17 @@ def test_srp_pairs_bucket_join_no_cartesian(spark):
     assert "CartesianProduct" not in pq and "NestedLoop" not in pq
     assert "BroadcastHashJoin" in pq
     assert "BatchEvalPython" not in pq and "ArrowEvalPython" not in pq
+    # residual IVFADC inherits the whole contract: the residual is a
+    # projection (zip_with against the centroid literal), scoring is
+    # still ONE broadcast (cluster, sub, code) equi-join
+    res = plan_of(
+        similarity.ivfpq_residual_topk_q(
+            emb, emb.where(F.col("vec_id") < 3), k=3, n_centroids=2, nprobe=1, m=2, ks=2
+        )
+    )
+    assert "CartesianProduct" not in res and "NestedLoop" not in res
+    assert "BroadcastHashJoin" in res
+    assert "BatchEvalPython" not in res and "ArrowEvalPython" not in res
 
 
 def test_rarity_score_one_scan_no_join(spark):

@@ -2749,3 +2749,134 @@ def test_ivfpq_full_probe_equals_pq_brute(spark, pq_vecs):
         for r in similarity.pq_adc_topk_q(df, q, k=40, m=4, ks=4).collect()
     }
     assert narrow and all(all_adc[k] == v for k, v in narrow.items())
+
+
+def test_ivfpq_residual_single_cell_decomposes_to_pq(spark, pq_vecs):
+    """With n_centroids = 1 every vector shares one cell, so residual
+    IVFADC must reduce EXACTLY to PQ-ADC over the centroid-shifted
+    vectors: identical ranking, and adc_q differing from the shifted
+    PQ's adc by precisely the per-query base term <q_q, centroid_q> —
+    the inner-product decomposition the operator is built on."""
+    rows, df = pq_vecs
+    q = df.where(F.col("vec_id") < 5)
+    cents = similarity.ivf_centroids_q(df, n_centroids=1)
+    assert len(cents) == 1
+    c = cents[0]
+    got = {
+        (r.query_id, r.neighbor_id): (r.adc_q, r.rank)
+        for r in similarity.ivfpq_residual_topk_q(
+            df, q, k=3, n_centroids=1, nprobe=1, m=4, ks=4
+        ).collect()
+    }
+    # shifted table: (v_q - c) / scale re-quantizes to the exact
+    # residual integers (values far below the double/float32 cliff)
+    shifted = spark.createDataFrame(
+        [
+            (i, [(round(v * 1000) - c[j]) / 1000.0 for j, v in enumerate(vec)])
+            for i, vec in rows
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    # queries stay UNshifted: the residual LUT scores <q, r̂>, and the
+    # centroid part arrives as the separate base term
+    ref = {
+        (r.query_id, r.neighbor_id): (r.adc_q, r.rank)
+        for r in similarity.pq_adc_topk_q(shifted, q, k=3, m=4, ks=4).collect()
+    }
+    # base term per query: <q_q, c>
+    qv = {
+        i: [round(v * 1000) for v in vec]
+        for i, vec in rows
+        if i < 5
+    }
+    base = {i: sum(a * b for a, b in zip(v, c)) for i, v in qv.items()}
+    assert set(got) == set(ref)
+    for key, (adc, rank) in got.items():
+        radc, rrank = ref[key]
+        assert rank == rrank, f"rank mismatch at {key}"
+        assert adc == radc + base[key[0]], f"adc decomposition broke at {key}"
+
+
+def test_ann_recall_tiers(spark):
+    """Retrieval-quality harness: recall@10 of every ANN tier against
+    the exact quantized-dot brute baseline, on a clustered fixture
+    (8 Gaussian clusters, dim 64 — the shape IVF assumes). Floors are
+    the measured values minus slack; the ordering assertions pin the
+    design claims: full-probe IVF+PQ == PQ (restriction vanishes) and
+    residual encoding beats raw-vector encoding at the same (m, ks)
+    bit budget. The measured table lives in BASELINE.md."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    centers = rng.standard_normal((8, 64)) * 2.0
+    vecs = []
+    for i in range(320):
+        vecs.append((i, (centers[i % 8] + rng.standard_normal(64) * 0.35).astype(float).round(3).tolist()))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>").cache()
+    queries = df.where(F.col("vec_id") < 16)
+    k = 10
+
+    def topsets(out):
+        got = {}
+        for r in out.collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return got
+
+    # each tier is scored against the brute baseline that uses ITS
+    # ranking metric: srp/ivf rank by integer cosine, the PQ family by
+    # integer dot — recall across metrics would be apples-to-oranges
+    brute_dot = topsets(similarity.dot_topk_quantized(df, queries, k=k))
+    brute_cos = topsets(similarity.cosine_topk_quantized(df, queries, k=k))
+
+    def recall(out, brute):
+        got = topsets(out)
+        return sum(
+            len(got.get(q, set()) & nbrs) / len(nbrs) for q, nbrs in brute.items()
+        ) / len(brute)
+
+    cents = similarity.ivf_centroids_q(df, n_centroids=8)
+    books = similarity.pq_codebooks_q(df, m=8, ks=16)
+    r_srp = recall(similarity.srp_topk_q(df, queries, k=k, dim=64), brute_cos)
+    r_ivf2 = recall(
+        similarity.ivf_topk_q(df, queries, k=k, n_centroids=8, nprobe=2, centroids_q=cents),
+        brute_cos,
+    )
+    r_ivf4 = recall(
+        similarity.ivf_topk_q(df, queries, k=k, n_centroids=8, nprobe=4, centroids_q=cents),
+        brute_cos,
+    )
+    r_pq = recall(
+        similarity.pq_adc_topk_q(df, queries, k=k, m=8, ks=16, codebooks=books), brute_dot
+    )
+    r_ivfpq = recall(
+        similarity.ivfpq_topk_q(
+            df, queries, k=k, n_centroids=8, nprobe=2, m=8, ks=16,
+            centroids_q=cents, codebooks=books,
+        ),
+        brute_dot,
+    )
+    r_res = recall(
+        similarity.ivfpq_residual_topk_q(
+            df, queries, k=k, n_centroids=8, nprobe=2, m=8, ks=16, centroids_q=cents
+        ),
+        brute_dot,
+    )
+    df.unpersist()
+    table = {
+        "srp_topk_q(32 planes)": r_srp,
+        "ivf_topk_q(nprobe=2/8)": r_ivf2,
+        "ivf_topk_q(nprobe=4/8)": r_ivf4,
+        "pq_adc_topk_q(m=8,ks=16)": r_pq,
+        "ivfpq_topk_q(nprobe=2,m=8,ks=16)": r_ivfpq,
+        "ivfpq_residual(nprobe=2,m=8,ks=16)": r_res,
+    }
+    print("ANN recall@10 vs brute:", {k_: round(v, 3) for k_, v in table.items()})
+    # design claims, measured: residual encoding beats raw-vector
+    # encoding at the same (m, ks) bit budget by a real margin —
+    # smaller residual spread quantizes finer (measured 0.556 vs 0.325)
+    assert r_res >= r_ivfpq + 0.1
+    assert r_ivf4 >= r_ivf2
+    # floors (measured value minus slack, deterministic fixture/seeds:
+    # srp 1.0, ivf2 1.0, pq 0.325, ivfpq 0.325, res 0.556)
+    assert r_srp >= 0.9 and r_ivf2 >= 0.9
+    assert r_pq >= 0.25 and r_ivfpq >= 0.25 and r_res >= 0.45
