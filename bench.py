@@ -52,6 +52,24 @@ def cpu_envelope(cpus: int) -> dict:
     }
 
 
+def cpu_envelope_single() -> dict:
+    """ONE-core md5-burn probe: safe to run BEFORE the timed stages — a
+    single busy core does not trip the all-core sustained-clock
+    throttle the full probe causes (measured ~1 min of degradation), so
+    this brackets the bench window from the leading side. Its
+    jobs_per_sec is directly comparable to the trailing full probe's
+    1-core figure: a large pre/post gap means the window CHANGED
+    mid-run, which is exactly the attribution a cold-side swing needs.
+    """
+    t0 = time.time()
+    _burn(10000)  # warm-up, untimed
+    jobs = 6
+    t0 = time.time()
+    for _ in range(jobs):
+        _burn(800000)
+    return {"jobs_per_sec": {1: round(jobs / (time.time() - t0), 2)}}
+
+
 def run(sf_dir: str, cpus: int, quiet: bool = True, pipeline_only: bool = False, repeat: int = 2) -> dict:
     from pyspark.sql import functions as F
 
@@ -61,6 +79,10 @@ def run(sf_dir: str, cpus: int, quiet: bool = True, pipeline_only: bool = False,
     from pignlproc_spark.session import get_session
 
     synth.generate(synth.sf_of_dir(sf_dir))  # corpus gen outside the timed region
+    # leading 1-core probe (non-throttling) — pairs with the trailing
+    # full probe so the JSON brackets the host window instead of only
+    # trailing it (VERDICT r4 minor #1 / ADVICE r4)
+    envelope_pre = None if pipeline_only else dict(cpu_envelope_single(), position="pre")
     spark = get_session(app_name=f"bench-{cpus}", cpus=cpus)
     timings: dict[str, float] = {}  # cold: first run (plan + codegen compile included)
     warm: dict[str, float] = {}  # min of the repeat runs (compile amortized)
@@ -273,14 +295,16 @@ def run(sf_dir: str, cpus: int, quiet: bool = True, pipeline_only: bool = False,
         out["tf_cosine_standalone"] = {"cold": runs[0], "warm": min(runs[1:])}
         spark2.stop()
         shutil.rmtree(pages_dir, ignore_errors=True)
-        # host-noise probe AFTER every timed stage: recorded in the JSON
-        # so a degraded window is visible next to the numbers it
-        # degraded. It must run LAST — the all-core md5 burn itself
+        # full host-noise probe AFTER every timed stage: recorded in the
+        # JSON so a degraded window is visible next to the numbers it
+        # degraded. The ALL-core probe must run LAST — the burn itself
         # throttles this box for the next ~minute (measured: with the
         # probe immediately before the JVM, kg_pipeline_triples cold
-        # read 37-45 s across two windows vs 10.3 s without it), so a
-        # leading probe poisons the first stages it is meant to explain.
-        out["envelope"] = cpu_envelope(cpus)
+        # read 37-45 s across two windows vs 10.3 s without it); the
+        # leading side is covered by the 1-core envelope_pre probe,
+        # which does not trip the throttle.
+        out["envelope"] = dict(cpu_envelope(cpus), position="post")
+        out["envelope_pre"] = envelope_pre
     return out
 
 
@@ -297,11 +321,14 @@ def main():
     pipeline_only = "--pipeline-only" in sys.argv
     out = run(sf_dir, cpus, pipeline_only=pipeline_only, repeat=repeat)
     print(json.dumps(out), flush=True)
-    if not pipeline_only:
-        # idle cooldown AFTER emitting the JSON: a back-to-back
-        # re-invocation (the driver runs bench.py up to 3x) must not
-        # start inside the trailing envelope probe's throttle window
-        time.sleep(75)
+    # idle cooldown AFTER emitting the JSON: a back-to-back
+    # re-invocation (the driver runs bench.py up to 3x) must not start
+    # inside the trailing envelope probe's throttle window. Opt out
+    # (ADVICE r4): SPARK_GRAFT_COOLDOWN=0 when no re-invocation follows
+    # and the caller owns inter-run spacing.
+    cooldown = int(os.environ.get("SPARK_GRAFT_COOLDOWN", "75"))
+    if not pipeline_only and cooldown > 0:
+        time.sleep(cooldown)
 
 
 if __name__ == "__main__":
