@@ -33,6 +33,13 @@ one clean text document per unique canonical URL out —
   8. language        — --lang literal, or --lang-id to run the
                        n-gram marker classifier (textstats.lang_id)
 
+With ``--media-out`` the SAME archive scan also feeds the media leg:
+image/audio/video responses → canonical-URL re-fetch dedup (the text
+path's keeper rule) → CCDHash perceptual dedup of the images (the
+jobs/dedup_media.py chain fused into ingest), written as a
+(url, kind, payload, warc_ts) table with per-stage lineage counts in
+the job manifest.
+
 Scale shape: steps 1-3 and 5-8 are projections and broadcast probes
 that fuse into the archive scan; step 4 is the only corpus-wide
 shuffle (exact re-fetch dedup cannot avoid moving each kept payload
@@ -108,6 +115,19 @@ def main(argv=None):
         "--no-funnel", action="store_true",
         help="skip the funnel-count aggregation (saves one archive scan)",
     )
+    ap.add_argument(
+        "--media-out",
+        help="also extract media responses (image/audio/video content "
+             "types) into a media table at this path: re-fetch dedup by "
+             "canonical URL (same CCUrl keeper rule as the text path), "
+             "then CCDHash perceptual dedup of the images (the "
+             "jobs/dedup_media.py chain, fused into ingest)",
+    )
+    ap.add_argument(
+        "--media-max-hamming", type=int, default=3,
+        help="perceptual dedup radius for --media-out (dhash banding "
+             "recall bound is 3)",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -127,6 +147,60 @@ def main(argv=None):
     # ("text/html; charset=utf-8") — prefix match, case-folded.
     ok_http = F.col("http_status") == 200
     ok_type = F.lower(F.coalesce(F.col("content_type"), F.lit(""))).startswith("text/html")
+
+    media_lineage = {}
+    if args.media_out:
+        # the media leg of the same crawl: image/audio/video responses
+        # → ONE capture per canonical URL (the text path's keeper rule)
+        # → CCDHash perceptual dedup of the images (decode paid once on
+        # the persisted hash table; banded pairs, never a cross join;
+        # audio/video and undecodable payloads pass through untouched)
+        from pyspark import StorageLevel
+
+        from pignlproc_spark.operators import multimodal
+        from pignlproc_spark.operators.dedup import connected_components
+
+        _ct = F.lower(F.coalesce(F.col("content_type"), F.lit("")))
+        _kind = (
+            F.when(_ct.startswith("image/"), F.lit("image"))
+            .when(_ct.startswith("audio/"), F.lit("audio"))
+            .when(_ct.startswith("video/"), F.lit("video"))
+        )
+        media = (
+            raw.where(ok_http & _kind.isNotNull())
+            .select(
+                canonical_url_col(F.col("url")).alias("url"),
+                F.struct("warc_ts", F.col("url").alias("raw_url"), _kind.alias("kind"), "payload").alias("_cap"),
+            )
+            .groupBy("url")
+            .agg(F.max("_cap").alias("_cap"))
+            .select(
+                "url",
+                F.col("_cap.kind").alias("kind"),
+                F.col("_cap.payload").alias("payload"),
+                F.col("_cap.warc_ts").alias("warc_ts"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)  # hash pass + write both read it
+        )
+        n_media_unique = media.count()
+        hashed = multimodal.image_dhash(media.select("url", "kind", "payload")).persist()
+        pairs = multimodal.dhash_near_duplicates(
+            None, max_hamming=args.media_max_hamming, hashed=hashed
+        ).localCheckpoint(eager=True)
+        n_media_pairs = pairs.count()
+        drop = connected_components(
+            pairs, src_col="url_a", dst_col="url_b", out_type=None
+        ).where(F.col("doc_id") != F.col("component_id")).select(F.col("doc_id").alias("url"))
+        n_media_dropped = drop.count()
+        media.join(drop, "url", "left_anti").write.mode("overwrite").parquet(args.media_out)
+        hashed.unpersist()
+        media.unpersist()
+        media_lineage = {
+            "media_unique_urls": n_media_unique,
+            "media_perceptual_pairs": n_media_pairs,
+            "media_perceptual_dropped": n_media_dropped,
+            "media_out": args.media_out,
+        }
 
     u = F.col("url")
     host = host_col(u)
@@ -323,6 +397,7 @@ def main(argv=None):
                 "noindexed": n_noindexed,
                 "mojibake_repaired": n_mojibake_total,
                 **funnel,
+                **media_lineage,
                 "wall_s": round(time.time() - t0, 1),
                 "out": args.out,
             }

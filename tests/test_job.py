@@ -774,3 +774,73 @@ def test_dedup_media_job_end_to_end(spark, synth_dir, tmp_path, capsys):
     # pair table written and consistent with the dhash operator
     pairs = spark.read.parquet(pairs_out)
     assert pairs.count() == report["n_pairs"] > 0
+
+
+def test_ingest_crawl_job_media_leg(spark, tmp_path, capsys):
+    """--media-out: the same mixed crawl's image/audio/video responses
+    come out as a media table — canonical-URL re-fetch dedup sharing
+    the text path's keeper rule, then CCDHash perceptual dedup of the
+    images — with per-stage lineage counts in the job manifest, while
+    the documents leg is unaffected."""
+    import gzip
+    import json as _json
+
+    import numpy as np
+
+    from jobs.ingest_crawl import main as crawl_main
+    from pignlproc_spark.operators import multimodal
+    from tests.test_sources import _warc_record
+
+    def resp(url, date, body, ctype):
+        head = b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype + b"\r\n\r\n"
+        return gzip.compress(_warc_record("response", url, date, head + body), mtime=0)
+
+    # alternating-stripe patterns with distinct dhashes (monotone
+    # gradients all hash to 0x0 and would merge into one component):
+    # hamming(a, c) = 16 and hamming(a, 255-c) = 8, both > max radius
+    px_a = np.tile(((np.arange(8) % 2) * 200).astype(np.uint8)[None, :, None], (6, 1, 3))
+    px_c = np.tile(((np.arange(8) // 2 % 2) * 180 + 20).astype(np.uint8)[None, :, None], (6, 1, 3))
+    bmp_a = multimodal.encode_bmp(px_a)
+    bmp_c1 = multimodal.encode_bmp(px_c)
+    bmp_c2 = multimodal.encode_bmp(255 - px_c)
+    members = [
+        resp("https://t.example/page", "2024-01-01T00:00:00Z",
+             b"<p>some text</p>", b"text/html; charset=utf-8"),
+        # identical pixels under two DIFFERENT urls: a perceptual pair,
+        # one survivor (the min url, the connected-components keeper)
+        resp("https://m.example/a", "2024-01-01T00:00:00Z", bmp_a, b"image/bmp"),
+        resp("https://m.example/b", "2024-01-01T00:00:00Z", bmp_a, b"image/bmp"),
+        # same CANONICAL url fetched twice: re-fetch dedup, later wins
+        resp("https://m.example/c", "2024-01-01T00:00:00Z", bmp_c1, b"image/bmp"),
+        resp("https://m.example/c", "2024-06-01T00:00:00Z", bmp_c2, b"image/bmp"),
+        # audio + video: pass through perceptual dedup untouched
+        resp("https://m.example/w", "2024-01-01T00:00:00Z", b"RIFFjunkWAVEnoise", b"audio/wav"),
+        resp("https://m.example/v", "2024-01-01T00:00:00Z", b"\x00mp4opaque", b"video/mp4"),
+    ]
+    arc = tmp_path / "crawl"
+    arc.mkdir()
+    (arc / "seg.warc.gz").write_bytes(b"".join(members))
+    out = str(tmp_path / "docs")
+    media_out = str(tmp_path / "media")
+    rc = crawl_main([
+        "--warc", str(arc / "*.warc.gz"), "--out", out, "--media-out", media_out,
+    ])
+    assert rc == 0
+    docs = spark.read.parquet(out).collect()
+    assert [r.url for r in docs] == ["https://t.example/page"]
+    media = {r.url: r for r in spark.read.parquet(media_out).collect()}
+    assert set(media) == {
+        "https://m.example/a",  # perceptual survivor of the a/b pair
+        "https://m.example/c",
+        "https://m.example/w",
+        "https://m.example/v",
+    }
+    # re-fetch dedup kept the LATER capture of /c
+    assert bytes(media["https://m.example/c"].payload) == bmp_c2
+    assert media["https://m.example/w"].kind == "audio"
+    assert media["https://m.example/v"].kind == "video"
+    manifest = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert manifest["media_unique_urls"] == 5
+    assert manifest["media_perceptual_pairs"] == 1
+    assert manifest["media_perceptual_dropped"] == 1
+    assert manifest["documents"] == 1
