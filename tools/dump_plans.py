@@ -336,6 +336,20 @@ def main():
             n_centroids=4, nprobe=2, m=4, ks=4,
         ),
     )
+    add(
+        "Residual IVFADC (classical Jégou 2011, same join shape)",
+        "emb_ivfpq_residual_topk_q: identical scale shape to the "
+        "raw-vector tier — the residual is a zip_with PROJECTION "
+        "against the centroid literal (no extra shuffle), codes ride "
+        "the same (cluster, sub, code) broadcast equi-join, and the "
+        "per-(query, cell) base term <q,c> rides the LUT rows (folded "
+        "with min in the same partial aggregate). Buys +0.23 recall@10 "
+        "at the same code budget (BASELINE.md).",
+        similarity.ivfpq_residual_topk_q(
+            emb, emb.where(F.col("vec_id") < 5), k=3,
+            n_centroids=4, nprobe=2, m=4, ks=4,
+        ),
+    )
     from pignlproc_spark.operators import multimodal
 
     media = spark.read.parquet(str(p / "media.parquet"))
