@@ -563,13 +563,26 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
     sequential (SOF0) AND progressive (SOF2, spectral selection +
     successive approximation, Annex G) — + the frozen integer IDCT /
     upsample / color convert above. Arithmetic-coded, 12-bit,
-    hierarchical and lossless frames raise ValueError.
+    hierarchical and lossless frames raise ValueError — and so does
+    EVERY malformed stream: short segment bodies, inconsistent scan
+    geometry and zero sampling factors surface as Python
+    IndexError/ZeroDivisionError deep in the scan decoder, which this
+    wrapper maps to ValueError so the degrade-to-NULL contract at the
+    media_stats layer holds for arbitrary crawl bytes (fuzz-pinned by
+    ``test_jpeg_decode_corrupt_streams_degrade``).
 
     Scale note: entropy decode is per-coefficient Python, so the pixel
     cap is tighter than PNG's (2^20); a production cluster swaps in
     libjpeg-turbo behind the same ``decode_payload`` dispatch, and the
     stats contract (CCJpegRecon v1) stays the truth the golden checks.
     """
+    try:
+        return _decode_jpeg(payload)
+    except (IndexError, ZeroDivisionError) as e:
+        raise ValueError(f"corrupt JPEG stream ({type(e).__name__})") from e
+
+
+def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     zz = _jpeg_zigzag()
@@ -624,6 +637,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
             comps = []
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                if (hv >> 4) == 0 or (hv & 0xF) == 0:
+                    raise ValueError("zero JPEG sampling factor")
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
             frame = (h, w, comps)
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):

@@ -2880,3 +2880,33 @@ def test_ann_recall_tiers(spark):
     # srp 1.0, ivf2 1.0, pq 0.325, ivfpq 0.325, res 0.556)
     assert r_srp >= 0.9 and r_ivf2 >= 0.9
     assert r_pq >= 0.25 and r_ivfpq >= 0.25 and r_res >= 0.45
+
+
+def test_jpeg_decode_corrupt_streams_degrade():
+    """Degrade-don't-kill for arbitrary crawl bytes: ANY corruption of
+    a progressive or baseline stream (truncation, bit flips, byte
+    garbage — which surface as IndexError/ZeroDivisionError deep in
+    the multi-scan decoder) must raise ValueError, never escape as a
+    different exception class past media_stats' catch list."""
+    import random as rnd
+
+    from pignlproc_spark.synth import jpeg_bytes, jpeg_progressive_bytes
+
+    px = [[(x * 11 % 256, y * 7 % 256, (x + y) % 256) for x in range(12)] for y in range(10)]
+    rng = rnd.Random(3)
+    for enc in (jpeg_progressive_bytes, jpeg_bytes):
+        payload, _ = enc(px, "420", restart_interval=2)
+        for trial in range(1500):
+            b = bytearray(payload)
+            mode = trial % 3
+            if mode == 0:  # truncate
+                b = b[: rng.randrange(4, len(b))]
+            elif mode == 1:  # single bit flip
+                b[rng.randrange(2, len(b))] ^= 1 << rng.randrange(8)
+            else:  # several random bytes
+                for _ in range(5):
+                    b[rng.randrange(2, len(b))] = rng.randrange(256)
+            try:
+                multimodal.decode_jpeg(bytes(b))
+            except ValueError:
+                pass  # the contract: corrupt -> ValueError only
