@@ -553,8 +553,12 @@ def _jpeg_plan(px_rows, mode):
             yp.append(ry)
             cbp.append(rcb)
             crp.append(rcr)
-        if mode == "420":
-            ch, cw = (ph + 1) // 2, (pw + 1) // 2
+        if mode in ("420", "422"):
+            # chroma mean-downsample by (fdx, fdy): 2x2 for 4:2:0,
+            # horizontal-only 2x1 for 4:2:2; +half rounding
+            fdx, fdy = 2, (2 if mode == "420" else 1)
+            ch, cw = (ph + fdy - 1) // fdy, (pw + fdx - 1) // fdx
+            nvals = fdx * fdy
 
             def _down(p):
                 out = []
@@ -562,11 +566,11 @@ def _jpeg_plan(px_rows, mode):
                     orow = []
                     for cx in range(cw):
                         vals = [
-                            p[min(2 * cy + dy, ph - 1)][min(2 * cx + dx, pw - 1)]
-                            for dy in (0, 1)
-                            for dx in (0, 1)
+                            p[min(fdy * cy + dy, ph - 1)][min(fdx * cx + dx, pw - 1)]
+                            for dy in range(fdy)
+                            for dx in range(fdx)
                         ]
-                        orow.append((sum(vals) + 2) // 4)
+                        orow.append((sum(vals) + nvals // 2) // nvals)
                     out.append(orow)
                 return out
 
@@ -580,6 +584,9 @@ def _jpeg_plan(px_rows, mode):
     elif mode == "420":
         comps = [("Y", 1, 2, 2, 0), ("Cb", 2, 1, 1, 1), ("Cr", 3, 1, 1, 1)]
         hmax = vmax = 2
+    elif mode == "422":
+        comps = [("Y", 1, 2, 1, 0), ("Cb", 2, 1, 1, 1), ("Cr", 3, 1, 1, 1)]
+        hmax, vmax = 2, 1
     else:
         comps = [("Y", 1, 1, 1, 0), ("Cb", 2, 1, 1, 1), ("Cr", 3, 1, 1, 1)]
         hmax = vmax = 1

@@ -737,7 +737,7 @@ def test_jpeg_decode_spec_exact_and_rejects_unsupported():
 
     rng = rnd.Random(11)
     for enc in (jpeg_bytes, jpeg_progressive_bytes):
-        for mode in ("444", "420", "grey"):
+        for mode in ("444", "422", "420", "grey"):
             for rst in (0, 3):
                 pw, ph = 9 + rng.randrange(16), 7 + rng.randrange(14)
                 nch = 1 if mode == "grey" else 3
