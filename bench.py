@@ -61,7 +61,6 @@ def cpu_envelope_single() -> dict:
     1-core figure: a large pre/post gap means the window CHANGED
     mid-run, which is exactly the attribution a cold-side swing needs.
     """
-    t0 = time.time()
     _burn(10000)  # warm-up, untimed
     jobs = 6
     t0 = time.time()

@@ -50,9 +50,8 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
-    from pyspark.sql import functions as F
 
-    from pignlproc_spark.operators import dedup, multimodal
+    from pignlproc_spark.operators import multimodal
     from pignlproc_spark.session import get_session
 
     spark = SparkSession.getActiveSession() or get_session(app_name="dedup-media")
@@ -61,42 +60,22 @@ def main(argv=None):
     media = spark.read.parquet(args.media)
     n_in = media.count()
 
-    hashed = multimodal.image_dhash(media.select("url", "kind", "payload")).persist()
-    n_hashed = hashed.count()
-
-    pairs = multimodal.dhash_near_duplicates(
-        None, max_hamming=args.max_hamming, hashed=hashed
-    ).localCheckpoint(eager=True)
-    n_pairs = pairs.count()
+    survivors, pairs, lineage = multimodal.perceptual_dedup(
+        media, max_hamming=args.max_hamming
+    )
     if args.pairs_out:
         pairs.write.mode("overwrite").parquet(args.pairs_out)
-
-    # transitive clusters over the pair graph; survivors = the min-url
-    # member of each cluster plus every row that never paired at all
-    cc = dedup.connected_components(
-        pairs, src_col="url_a", dst_col="url_b", out_type=None
-    )
-    drop = cc.where(F.col("doc_id") != F.col("component_id")).select(
-        F.col("doc_id").alias("url")
-    )
-    n_drop = drop.count()
-    # left-anti on url; AQE picks broadcast when the drop set is small
-    # (forcing broadcast would be wrong at crawl scale if the dup rate
-    # is high)
-    survivors = media.join(drop, "url", "left_anti")
     survivors.write.mode("overwrite").parquet(args.out)
-    # count from the write-side arithmetic, not a re-scan of the output
-    n_out = n_in - n_drop
-    hashed.unpersist()
+    # truthful output count: parquet footer metadata, not n_in - drops
+    # (which is wrong whenever the input carries duplicate urls)
+    n_out = spark.read.parquet(args.out).count()
 
     print(
         json.dumps(
             {
                 "job": "dedup_media",
                 "n_in": n_in,
-                "n_images_hashed": n_hashed,
-                "n_pairs": n_pairs,
-                "n_dropped": n_drop,
+                **lineage,
                 "n_out": n_out,
                 "max_hamming": args.max_hamming,
                 "sec": round(time.time() - t0, 1),

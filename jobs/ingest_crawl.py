@@ -148,17 +148,41 @@ def main(argv=None):
     ok_http = F.col("http_status") == 200
     ok_type = F.lower(F.coalesce(F.col("content_type"), F.lit(""))).startswith("text/html")
 
+    u = F.col("url")
+    host = host_col(u)
+    prefix_hit = F.lit(False)
+    for p in args.block_prefix:
+        prefix_hit = prefix_hit | u.startswith(p)
+
+    # blocklist + robots tables are built once and gate BOTH legs —
+    # banned hosts / disallowed paths must not leak into the media
+    # table any more than into the documents table
+    bl = None
+    if args.block_hosts:
+        bl = (
+            spark.read.text(args.block_hosts)
+            .select(F.lower(F.trim("value")).alias("_bl_host"))
+            .where(F.col("_bl_host") != "")
+            .distinct()
+        )
+    rules = None
+    if args.robots:
+        from pignlproc_spark.functions.urls import parse_robots
+
+        rules = parse_robots(spark.read.parquet(args.robots))
+
     media_lineage = {}
     if args.media_out:
         # the media leg of the same crawl: image/audio/video responses
-        # → ONE capture per canonical URL (the text path's keeper rule)
-        # → CCDHash perceptual dedup of the images (decode paid once on
-        # the persisted hash table; banded pairs, never a cross join;
-        # audio/video and undecodable payloads pass through untouched)
+        # → the SAME host/prefix/robots gates as the text path → ONE
+        # capture per canonical URL (the text path's keeper rule) →
+        # CCDHash perceptual dedup of the images via
+        # multimodal.perceptual_dedup (the jobs/dedup_media.py chain,
+        # ONE shared implementation; audio/video and undecodable
+        # payloads pass through untouched)
         from pyspark import StorageLevel
 
         from pignlproc_spark.operators import multimodal
-        from pignlproc_spark.operators.dedup import connected_components
 
         _ct = F.lower(F.coalesce(F.col("content_type"), F.lit("")))
         _kind = (
@@ -166,9 +190,20 @@ def main(argv=None):
             .when(_ct.startswith("audio/"), F.lit("audio"))
             .when(_ct.startswith("video/"), F.lit("video"))
         )
+        med = raw.where(ok_http & _kind.isNotNull() & ~prefix_hit).withColumn("_host", host)
+        if bl is not None:
+            med = (
+                med.join(F.broadcast(bl), med["_host"] == F.col("_bl_host"), "left")
+                .where(F.col("_bl_host").isNull())
+                .drop("_bl_host")
+            )
+        if rules is not None:
+            from pignlproc_spark.functions.urls import robots_filter
+
+            m_allowed = robots_filter(med.select("url"), rules).where(F.col("allow") == 1)
+            med = med.join(m_allowed.select("url"), "url", "left_semi")
         media = (
-            raw.where(ok_http & _kind.isNotNull())
-            .select(
+            med.select(
                 canonical_url_col(F.col("url")).alias("url"),
                 F.struct("warc_ts", F.col("url").alias("raw_url"), _kind.alias("kind"), "payload").alias("_cap"),
             )
@@ -183,30 +218,17 @@ def main(argv=None):
             .persist(StorageLevel.MEMORY_AND_DISK)  # hash pass + write both read it
         )
         n_media_unique = media.count()
-        hashed = multimodal.image_dhash(media.select("url", "kind", "payload")).persist()
-        pairs = multimodal.dhash_near_duplicates(
-            None, max_hamming=args.media_max_hamming, hashed=hashed
-        ).localCheckpoint(eager=True)
-        n_media_pairs = pairs.count()
-        drop = connected_components(
-            pairs, src_col="url_a", dst_col="url_b", out_type=None
-        ).where(F.col("doc_id") != F.col("component_id")).select(F.col("doc_id").alias("url"))
-        n_media_dropped = drop.count()
-        media.join(drop, "url", "left_anti").write.mode("overwrite").parquet(args.media_out)
-        hashed.unpersist()
+        survivors, _pairs, ml = multimodal.perceptual_dedup(
+            media, max_hamming=args.media_max_hamming
+        )
+        survivors.write.mode("overwrite").parquet(args.media_out)
         media.unpersist()
         media_lineage = {
             "media_unique_urls": n_media_unique,
-            "media_perceptual_pairs": n_media_pairs,
-            "media_perceptual_dropped": n_media_dropped,
+            "media_perceptual_pairs": ml["n_pairs"],
+            "media_perceptual_dropped": ml["n_dropped"],
             "media_out": args.media_out,
         }
-
-    u = F.col("url")
-    host = host_col(u)
-    prefix_hit = F.lit(False)
-    for p in args.block_prefix:
-        prefix_hit = prefix_hit | u.startswith(p)
 
     flagged = raw.select(
         "url",
@@ -217,13 +239,7 @@ def main(argv=None):
         host.alias("host"),
         prefix_hit.cast("int").alias("prefix_blocked"),
     )
-    if args.block_hosts:
-        bl = (
-            spark.read.text(args.block_hosts)
-            .select(F.lower(F.trim("value")).alias("_bl_host"))
-            .where(F.col("_bl_host") != "")
-            .distinct()
-        )
+    if bl is not None:
         flagged = flagged.join(
             F.broadcast(bl), flagged["host"] == F.col("_bl_host"), "left"
         ).withColumn("host_blocked", F.col("_bl_host").isNotNull().cast("int")).drop("_bl_host")
@@ -237,10 +253,9 @@ def main(argv=None):
         & (F.col("prefix_blocked") == 0)
     )
 
-    if args.robots:
-        from pignlproc_spark.functions.urls import parse_robots, robots_filter
+    if rules is not None:
+        from pignlproc_spark.functions.urls import robots_filter
 
-        rules = parse_robots(spark.read.parquet(args.robots))
         allowed = robots_filter(kept.select("url"), rules).where(F.col("allow") == 1)
         kept = kept.join(allowed.select("url"), "url", "left_semi")
 

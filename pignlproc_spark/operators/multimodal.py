@@ -578,7 +578,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
     """
     try:
         return _decode_jpeg(payload)
-    except (IndexError, ZeroDivisionError) as e:
+    except (IndexError, ZeroDivisionError, struct.error) as e:
+        # struct.error: a truncated fixed-layout segment body (DRI/SOF
+        # with seglen shorter than its unpack) — same corrupt-stream
+        # class as the index errors
         raise ValueError(f"corrupt JPEG stream ({type(e).__name__})") from e
 
 
@@ -599,6 +602,9 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
         marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte before a marker code (B.1.1.2)
+            pos += 1
+            continue
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # SOI/RSTn: bare
             pos += 2
             continue
@@ -673,6 +679,10 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                 if cs not in by_cid:
                     raise ValueError("JPEG scan references unknown component")
                 scan.append((by_cid[cs], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0xF))
+            # a component may appear at most once per scan (B.2.3) — a
+            # duplicate would silently mis-decode, not fail
+            if len({ci for ci, _, _ in scan}) != len(scan):
+                raise ValueError("duplicate component in JPEG scan")
             band = (body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0xF)
             if not progressive:
                 band = (0, 63, 0, 0)
@@ -683,9 +693,13 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                 rd, scan, comps, huff, stores, zz, geom, restart_interval, progressive, band
             )
             got_scan = True
-            # resync the marker loop at the next real marker
+            # resync the marker loop at the next real marker; 0xFF runs
+            # before a marker code are legal fill bytes (B.1.1.2), so
+            # FF FF is padding, not a marker at the first FF
             p = rd.pos
-            while p + 1 < len(payload) and not (payload[p] == 0xFF and payload[p + 1] != 0x00):
+            while p + 1 < len(payload) and not (
+                payload[p] == 0xFF and payload[p + 1] not in (0x00, 0xFF)
+            ):
                 p += 1
             pos = p
             continue
@@ -1032,6 +1046,45 @@ def dhash_near_duplicates(
         out = out.localCheckpoint(eager=True)
         hashed.unpersist()
     return out
+
+
+def perceptual_dedup(
+    media: DataFrame, max_hamming: int = 3
+) -> tuple[DataFrame, DataFrame, dict]:
+    """The CCDHash perceptual-dedup chain shared by
+    ``jobs/dedup_media.py`` and the ``--media-out`` leg of
+    ``jobs/ingest_crawl.py`` (one implementation, so the two callers
+    cannot drift): hash every decodable image ONCE (persisted), banded
+    near-dup pairs, transitive clustering, min-url survivor per
+    cluster. Returns ``(survivors, pairs, lineage)`` with lineage =
+    ``{n_images_hashed, n_pairs, n_dropped}``. ``media`` must carry
+    (url, kind, payload) with unique urls and is scanned twice (the
+    hash pass and the final anti-join) — persist it at the call site
+    when it is expensive to recompute."""
+    from pignlproc_spark.operators.dedup import connected_components
+
+    hashed = image_dhash(media.select("url", "kind", "payload")).persist()
+    n_hashed = hashed.count()
+    pairs = dhash_near_duplicates(
+        None, max_hamming=max_hamming, hashed=hashed
+    ).localCheckpoint(eager=True)
+    n_pairs = pairs.count()
+    drop = (
+        connected_components(pairs, src_col="url_a", dst_col="url_b", out_type=None)
+        .where(F.col("doc_id") != F.col("component_id"))
+        .select(F.col("doc_id").alias("url"))
+    )
+    n_drop = drop.count()
+    # left-anti on url; AQE picks broadcast when the drop set is small
+    # (forcing broadcast would be wrong at crawl scale if the dup rate
+    # is high)
+    survivors = media.join(drop, "url", "left_anti")
+    hashed.unpersist()
+    return survivors, pairs, {
+        "n_images_hashed": n_hashed,
+        "n_pairs": n_pairs,
+        "n_dropped": n_drop,
+    }
 
 
 def fake_decode(payload: bytes, kind: str) -> tuple[list[float], int]:

@@ -816,14 +816,19 @@ def test_ingest_crawl_job_media_leg(spark, tmp_path, capsys):
         # audio + video: pass through perceptual dedup untouched
         resp("https://m.example/w", "2024-01-01T00:00:00Z", b"RIFFjunkWAVEnoise", b"audio/wav"),
         resp("https://m.example/v", "2024-01-01T00:00:00Z", b"\x00mp4opaque", b"video/mp4"),
+        # blocklisted host: its media must not leak into the media leg
+        resp("https://spam.example/x", "2024-01-01T00:00:00Z", bmp_a, b"image/bmp"),
     ]
     arc = tmp_path / "crawl"
     arc.mkdir()
     (arc / "seg.warc.gz").write_bytes(b"".join(members))
+    hosts = tmp_path / "hosts.txt"
+    hosts.write_text("spam.example\n")
     out = str(tmp_path / "docs")
     media_out = str(tmp_path / "media")
     rc = crawl_main([
         "--warc", str(arc / "*.warc.gz"), "--out", out, "--media-out", media_out,
+        "--block-hosts", str(hosts),
     ])
     assert rc == 0
     docs = spark.read.parquet(out).collect()

@@ -2910,3 +2910,32 @@ def test_jpeg_decode_corrupt_streams_degrade():
                 multimodal.decode_jpeg(bytes(b))
             except ValueError:
                 pass  # the contract: corrupt -> ValueError only
+
+
+def test_jpeg_decode_duplicate_scan_component_and_fill_bytes():
+    """Two spec-edge regressions: an SOS listing the same component
+    twice must raise (B.2.3 — the old silent mis-decode returned wrong
+    pixels with decoded=1), and legal 0xFF fill bytes before marker
+    codes (B.1.1.2) must not desync the multi-scan marker loop."""
+    import numpy as np
+    import pytest as pt
+
+    from pignlproc_spark.synth import jpeg_bytes, jpeg_progressive_bytes
+
+    px = [[(x * 9 % 256, y * 5 % 256, (2 * x + y) % 256) for x in range(10)] for y in range(9)]
+    payload, expected = jpeg_bytes(px, "444")
+    sos_at = payload.index(b"\xff\xda")
+    # SOS layout: FF DA len_hi len_lo ns (cid tdta)*ns Ss Se AhAl —
+    # overwrite cid2/cid3 with cid1 (duplicate component refs)
+    b = bytearray(payload)
+    cid1 = b[sos_at + 5]
+    b[sos_at + 7] = cid1
+    b[sos_at + 9] = cid1
+    with pt.raises(ValueError):
+        multimodal.decode_jpeg(bytes(b))
+    # fill bytes: pad before SOS/EOI markers of a progressive stream
+    pp, pexp = jpeg_progressive_bytes(px, "420")
+    filled = pp.replace(b"\xff\xda", b"\xff\xff\xff\xda").replace(b"\xff\xd9", b"\xff\xff\xff\xff\xd9")
+    w, h, got = multimodal.decode_jpeg(filled)
+    assert (w, h) == (10, 9)
+    assert np.array_equal(got.astype(np.int64), np.array(pexp, dtype=np.int64))
