@@ -333,11 +333,12 @@ class _JpegBitReader:
         return (self.bitbuf >> self.bitcnt) & ((1 << n) - 1)
 
     def align_and_expect_rst(self, idx: int):
-        """Byte-align and consume the next RSTn marker (n = idx mod 8)."""
+        """Byte-align and consume the next RSTn marker (n = idx mod 8);
+        0xFF runs before the marker code are legal fill (B.1.1.2)."""
         self.bitcnt = 0
         d = self.data
         p = self.pos
-        while p + 1 < len(d) and not (d[p] == 0xFF and d[p + 1] != 0x00):
+        while p + 1 < len(d) and not (d[p] == 0xFF and d[p + 1] not in (0x00, 0xFF)):
             p += 1
         if p + 1 >= len(d) or d[p + 1] != 0xD0 + (idx % 8):
             raise ValueError("missing JPEG restart marker")

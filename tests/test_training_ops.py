@@ -2939,3 +2939,15 @@ def test_jpeg_decode_duplicate_scan_component_and_fill_bytes():
     w, h, got = multimodal.decode_jpeg(filled)
     assert (w, h) == (10, 9)
     assert np.array_equal(got.astype(np.int64), np.array(pexp, dtype=np.int64))
+    # fill bytes before RESTART markers inside the entropy stream
+    # (multi-MCU image so RSTn actually occur; RSTs cannot appear
+    # byte-stuffed, so the regex rewrite touches only real markers)
+    import re as _re
+
+    big = [[(x * 9 % 256, y * 5 % 256, (2 * x + y) % 256) for x in range(40)] for y in range(35)]
+    for enc in (jpeg_bytes, jpeg_progressive_bytes):
+        p2, exp2 = enc(big, "420", restart_interval=2)
+        f2 = _re.sub(rb"\xff([\xd0-\xd7])", lambda m: b"\xff\xff" + m.group(1), p2)
+        assert f2 != p2
+        _, _, got2 = multimodal.decode_jpeg(f2)
+        assert np.array_equal(got2.astype(np.int64), np.array(exp2, dtype=np.int64))
