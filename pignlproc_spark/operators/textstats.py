@@ -174,9 +174,11 @@ def repetition_signals(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     shuffles; the per-doc aggregates then co-join on doc_id. Docs
     with < n tokens survive with zero counts via the left joins.
     """
-    toks = df.select(F.col(id_col).cast("bigint").alias("doc_id"), tokens_col(F.col(text_col), apply_stoplist=False).alias("_toks"))
+    from pignlproc_spark.operators.dedup import tokens_once, window_expr
 
-    from pignlproc_spark.operators.dedup import window_expr
+    # tokens_once: generator boundary so the window_expr lambdas slice
+    # a materialized array instead of re-tokenizing per gram
+    toks = df.select(F.col(id_col).cast("bigint").alias("doc_id"), tokens_once(F.col(text_col)).alias("_toks"))
 
     def gram_counts(n: int) -> DataFrame:
         per_gram = (
@@ -926,7 +928,10 @@ def collocations(
     immediate-explode pattern (CLAUDE.md): counting happens after the
     explode as a relational aggregate.
     """
-    t = df.select(tokens_col(F.col(text_col), apply_stoplist=False).alias("_t"))
+    from pignlproc_spark.operators.dedup import tokens_once
+
+    # generator boundary: the bigram lambda references _t per element
+    t = df.select(tokens_once(F.col(text_col)).alias("_t"))
     bi = (
         t.select(
             F.explode(
@@ -1061,11 +1066,13 @@ def novelty_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     Shares the frozen :func:`~pignlproc_spark.operators.dedup.window_expr`
     shingle spec with every other window operator.
     """
-    from pignlproc_spark.operators.dedup import window_expr
+    from pignlproc_spark.operators.dedup import tokens_once, window_expr
 
+    # tokens_once: generator boundary (see dedup.tokens_once) — the
+    # window lambda must slice an attribute, not re-tokenize per gram
     toks = df.select(
         F.col(id_col).cast("bigint").alias("doc_id"),
-        tokens_col(F.col(text_col), apply_stoplist=False).alias("_toks"),
+        tokens_once(F.col(text_col)).alias("_toks"),
     )
     d = (
         toks.select("doc_id", F.explode(F.expr(window_expr(n))).alias("g"))
@@ -1176,9 +1183,12 @@ def bigram_surprisal(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     the V count) — fuse with a persisted token projection if the scan
     dominates.
     """
+    from pignlproc_spark.operators.dedup import tokens_once
+
     toks = tokens_col(F.col(text_col), apply_stoplist=False)
     bg = (
-        df.select(F.col(id_col).cast("bigint").alias("doc_id"), toks.alias("_t"))
+        # tokens_once boundary: the pair lambda indexes _t per element
+        df.select(F.col(id_col).cast("bigint").alias("doc_id"), tokens_once(F.col(text_col)).alias("_t"))
         .where(F.size("_t") >= 2)
         .select(
             "doc_id",
@@ -1268,9 +1278,11 @@ def dsir_logweights(
     sep = "\x1f"
 
     def grams(df_: DataFrame) -> DataFrame:
-        toks = tokens_col(F.col(text_col), apply_stoplist=False)
+        from pignlproc_spark.operators.dedup import tokens_once
+
         return (
-            df_.select(F.col(id_col).cast("bigint").alias("doc_id"), toks.alias("_t"))
+            # tokens_once boundary: the gram lambda indexes _t per element
+            df_.select(F.col(id_col).cast("bigint").alias("doc_id"), tokens_once(F.col(text_col)).alias("_t"))
             .where(F.size("_t") >= 1)
             .select(
                 "doc_id",
