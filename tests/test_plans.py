@@ -136,6 +136,40 @@ def test_strip_spans_anti_join_is_broadcast(spark):
     assert "SortMergeJoin LeftAnti" not in p and "ShuffledHashJoin LeftAnti" not in p
 
 
+def test_window_operators_tokenize_once(spark):
+    # the tokens_once generator boundary (dedup.tokens_once): without
+    # it, project collapse inlines the regexp tokenizer into the
+    # window_expr transform lambda and the text re-tokenizes once PER
+    # WINDOW ELEMENT (measured 15x on minhash signatures at sf0.1).
+    # Pin: no optimized-plan node may hold a window-construction
+    # transform AND the tokenizer in the same expression (the detector
+    # fires exactly 1 on the pre-fix construction, 0 on the fixed one),
+    # and the per-branch tokenize count stays bounded (per-row cost,
+    # one per consumer branch of the token table — never per element).
+    from pignlproc_spark.operators import dedup, textstats
+
+    docs = spark.createDataFrame([(1, "a b c a b d e")], "doc_id long, text string")
+    for n_branches, build in (
+        (1, lambda: dedup.minhash_signatures(docs)),
+        (1, lambda: dedup.winnowing_fingerprints(docs)),
+        (2, lambda: dedup.duplicate_spans(docs, window=3)),
+        (2, lambda: dedup.contamination_spans(docs, docs.limit(1), n=3)),
+        (3, lambda: textstats.repetition_signals(docs)),
+        (3, lambda: textstats.novelty_score(docs)),
+        (4, lambda: textstats.bigram_surprisal(docs)),
+        (3, lambda: textstats.collocations(docs)),
+    ):
+        plan = build()._jdf.queryExecution().optimizedPlan().toString()
+        inlined = [
+            line
+            for line in plan.split("\n")
+            if ("transform(sequence" in line or "transform(slice" in line)
+            and "regexp_extract_all" in line
+        ]
+        assert not inlined, inlined
+        assert plan.count("regexp_extract_all") <= n_branches, plan
+
+
 def test_repetition_signals_partial_final(spark):
     from pignlproc_spark.operators import textstats
 
