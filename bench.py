@@ -119,10 +119,18 @@ def run(sf_dir: str, cpus: int, quiet: bool = True, pipeline_only: bool = False,
 
         gc.collect()
         try:
+            # two passes: the first full GC enqueues the weak-ref'd
+            # RDD/broadcast cleanups, the second actually collects what
+            # the ContextCleaner released; a single pass + 0.3 s left
+            # enough old-gen debt on the 32 g heap that the NEXT run of
+            # a shuffle-heavy stage paid the majors (the recurring
+            # warm>cold inversion on the tf-cosine stage)
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(0.5)
             spark.sparkContext._jvm.System.gc()
         except Exception:
             pass
-        time.sleep(0.3)  # let the async ContextCleaner drain its queue
+        time.sleep(0.5)  # let the async ContextCleaner drain its queue
 
     # warm-up: JVM codegen + fork the Python UDF workers once (daemon
     # reuse keeps them alive) so cold-start isn't billed to the pipeline
