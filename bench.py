@@ -299,6 +299,18 @@ def run(sf_dir: str, cpus: int, quiet: bool = True, pipeline_only: bool = False,
             t0 = time.time()
             dedup.tf_cosine_pairs(pages2, min_cos_pct=50, max_df=200).count()
             runs.append(round(time.time() - t0, 3))
+            # same two-pass GC drain as _free_blocks: the repeat must
+            # not inherit the first run's old-gen debt
+            import gc
+
+            gc.collect()
+            try:
+                spark2.sparkContext._jvm.System.gc()
+                time.sleep(0.5)
+                spark2.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
+            time.sleep(0.5)
         out["tf_cosine_standalone"] = {"cold": runs[0], "warm": min(runs[1:])}
         spark2.stop()
         shutil.rmtree(pages_dir, ignore_errors=True)
