@@ -92,7 +92,11 @@ def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFram
     """Adds ``shingles`` ARRAY<STRING>: word n-grams (space-joined),
     built-ins only; empty array when the doc has < n tokens."""
     return (
-        df.select("*", tokens_once(F.col(text_col)).alias("_toks"))
+        # drop first: the pre-boundary withColumn clobbered any caller
+        # "_toks" column and the function never returned one — keep
+        # that contract (select("*", alias) would duplicate instead)
+        df.drop("_toks")
+        .select("*", tokens_once(F.col(text_col)).alias("_toks"))
         .withColumn("shingles", F.expr(window_expr(n)))
         .drop("_toks")
     )
